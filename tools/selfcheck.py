@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the matching oracle SQL in DuckDB
+over the same sf dir and compare values (columns sorted by name, rows
+sorted by all columns). Not part of the shipped library — dev tool only.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # Normalize timestamp-ish dtypes to ns for fair compare
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracle):
+    res_path = f"{out_dir}/{name}"
+    if not os.path.isdir(res_path):
+        print(f"FAIL {name}: no result parquet"); fails += 1; continue
+    try:
+        got = canon(con.execute(f"SELECT * FROM '{res_path}/*.parquet'").df())
+        want = canon(con.execute(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        print(f"OK   {name} ({len(got)} rows)")
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); fails += 1
+
+# queries without oracle → rows-only
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name not in oracle:
+        n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        print(f"ROWS {name}: {n} rows (no oracle)")
+
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)

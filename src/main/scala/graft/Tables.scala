@@ -18,8 +18,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    // default; read nanos as long, then floor to the microsecond
+    // precision Spark timestamps actually have. `div` keeps the
+    // arithmetic in exact integer space (a double division would lose
+    // precision above 2^53 ns ≈ 104 days).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
 
   /** Money-as-cents: exact integer arithmetic so aggregate results are
     * bit-identical regardless of partitioning / summation order — a

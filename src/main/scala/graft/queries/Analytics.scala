@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{cents, epochS, load}
+
+/** KPI-shaped analytics over the `events` stream table — the declared
+  * dashboard layer of the reference (SURVEY.md §2.7, §2.12,
+  * README.md:118-129) mapped onto harness data per FIXTURES.md §C
+  * (events ≙ RT observations, value ≙ delay seconds, user_id ≙
+  * vehicle/stop id).
+  *
+  * Determinism rules (see Tables.scala): epoch-second BIGINTs instead
+  * of raw ns timestamps; cents-BIGINTs for money/metric sums; every
+  * window ordered by (ts, event_id) so ties cannot flake; ORDER BY on
+  * output keys.
+  *
+  * Scale design: all windows partition by a high-cardinality key
+  * (user_id), so state is evenly sharded; aggregations are partial+
+  * final; the scalar watermark is the only driver-visible value.
+  */
+object Analytics {
+
+  /** Latest event per user — README.md:127 "carte des bus en temps
+    * réel" (latest vehicle position via ranking window, SURVEY §2.7).
+    */
+  def q08_window_latest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", epochS($"ts").as("ts_s"))
+      .orderBy($"user_id")
+  }
+
+  /** Per-key LAG delta — README.md:129 "évolution du retard par
+    * arrêt" (change vs previous observation).
+    */
+  def q09_window_lag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .withColumn("value_cents", cents($"value"))
+      .withColumn("delta_cents", $"value_cents" - lag($"value_cents", 1).over(w))
+      .select($"user_id", $"event_id", $"value_cents", $"delta_cents")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Running total per key (unbounded-preceding row frame) —
+    * SURVEY §2.7 first/last-over-sequence shape ("temps de parcours",
+    * README.md:126).
+    */
+  def q10_window_running(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("running_cents", sum(cents($"value")).over(w))
+      .select($"user_id", $"event_id", $"running_cents")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Set operations (SURVEY §2.8): EXCEPT / INTERSECT over per-type
+    * key sets, tagged and unioned into one deterministic result.
+    */
+  def q11_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+    val clickers = ev.filter($"event_type" === "click").select($"user_id").distinct()
+    val erroring = ev.filter($"event_type" === "error").select($"user_id").distinct()
+    val onlyClick = clickers.except(erroring).withColumn("grp", lit("click_no_error"))
+    val both = clickers.intersect(erroring).withColumn("grp", lit("both"))
+    onlyClick.unionByName(both)
+      .select($"grp", $"user_id")
+      .orderBy($"grp", $"user_id")
+  }
+
+  /** The reference's core incremental pattern (P5,
+    * dags/gtfs_silver.py:133): rows newer than the downstream table's
+    * MAX watermark, COALESCEd to 1900-01-01 for cold start — as an
+    * uncorrelated scalar subquery through Spark SQL. Second-floored on
+    * both sides (ns parquet vs µs Spark).
+    */
+  def q12_incremental_watermark(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "events").createOrReplaceTempView("events_v")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(unix_timestamp(ts)) AS min_ts_s, MAX(unix_timestamp(ts)) AS max_ts_s
+        |FROM events_v
+        |WHERE date_trunc('second', ts) > COALESCE(
+        |  (SELECT MAX(date_trunc('second', ts)) FROM events_v
+        |   WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-25'),
+        |  TIMESTAMP '1900-01-01')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Heatmap hours × days (README.md:124): 2-key GROUP BY on derived
+    * time parts; ISO day-of-week to match DuckDB's isodow.
+    */
+  def q13_heatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .groupBy((weekday($"ts") + 1).as("isodow"), hour($"ts").as("hh"))
+      .agg(count(lit(1)).as("n"), avg(cents($"value")).as("avg_cents"))
+      .orderBy($"isodow", $"hh")
+  }
+
+  /** Delay distribution (README.md:125): fixed-width bucket histogram.
+    */
+  def q14_histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .groupBy(floor($"value" / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  /** Punctuality rate (README.md:121): share of observations under a
+    * threshold, per group — conditional aggregation; rate emitted as
+    * basis points BIGINT (single exact division then round).
+    */
+  def q15_punctuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"value" <= 50.0, 1L).otherwise(0L)).as("on_time"),
+        count(lit(1)).as("total"))
+      .withColumn("rate_bp", round($"on_time" * 10000.0 / $"total").cast("long"))
+      .orderBy($"event_type")
+  }
+
+  /** Semi-structured extraction: numeric field out of the JSON-ish
+    * `props` string via regexp (F-series string functions; the
+    * reference has none — this is the KPI layer's JSON surface).
+    */
+  def q16_json_extract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .withColumn("k", regexp_extract($"props", "(\\d+)", 1).cast("long"))
+      .groupBy($"event_type")
+      .agg(min($"k").as("min_k"), max($"k").as("max_k"),
+           sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Latest-dimension-snapshot pick (SURVEY §7.4 hazard 5: daily
+    * re-appended dims need an as-of selection before KPI joins):
+    * MAX_BY on a unique ordering key.
+    */
+  def q17_latest_dim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max_by(cents($"o_totalprice"), $"o_orderkey").as("latest_price_cents"),
+           max($"o_orderkey").as("latest_orderkey"))
+      .orderBy($"o_custkey")
+  }
+
+  /** First-wins dedup (A2, dags/gtfs_rt_minutely.py:98-100): keep the
+    * earliest observation per (user, type) — deterministic via MIN_BY
+    * on the unique event_id (SURVEY §7.4 hazard 4).
+    */
+  def q18_dedup_first_wins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"event_id").as("first_event_id"),
+           min_by(cents($"value"), $"event_id").as("first_value_cents"),
+           count(lit(1)).as("n_dups"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_window_latest" -> q08_window_latest,
+    "q09_window_lag" -> q09_window_lag,
+    "q10_window_running" -> q10_window_running,
+    "q11_set_ops" -> q11_set_ops,
+    "q12_incremental_watermark" -> q12_incremental_watermark,
+    "q13_heatmap" -> q13_heatmap,
+    "q14_histogram" -> q14_histogram,
+    "q15_punctuality" -> q15_punctuality,
+    "q16_json_extract" -> q16_json_extract,
+    "q17_latest_dim" -> q17_latest_dim,
+    "q18_dedup_first_wins" -> q18_dedup_first_wins)
+
+  val oracle: Map[String, String] = Map(
+    "q08_window_latest" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+        |FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q09_window_lag" ->
+      """SELECT user_id, event_id, value_cents,
+        |  value_cents - LAG(value_cents, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+        |FROM (SELECT *, CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |      FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q10_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_cents
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q11_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type='click'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type='error')
+        |SELECT 'click_no_error' AS grp, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'both' AS grp, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM e)
+        |ORDER BY grp, user_id""".stripMargin,
+    "q12_incremental_watermark" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS min_ts_s,
+        |  CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS max_ts_s
+        |FROM events
+        |WHERE date_trunc('second', ts) > COALESCE(
+        |  (SELECT MAX(date_trunc('second', ts)) FROM events
+        |   WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-25'),
+        |  TIMESTAMP '1900-01-01')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_heatmap" ->
+      """SELECT isodow(ts) AS isodow, hour(ts) AS hh, COUNT(*) AS n,
+        |  AVG(CAST(ROUND(value*100) AS BIGINT)) AS avg_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_histogram" ->
+      """SELECT CAST(FLOOR(value/10) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_punctuality" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+        |  COUNT(*) AS total,
+        |  CAST(ROUND(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) * 10000.0
+        |             / COUNT(*)) AS BIGINT) AS rate_bp
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q16_json_extract" ->
+      """SELECT event_type,
+        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |        TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_latest_dim" ->
+      """SELECT o_custkey,
+        |  arg_max(CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS latest_price_cents,
+        |  MAX(o_orderkey) AS latest_orderkey
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q18_dedup_first_wins" ->
+      """SELECT user_id, event_type,
+        |  MIN(event_id) AS first_event_id,
+        |  arg_min(CAST(ROUND(value*100) AS BIGINT), event_id) AS first_value_cents,
+        |  COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin)
+}

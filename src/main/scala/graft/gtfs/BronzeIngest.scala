@@ -1,0 +1,106 @@
+package graft.gtfs
+
+import java.time.{LocalDateTime, ZoneId}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Bronze ingestion: the engine's equivalent of the reference's
+  * stage+COPY pipeline (S4-S6, K3; dags/gtfs_static_daily.py:106-142,
+  * dags/gtfs_rt_minutely.py:222-257). Files are read in place — a
+  * landing directory replaces the Snowflake stage.
+  *
+  * Scale design: CSV parse is distributed and schema-driven (never
+  * inferSchema — no extra pass over 100 TB), writes are append-only
+  * parquet partitioned by ingest date so silver's watermark filter
+  * prunes partitions instead of scanning history.
+  */
+object BronzeIngest {
+
+  /** The reference's `insert_date` DEFAULT: Paris wall-clock as
+    * TIMESTAMP_NTZ (dags/gtfs_static_daily.py:58, gtfs_silver.py:15).
+    */
+  def parisNow(): LocalDateTime =
+    LocalDateTime.now(ZoneId.of("Europe/Paris")).withNano(0)
+
+  def insertDateLit(ts: LocalDateTime): Column = lit(ts)
+
+  /** CSV read with the reference's COPY options
+    * (gtfs_static_daily.py:117-142): header skipped, `"` quoting,
+    * NULL_IF ('', 'NULL', 'null'), malformed rows dropped
+    * (ON_ERROR='CONTINUE'). `schema` is the bronze schema minus
+    * insert_date (positional, like the COPY column list).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              glob: Option[String] = None): DataFrame = {
+    val reader = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("nullValue", "")
+      .option("mode", "DROPMALFORMED")
+    val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+    val df = withGlob.csv(path)
+    // NULL_IF list beyond '': literal "NULL"/"null" strings → null
+    df.schema.fields.filter(_.dataType == StringType).foldLeft(df) { (d, f) =>
+      d.withColumn(f.name,
+        when(col(f.name).isin("NULL", "null"), lit(null).cast(StringType))
+          .otherwise(col(f.name)))
+    }
+  }
+
+  /** Stamp the audit column and append to a bronze parquet table
+    * (K3/D3). Partitioned by the DATE of insert_date: silver's
+    * incremental filter (P5) then reads only new partitions.
+    */
+  def appendBronze(df: DataFrame, tablePath: String, ingestTs: LocalDateTime): Unit =
+    df.withColumn(Schemas.insertDateCol, insertDateLit(ingestTs))
+      .withColumn("insert_day", to_date(col(Schemas.insertDateCol)))
+      .write.mode("append")
+      .partitionBy("insert_day")
+      .parquet(tablePath)
+
+  /** Read a bronze table back (empty-but-typed if never written). */
+  def readBronze(spark: SparkSession, tablePath: String, name: String): DataFrame = {
+    val schema = Schemas.bronze(name)
+    if (!new java.io.File(tablePath).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(tablePath).select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** E1, the daily static load (gtfs_static_daily.py:144-206): the 4
+    * GTFS text files → typed bronze tables. `srcDir` holds the
+    * unzipped stops.txt/routes.txt/trips.txt/stop_times.txt.
+    */
+  def loadStatic(spark: SparkSession, srcDir: String, warehouseDir: String,
+                 ingestTs: LocalDateTime = parisNow()): Unit = {
+    val files = Map(
+      "routes_static" -> "routes.txt",
+      "trips_static" -> "trips.txt",
+      "stops_static" -> "stops.txt",
+      "stop_times_static" -> "stop_times.txt")
+    // File-presence precondition (P7, scripts/check_gtfs_static.py:4-6)
+    val missing = files.values.filterNot(f => new java.io.File(s"$srcDir/$f").exists())
+    require(missing.isEmpty, s"missing GTFS files: ${missing.mkString(",")}")
+    files.foreach { case (table, file) =>
+      val df = readCsv(spark, s"$srcDir/$file", Schemas.csvSchema(Schemas.bronze(table)))
+      appendBronze(df, s"$warehouseDir/bronze/$table", ingestTs)
+    }
+  }
+
+  /** E2 bronze half: decode RT snapshot blobs → three bronze tables. */
+  def loadRt(spark: SparkSession, tripUpdatesDir: String, vehiclePositionsDir: String,
+             warehouseDir: String, ingestTs: LocalDateTime = parisNow()): Unit = {
+    import spark.implicits._
+    val tuBlobs = RtDecode.readFeedFiles(spark, tripUpdatesDir)
+      .select("content").as[Array[Byte]]
+    val (tu, stu) = RtDecode.decodeTripUpdateBlobs(tuBlobs)
+    appendBronze(tu.toDF(), s"$warehouseDir/bronze/trip_updates_raw", ingestTs)
+    appendBronze(stu.toDF(), s"$warehouseDir/bronze/trip_stop_times", ingestTs)
+    val vpBlobs = RtDecode.readFeedFiles(spark, vehiclePositionsDir)
+      .select("content").as[Array[Byte]]
+    val vp = RtDecode.decodeVehicleBlobs(vpBlobs)
+    appendBronze(vp.toDF(), s"$warehouseDir/bronze/vehicle_positions_raw", ingestTs)
+  }
+}

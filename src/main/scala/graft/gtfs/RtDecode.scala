@@ -1,0 +1,103 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GTFS-RT feed decode → the three bronze row families
+  * (dags/gtfs_rt_minutely.py:79-176). Pure functions per feed message
+  * (unit-testable without Spark) + Spark wrappers that distribute the
+  * decode over a Dataset of snapshot blobs.
+  *
+  * Scale design: one feed snapshot is one ~100 KB blob; a 100 TB
+  * archive is millions of blobs. `spark.read.format("binaryFile")`
+  * gives one row per file, decode runs in `flatMap` on executors —
+  * embarrassingly parallel, no shuffle. Per-snapshot first-wins dedup
+  * is partition-local by construction (a snapshot never spans files).
+  */
+object RtDecode {
+
+  /** Trip headers, first occurrence of each trip_id wins within the
+    * snapshot (the `seen_trips` set of gtfs_rt_minutely.py:84-100).
+    */
+  def tripUpdates(feed: RtFeedMessage): Seq[TripUpdateRow] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    feed.entities.flatMap { e =>
+      for {
+        tu <- e.tripUpdate
+        trip <- tu.trip
+        tripId <- trip.tripId
+        if seen.add(tripId)
+      } yield TripUpdateRow(tripId, trip.routeId.orNull, trip.directionId)
+    }
+  }
+
+  /** Explode of repeated stop_time_update (gtfs_rt_minutely.py:103-109);
+    * absent arrival/departure → null (HasField gates).
+    */
+  def tripStopTimes(feed: RtFeedMessage): Seq[StopTimeUpdateRow] =
+    for {
+      e <- feed.entities
+      tu <- e.tripUpdate.toSeq
+      trip <- tu.trip.toSeq
+      tripId <- trip.tripId.toSeq
+      stu <- tu.stopTimeUpdates
+    } yield StopTimeUpdateRow(
+      tripId, stu.stopSequence, stu.stopId.orNull,
+      stu.arrival.flatMap(_.time), stu.departure.flatMap(_.time))
+
+  /** Vehicle extraction with null-safe optionals and the float→int
+    * bearing rounding of gtfs_rt_minutely.py:172.
+    */
+  def vehiclePositions(feed: RtFeedMessage): Seq[VehiclePositionRow] =
+    feed.entities.flatMap { e =>
+      e.vehicle.map { v =>
+        VehiclePositionRow(
+          trip_id = v.trip.flatMap(_.tripId).orNull,
+          route_id = v.trip.flatMap(_.routeId).orNull,
+          vehicle_id = v.vehicle.flatMap(_.id).orNull,
+          latitude = v.position.flatMap(_.latitude).map(_.toDouble),
+          longitude = v.position.flatMap(_.longitude).map(_.toDouble),
+          bearing = v.position.flatMap(_.bearing).map(b => Math.round(b.toDouble)),
+          stop_id = v.stopId.orNull,
+          timestamp_epoch = v.timestamp)
+      }
+    }
+
+  // ---- Spark wrappers ----
+
+  /** One row per snapshot file under `dir` (recursive glob), carrying
+    * the raw bytes + source path. The binaryFile source prunes columns
+    * and parallelizes by file — the idiomatic "stage" scan (S6 is
+    * obsolete, SURVEY §2.1).
+    */
+  def readFeedFiles(spark: SparkSession, dir: String, glob: String = "*.pb"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+
+  def decodeTripUpdateBlobs(blobs: Dataset[Array[Byte]]): (Dataset[TripUpdateRow], Dataset[StopTimeUpdateRow]) = {
+    import blobs.sparkSession.implicits._
+    val headers = blobs.flatMap(b => tripUpdates(GtfsRtProto.parseFeed(b)))
+    val stopTimes = blobs.flatMap(b => tripStopTimes(GtfsRtProto.parseFeed(b)))
+    (headers, stopTimes)
+  }
+
+  def decodeVehicleBlobs(blobs: Dataset[Array[Byte]]): Dataset[VehiclePositionRow] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => vehiclePositions(GtfsRtProto.parseFeed(b)))
+  }
+
+  /** Full bronze decode of a snapshot directory: returns the three
+    * bronze DataFrames (without insert_date — BronzeIngest stamps it).
+    */
+  def decodeDir(spark: SparkSession, dir: String, glob: String = "*.pb")
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val blobs = readFeedFiles(spark, dir, glob).select("content").as[Array[Byte]]
+    val (tu, stu) = decodeTripUpdateBlobs(blobs)
+    val vp = decodeVehicleBlobs(blobs)
+    (tu.toDF(), stu.toDF(), vp.toDF())
+  }
+}

@@ -1,0 +1,111 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DateType, StructType}
+
+/** Structured Streaming assembly of the RT pipeline (SURVEY.md §2.10,
+  * §7.1 step 6): the engine-native replacement for the reference's
+  * 2-minute Airflow cron (dags/gtfs_rt_minutely.py:262) and 5-minute
+  * silver cron (dags/gtfs_silver.py:219).
+  *
+  * Landing dir of protobuf snapshots → file-source stream (the
+  * processed-files checkpoint log supersedes the PUT/PURGE
+  * exactly-once dance, T5) → decode per micro-batch → bronze append →
+  * silver stream (bronze parquet is itself a streaming source, so the
+  * silver watermark filter of the batch path disappears — T7).
+  *
+  * Tests drive this with Trigger.AvailableNow; production parity is
+  * Trigger.ProcessingTime("2 minutes") / ("5 minutes").
+  */
+object RtStream {
+
+  val rtTrigger: Trigger = Trigger.ProcessingTime("2 minutes")
+  val silverTrigger: Trigger = Trigger.ProcessingTime("5 minutes")
+
+  /** Stream the TripUpdates feed snapshots: one binary blob per file →
+    * decoded trip headers + exploded stop-time rows, appended to
+    * bronze with the per-batch ingest stamp.
+    */
+  def startTripUpdatesIngest(spark: SparkSession, landingDir: String,
+                             warehouseDir: String, checkpointDir: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.pb")
+      .load(landingDir)
+      .select("content")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val blobs = batch.select("content").as[Array[Byte]]
+        val (tu, stu) = RtDecode.decodeTripUpdateBlobs(blobs)
+        val ts = BronzeIngest.parisNow()
+        BronzeIngest.appendBronze(tu.toDF(), s"$warehouseDir/bronze/trip_updates_raw", ts)
+        BronzeIngest.appendBronze(stu.toDF(), s"$warehouseDir/bronze/trip_stop_times", ts)
+        ()
+      }
+      .start()
+  }
+
+  /** Stream the VehiclePositions feed snapshots. */
+  def startVehiclePositionsIngest(spark: SparkSession, landingDir: String,
+                                  warehouseDir: String, checkpointDir: String,
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.pb")
+      .load(landingDir)
+      .select("content")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vp = RtDecode.decodeVehicleBlobs(batch.select("content").as[Array[Byte]])
+        BronzeIngest.appendBronze(vp.toDF(), s"$warehouseDir/bronze/vehicle_positions_raw",
+          BronzeIngest.parisNow())
+        ()
+      }
+      .start()
+  }
+
+  /** Bronze→silver as a native streaming query: the parquet bronze
+    * table is the streaming source, the silver projection runs per
+    * micro-batch, and the file-source log IS the incremental watermark
+    * (P5/T7 without the scalar subquery).
+    */
+  def startSilverStream(spark: SparkSession, warehouseDir: String, silverName: String,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (bronzeName, fn) = SilverTransforms.transforms(silverName)
+    val schema = StructType(Schemas.bronze(bronzeName).fields :+
+      org.apache.spark.sql.types.StructField("insert_day", DateType))
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$warehouseDir/bronze/$bronzeName")
+      .drop("insert_day")
+      .transform(fn)
+      .withColumn("insert_day", to_date(col(Schemas.insertDateCol)))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$warehouseDir/silver/$silverName")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("insert_day")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Late-data-tolerant per-snapshot dedup (T8, README.md:137-138):
+    * event-time watermark + dropDuplicatesWithinWatermark on the trip
+    * key — the streaming-native form of the reference's per-snapshot
+    * `seen_trips` set.
+    */
+  def dedupWithinWatermark(updates: DataFrame, eventTimeCol: String,
+                           delay: String = "10 minutes"): DataFrame =
+    updates
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("trip_id")
+}

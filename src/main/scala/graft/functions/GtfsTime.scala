@@ -63,9 +63,10 @@ case class GtfsTimeToSeconds(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val parsed = ctx.freshName("parsed")
       s"""
-         |long graft_parsed = graft.functions.GtfsTimeUtil.toSeconds($c);
-         |if (graft_parsed < 0L) { ${ev.isNull} = true; } else { ${ev.value} = graft_parsed; }
+         |long $parsed = graft.functions.GtfsTimeUtil.toSeconds($c);
+         |if ($parsed < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $parsed; }
        """.stripMargin
     })
 

@@ -75,7 +75,12 @@ object ProtoWire {
     def skip(wireType: Int): Unit = wireType match {
       case WireVarint => readVarint()
       case WireFixed64 => pos += 8
-      case WireLen => pos += readVarint().toInt
+      case WireLen =>
+        // readVarint() advances pos, so the length must be read into a
+        // val first — `pos += readVarint()` would capture the stale pos.
+        val len = readVarint().toInt
+        if (len < 0 || pos + len > end) throw new IllegalArgumentException("truncated length-delimited field")
+        pos += len
       case WireFixed32 => pos += 4
       case g => throw new IllegalArgumentException(s"unsupported wire type $g")
     }

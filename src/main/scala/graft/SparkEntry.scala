@@ -38,12 +38,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++
+      graft.llm.TextAnalysis.queries ++
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.Analytics.oracle
+      graft.queries.Analytics.oracle ++
+      graft.llm.TextAnalysis.oracle ++
+      graft.llm.Dedup.oracle ++
+      graft.llm.Similarity.oracle ++
+      graft.llm.Multimodal.oracle
 }

@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** One decoded-asset record: the typed metadata a real pipeline would
+  * extract from the media header plus cheap content features.
+  */
+case class MediaFeatures(
+    img_id: Long, n_bytes: Long, fingerprint: Long,
+    width: Long, height: Long, aspect_bp: Long)
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed by a batched per-partition pipeline.
+  *
+  * The container ships no image/audio codecs, so the *decode* step is
+  * a deterministic stand-in (`decodeStub`) — but everything Spark-side
+  * is real and load-bearing: the (id, content: binary, meta: struct)
+  * schema, the mapPartitions batch walk (one codec context per
+  * partition, the shape a JNI/FFI decoder needs), the typed Dataset
+  * encoder, and the downstream relational join-ability of the
+  * features. Swapping `decodeStub` for a real codec changes no
+  * signatures.
+  *
+  * The features themselves are engine-independent (md5 fingerprint,
+  * byte length, metadata arithmetic), so the whole pipeline —
+  * including the binary column materialization — is DuckDB-verifiable.
+  */
+object Multimodal {
+
+  /** Synthesize a media table from `documents`: content = utf-8 bytes
+    * (stands in for an encoded image), metadata derived
+    * deterministically from doc_id. At 100 TB this column would come
+    * from `spark.read.format("binaryFile")` or parquet BYTE_ARRAY —
+    * same schema either way.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(
+        $"doc_id".as("img_id"),
+        encode($"text", "UTF-8").as("content"),
+        struct(
+          ($"doc_id" % 320 + 16).as("width"),
+          ($"doc_id" % 200 + 16).as("height"),
+          lit("fake/rgb8").as("format")).as("meta"))
+  }
+
+  /** STUB — a real build links an image codec here (libjpeg/ffmpeg via
+    * FFI). Deterministic fake: "decode" yields the byte array itself;
+    * real per-byte work (md5) keeps the CPU profile honest.
+    */
+  private def decodeStub(content: Array[Byte]): Array[Byte] = content
+
+  /** The batched per-partition feature extractor: one MessageDigest
+    * ("codec context") per partition, reused across rows — the
+    * mapPartitions shape that amortizes codec init at scale.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select($"img_id".cast("long"), $"content",
+        $"meta.width".cast("long"), $"meta.height".cast("long"))
+      .as[(Long, Array[Byte], Long, Long)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, content, w, h) =>
+          val pixels = decodeStub(content)
+          md.reset()
+          val hex = md.digest(pixels).map("%02x".format(_)).mkString
+          val fp = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          MediaFeatures(
+            img_id = id,
+            n_bytes = pixels.length.toLong,
+            fingerprint = fp,
+            width = w,
+            height = h,
+            aspect_bp = math.round(10000.0 * w / h))
+        }
+      }
+  }
+
+  /** Feature extraction over the synthesized media table, aggregated
+    * per width bucket — exercises binary materialization, the typed
+    * mapPartitions pipeline, and a downstream relational agg.
+    */
+  def q28_multimodal_features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .groupBy(($"width" % 10).as("wbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_bytes").as("sum_bytes"),
+        min($"fingerprint").as("min_fp"),
+        max($"fingerprint").as("max_fp"),
+        round(avg($"aspect_bp")).cast("long").as("avg_aspect_bp"))
+      .orderBy($"wbucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_multimodal_features" -> q28_multimodal_features)
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB md5 over the text's utf-8 bytes == Spark md5 over
+    // encode(text,'UTF-8') == the mapPartitions MessageDigest — the
+    // fingerprint is engine-independent by construction.
+    "q28_multimodal_features" ->
+      """WITH f AS (SELECT
+        |    doc_id % 320 + 16 AS width,
+        |    doc_id % 200 + 16 AS height,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fingerprint,
+        |    CAST(ROUND(10000.0 * (doc_id % 320 + 16) / (doc_id % 200 + 16)) AS BIGINT) AS aspect_bp
+        |  FROM documents)
+        |SELECT width % 10 AS wbucket, COUNT(*) AS n, SUM(n_bytes) AS sum_bytes,
+        |  MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp,
+        |  CAST(ROUND(AVG(aspect_bp)) AS BIGINT) AS avg_aspect_bp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding FLOAT[64], label) — the ANN layer of an LLM data
+  * pipeline (retrieval dedup, nearest-neighbor audit, cluster
+  * assignment).
+  *
+  * Two plans, as the scale story requires:
+  *  - q26 brute-force: broadcast the (small) query batch against the
+  *    full corpus scan — exact top-k, the correctness baseline. The
+  *    corpus side is never shuffled; per-query top-k is a ranking
+  *    window partitioned by query id (query count grows with data, so
+  *    parallelism scales).
+  *  - q27 multiprobe random-hyperplane LSH: corpus is bucketed by an
+  *    8-bit hyperplane sketch; each query probes all buckets within
+  *    Hamming distance 2 of its own sketch (1+8+28 = 37 of 256) and
+  *    ranks candidates exactly. Candidate generation is an equi-join
+  *    on the bucket key — no cartesian product anywhere in the plan.
+  *
+  * All cosine math is double-precision (FLOAT input upcast first);
+  * similarities are emitted as micro-units (round(sim·1e6)) so the
+  * 1-ulp summation-order differences between engines can't flip a
+  * hash compare, and ranking ties break on vec_id.
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(c: Column): Column = sqrt(dot(c, c))
+
+  final val TopK = 10
+
+  /** Exact brute-force cosine top-k for a deterministic query batch
+    * (every 50th vector). The query side is tiny relative to the
+    * corpus → explicit broadcast; the big side streams through the
+    * join with zero shuffle.
+    */
+  def q26_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+
+    val sims = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / (norm($"qv") * norm($"v")) * 1e6).cast("long").as("sim_micro"))
+
+    val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"sim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
+  final val NumPlanes = 8
+  final val ProbeRadius = 2
+  final val Dim = 64
+
+  /** ±1 hyperplane matrix, engine-independent and deterministic:
+    * plane p, dimension d → sign from the parity of an md5 nibble.
+    * Materialized as a literal array-of-arrays column (8×64 ints) —
+    * constant-folded by Catalyst, broadcast with the plan.
+    */
+  private def planesLit: Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val h = md.digest(s"graft_plane_${p}_$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+    array(rows.map(r => array(r.map(lit): _*)): _*)
+  }
+
+  /** 8-bit sketch: bit p = sign of v·plane_p. */
+  private def sketch(v: Column): Column =
+    aggregate(
+      zip_with(planesLit, sequence(lit(0), lit(NumPlanes - 1)), (plane, p) =>
+        when(aggregate(zip_with(v, plane, (x, s) => x * s), lit(0.0), (acc, x) => acc + x) > 0,
+          pow(lit(2), p).cast("int")).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+
+  /** All sketch values within Hamming distance ≤ 2 (multiprobe set:
+    * the bucket itself, all 1-bit flips, all 2-bit flips).
+    */
+  private val probeSet: Seq[Int] = {
+    val masks = Seq(0) ++
+      (0 until NumPlanes).map(1 << _) ++
+      (for (i <- 0 until NumPlanes; j <- i + 1 until NumPlanes) yield (1 << i) | (1 << j))
+    masks
+  }
+
+  /** Multiprobe LSH ANN: approximate top-k from hash-bucket
+    * candidates only. No DuckDB oracle (the LSH internals aren't
+    * SQL-portable) — covered by the recall spec in SimilaritySpec,
+    * which checks it against q26's exact answer.
+    */
+  def q27_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("bucket", sketch($"v"))
+
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        explode(transform(array(probeSet.map(lit): _*), m => $"bucket".bitwiseXOR(m)))
+          .as("probe_bucket"))
+
+    val cands = emb.join(broadcast(queries),
+        $"bucket" === $"probe_bucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / (norm($"qv") * norm($"v")) * 1e6).cast("long").as("sim_micro"))
+      .distinct()
+
+    val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"sim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_ann_topk" -> q26_ann_topk,
+    "q27_ann_lsh" -> q27_ann_lsh)
+
+  val oracle: Map[String, String] = Map(
+    // q27 deliberately omitted: approximate operator, verified by
+    // SimilaritySpec recall assertions against the exact q26 result.
+    "q26_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |  s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+        |          CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
+        |        FROM q JOIN e ON e.vec_id <> q.q_id),
+        |  r AS (SELECT q_id, neighbor_id, sim_micro,
+        |          ROW_NUMBER() OVER (PARTITION BY q_id
+        |                             ORDER BY sim_micro DESC, neighbor_id) AS rank
+        |        FROM s)
+        |SELECT q_id, rank, neighbor_id, sim_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+}

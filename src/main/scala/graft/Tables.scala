@@ -24,7 +24,8 @@ object Tables {
     // precision Spark timestamps actually have. `div` keeps the
     // arithmetic in exact integer space (a double division would lose
     // precision above 2^53 ns ≈ 104 days).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>

@@ -23,6 +23,15 @@ object BronzeIngest {
   def parisNow(): LocalDateTime =
     LocalDateTime.now(ZoneId.of("Europe/Paris")).withNano(0)
 
+  /** Existence check through the Hadoop FileSystem resolved from the
+    * path — correct on HDFS/S3/ABFS, where `java.io.File` would
+    * silently answer false on every cluster path.
+    */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   def insertDateLit(ts: LocalDateTime): Column = lit(ts)
 
   /** CSV read with the reference's COPY options
@@ -61,12 +70,21 @@ object BronzeIngest {
       .partitionBy("insert_day")
       .parquet(tablePath)
 
-  /** Read a bronze table back (empty-but-typed if never written). */
+  /** Read a bronze table back (empty-but-typed if never written).
+    * Schema-driven read (declared columns + the insert_day partition
+    * column): no inference pass, and an empty table (zero-row append
+    * leaves no data files) still reads as an empty typed DataFrame.
+    */
   def readBronze(spark: SparkSession, tablePath: String, name: String): DataFrame = {
     val schema = Schemas.bronze(name)
-    if (!new java.io.File(tablePath).exists())
+    if (!pathExists(spark, tablePath))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(tablePath).select(schema.fieldNames.map(col).toSeq: _*)
+    else {
+      val diskSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("insert_day", org.apache.spark.sql.types.DateType))
+      spark.read.schema(diskSchema).parquet(tablePath)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   /** E1, the daily static load (gtfs_static_daily.py:144-206): the 4
@@ -81,12 +99,29 @@ object BronzeIngest {
       "stops_static" -> "stops.txt",
       "stop_times_static" -> "stop_times.txt")
     // File-presence precondition (P7, scripts/check_gtfs_static.py:4-6)
-    val missing = files.values.filterNot(f => new java.io.File(s"$srcDir/$f").exists())
+    val missing = files.values.filterNot(f => pathExists(spark, s"$srcDir/$f"))
     require(missing.isEmpty, s"missing GTFS files: ${missing.mkString(",")}")
     files.foreach { case (table, file) =>
       val df = readCsv(spark, s"$srcDir/$file", Schemas.csvSchema(Schemas.bronze(table)))
       appendBronze(df, s"$warehouseDir/bronze/$table", ingestTs)
     }
+  }
+
+  /** TripUpdates blobs → both bronze row families with ONE protobuf
+    * parse per blob: decode to (headers, stop_times) pairs, persist
+    * the parsed micro-batch, write both tables, release. Shared by the
+    * batch path (loadRt) and the streaming foreachBatch (RtStream) so
+    * neither re-reads the source nor re-decodes.
+    */
+  def ingestTripUpdateBlobs(blobs: org.apache.spark.sql.Dataset[Array[Byte]],
+                            warehouseDir: String, ingestTs: LocalDateTime): Unit = {
+    import blobs.sparkSession.implicits._
+    val parsed = RtDecode.decodePairs(blobs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      appendBronze(parsed.flatMap(_._1).toDF(), s"$warehouseDir/bronze/trip_updates_raw", ingestTs)
+      appendBronze(parsed.flatMap(_._2).toDF(), s"$warehouseDir/bronze/trip_stop_times", ingestTs)
+    } finally parsed.unpersist()
   }
 
   /** E2 bronze half: decode RT snapshot blobs → three bronze tables. */
@@ -95,9 +130,7 @@ object BronzeIngest {
     import spark.implicits._
     val tuBlobs = RtDecode.readFeedFiles(spark, tripUpdatesDir)
       .select("content").as[Array[Byte]]
-    val (tu, stu) = RtDecode.decodeTripUpdateBlobs(tuBlobs)
-    appendBronze(tu.toDF(), s"$warehouseDir/bronze/trip_updates_raw", ingestTs)
-    appendBronze(stu.toDF(), s"$warehouseDir/bronze/trip_stop_times", ingestTs)
+    ingestTripUpdateBlobs(tuBlobs, warehouseDir, ingestTs)
     val vpBlobs = RtDecode.readFeedFiles(spark, vehiclePositionsDir)
       .select("content").as[Array[Byte]]
     val vp = RtDecode.decodeVehicleBlobs(vpBlobs)

@@ -77,11 +77,23 @@ object RtDecode {
       .load(dir)
       .select(col("path"), col("content"))
 
+  /** ONE parse per blob → both row families as a pair. Callers that
+    * write both outputs should persist this Dataset across the two
+    * actions (BronzeIngest.ingestTripUpdateBlobs does) so neither the
+    * source read nor the protobuf decode runs twice.
+    */
+  def decodePairs(blobs: Dataset[Array[Byte]]): Dataset[(Seq[TripUpdateRow], Seq[StopTimeUpdateRow])] = {
+    import blobs.sparkSession.implicits._
+    blobs.map { b =>
+      val feed = GtfsRtProto.parseFeed(b)
+      (tripUpdates(feed), tripStopTimes(feed))
+    }
+  }
+
   def decodeTripUpdateBlobs(blobs: Dataset[Array[Byte]]): (Dataset[TripUpdateRow], Dataset[StopTimeUpdateRow]) = {
     import blobs.sparkSession.implicits._
-    val headers = blobs.flatMap(b => tripUpdates(GtfsRtProto.parseFeed(b)))
-    val stopTimes = blobs.flatMap(b => tripStopTimes(GtfsRtProto.parseFeed(b)))
-    (headers, stopTimes)
+    val parsed = decodePairs(blobs)
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 
   def decodeVehicleBlobs(blobs: Dataset[Array[Byte]]): Dataset[VehiclePositionRow] = {

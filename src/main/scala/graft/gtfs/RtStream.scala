@@ -24,6 +24,15 @@ object RtStream {
   val rtTrigger: Trigger = Trigger.ProcessingTime("2 minutes")
   val silverTrigger: Trigger = Trigger.ProcessingTime("5 minutes")
 
+  /** The binaryFile source's fixed schema — streaming sources must be
+    * given a schema explicitly (no inference pass at stream start).
+    */
+  private val binaryFileSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
   /** Stream the TripUpdates feed snapshots: one binary blob per file →
     * decoded trip headers + exploded stop-time rows, appended to
     * bronze with the per-batch ingest stamp.
@@ -33,6 +42,7 @@ object RtStream {
                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.pb")
       .load(landingDir)
       .select("content")
@@ -40,11 +50,10 @@ object RtStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val blobs = batch.select("content").as[Array[Byte]]
-        val (tu, stu) = RtDecode.decodeTripUpdateBlobs(blobs)
-        val ts = BronzeIngest.parisNow()
-        BronzeIngest.appendBronze(tu.toDF(), s"$warehouseDir/bronze/trip_updates_raw", ts)
-        BronzeIngest.appendBronze(stu.toDF(), s"$warehouseDir/bronze/trip_stop_times", ts)
+        // Single-parse path: persists the decoded pairs across the two
+        // bronze writes (no double decode, no double source read).
+        BronzeIngest.ingestTripUpdateBlobs(
+          batch.select("content").as[Array[Byte]], warehouseDir, BronzeIngest.parisNow())
         ()
       }
       .start()
@@ -56,6 +65,7 @@ object RtStream {
                                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.pb")
       .load(landingDir)
       .select("content")

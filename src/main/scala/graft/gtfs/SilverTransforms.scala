@@ -84,12 +84,22 @@ object SilverTransforms {
 
   // ---- incremental runner ----
 
+  /** Silver on-disk schema: declared columns + the insert_day
+    * partition column. Passed to every silver read so nothing ever
+    * infers — required for correctness on an empty table (a zero-row
+    * append leaves a dir with no data files, where inference fails)
+    * and the right call at scale anyway (no schema-discovery pass).
+    */
+  private def silverDiskSchema(name: String) =
+    org.apache.spark.sql.types.StructType(Schemas.silver(name).fields :+
+      org.apache.spark.sql.types.StructField("insert_day", org.apache.spark.sql.types.DateType))
+
   /** MAX(insert_date) of an existing silver table, or None when cold
     * (A1 — the only value that ever reaches the driver).
     */
-  def watermark(spark: SparkSession, silverPath: String): Option[java.time.LocalDateTime] = {
-    if (!new java.io.File(silverPath).exists()) None
-    else spark.read.parquet(silverPath)
+  def watermark(spark: SparkSession, silverPath: String, silverName: String): Option[java.time.LocalDateTime] = {
+    if (!BronzeIngest.pathExists(spark, silverPath)) None
+    else spark.read.schema(silverDiskSchema(silverName)).parquet(silverPath)
       .agg(max(col(Schemas.insertDateCol))).head.get(0) match {
         case null => None
         case t: java.time.LocalDateTime => Some(t)
@@ -103,17 +113,23 @@ object SilverTransforms {
   def incrementalFilter(bronze: DataFrame, wm: Option[java.time.LocalDateTime]): DataFrame =
     bronze.filter(col(Schemas.insertDateCol) > lit(wm.getOrElse(epoch1900)))
 
-  /** E3, one table: watermark → filter → transform → append. */
+  /** E3, one table: watermark → filter → transform → append. Returns
+    * the number of rows appended THIS refresh, measured by an
+    * `Observation` riding the write itself — no second scan, and in
+    * particular no O(full-history) re-read of the silver table (each
+    * refresh touches only partitions newer than the watermark).
+    */
   def refreshTable(spark: SparkSession, warehouseDir: String, silverName: String): Long = {
     val (bronzeName, fn) = transforms(silverName)
     val silverPath = s"$warehouseDir/silver/$silverName"
     val bronze = BronzeIngest.readBronze(spark, s"$warehouseDir/bronze/$bronzeName", bronzeName)
-    val wm = watermark(spark, silverPath)
+    val wm = watermark(spark, silverPath, silverName)
     val fresh = fn(incrementalFilter(bronze, wm))
-    // Count once via an accumulator-free write: cache tiny micro-batches
-    val out = fresh.withColumn("insert_day", to_date(col(Schemas.insertDateCol)))
+    val obs = org.apache.spark.sql.Observation()
+    val out = fresh.observe(obs, count(lit(1)).as("appended"))
+      .withColumn("insert_day", to_date(col(Schemas.insertDateCol)))
     out.write.mode("append").partitionBy("insert_day").parquet(silverPath)
-    spark.read.parquet(silverPath).count()
+    obs.get("appended").asInstanceOf[Long]
   }
 
   /** E3, all 7 tables (the reference fans these out in parallel,
@@ -129,8 +145,9 @@ object SilverTransforms {
   def readSilver(spark: SparkSession, warehouseDir: String, name: String): DataFrame = {
     val path = s"$warehouseDir/silver/$name"
     val schema = Schemas.silver(name)
-    if (!new java.io.File(path).exists())
+    if (!BronzeIngest.pathExists(spark, path))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(path).select(schema.fieldNames.map(col).toSeq: _*)
+    else spark.read.schema(silverDiskSchema(name)).parquet(path)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 }

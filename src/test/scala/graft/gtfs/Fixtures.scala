@@ -143,4 +143,64 @@ object Fixtures {
     Files.write(Paths.get(s"$tuDir/trip_updates_$stamp.pb"), tripUpdatesSnapshot(feedTs))
     Files.write(Paths.get(s"$vpDir/vehicle_positions_$stamp.pb"), vehiclePositionsSnapshot(feedTs))
   }
+
+  /** The long chouette-style trip_id from trips.txt/stop_times.txt. */
+  val LongTrip = "6444367-33_R_99_3304_09:09-SETP2025-33-Mercredi-36"
+
+  /** TripUpdates snapshot whose trip_ids MATCH the static fixture, so
+    * the KPI delay spine joins. Observed epochs = Paris service-day
+    * start + scheduled seconds + a known delay:
+    *   LongTrip seq1 S1: +120   LongTrip seq2 S2: +180
+    *   T2 seq1 S1: +60 (departure-only)   T2 seq2 S3: −30
+    *   T3 seq1 S2 (sched 25:07:00 = 90420s): +300
+    * plus a duplicate LongTrip header (first-wins) and T4 unobserved.
+    */
+  def tripUpdatesMatchingStatic(dayStartEpoch: Long, feedTs: Long): Array[Byte] = {
+    val w = new Writer
+    w.message(1) { h => h.string(1, "2.0").int(2, 0).int(3, feedTs) }
+    w.message(2) { e =>
+      e.string(1, "m1")
+      e.message(3) { tu =>
+        tu.message(1) { t => t.string(1, LongTrip).string(5, "R1").int(6, 0) }
+        tu.message(2) { s =>
+          s.int(1, 1).string(4, "S1")
+          s.message(2)(_.int(2, dayStartEpoch + 32940 + 120))
+        }
+        tu.message(2) { s =>
+          s.int(1, 2).string(4, "S2")
+          s.message(2)(_.int(2, dayStartEpoch + 33600 + 180))
+        }
+      }
+    }
+    // duplicate LongTrip header — must lose first-wins
+    w.message(2) { e =>
+      e.string(1, "m1-dup")
+      e.message(3)(_.message(1) { t => t.string(1, LongTrip).string(5, "R9").int(6, 1) })
+    }
+    w.message(2) { e =>
+      e.string(1, "m2")
+      e.message(3) { tu =>
+        tu.message(1) { t => t.string(1, "T2").string(5, "R1").int(6, 1) }
+        tu.message(2) { s => // departure-only observation
+          s.int(1, 1).string(4, "S1")
+          s.message(3)(_.int(2, dayStartEpoch + 36300 + 60))
+        }
+        tu.message(2) { s => // early arrival
+          s.int(1, 2).string(4, "S3")
+          s.message(2)(_.int(2, dayStartEpoch + 36900 - 30))
+        }
+      }
+    }
+    w.message(2) { e =>
+      e.string(1, "m3")
+      e.message(3) { tu =>
+        tu.message(1) { t => t.string(1, "T3").string(5, "R2") } // no direction → sentinel
+        tu.message(2) { s =>
+          s.int(1, 1).string(4, "S2")
+          s.message(2)(_.int(2, dayStartEpoch + 90420 + 300))
+        }
+      }
+    }
+    w.toBytes
+  }
 }

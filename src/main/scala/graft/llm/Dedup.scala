@@ -21,45 +21,124 @@ import graft.Tables.load
   *    on candidates only.
   *  - Blocked exact n-gram Jaccard (q25): exact bigram Jaccard inside
   *    a blocking key (source) — the pattern for "compare only within
-  *    a partition-sized block" dedup.
+  *    a partition-sized block" dedup. Quadratic in the block by
+  *    design; at 100 TB the blocking key bounds block size.
   *
-  * Determinism across engines: token hashes are md5-derived 60-bit
-  * ints (identical in Spark and DuckDB); similarity is emitted in
-  * basis points via the same double expression on both sides; MinHash
-  * internals use Spark's xxhash64 but never leak into the output —
-  * the output is the *exact* Jaccard of the candidate pairs, which
-  * the oracle recomputes all-pairs.
+  * Implementation note (measured, not guessed): the sketch math ran
+  * first as nested higher-order-function lambdas — semantically clean,
+  * but Catalyst evaluates HOF lambdas interpreted per element, and
+  * 64 hashes × |shingles| per document re-evaluated on both sides of
+  * the LSH self-join benched at 465 s for 5 000 docs. The sketches are
+  * now computed in typed `mapPartitions` loops (tight JVM long
+  * arithmetic, zero shuffle change, same outputs) — the documented
+  * escape hatch for per-row compute the built-ins can't express
+  * efficiently. Set intersection on candidates is a sorted-long-array
+  * merge for the same reason.
+  *
+  * Determinism across engines: the q24 token hash is md5-derived
+  * (identical in Spark and DuckDB); q23/q25 shingle-set hashes never
+  * leak into output — the output is the *exact* Jaccard of candidate
+  * pairs, which the oracle recomputes all-pairs from the strings
+  * (64-bit shingle-hash collisions are ~1e-15 per document pair).
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingle set; empty for docs under 3 tokens
-    * (guarded — `sequence(0, negative)` would count down).
-    */
-  private def shingles3(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  // ---- hashing primitives (deterministic, engine-local) ----
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  private def shingles2(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 2,
-      array_distinct(transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  /** FNV-1a over UTF-8 bytes, finalized by mix64. */
+  private def hashString(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    mix64(h)
   }
 
-  /** Exact Jaccard in basis points — identical double expression in
-    * DuckDB (`ROUND(10000.0 * i / u)`), so bit-equal results.
+  /** Sorted distinct hashes of the word n-gram shingle set. */
+  private[llm] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val words = text.split(" ", -1)
+    if (words.length < n) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      set.add(hashString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** |intersection| of two sorted long arrays (merge walk). */
+  private[llm] def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Exact Jaccard in basis points — same double expression as the
+    * DuckDB oracle (`ROUND(10000.0 * i / u)`), exact-match rounding.
     */
-  private def jaccardBp(a: Column, b: Column): Column =
-    round(lit(10000.0) * size(array_intersect(a, b)) / size(array_union(a, b))).cast("long")
+  private def jBp(a: Array[Long], b: Array[Long]): Long = {
+    val inter = intersectSize(a, b)
+    val union = a.length + b.length - inter
+    math.round(10000.0 * inter / union)
+  }
 
   final val NumHashes = 64
   final val NumBands = 16
   final val RowsPerBand = 4
+
+  /** 64-way MinHash signature over the shingle-hash set: sig(k) =
+    * min over shingles of mix64(h ⊕ seed_k).
+    */
+  private[llm] def minhashSig(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var k = 0
+      while (k < NumHashes) {
+        val v = mix64(h ^ (0xd6e8feb86659fd93L * (k + 1)))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (doc_id, shingle hashes, minhash signature) — one narrow
+    * mapPartitions pass over the scan, no shuffle.
+    */
+  private def sketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sh = shingleHashes(text, 3)
+        (id, sh, minhashSig(sh))
+      })
+      .toDF("doc_id", "sh", "sig")
+      .filter(size($"sh") > 0)
+  }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Output: (doc_a, doc_b, j_bp) for pairs with Jaccard ≥ 0.5 on
@@ -67,43 +146,31 @@ object Dedup {
     */
   def q23_minhash_dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = load(spark, dir, "documents")
-      .select($"doc_id", shingles3($"text").as("sh"))
-      .filter(size($"sh") > 0)
+    val sk = sketches(spark, dir)
 
-    // 64-way MinHash signature: sig[k] = min over shingles of
-    // xxhash64(shingle, k). Computed with codegen'd higher-order
-    // functions — one narrow projection, no shuffle, no UDF.
-    val sig = transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => aggregate($"sh", lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, k))))
-
-    // 16 bands of 4 rows; band key = the 4 signature slots joined.
-    // posexplode-style fan-out: 16 rows per doc, bucketed by
-    // (band_idx, band_key) — the LSH join key.
-    val bands = docs
-      .withColumn("sig", sig)
-      .select($"doc_id", explode(transform(sequence(lit(0), lit(NumBands - 1)),
-        b => struct(b.as("band_idx"),
-          concat_ws(",", slice($"sig", b * RowsPerBand + 1, lit(RowsPerBand))).as("band_key")))).as("bk"))
+    // 16 bands of 4 signature slots; band key = slots joined. The
+    // band fan-out (16 rows/doc) is the LSH bucket key.
+    val bands = sk.selectExpr("doc_id",
+        s"explode(transform(sequence(0, ${NumBands - 1}), b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) as band_key))) as bk")
       .select($"doc_id", $"bk.band_idx", $"bk.band_key")
 
-    // Bucket self-join: pairs sharing any band. Equi-join on the
-    // bucket key — shuffle-partitioned, never cartesian. distinct()
-    // collapses multi-band collisions before the (more expensive)
-    // exact verify.
+    // Bucket self-join: pairs sharing any band — equi-join on the
+    // bucket key, shuffle-partitioned, never cartesian.
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    // Exact verify on candidates only: join shingle sets back in
-    // (equi-joins on doc_id) and compute true Jaccard.
+    // Exact verify on candidates only: equi-join the shingle-hash
+    // sets back and merge-count the sorted arrays.
     cand
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .select($"doc_a", $"doc_b", jaccardBp($"sh_a", $"sh_b").as("j_bp"))
+      .join(sk.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sk.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) => (a, b, jBp(sa, sb)) }
+      .toDF("doc_a", "doc_b", "j_bp")
       .filter($"j_bp" >= 5000)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -113,15 +180,34 @@ object Dedup {
   final val ChunkBits = 15
   final val MaxHamming = 3
 
-  /** 60-bit weighted SimHash from md5-derived token hashes — the md5
-    * route keeps the fingerprint engine-independent so DuckDB
-    * recomputes it exactly. Token multiplicity weights the votes.
+  /** 60-bit weighted SimHash: per token, the DuckDB-reproducible hash
+    * `CAST('0x' || substring(md5(w),1,15) AS BIGINT)` = the top 60
+    * bits of the md5 digest (big-endian first 8 bytes >>> 4); votes
+    * weighted by token multiplicity.
     */
-  private val simhashExpr: Column = expr(
-    s"""aggregate(sequence(0, ${SimHashBits - 1}), cast(0 as bigint), (acc, i) ->
-       |  acc + if(aggregate(th_arr, cast(0 as bigint), (a2, h) ->
-       |             a2 + if((shiftright(h, i) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))) > 0,
-       |           shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
+  private[llm] def simhash(md: java.security.MessageDigest, text: String): Long = {
+    val votes = new Array[Int](SimHashBits)
+    text.split(" ", -1).foreach { w =>
+      md.reset()
+      val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4 // 16 hex chars → first 15
+      var bit = 0
+      while (bit < SimHashBits) {
+        votes(bit) += (if (((h >> bit) & 1L) == 1L) 1 else -1)
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < SimHashBits) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 over the 60-bit
     * fingerprint. Blocking: any pair within distance 3 must agree on
@@ -131,15 +217,13 @@ object Dedup {
   def q24_simhash_dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
-      .select($"doc_id",
-        expr("transform(split(text, ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))")
-          .as("th_arr"))
-      .withColumn("simhash", simhashExpr)
-      .select($"doc_id", $"simhash")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) => (id, simhash(md, text)) }
+      }
+      .toDF("doc_id", "simhash")
 
-    // Chunk extraction shifts by the lambda variable, which the Column
-    // API's shiftright(col, Int) can't express — selectExpr keeps it
-    // in (codegen'd) SQL.
     val chunked = docs.selectExpr("doc_id", "simhash",
       s"explode(transform(sequence(0, ${SimChunks - 1}), c -> struct(c as chunk_idx, (shiftright(simhash, c * $ChunkBits) & ${(1L << ChunkBits) - 1}) as chunk_val))) as ck")
       .select($"doc_id", $"simhash", $"ck.chunk_idx", $"ck.chunk_val")
@@ -155,18 +239,23 @@ object Dedup {
   }
 
   /** Blocked exact bigram-Jaccard: compare only within the `source`
-    * blocking key (block-local pairs, the "compare within partition"
-    * dedup pattern). Threshold 0.3.
+    * blocking key. Threshold 0.3. Pairs come from an equi-join on the
+    * block; per-pair cost is a sorted-long-array merge.
     */
   def q25_ngram_jaccard_blocked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
-      .select($"doc_id", $"source", shingles2($"text").as("sh"))
+      .select($"doc_id".cast("long"), $"source", $"text").as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) => (id, src, shingleHashes(text, 2)) })
+      .toDF("doc_id", "source", "sh")
       .filter(size($"sh") > 0)
+
     docs.as("a").join(docs.as("b"),
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.source".as("source"), $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        jaccardBp($"a.sh", $"b.sh").as("j_bp"))
+      .select($"a.source", $"a.doc_id", $"b.doc_id", $"a.sh", $"b.sh")
+      .as[(String, Long, Long, Array[Long], Array[Long])]
+      .map { case (src, a, b, sa, sb) => (src, a, b, jBp(sa, sb)) }
+      .toDF("source", "doc_a", "doc_b", "j_bp")
       .filter($"j_bp" >= 3000)
       .orderBy($"source", $"doc_a", $"doc_b")
   }
@@ -176,9 +265,9 @@ object Dedup {
     "q24_simhash_dedup" -> q24_simhash_dedup,
     "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked)
 
-  // Oracles recompute the *exact* similarity all-pairs (feasible at
-  // sf0.01's 500 docs; the Spark side must find the same pairs via
-  // LSH/blocking — that equality is precisely what's being graded).
+  // Oracles recompute the *exact* similarity all-pairs from the raw
+  // strings (feasible at sf0.01's 500 docs; the Spark side must find
+  // the same pairs via LSH/blocking — that equality is the check).
   private val Shingle3Sql =
     """list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
       |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin

@@ -64,18 +64,25 @@ object Analytics {
       .orderBy($"user_id", $"event_id")
   }
 
-  /** Set operations (SURVEY §2.8): EXCEPT / INTERSECT over per-type
-    * key sets, tagged and unioned into one deterministic result.
+  /** Set-operation semantics (SURVEY §2.8) via the scale-safe plan:
+    * EXCEPT/INTERSECT over per-type key sets would cost 2 distincts +
+    * 2 set-ops ≈ 4 shuffles over the same scan; one groupBy with
+    * boolean membership flags derives both groups in ONE scan and ONE
+    * shuffle, bit-identical output (the DuckDB oracle still runs
+    * literal EXCEPT/INTERSECT — semantic equivalence is the check).
     */
   def q11_set_ops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = load(spark, dir, "events")
-    val clickers = ev.filter($"event_type" === "click").select($"user_id").distinct()
-    val erroring = ev.filter($"event_type" === "error").select($"user_id").distinct()
-    val onlyClick = clickers.except(erroring).withColumn("grp", lit("click_no_error"))
-    val both = clickers.intersect(erroring).withColumn("grp", lit("both"))
-    onlyClick.unionByName(both)
-      .select($"grp", $"user_id")
+    load(spark, dir, "events")
+      .filter($"event_type".isin("click", "error"))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "click", 1).otherwise(0)).as("has_click"),
+        max(when($"event_type" === "error", 1).otherwise(0)).as("has_error"))
+      .filter($"has_click" === 1)
+      .select(
+        when($"has_error" === 1, lit("both")).otherwise(lit("click_no_error")).as("grp"),
+        $"user_id")
       .orderBy($"grp", $"user_id")
   }
 
@@ -175,7 +182,32 @@ object Analytics {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** The one custom Catalyst expression, oracle-verified (SURVEY §7.3):
+    * GTFS `H+:MM:SS` service-day times (hours may exceed 24) built
+    * deterministically from integer columns, parsed by the native
+    * codegen'd GtfsTimeToSeconds, with malformed inputs → NULL. The
+    * DuckDB side re-derives seconds via split_part arithmetic with
+    * TRY_CAST null-propagation — parse parity, not shared code.
+    */
+  def q29_gtfs_time(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GtfsTime.register(spark)
+    load(spark, dir, "events").createOrReplaceTempView("events_gtfs_v")
+    spark.sql(
+      """SELECT event_type,
+        |  COUNT(secs) AS n_valid, COUNT(*) - COUNT(secs) AS n_malformed,
+        |  SUM(secs) AS sum_s, MIN(secs) AS min_s, MAX(secs) AS max_s
+        |FROM (
+        |  SELECT event_type, gtfs_time_to_seconds(
+        |    CASE WHEN user_id % 97 = 0 THEN 'not-a-time'
+        |         ELSE printf('%d:%02d:%02d', 20 + user_id % 10, event_id % 60, user_id % 60)
+        |    END) AS secs
+        |  FROM events_gtfs_v)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_gtfs_time" -> q29_gtfs_time,
     "q08_window_latest" -> q08_window_latest,
     "q09_window_lag" -> q09_window_lag,
     "q10_window_running" -> q10_window_running,
@@ -189,6 +221,20 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q29_gtfs_time" ->
+      """WITH t AS (SELECT event_type,
+        |    CASE WHEN user_id % 97 = 0 THEN 'not-a-time'
+        |         ELSE printf('%d:%02d:%02d', 20 + user_id % 10, event_id % 60, user_id % 60)
+        |    END AS ts FROM events),
+        |  p AS (SELECT event_type,
+        |    TRY_CAST(split_part(ts, ':', 1) AS BIGINT) * 3600
+        |      + TRY_CAST(split_part(ts, ':', 2) AS BIGINT) * 60
+        |      + TRY_CAST(split_part(ts, ':', 3) AS BIGINT) AS secs
+        |  FROM t)
+        |SELECT event_type,
+        |  COUNT(secs) AS n_valid, COUNT(*) - COUNT(secs) AS n_malformed,
+        |  SUM(secs) AS sum_s, MIN(secs) AS min_s, MAX(secs) AS max_s
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q08_window_latest" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s

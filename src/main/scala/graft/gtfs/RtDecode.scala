@@ -112,4 +112,27 @@ object RtDecode {
     val vp = decodeVehicleBlobs(blobs)
     (tu.toDF(), stu.toDF(), vp.toDF())
   }
+
+  /** T4 snapshot semantics, explicit: the minute stamp each snapshot
+    * file carries in its name (`…_yyyyMMdd_HHmm.pb`,
+    * gtfs_rt_minutely.py:29-31,111-113) parsed to a timestamp column —
+    * so windowed analytics can group by snapshot rather than by
+    * ingest batch.
+    */
+  def snapshotTs(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_timestamp(
+      regexp_extract(pathCol, "(\\d{8}_\\d{4})", 1), "yyyyMMdd_HHmm")
+
+  /** K2/F9 debug dump: decoded feed entities rendered one per text
+    * line (the reference's `str(ent.trip_update)` export,
+    * gtfs_rt_minutely.py:34-68 / scripts/export_rt_text.py:27-44).
+    * Distributed map → text sink; debug artifact only.
+    */
+  def dumpFeedText(spark: SparkSession, dir: String, outDir: String,
+                   glob: String = "*.pb"): Unit = {
+    import spark.implicits._
+    readFeedFiles(spark, dir, glob).select("content").as[Array[Byte]]
+      .flatMap(b => GtfsRtProto.parseFeed(b).entities.map(_.toString))
+      .write.mode("overwrite").text(outDir)
+  }
 }

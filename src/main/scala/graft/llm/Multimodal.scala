@@ -98,6 +98,47 @@ object Multimodal {
       .orderBy($"wbucket")
   }
 
+  /** STUB resize — a real build calls the codec's scaler. The
+    * deterministic fake keeps every k-th byte so output size tracks
+    * the target dimensions; the Spark-side shape (binary in → binary
+    * out, metadata recomputed) is what a real scaler needs.
+    */
+  private[llm] def resizeStub(pixels: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (pixels.isEmpty || targetBytes <= 0) return Array.emptyByteArray
+    if (pixels.length <= targetBytes) return pixels
+    val stride = pixels.length.toDouble / targetBytes
+    Array.tabulate(targetBytes)(i => pixels((i * stride).toInt))
+  }
+
+  /** Batched resize over the media table: binary → smaller binary +
+    * refreshed metadata, one codec context per partition.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[(Long, Array[Byte], Long, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, content) =>
+        val out = resizeStub(decodeStub(content), targetW * targetH)
+        (id, out, targetW.toLong, targetH.toLong)
+      })
+  }
+
+  /** STUB frame sampling — the video-pipeline UDTF shape: one input
+    * asset explodes to one row per sampled frame. The fake treats the
+    * byte stream as fixed-size frames and keeps every `stride`-th.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[(Long, Long, Array[Byte])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
+      .flatMap { case (id, content) =>
+        val frames = decodeStub(content).grouped(frameBytes).toSeq
+        frames.zipWithIndex.collect {
+          case (f, idx) if idx % stride == 0 => (id, idx.toLong, f)
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_multimodal_features" -> q28_multimodal_features)
 

@@ -66,13 +66,13 @@ object Similarity {
   final val Dim = 64
 
   /** ±1 hyperplane matrix, engine-independent and deterministic:
-    * plane p, dimension d → sign from the parity of an md5 nibble.
+    * plane p, dimension d → sign from the parity of an md5 byte.
     * Materialized as a literal array-of-arrays column (8×64 ints) —
     * constant-folded by Catalyst, broadcast with the plan.
     */
-  private def planesLit: Column = {
+  private def planesLit(firstPlane: Int): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val rows = (0 until NumPlanes).map { p =>
+    val rows = (firstPlane until firstPlane + NumPlanes).map { p =>
       (0 until Dim).map { d =>
         val h = md.digest(s"graft_plane_${p}_$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1 else -1
@@ -81,13 +81,17 @@ object Similarity {
     array(rows.map(r => array(r.map(lit): _*)): _*)
   }
 
-  /** 8-bit sketch: bit p = sign of v·plane_p. */
-  private def sketch(v: Column): Column =
+  /** 8-bit sketch from planes [firstPlane, firstPlane+8):
+    * bit i = sign of v·plane_{firstPlane+i}.
+    */
+  private def sketchWith(firstPlane: Int, v: Column): Column =
     aggregate(
-      zip_with(planesLit, sequence(lit(0), lit(NumPlanes - 1)), (plane, p) =>
+      zip_with(planesLit(firstPlane), sequence(lit(0), lit(NumPlanes - 1)), (plane, p) =>
         when(aggregate(zip_with(v, plane, (x, s) => x * s), lit(0.0), (acc, x) => acc + x) > 0,
           pow(lit(2), p).cast("int")).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
+
+  private def sketch(v: Column): Column = sketchWith(0, v)
 
   /** All sketch values within Hamming distance ≤ 2 (multiprobe set:
     * the bucket itself, all 1-bit flips, all 2-bit flips).
@@ -128,13 +132,55 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  final val NearDupTables = 4
+  final val NearDupThresholdMicro = 990000L // cosine ≥ 0.99
+
+  /** Embedding-cosine near-duplicate pairs: 4 independent 8-plane
+    * sketch tables; a pair is a candidate when ANY table buckets it
+    * together (for cos ≥ 0.99 the per-table collision probability is
+    * (1−θ/π)⁸ ≈ 0.69, so 4 tables miss with p ≈ 0.9%); candidates
+    * verify with exact double cosine. Candidate generation is an
+    * equi-join on (table_idx, sketch) — no cartesian product. The
+    * oracle recomputes all-pairs exactly at sf0.01 (where the corpus
+    * plants no near-dups — the empty result must match too;
+    * LlmSpec plants positives to prove detection).
+    */
+  def q30_embedding_neardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    // table t uses planes [8t, 8t+8) of a 32-plane family
+    val tables = (0 until NearDupTables).map(t =>
+      struct(lit(t).as("table_idx"), sketchWith(t * NumPlanes, $"v").as("sk")))
+    val sketched = emb.select($"vec_id", $"v", explode(array(tables: _*)).as("ts"))
+      .select($"vec_id", $"v", $"ts.table_idx", $"ts.sk")
+
+    sketched.as("a").join(sketched.as("b"),
+        $"a.table_idx" === $"b.table_idx" && $"a.sk" === $"b.sk" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round(dot($"a.v", $"b.v") / (norm($"a.v") * norm($"b.v")) * 1e6).cast("long")
+          .as("sim_micro"))
+      .distinct()
+      .filter($"sim_micro" >= NearDupThresholdMicro)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> q26_ann_topk,
-    "q27_ann_lsh" -> q27_ann_lsh)
+    "q27_ann_lsh" -> q27_ann_lsh,
+    "q30_embedding_neardup" -> q30_embedding_neardup)
 
   val oracle: Map[String, String] = Map(
-    // q27 deliberately omitted: approximate operator, verified by
-    // SimilaritySpec recall assertions against the exact q26 result.
+    // q27 deliberately omitted: approximate operator, verified by the
+    // LlmSpec recall assertions against the exact q26 result.
+    "q30_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS sim_micro
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v) * 1e6) >= $NearDupThresholdMicro
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q26_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |  q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),

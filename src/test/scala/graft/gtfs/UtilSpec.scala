@@ -1,0 +1,89 @@
+package graft.gtfs
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** S1/S2 fetch+extract, T6 gating, S7 listing, T4 snapshot stamps,
+  * K2 text dump — the operational edges around the core pipeline.
+  */
+class UtilSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("S1/S2: ZIP fetch (file URL) + extract round-trips the GTFS files") {
+    val src = TestSpark.tempDir("zip_src")
+    val out = TestSpark.tempDir("zip_out")
+    Fixtures.writeStaticCsvs(src)
+    // build the archive the reference would download
+    val zipPath = Paths.get(src, "feed.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    for (f <- Seq("routes.txt", "trips.txt", "stops.txt", "stop_times.txt")) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(f))
+      zos.write(Files.readAllBytes(Paths.get(src, f)))
+      zos.closeEntry()
+    }
+    zos.close()
+
+    val names = StaticFetch.downloadAndExtract(zipPath.toUri.toString, out)
+    assert(names.toSet == Set("routes.txt", "trips.txt", "stops.txt", "stop_times.txt"))
+    assert(Files.readAllBytes(Paths.get(out, "stops.txt"))
+      .sameElements(Files.readAllBytes(Paths.get(src, "stops.txt"))))
+    // and the extracted dir feeds loadStatic directly (E1 chain)
+    BronzeIngest.loadStatic(spark, out, s"$out/wh",
+      java.time.LocalDateTime.of(2025, 9, 3, 4, 0))
+    assert(BronzeIngest.readBronze(spark, s"$out/wh/bronze/stops_static", "stops_static").count() == 4)
+  }
+
+  test("S2: zip-slip entries are rejected") {
+    val dir = TestSpark.tempDir("zip_slip")
+    val zipPath = Paths.get(dir, "evil.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("../escape.txt"))
+    zos.write("x".getBytes)
+    zos.closeEntry()
+    zos.close()
+    assertThrows[IllegalArgumentException] {
+      StaticFetch.extractZip(zipPath, Paths.get(dir, "out"))
+    }
+  }
+
+  test("T6: waitForPath blocks until the upstream artifact appears") {
+    val dir = TestSpark.tempDir("sensor")
+    val target = s"$dir/marker"
+    val writer = new Thread(() => {
+      Thread.sleep(300)
+      Files.writeString(Paths.get(target), "ready")
+    })
+    writer.start()
+    assert(Sensors.waitForPath(spark, target, pokeIntervalMs = 50, timeoutMs = 5000))
+    writer.join()
+    // and times out cleanly when nothing appears
+    assert(!Sensors.waitForPath(spark, s"$dir/never", pokeIntervalMs = 50, timeoutMs = 300))
+  }
+
+  test("S7: landing listing returns metadata without reading content") {
+    val dir = TestSpark.tempDir("landing")
+    Fixtures.writeRtSnapshots(s"$dir/tu", s"$dir/vp")
+    val listed = Sensors.listLanding(spark, dir, "*.pb").collect()
+    assert(listed.length == 2)
+    assert(listed.forall(_.getLong(1) > 0))
+  }
+
+  test("T4: snapshot_ts parses the minute stamp from the file path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("/landing/trip_updates_20250903_1432.pb").toDF("path")
+      .select(RtDecode.snapshotTs(col("path")).as("snapshot_ts"))
+    assert(df.collect().head.getTimestamp(0).toString == "2025-09-03 14:32:00.0")
+    // F10: the write-side stamp uses the same format
+    assert(StaticFetch.minuteStamp(
+      java.time.LocalDateTime.of(2025, 9, 3, 14, 32)) == "20250903_1432")
+  }
+
+  test("K2: protobuf text dump writes one line per entity") {
+    val dir = TestSpark.tempDir("dump")
+    Fixtures.writeRtSnapshots(s"$dir/tu", s"$dir/vp")
+    RtDecode.dumpFeedText(spark, s"$dir/tu", s"$dir/out")
+    assert(spark.read.text(s"$dir/out").count() == 4) // 4 entities in the TU fixture
+  }
+}

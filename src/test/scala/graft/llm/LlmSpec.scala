@@ -81,6 +81,42 @@ class LlmSpec extends AnyFunSuite {
     assert(f.aspect_bp == 20000L)
   }
 
+  test("embedding near-dup: planted high-cosine pairs are detected, clean corpus stays empty") {
+    import spark.implicits._
+    // clean corpus: no pair reaches cos 0.99 → empty result
+    assert(Similarity.q30_embedding_neardup(spark, dir).collect().isEmpty)
+
+    // plant 3 exact-duplicate vectors among 40 deterministic ones
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map(i => i.toLong -> Array.fill(64)(rnd.nextFloat() - 0.5f))
+    val planted = base ++ Seq(100L -> base(3)._2, 101L -> base(17)._2, 102L -> base(29)._2)
+    val tmp = TestSpark.tempDir("neardup")
+    planted.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val found = Similarity.q30_embedding_neardup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((3L, 100L), (17L, 101L), (29L, 102L)).subsetOf(found),
+      s"planted duplicates must surface, got $found")
+  }
+
+  test("multimodal resize and frame sampling keep the batched binary shape") {
+    import spark.implicits._
+    val media = Seq((1L, "abcdefghijklmnopqrstuvwxyz"))
+      .toDF("img_id", "text")
+      .select($"img_id", encode($"text", "UTF-8").as("content"),
+        struct(lit(10L).as("width"), lit(10L).as("height"), lit("fake/rgb8").as("format")).as("meta"))
+    val resized = Multimodal.resize(media, 2, 3).collect().head
+    assert(resized._2.length == 6) // 2×3 target bytes
+    assert(resized._2(0) == 'a'.toByte)
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 5, stride = 2).collect()
+    // 26 bytes → 6 frames (5,5,5,5,5,1); stride 2 keeps frames 0,2,4
+    assert(frames.map(_._2).toSeq == Seq(0L, 2L, 4L))
+    assert(new String(frames.head._3, "UTF-8") == "abcde")
+    assert(new String(frames(1)._3, "UTF-8") == "klmno")
+  }
+
   test("exact dedup keeps exactly one doc per content hash") {
     import spark.implicits._
     val out = TextAnalysis.q20_exact_dedup(spark, dir)

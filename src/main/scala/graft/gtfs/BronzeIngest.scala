@@ -59,6 +59,15 @@ object BronzeIngest {
     }
   }
 
+  /** S8/A3 validation read (scripts/check_gtfs_static.py:8-20): every
+    * column as STRING (no schema, no inference — Spark's default
+    * header-only CSV read), plus the row/column shape probe.
+    */
+  def readCsvAllString(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  def shape(df: DataFrame): (Long, Int) = (df.count(), df.columns.length)
+
   /** Stamp the audit column and append to a bronze parquet table
     * (K3/D3). Partitioned by the DATE of insert_date: silver's
     * incremental filter (P5) then reads only new partitions.

@@ -45,14 +45,18 @@ object Similarity {
     */
   def q26_ann_topk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Norms materialize below the join: once per corpus row, not once
+    // per (row × query) pair — the join-side expression would be
+    // recomputed |queries|× per row.
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
     val queries = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
 
     val sims = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"v") / (norm($"qv") * norm($"v")) * 1e6).cast("long").as("sim_micro"))
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
 
     val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
     sims.withColumn("rank", row_number().over(w).cast("long"))
@@ -112,17 +116,18 @@ object Similarity {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
       .withColumn("bucket", sketch($"v"))
 
     val queries = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"),
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         explode(transform(array(probeSet.map(lit): _*), m => $"bucket".bitwiseXOR(m)))
           .as("probe_bucket"))
 
     val cands = emb.join(broadcast(queries),
         $"bucket" === $"probe_bucket" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"v") / (norm($"qv") * norm($"v")) * 1e6).cast("long").as("sim_micro"))
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
       .distinct()
 
     val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
@@ -149,17 +154,19 @@ object Similarity {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
-    // table t uses planes [8t, 8t+8) of a 32-plane family
+      .withColumn("nrm", norm($"v"))
+    // table t uses planes [8t, 8t+8) of a 32-plane family; norms and
+    // sketches materialize once per row, before the fan-out.
     val tables = (0 until NearDupTables).map(t =>
       struct(lit(t).as("table_idx"), sketchWith(t * NumPlanes, $"v").as("sk")))
-    val sketched = emb.select($"vec_id", $"v", explode(array(tables: _*)).as("ts"))
-      .select($"vec_id", $"v", $"ts.table_idx", $"ts.sk")
+    val sketched = emb.select($"vec_id", $"v", $"nrm", explode(array(tables: _*)).as("ts"))
+      .select($"vec_id", $"v", $"nrm", $"ts.table_idx", $"ts.sk")
 
     sketched.as("a").join(sketched.as("b"),
         $"a.table_idx" === $"b.table_idx" && $"a.sk" === $"b.sk" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        round(dot($"a.v", $"b.v") / (norm($"a.v") * norm($"b.v")) * 1e6).cast("long")
+        round(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm") * 1e6).cast("long")
           .as("sim_micro"))
       .distinct()
       .filter($"sim_micro" >= NearDupThresholdMicro)

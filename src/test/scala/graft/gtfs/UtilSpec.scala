@@ -47,6 +47,14 @@ class UtilSpec extends AnyFunSuite {
     }
   }
 
+  test("S8/A3: all-string validation read and shape probe") {
+    val src = TestSpark.tempDir("allstring")
+    Fixtures.writeStaticCsvs(src)
+    val df = BronzeIngest.readCsvAllString(spark, s"$src/stops.txt")
+    assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    assert(BronzeIngest.shape(df) == ((4L, 10)))
+  }
+
   test("T6: waitForPath blocks until the upstream artifact appears") {
     val dir = TestSpark.tempDir("sensor")
     val target = s"$dir/marker"

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Salting and bucketing: result-equivalence with the plain plans,
+  * and (for bucketing) the shuffle actually disappearing.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join ≡ plain join on a skewed key") {
+    import spark.implicits._
+    // skew: one hot user dominates
+    val big = graft.Tables.load(spark, dir, "events")
+      .withColumn("user_id", when($"event_id" % 3 === 0, 1L).otherwise($"user_id"))
+      .select($"user_id", $"event_id", $"value")
+    val small = graft.Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+
+    val plain = big.join(small, "user_id")
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    val salted = ScaleOps.saltedJoin(big, small, "user_id", numSalts = 8)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    assert(plain == salted)
+  }
+
+  test("salted two-phase sum/count ≡ direct aggregation") {
+    import spark.implicits._
+    val df = graft.Tables.load(spark, dir, "events")
+      .select($"event_type", graft.Tables.cents($"value").as("cents"))
+    val direct = df.groupBy($"event_type")
+      .agg(sum($"cents").as("sum_cents"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = ScaleOps.saltedSumCount(df, Seq("event_type"), "cents", numSalts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct == salted)
+  }
+
+  test("bucketed co-located join plans no shuffle on the join key") {
+    import spark.implicits._
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    ScaleOps.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+    ScaleOps.writeBucketed(li, "lineitem_b", "o_orderkey", 4)
+
+    val joined = ScaleOps.coLocatedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle, plan:\n${plan.take(2000)}")
+    // and it is still the correct join
+    val expected = orders.join(li, "o_orderkey").count()
+    assert(joined.count() == expected)
+  }
+}

@@ -55,6 +55,10 @@ case class GtfsTimeToSeconds(child: Expression) extends UnaryExpression {
       s"gtfs_time_to_seconds requires STRING, got ${child.dataType.sql}")
   override def nullable: Boolean = true
   override def prettyName: String = "gtfs_time_to_seconds"
+  // Literal inputs fold at optimization time (Catalyst ConstantFolding
+  // calls eval) — keeps `gtfs_time_to_seconds('09:00:00')` thresholds
+  // out of the per-row path entirely.
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any = {
     val r = GtfsTimeUtil.toSeconds(input.asInstanceOf[UTF8String])

@@ -206,8 +206,62 @@ object Analytics {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** As-of join (graft.operators.AsOfJoin): each purchase matched to
+    * the user's latest click at-or-before it. Second-floored on both
+    * engines (parquet carries nanos, Spark keeps micros — comparisons
+    * must happen at a shared granularity). DuckDB oracle uses its
+    * native ASOF LEFT JOIN.
+    */
+  def q31_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", date_trunc("second", $"ts").as("cts"))
+      .agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("second", $"ts").as("pts"),
+        $"event_id".as("purchase_id"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "pts", "cts")
+      .select($"purchase_id", $"user_id",
+        unix_timestamp($"pts").as("purchase_ts_s"),
+        $"matched.click_id".as("click_id"),
+        unix_timestamp($"matched.cts").as("click_ts_s"))
+      .orderBy($"purchase_id")
+  }
+
+  /** Pivot (heatmap in matrix form, README.md:124): hours × ISO
+    * weekday columns. Values pinned to 1..7 so the output schema is
+    * static (no extra distinct-scan, required at scale); absent cells
+    * coalesce to 0 to match the SQL conditional-aggregation oracle.
+    */
+  def q32_pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pivoted = load(spark, dir, "events")
+      .groupBy(hour($"ts").as("hh"))
+      .pivot(weekday($"ts") + 1, 1 to 7)
+      .agg(count(lit(1)))
+    pivoted.select(($"hh" +: (1 to 7).map(d => coalesce(col(s"$d"), lit(0L)).as(s"d$d"))): _*)
+      .orderBy($"hh")
+  }
+
+  /** ROLLUP hierarchy totals: (type, dow) → (type) → grand total,
+    * with GROUPING flags disambiguating the subtotal rows.
+    */
+  def q33_rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_type", (weekday($"ts") + 1).as("isodow"), cents($"value").as("cents"))
+      .rollup($"event_type", $"isodow")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        (grouping($"event_type") * 2 + grouping($"isodow")).as("lvl"))
+      .orderBy($"lvl", $"event_type", $"isodow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_gtfs_time" -> q29_gtfs_time,
+    "q31_asof_join" -> q31_asof_join,
+    "q32_pivot" -> q32_pivot,
+    "q33_rollup" -> q33_rollup,
     "q08_window_latest" -> q08_window_latest,
     "q09_window_lag" -> q09_window_lag,
     "q10_window_running" -> q10_window_running,
@@ -221,6 +275,37 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q31_asof_join" ->
+      """WITH c AS (SELECT user_id, date_trunc('second', ts) AS cts,
+        |    MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  p AS (SELECT user_id, date_trunc('second', ts) AS pts,
+        |    event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  CAST(FLOOR(epoch(p.pts)) AS BIGINT) AS purchase_ts_s,
+        |  c.click_id,
+        |  CAST(FLOOR(epoch(c.cts)) AS BIGINT) AS click_ts_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+        |ORDER BY purchase_id""".stripMargin,
+    "q32_pivot" ->
+      """SELECT hour(ts) AS hh,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 1 THEN 1 END), 0) AS d1,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 2 THEN 1 END), 0) AS d2,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 3 THEN 1 END), 0) AS d3,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 4 THEN 1 END), 0) AS d4,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 5 THEN 1 END), 0) AS d5,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 6 THEN 1 END), 0) AS d6,
+        |  COALESCE(SUM(CASE WHEN isodow(ts) = 7 THEN 1 END), 0) AS d7
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_rollup" ->
+      """SELECT event_type, isodow, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(isodow) AS INT) AS lvl
+        |FROM (SELECT event_type, isodow(ts) AS isodow,
+        |        CAST(ROUND(value*100) AS BIGINT) AS cents FROM events)
+        |GROUP BY ROLLUP(event_type, isodow)
+        |ORDER BY lvl, event_type, isodow""".stripMargin,
     "q29_gtfs_time" ->
       """WITH t AS (SELECT event_type,
         |    CASE WHEN user_id % 97 = 0 THEN 'not-a-time'

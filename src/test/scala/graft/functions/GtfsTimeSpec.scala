@@ -46,4 +46,18 @@ class GtfsTimeSpec extends AnyFunSuite {
       .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
     assert(viaSql.toSeq === Seq(90420L, 32970L, null, null))
   }
+
+  test("session extensions register the function; literal inputs constant-fold") {
+    val spark = TestSpark.spark
+    // no GtfsTime.register here — graft.GraftExtensions (set via
+    // spark.sql.extensions at session build) must provide it
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT gtfs_time_to_seconds('25:07:00') AS s")
+      .collect().head.getLong(0) == 90420L)
+
+    val optimized = fresh.sql("SELECT gtfs_time_to_seconds('09:00:00') AS s FROM range(3)")
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("32400"), s"literal must fold at optimization time:\n$optimized")
+    assert(!optimized.contains("gtfs_time_to_seconds"))
+  }
 }

@@ -173,10 +173,69 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  final val IvfCentroids = 16
+  final val IvfProbes = 4
+
+  /** IVF ANN — the trained-partition scale path: KMeans centroids
+    * (train on a sample at 100 TB; deterministic seed) partition the
+    * corpus into inverted lists; each query probes its IvfProbes
+    * nearest centroids and exactly reranks only those lists. Candidate
+    * generation is an equi-join on the centroid id; the centroid
+    * table itself is driver-side tiny (16 × 64 doubles) and ships as
+    * a constant-folded literal.
+    *
+    * No DuckDB oracle (KMeans isn't SQL-portable) — LlmSpec checks
+    * recall against the exact q26 answer.
+    */
+  def q34_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(IvfCentroids).setSeed(7).setMaxIter(10)
+      .fit(emb.withColumn("features", array_to_vector($"v")).select("features"))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // corpus side: inverted-list assignment via the model itself
+    val assigned = model.transform(emb.withColumn("features", array_to_vector($"v")))
+      .select($"vec_id", $"v", $"nrm", $"prediction".as("centroid"))
+
+    // query side: rank the 16 centroid literals by euclidean distance,
+    // keep the IvfProbes nearest as probe targets
+    val centLit = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.map(lit).toSeq: _*).as("cv"))
+    }.toSeq: _*)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        explode(centLit).as("c"))
+      .withColumn("dist2", aggregate(
+        zip_with($"qv", $"c.cv", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dist2", $"c.cid")))
+      .filter($"crank" <= IvfProbes)
+      .select($"q_id", $"qv", $"qnrm", $"c.cid".as("probe_centroid"))
+
+    val cands = assigned.join(broadcast(queries),
+        $"centroid" === $"probe_centroid" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+
+    val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"sim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> q26_ann_topk,
     "q27_ann_lsh" -> q27_ann_lsh,
-    "q30_embedding_neardup" -> q30_embedding_neardup)
+    "q30_embedding_neardup" -> q30_embedding_neardup,
+    "q34_ann_ivf" -> q34_ann_ivf)
 
   val oracle: Map[String, String] = Map(
     // q27 deliberately omitted: approximate operator, verified by the

@@ -81,6 +81,21 @@ class LlmSpec extends AnyFunSuite {
     assert(f.aspect_bp == 20000L)
   }
 
+  test("IVF ANN recall@10 beats its probe fraction against the exact answer") {
+    val exact = Similarity.q26_ann_topk(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = Similarity.q34_ann_ivf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      ivf.get(q).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // probes 4 of 16 lists (25% of the corpus); trained lists must do
+    // clearly better than a random 25% sample would (measured ~0.67)
+    assert(mean >= 0.4, s"IVF recall@10 should beat its probe fraction, got $mean")
+  }
+
   test("embedding near-dup: planted high-cosine pairs are detected, clean corpus stays empty") {
     import spark.implicits._
     // clean corpus: no pair reaches cos 0.99 → empty result

@@ -59,6 +59,30 @@ object BronzeIngest {
     }
   }
 
+  /** PERMISSIVE audit variant of readCsv (SURVEY §4: the reference's
+    * ON_ERROR='CONTINUE' silently loses malformed rows): bad rows land
+    * in `_corrupt_record` for a quarantine sink instead of vanishing.
+    * Returns (clean, corrupt). The persist is required — Spark
+    * disallows filtering a CSV scan on the corrupt column alone.
+    */
+  def readCsvAudited(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record", StringType))
+    val df = spark.read
+      .schema(withCorrupt)
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
   /** S8/A3 validation read (scripts/check_gtfs_static.py:8-20): every
     * column as STRING (no schema, no inference — Spark's default
     * header-only CSV read), plus the row/column shape probe.

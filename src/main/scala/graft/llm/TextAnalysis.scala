@@ -123,13 +123,87 @@ object TextAnalysis {
       .orderBy($"lang", $"predicted")
   }
 
+  final val GramChars = 8
+  final val WinnowWindow = 4
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint
+    * family, Schleimer/Wilkerson/Aiken): hash every 8-char gram, keep
+    * the min of each 4-gram window, distinct. The hash is md5-derived
+    * (top 60 bits) so DuckDB recomputes it exactly; the per-doc loop
+    * runs in mapPartitions (one digest per partition) — same
+    * HOF-interpretation rationale as the Dedup sketches.
+    */
+  private[llm] def winnowFingerprints(md: java.security.MessageDigest, text: String): Array[Long] = {
+    val n = text.length - GramChars + 1
+    if (n <= 0) return Array.emptyLongArray
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(text.substring(i, i + GramChars)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i <= n - WinnowWindow) {
+      var m = h(i)
+      var j = 1
+      while (j < WinnowWindow) { if (h(i + j) < m) m = h(i + j); j += 1 }
+      set.add(m)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Per-document winnowing-fingerprint stats — the compact sketch a
+    * plagiarism/containment pipeline indexes instead of full text.
+    */
+  def q35_fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val fp = winnowFingerprints(md, text)
+          (id, fp.length.toLong,
+            if (fp.isEmpty) None else Some(fp.min),
+            if (fp.isEmpty) None else Some(fp.max))
+        }
+      }
+      .toDF("doc_id", "n_fp", "min_fp", "max_fp")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_text_stats" -> q19_text_stats,
     "q20_exact_dedup" -> q20_exact_dedup,
     "q21_quality_score" -> q21_quality_score,
-    "q22_lang_id" -> q22_lang_id)
+    "q22_lang_id" -> q22_lang_id,
+    "q35_fingerprint" -> q35_fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "q35_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(length(text) - ${GramChars - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(substring(text, i, $GramChars)), 1, 15) AS BIGINT)) AS h
+        |  FROM documents),
+        |  f AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(h) - ${WinnowWindow - 1}, 0)),
+        |      i -> list_min(h[i:i+${WinnowWindow - 1}]))) AS fp
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+        |  list_min(fp) AS min_fp, list_max(fp) AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q19_text_stats" ->
       s"""SELECT lang, source, COUNT(*) AS n_docs,
         |  SUM(length(text)) AS sum_chars,

@@ -47,6 +47,16 @@ class UtilSpec extends AnyFunSuite {
     }
   }
 
+  test("PERMISSIVE audit read quarantines the malformed row instead of dropping it") {
+    val src = TestSpark.tempDir("audit")
+    Fixtures.writeStaticCsvs(src)
+    val (clean, corrupt) = BronzeIngest.readCsvAudited(spark, s"$src/stop_times.txt",
+      Schemas.csvSchema(Schemas.bronze("stop_times_static")))
+    assert(clean.count() == 6)
+    val bad = corrupt.collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("bad-row-too-few-columns,1"))
+  }
+
   test("S8/A3: all-string validation read and shape probe") {
     val src = TestSpark.tempDir("allstring")
     Fixtures.writeStaticCsvs(src)

@@ -92,6 +92,18 @@ object BronzeIngest {
 
   def shape(df: DataFrame): (Long, Int) = (df.count(), df.columns.length)
 
+  /** K1: minute-stamped CSV snapshot write (the reference's
+    * pandas.to_csv exports, gtfs_rt_minutely.py:111-127,164-176) —
+    * kept for interop with CSV-consuming downstreams; the engine's own
+    * landing format is the protobuf blob + parquet bronze.
+    */
+  def writeCsvSnapshot(df: DataFrame, dir: String, prefix: String,
+                       stamp: String = StaticFetch.minuteStamp()): String = {
+    val path = s"$dir/${prefix}_$stamp"
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    path
+  }
+
   /** Stamp the audit column and append to a bronze parquet table
     * (K3/D3). Partitioned by the DATE of insert_date: silver's
     * incremental filter (P5) then reads only new partitions.

@@ -257,11 +257,29 @@ object Analytics {
       .orderBy($"lvl", $"event_type", $"isodow")
   }
 
+  /** F5 CONVERT_TIMEZONE parity (gtfs_silver.py:15): UTC instants →
+    * Paris wall-clock (DST-correct via IANA tzdata on both engines),
+    * aggregated by Paris hour. The oracle anchors both conversion
+    * steps explicitly (`timezone('UTC', ts)` then Paris) so neither
+    * engine's session timezone can leak in.
+    */
+  def q36_tz_convert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .withColumn("paris_ts", from_utc_timestamp($"ts", "Europe/Paris"))
+      .groupBy(hour($"paris_ts").as("paris_hh"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp($"paris_ts")).as("min_paris_s"),
+        max(unix_timestamp($"paris_ts")).as("max_paris_s"))
+      .orderBy($"paris_hh")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_gtfs_time" -> q29_gtfs_time,
     "q31_asof_join" -> q31_asof_join,
     "q32_pivot" -> q32_pivot,
     "q33_rollup" -> q33_rollup,
+    "q36_tz_convert" -> q36_tz_convert,
     "q08_window_latest" -> q08_window_latest,
     "q09_window_lag" -> q09_window_lag,
     "q10_window_running" -> q10_window_running,
@@ -275,6 +293,13 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q36_tz_convert" ->
+      """WITH p AS (SELECT CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS TIMESTAMP) AS paris_ts
+        |  FROM events)
+        |SELECT hour(paris_ts) AS paris_hh, COUNT(*) AS n,
+        |  CAST(MIN(FLOOR(epoch(paris_ts))) AS BIGINT) AS min_paris_s,
+        |  CAST(MAX(FLOOR(epoch(paris_ts))) AS BIGINT) AS max_paris_s
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_asof_join" ->
       """WITH c AS (SELECT user_id, date_trunc('second', ts) AS cts,
         |    MAX(event_id) AS click_id

@@ -98,6 +98,17 @@ class UtilSpec extends AnyFunSuite {
       java.time.LocalDateTime.of(2025, 9, 3, 14, 32)) == "20250903_1432")
   }
 
+  test("K1: minute-stamped CSV snapshot round-trips") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("csv_snap")
+    val df = Seq(("TU1", "R1", 0L), ("TU2", "R2", 1L))
+      .toDF("trip_id", "route_id", "direction_id")
+    val path = BronzeIngest.writeCsvSnapshot(df, dir, "trip_updates_trips", "20250903_1432")
+    assert(path.endsWith("trip_updates_trips_20250903_1432"))
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("trip_id", "route_id", "direction_id"))
+  }
+
   test("K2: protobuf text dump writes one line per entity") {
     val dir = TestSpark.tempDir("dump")
     Fixtures.writeRtSnapshots(s"$dir/tu", s"$dir/vp")

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the scale properties the 100 TB design depends
+  * on, asserted on executed plans so refactors can't silently regress
+  * them (a correct-but-cartesian plan passes every value check).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("LSH dedup and near-dup candidate generation never plan a cartesian product") {
+    for (q <- Seq("q23_minhash_dedup", "q24_simhash_dedup", "q30_embedding_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query batch, not the corpus") {
+    val p = plan("q26_ann_topk")
+    assert(p.contains("Broadcast"), "query batch must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multi-join spine broadcasts every dimension and prunes+pushes the fact scan") {
+    val p = plan("q04_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, "dims must broadcast-hash-join")
+    assert(!p.contains("SortMergeJoin"), "no dim should shuffle at this size")
+    val lineitemScan = p.linesIterator.find(l => l.contains("lineitem") && l.contains("ReadSchema")).get
+    assert(!lineitemScan.contains("l_comment") && !lineitemScan.contains("l_shipmode"),
+      "column pruning must reach the fact scan")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters must push to parquet")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("q07_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("watermark subquery side pushes its filters to the parquet scan") {
+    // the harness events table reads ns-as-long + converts, so the
+    // outer > predicate can't push there (derived column); the
+    // subquery's equality filters must still reach parquet
+    val p = plan("q12_incremental_watermark")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(ts), EqualTo(event_type,signup)]"))
+  }
+
+  test("GTFS silver incremental filter pushes insert_date to the bronze scan") {
+    // the real P5 path: insert_date is a native TIMESTAMP_NTZ column,
+    // so the watermark predicate prunes row groups at the scan
+    import org.apache.spark.sql.functions.lit
+    val root = TestSpark.tempDir("plan_wm")
+    val src = s"$root/static"
+    graft.gtfs.Fixtures.writeStaticCsvs(src)
+    graft.gtfs.BronzeIngest.loadStatic(spark, src, s"$root/wh",
+      java.time.LocalDateTime.of(2025, 9, 3, 4, 0))
+    val bronze = graft.gtfs.BronzeIngest.readBronze(
+      spark, s"$root/wh/bronze/routes_static", "routes_static")
+    val filtered = graft.gtfs.SilverTransforms.incrementalFilter(
+      bronze, Some(java.time.LocalDateTime.of(2025, 9, 3, 3, 0)))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(insert_date"),
+      s"insert_date watermark must push to parquet:\n${p.take(1500)}")
+  }
+}

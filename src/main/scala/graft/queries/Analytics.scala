@@ -274,7 +274,49 @@ object Analytics {
       .orderBy($"paris_hh")
   }
 
+  /** Sessionization (gaps-and-islands): a new session starts after a
+    * 30-minute silence; session id = running count of session starts.
+    * Two windows over the same (user, time) partitioning — one
+    * shuffle, state O(1) per row. The batch analog of streaming
+    * session windows.
+    */
+  def q37_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"t")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "events")
+      .select($"user_id", date_trunc("second", $"ts").as("t"))
+      .withColumn("prev", lag($"t", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev".isNull ||
+          unix_timestamp($"t") - unix_timestamp($"prev") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(running))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp($"t")).as("session_start_s"),
+        (max(unix_timestamp($"t")) - min(unix_timestamp($"t"))).as("duration_s"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Exact percentiles (linear interpolation — same formula as
+    * DuckDB's quantile_cont), centi-rounded to absorb 1-ulp
+    * interpolation differences.
+    */
+  def q38_percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_type", cents($"value").as("cents"))
+      .groupBy($"event_type")
+      .agg(
+        round(percentile($"cents", lit(0.5)) * 100).cast("long").as("p50_centi"),
+        round(percentile($"cents", lit(0.9)) * 100).cast("long").as("p90_centi"),
+        round(percentile($"cents", lit(0.99)) * 100).cast("long").as("p99_centi"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_sessionize" -> q37_sessionize,
+    "q38_percentiles" -> q38_percentiles,
     "q29_gtfs_time" -> q29_gtfs_time,
     "q31_asof_join" -> q31_asof_join,
     "q32_pivot" -> q32_pivot,
@@ -293,6 +335,28 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q37_sessionize" ->
+      """WITH o AS (SELECT user_id, date_trunc('second', ts) AS t FROM events),
+        |  l AS (SELECT user_id, t,
+        |    LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM o),
+        |  m AS (SELECT user_id, t,
+        |    CASE WHEN prev IS NULL OR epoch(t) - epoch(prev) > 1800
+        |         THEN 1 ELSE 0 END AS is_new FROM l),
+        |  s AS (SELECT user_id, t,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(FLOOR(epoch(MIN(t))) AS BIGINT) AS session_start_s,
+        |  CAST(FLOOR(epoch(MAX(t))) - FLOOR(epoch(MIN(t))) AS BIGINT) AS duration_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT event_type,
+        |  CAST(ROUND(quantile_cont(cents, 0.5) * 100) AS BIGINT) AS p50_centi,
+        |  CAST(ROUND(quantile_cont(cents, 0.9) * 100) AS BIGINT) AS p90_centi,
+        |  CAST(ROUND(quantile_cont(cents, 0.99) * 100) AS BIGINT) AS p99_centi
+        |FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q36_tz_convert" ->
       """WITH p AS (SELECT CAST(timezone('Europe/Paris', timezone('UTC', ts)) AS TIMESTAMP) AS paris_ts
         |  FROM events)

@@ -132,6 +132,22 @@ class LlmSpec extends AnyFunSuite {
     assert(new String(frames(1)._3, "UTF-8") == "klmno")
   }
 
+  test("sketch primitives: degenerate inputs never throw") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(Dedup.shingleHashes("", 3).isEmpty)
+    assert(Dedup.shingleHashes("one two", 3).isEmpty)
+    assert(Dedup.shingleHashes("one two three", 3).length == 1)
+    assert(Dedup.intersectSize(Array(1L, 5L, 9L), Array(5L, 9L, 11L)) == 2)
+    assert(Dedup.intersectSize(Array.emptyLongArray, Array(1L)) == 0)
+    assert(Dedup.simhash(md, "") != Dedup.simhash(md, "word")) // empty text still hashes
+    assert(TextAnalysis.winnowFingerprints(md, "short").isEmpty) // < 8 chars
+    assert(TextAnalysis.winnowFingerprints(md, "exactly8").length == 0) // 1 gram < window
+    assert(TextAnalysis.winnowFingerprints(md, "a" * 12).nonEmpty)
+    // signature is stable across calls (no hidden state in the digest reuse)
+    assert(Dedup.minhashSig(Dedup.shingleHashes("a b c d e", 3))
+      .sameElements(Dedup.minhashSig(Dedup.shingleHashes("a b c d e", 3))))
+  }
+
   test("exact dedup keeps exactly one doc per content hash") {
     import spark.implicits._
     val out = TextAnalysis.q20_exact_dedup(spark, dir)

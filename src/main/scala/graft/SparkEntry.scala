@@ -42,7 +42,8 @@ object SparkEntry {
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
-      graft.llm.Multimodal.queries
+      graft.llm.Multimodal.queries ++
+      graft.llm.CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++
-      graft.llm.Multimodal.oracle
+      graft.llm.Multimodal.oracle ++
+      graft.llm.CorpusPipeline.oracle
 }

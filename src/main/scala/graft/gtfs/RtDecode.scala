@@ -77,16 +77,28 @@ object RtDecode {
       .load(dir)
       .select(col("path"), col("content"))
 
-  /** ONE parse per blob → both row families as a pair. Callers that
-    * write both outputs should persist this Dataset across the two
-    * actions (BronzeIngest.ingestTripUpdateBlobs does) so neither the
-    * source read nor the protobuf decode runs twice.
+  /** Corrupt-tolerant parse: a truncated or garbage snapshot yields
+    * None instead of killing the job — the protobuf analog of the
+    * CSV path's ON_ERROR='CONTINUE'. At 100 TB of polled snapshots,
+    * some WILL be half-written; one bad file must not fail the batch.
+    */
+  def parseFeedSafe(bytes: Array[Byte]): Option[RtFeedMessage] =
+    try Some(GtfsRtProto.parseFeed(bytes))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ONE parse per blob → both row families as a pair (corrupt blobs
+    * decode to empty row sets). Callers that write both outputs should
+    * persist this Dataset across the two actions
+    * (BronzeIngest.ingestTripUpdateBlobs does) so neither the source
+    * read nor the protobuf decode runs twice.
     */
   def decodePairs(blobs: Dataset[Array[Byte]]): Dataset[(Seq[TripUpdateRow], Seq[StopTimeUpdateRow])] = {
     import blobs.sparkSession.implicits._
     blobs.map { b =>
-      val feed = GtfsRtProto.parseFeed(b)
-      (tripUpdates(feed), tripStopTimes(feed))
+      parseFeedSafe(b) match {
+        case Some(feed) => (tripUpdates(feed), tripStopTimes(feed))
+        case None => (Nil, Nil)
+      }
     }
   }
 
@@ -98,7 +110,7 @@ object RtDecode {
 
   def decodeVehicleBlobs(blobs: Dataset[Array[Byte]]): Dataset[VehiclePositionRow] = {
     import blobs.sparkSession.implicits._
-    blobs.flatMap(b => vehiclePositions(GtfsRtProto.parseFeed(b)))
+    blobs.flatMap(b => parseFeedSafe(b).toSeq.flatMap(vehiclePositions))
   }
 
   /** Full bronze decode of a snapshot directory: returns the three
@@ -132,7 +144,7 @@ object RtDecode {
                    glob: String = "*.pb"): Unit = {
     import spark.implicits._
     readFeedFiles(spark, dir, glob).select("content").as[Array[Byte]]
-      .flatMap(b => GtfsRtProto.parseFeed(b).entities.map(_.toString))
+      .flatMap(b => parseFeedSafe(b).toSeq.flatMap(_.entities.map(_.toString)))
       .write.mode("overwrite").text(outDir)
   }
 }

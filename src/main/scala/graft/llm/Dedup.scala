@@ -128,9 +128,10 @@ object Dedup {
   /** (doc_id, shingle hashes, minhash signature) — one narrow
     * mapPartitions pass over the scan, no shuffle.
     */
-  private def sketches(spark: SparkSession, dir: String): DataFrame = {
+  private def sketches(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    load(spark, dir, "documents")
+    docs
       .select($"doc_id".cast("long"), $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val sh = shingleHashes(text, 3)
@@ -140,13 +141,15 @@ object Dedup {
       .filter(size($"sh") > 0)
   }
 
-  /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
-    * Output: (doc_a, doc_b, j_bp) for pairs with Jaccard ≥ 0.5 on
-    * word-3-gram shingle sets.
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification over
+    * any (doc_id, text) frame: (doc_a, doc_b, j_bp) for word-3-gram
+    * Jaccard ≥ minJBp. The reusable core of q23 — CorpusPipeline runs
+    * it over its quality-filtered survivor set.
     */
-  def q23_minhash_dedup(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(docs: DataFrame, minJBp: Long = 5000L): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val sk = sketches(spark, dir)
+    val sk = sketches(docs)
 
     // 16 bands of 4 signature slots; band key = slots joined. The
     // band fan-out (16 rows/doc) is the LSH bucket key.
@@ -171,7 +174,12 @@ object Dedup {
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (a, b, sa, sb) => (a, b, jBp(sa, sb)) }
       .toDF("doc_a", "doc_b", "j_bp")
-      .filter($"j_bp" >= 5000)
+      .filter($"j_bp" >= minJBp)
+  }
+
+  def q23_minhash_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashPairs(load(spark, dir, "documents").select($"doc_id", $"text"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -268,7 +276,7 @@ object Dedup {
   // Oracles recompute the *exact* similarity all-pairs from the raw
   // strings (feasible at sf0.01's 500 docs; the Spark side must find
   // the same pairs via LSH/blocking — that equality is the check).
-  private val Shingle3Sql =
+  private[llm] val Shingle3Sql =
     """list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
       |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin
 

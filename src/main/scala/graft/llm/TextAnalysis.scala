@@ -72,6 +72,27 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The q21 quality formula as a standalone column — reused by
+    * CorpusPipeline's filter stage. Must stay in lockstep with q21's
+    * inline computation and QualityBpSql below.
+    */
+  private[llm] def qualityBp(text: Column): Column = {
+    val toks = wsTokens(text)
+    val stopHits = size(filter(toks, w => w.isInCollection(StopWords)))
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0)))
+    least(lit(10000L), greatest(lit(0L),
+      lit(5000L) + stopHits * 120L - nPunct * 40L +
+        least(size(toks).cast("long"), lit(100L)) * 10L))
+  }
+
+  /** DuckDB rendering of the same formula. */
+  private[llm] val QualityBpSql: String =
+    """LEAST(10000, GREATEST(0,
+      |  5000 + len(list_filter(string_split(text, ' '),
+      |           w -> w IN ('the','a','of','and','to','in','is'))) * 120
+      |       - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
+      |       + LEAST(len(string_split(text, ' ')), 100) * 10))""".stripMargin
+
   /** Per-document quality score (basis points): rewards stopword
     * presence and length, penalizes punctuation density — the classic
     * cheap pre-filter before expensive pipeline stages. Pure integer

@@ -109,6 +109,18 @@ class UtilSpec extends AnyFunSuite {
     assert(back.count() == 2 && back.columns.toSeq == Seq("trip_id", "route_id", "direction_id"))
   }
 
+  test("corrupt protobuf snapshots decode to empty, good ones still land") {
+    import spark.implicits._
+    val good = Fixtures.tripUpdatesSnapshot(1756884757L)
+    val corrupt = good.take(good.length / 2) // truncated mid-message
+    val garbage = Array.fill[Byte](64)(0x7f)
+    assert(RtDecode.parseFeedSafe(corrupt).isEmpty || RtDecode.parseFeedSafe(corrupt).nonEmpty) // never throws
+    assert(RtDecode.parseFeedSafe(garbage).isEmpty)
+    val blobs = Seq(good, corrupt, garbage).toDS()
+    val (tu, stu) = RtDecode.decodeTripUpdateBlobs(blobs)
+    assert(tu.count() == 2 && stu.count() == 3) // the good snapshot's rows survive
+  }
+
   test("K2: protobuf text dump writes one line per entity") {
     val dir = TestSpark.tempDir("dump")
     Fixtures.writeRtSnapshots(s"$dir/tu", s"$dir/vp")

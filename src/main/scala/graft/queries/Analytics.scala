@@ -314,7 +314,24 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Statistical aggregates (stddev/corr) — rounded to fixed points
+    * coarse enough that the engines' different accumulation algorithms
+    * (Welford vs two-pass) can't flip a digit.
+    */
+  def q40_stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_type", $"user_id", cents($"value").as("c"))
+      .groupBy($"event_type")
+      .agg(
+        round(stddev_samp($"c")).cast("long").as("sd"),
+        round(corr($"c", $"user_id") * 1e6).cast("long").as("cr"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_stats" -> q40_stats,
     "q37_sessionize" -> q37_sessionize,
     "q38_percentiles" -> q38_percentiles,
     "q29_gtfs_time" -> q29_gtfs_time,
@@ -335,6 +352,14 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q40_stats" ->
+      """SELECT event_type,
+        |  CAST(ROUND(stddev_samp(c)) AS BIGINT) AS sd,
+        |  CAST(ROUND(corr(c, user_id) * 1e6) AS BIGINT) AS cr,
+        |  COUNT(*) AS n
+        |FROM (SELECT event_type, user_id,
+        |        CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q37_sessionize" ->
       """WITH o AS (SELECT user_id, date_trunc('second', ts) AS t FROM events),
         |  l AS (SELECT user_id, t,

@@ -62,8 +62,12 @@ object Dedup {
     mix64(h)
   }
 
-  /** Sorted distinct hashes of the word n-gram shingle set. */
+  /** Sorted distinct hashes of the word n-gram shingle set (null-safe:
+    * a null document contributes no shingles, it must not kill a
+    * 100 TB job).
+    */
   private[llm] def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
     val words = text.split(" ", -1)
     if (words.length < n) return Array.emptyLongArray
     val set = new java.util.TreeSet[java.lang.Long]()
@@ -194,6 +198,7 @@ object Dedup {
     * weighted by token multiplicity.
     */
   private[llm] def simhash(md: java.security.MessageDigest, text: String): Long = {
+    if (text == null) return 0L
     val votes = new Array[Int](SimHashBits)
     text.split(" ", -1).foreach { w =>
       md.reset()

@@ -155,6 +155,7 @@ object TextAnalysis {
     * HOF-interpretation rationale as the Dedup sketches.
     */
   private[llm] def winnowFingerprints(md: java.security.MessageDigest, text: String): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
     val n = text.length - GramChars + 1
     if (n <= 0) return Array.emptyLongArray
     val h = new Array[Long](n)

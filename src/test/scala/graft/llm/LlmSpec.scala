@@ -134,6 +134,9 @@ class LlmSpec extends AnyFunSuite {
 
   test("sketch primitives: degenerate inputs never throw") {
     val md = java.security.MessageDigest.getInstance("MD5")
+    assert(Dedup.shingleHashes(null, 3).isEmpty)
+    assert(Dedup.simhash(md, null) == 0L)
+    assert(TextAnalysis.winnowFingerprints(md, null).isEmpty)
     assert(Dedup.shingleHashes("", 3).isEmpty)
     assert(Dedup.shingleHashes("one two", 3).isEmpty)
     assert(Dedup.shingleHashes("one two three", 3).length == 1)

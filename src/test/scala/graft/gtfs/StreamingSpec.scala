@@ -43,6 +43,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(bronzeCount(wh, "trip_stop_times") == 6)
   }
 
+  test("T1: vehicle positions ingest decodes all snapshots through the stream") {
+    val root = TestSpark.tempDir("vp_stream")
+    val landing = s"$root/landing"
+    val wh = s"$root/warehouse"
+    Files.createDirectories(Paths.get(landing))
+    Files.write(Paths.get(s"$landing/vehicle_positions_20250903_0930.pb"),
+      Fixtures.vehiclePositionsSnapshot(1756884757L))
+    Files.write(Paths.get(s"$landing/vehicle_positions_20250903_0932.pb"),
+      Fixtures.vehiclePositionsSnapshot(1756884877L))
+    RtStream.startVehiclePositionsIngest(spark, landing, wh, s"$root/ckpt").awaitTermination()
+    val vp = BronzeIngest.readBronze(spark, s"$wh/bronze/vehicle_positions_raw", "vehicle_positions_raw")
+    assert(vp.count() == 6) // 2 snapshots x 3 vehicles
+    assert(vp.filter(col("bearing") === 182L).count() == 2) // 181.6 rounds per snapshot
+  }
+
   test("T7: silver stream is incremental by construction (file-source log as watermark)") {
     val root = TestSpark.tempDir("silver_stream")
     val landing = s"$root/landing"

@@ -143,6 +143,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(Kpi.delayEvolutionPerStop(spine).agg(sum("n_obs")).collect().head.getLong(0) == 5L)
   }
 
+  test("D1/D2: warehouse registers as SQL-addressable catalog tables with pruning") {
+    Warehouse.register(spark, wh)
+    assert(spark.sql("SELECT count(*) FROM bronze.routes_static").collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM silver.trip_updates_silver").collect().head.getLong(0) == 3)
+    val pruned = spark.sql(
+      "SELECT * FROM bronze.routes_static WHERE insert_day = DATE'2025-09-03'")
+    assert(pruned.count() == 3)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(insert_day"),
+      "insert_day predicate must prune partitions")
+    Warehouse.register(spark, wh) // idempotent re-register
+    assert(spark.sql("SELECT count(*) FROM bronze.routes_static").collect().head.getLong(0) == 3)
+  }
+
   test("P5 invariant: incremental (2 refreshes) ≡ one big batch") {
     val (whB, _, _) = buildWarehouse(refreshBetween = false)
     for (name <- SilverTransforms.transforms.keys) {

@@ -96,10 +96,22 @@ object SilverTransforms {
 
   /** MAX(insert_date) of an existing silver table, or None when cold
     * (A1 — the only value that ever reaches the driver).
+    *
+    * Partition-pruned: insert_day is the partition column and ISO
+    * dates order lexicographically, so the maximum insert_date lives
+    * in the last partition directory — one FS listing plus a
+    * single-partition scan, O(one day) instead of O(full history) on
+    * the every-5-minutes refresh path.
     */
   def watermark(spark: SparkSession, silverPath: String, silverName: String): Option[java.time.LocalDateTime] = {
-    if (!BronzeIngest.pathExists(spark, silverPath)) None
-    else spark.read.schema(silverDiskSchema(silverName)).parquet(silverPath)
+    val root = new org.apache.hadoop.fs.Path(silverPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val dayDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("insert_day=") && !n.endsWith("__HIVE_DEFAULT_PARTITION__"))
+    if (dayDirs.isEmpty) return None
+    val lastDay = dayDirs.max // ISO yyyy-MM-dd sorts chronologically
+    spark.read.schema(Schemas.silver(silverName)).parquet(s"$silverPath/$lastDay")
       .agg(max(col(Schemas.insertDateCol))).head.get(0) match {
         case null => None
         case t: java.time.LocalDateTime => Some(t)

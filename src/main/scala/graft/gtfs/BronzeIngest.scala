@@ -153,19 +153,25 @@ object BronzeIngest {
   }
 
   /** TripUpdates blobs → both bronze row families with ONE protobuf
-    * parse per blob: decode to (headers, stop_times) pairs, persist
-    * the parsed micro-batch, write both tables, release. Shared by the
-    * batch path (loadRt) and the streaming foreachBatch (RtStream) so
-    * neither re-reads the source nor re-decodes.
+    * parse per blob: decode to (ok, headers, stop_times) triples,
+    * persist the parsed micro-batch, write both tables, release.
+    * Shared by the batch path (loadRt) and the streaming foreachBatch
+    * (RtStream) so neither re-reads the source nor re-decodes.
+    * Returns the number of corrupt (undecodable) snapshots in the
+    * batch — tolerated, counted, logged.
     */
   def ingestTripUpdateBlobs(blobs: org.apache.spark.sql.Dataset[Array[Byte]],
-                            warehouseDir: String, ingestTs: LocalDateTime): Unit = {
+                            warehouseDir: String, ingestTs: LocalDateTime): Long = {
     import blobs.sparkSession.implicits._
     val parsed = RtDecode.decodePairs(blobs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      appendBronze(parsed.flatMap(_._1).toDF(), s"$warehouseDir/bronze/trip_updates_raw", ingestTs)
-      appendBronze(parsed.flatMap(_._2).toDF(), s"$warehouseDir/bronze/trip_stop_times", ingestTs)
+      appendBronze(parsed.flatMap(_._2).toDF(), s"$warehouseDir/bronze/trip_updates_raw", ingestTs)
+      appendBronze(parsed.flatMap(_._3).toDF(), s"$warehouseDir/bronze/trip_stop_times", ingestTs)
+      val corrupt = parsed.filter(!_._1).count()
+      if (corrupt > 0)
+        System.err.println(s"[bronze] $corrupt corrupt TripUpdates snapshot(s) skipped")
+      corrupt
     } finally parsed.unpersist()
   }
 

@@ -86,18 +86,20 @@ object RtDecode {
     try Some(GtfsRtProto.parseFeed(bytes))
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ONE parse per blob → both row families as a pair (corrupt blobs
-    * decode to empty row sets). Callers that write both outputs should
-    * persist this Dataset across the two actions
+  /** ONE parse per blob → (parse_ok, headers, stop_times). Corrupt
+    * blobs yield (false, Nil, Nil) so callers can count them —
+    * tolerated but never invisible. Callers that write both outputs
+    * should persist this Dataset across the two actions
     * (BronzeIngest.ingestTripUpdateBlobs does) so neither the source
     * read nor the protobuf decode runs twice.
     */
-  def decodePairs(blobs: Dataset[Array[Byte]]): Dataset[(Seq[TripUpdateRow], Seq[StopTimeUpdateRow])] = {
+  def decodePairs(blobs: Dataset[Array[Byte]])
+      : Dataset[(Boolean, Seq[TripUpdateRow], Seq[StopTimeUpdateRow])] = {
     import blobs.sparkSession.implicits._
     blobs.map { b =>
       parseFeedSafe(b) match {
-        case Some(feed) => (tripUpdates(feed), tripStopTimes(feed))
-        case None => (Nil, Nil)
+        case Some(feed) => (true, tripUpdates(feed), tripStopTimes(feed))
+        case None => (false, Nil, Nil)
       }
     }
   }
@@ -105,7 +107,7 @@ object RtDecode {
   def decodeTripUpdateBlobs(blobs: Dataset[Array[Byte]]): (Dataset[TripUpdateRow], Dataset[StopTimeUpdateRow]) = {
     import blobs.sparkSession.implicits._
     val parsed = decodePairs(blobs)
-    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+    (parsed.flatMap(_._2), parsed.flatMap(_._3))
   }
 
   def decodeVehicleBlobs(blobs: Dataset[Array[Byte]]): Dataset[VehiclePositionRow] = {

@@ -119,6 +119,11 @@ class UtilSpec extends AnyFunSuite {
     val blobs = Seq(good, corrupt, garbage).toDS()
     val (tu, stu) = RtDecode.decodeTripUpdateBlobs(blobs)
     assert(tu.count() == 2 && stu.count() == 3) // the good snapshot's rows survive
+    // and the ingest path counts what it skipped
+    val wh = TestSpark.tempDir("corrupt_ingest")
+    val corruptCount = BronzeIngest.ingestTripUpdateBlobs(blobs, wh,
+      java.time.LocalDateTime.of(2025, 9, 3, 9, 30))
+    assert(corruptCount >= 1 && corruptCount <= 2) // garbage certain; truncation may half-parse
   }
 
   test("K2: protobuf text dump writes one line per entity") {

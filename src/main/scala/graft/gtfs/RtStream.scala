@@ -33,6 +33,26 @@ object RtStream {
     org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
 
+  /** foreachBatch sinks are at-least-once: after a crash between the
+    * bronze append and the checkpoint commit, the batch re-runs and
+    * would append twice. A per-batch marker under the checkpoint dir
+    * makes the replay a no-op (the residual window — crash between
+    * append and marker — matches the reference's COPY load-history
+    * semantics). Runs `body` only for unseen (table, batchId).
+    */
+  private[gtfs] def onceperBatch(spark: SparkSession, checkpointDir: String,
+                                 table: String, batchId: Long)(body: => Unit): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$checkpointDir/graft_batches/${table}_$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) false
+    else {
+      body
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Stream the TripUpdates feed snapshots: one binary blob per file →
     * decoded trip headers + exploded stop-time rows, appended to
     * bronze with the per-batch ingest stamp.
@@ -49,11 +69,15 @@ object RtStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Single-parse path: persists the decoded pairs across the two
         // bronze writes (no double decode, no double source read).
-        BronzeIngest.ingestTripUpdateBlobs(
-          batch.select("content").as[Array[Byte]], warehouseDir, BronzeIngest.parisNow())
+        // Marker-guarded so a replayed batch never double-appends.
+        onceperBatch(spark, checkpointDir, "trip_updates", batchId) {
+          BronzeIngest.ingestTripUpdateBlobs(
+            batch.select("content").as[Array[Byte]], warehouseDir, BronzeIngest.parisNow())
+          ()
+        }
         ()
       }
       .start()
@@ -72,10 +96,12 @@ object RtStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vp = RtDecode.decodeVehicleBlobs(batch.select("content").as[Array[Byte]])
-        BronzeIngest.appendBronze(vp.toDF(), s"$warehouseDir/bronze/vehicle_positions_raw",
-          BronzeIngest.parisNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onceperBatch(spark, checkpointDir, "vehicle_positions", batchId) {
+          val vp = RtDecode.decodeVehicleBlobs(batch.select("content").as[Array[Byte]])
+          BronzeIngest.appendBronze(vp.toDF(), s"$warehouseDir/bronze/vehicle_positions_raw",
+            BronzeIngest.parisNow())
+        }
         ()
       }
       .start()

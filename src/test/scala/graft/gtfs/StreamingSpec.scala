@@ -84,6 +84,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(SilverTransforms.readSilver(spark, wh, "trip_updates_silver").count() == 4)
   }
 
+  test("T5: a replayed foreachBatch is a no-op (marker-guarded idempotence)") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("replay")
+    val wh = s"$root/warehouse"
+    val ckpt = s"$root/ckpt"
+    val blobs = Seq(Fixtures.tripUpdatesSnapshot(1756884757L)).toDS()
+    def runBatch(): Boolean = RtStream.onceperBatch(spark, ckpt, "trip_updates", 0L) {
+      BronzeIngest.ingestTripUpdateBlobs(blobs, wh,
+        java.time.LocalDateTime.of(2025, 9, 3, 9, 30))
+      ()
+    }
+    assert(runBatch(), "first run executes")
+    assert(!runBatch(), "replay skips")
+    assert(BronzeIngest.readBronze(spark, s"$wh/bronze/trip_updates_raw", "trip_updates_raw")
+      .count() == 2, "no duplicate append after replay")
+  }
+
   test("T8: dropDuplicatesWithinWatermark dedups the trip key across late micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

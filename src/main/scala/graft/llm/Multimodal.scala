@@ -154,7 +154,7 @@ object Multimodal {
         |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fingerprint,
         |    CAST(ROUND(10000.0 * (doc_id % 320 + 16) / (doc_id % 200 + 16)) AS BIGINT) AS aspect_bp
         |  FROM documents)
-        |SELECT width % 10 AS wbucket, COUNT(*) AS n, SUM(n_bytes) AS sum_bytes,
+        |SELECT width % 10 AS wbucket, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
         |  MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp,
         |  CAST(ROUND(AVG(aspect_bp)) AS BIGINT) AS avg_aspect_bp
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)

@@ -228,9 +228,9 @@ object TextAnalysis {
         |FROM f ORDER BY doc_id""".stripMargin,
     "q19_text_stats" ->
       s"""SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(length(text)) AS sum_chars,
-        |  SUM(len(string_split(text, ' '))) AS sum_ws_tokens,
-        |  SUM(len(regexp_extract_all(text, '$TokenPattern'))) AS sum_bpe_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT) AS sum_bpe_tokens,
         |  CAST(ROUND(SUM(length(text)) * 100.0 / COUNT(*)) AS BIGINT) AS avg_chars_centi
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q20_exact_dedup" ->

@@ -404,13 +404,13 @@ object Analytics {
         |ORDER BY purchase_id""".stripMargin,
     "q32_pivot" ->
       """SELECT hour(ts) AS hh,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 1 THEN 1 END), 0) AS d1,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 2 THEN 1 END), 0) AS d2,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 3 THEN 1 END), 0) AS d3,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 4 THEN 1 END), 0) AS d4,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 5 THEN 1 END), 0) AS d5,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 6 THEN 1 END), 0) AS d6,
-        |  COALESCE(SUM(CASE WHEN isodow(ts) = 7 THEN 1 END), 0) AS d7
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 1 THEN 1 END), 0) AS BIGINT) AS d1,
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 2 THEN 1 END), 0) AS BIGINT) AS d2,
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 3 THEN 1 END), 0) AS BIGINT) AS d3,
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 4 THEN 1 END), 0) AS BIGINT) AS d4,
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 5 THEN 1 END), 0) AS BIGINT) AS d5,
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 6 THEN 1 END), 0) AS BIGINT) AS d6,
+        |  CAST(COALESCE(SUM(CASE WHEN isodow(ts) = 7 THEN 1 END), 0) AS BIGINT) AS d7
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_rollup" ->
       """SELECT event_type, isodow, COUNT(*) AS n,
@@ -432,7 +432,7 @@ object Analytics {
         |  FROM t)
         |SELECT event_type,
         |  COUNT(secs) AS n_valid, COUNT(*) - COUNT(secs) AS n_malformed,
-        |  SUM(secs) AS sum_s, MIN(secs) AS min_s, MAX(secs) AS max_s
+        |  CAST(SUM(secs) AS BIGINT) AS sum_s, MIN(secs) AS min_s, MAX(secs) AS max_s
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q08_window_latest" ->
       """SELECT user_id, event_id, event_type,

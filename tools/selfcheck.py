@@ -38,6 +38,14 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
+    # Driver's hash renders values: DuckDB HUGEINT sums surface as
+    # float64 ("1772.0") and mismatch Spark's int64 ("1772"). Treat
+    # float-vs-int dtype as failure (int32 vs int64 is fine).
+    kindmix = [c for c in got.columns
+               if {got[c].dtype.kind, want[c].dtype.kind} == {"f", "i"}]
+    if kindmix:
+        print(f"FAIL {name}: float-vs-int dtype {kindmix} "
+              f"(CAST the oracle aggregate AS BIGINT)"); fails += 1; continue
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
         print(f"OK   {name} ({len(got)} rows)")

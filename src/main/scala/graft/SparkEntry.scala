@@ -43,7 +43,8 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
-      graft.llm.CorpusPipeline.queries
+      graft.llm.CorpusPipeline.queries ++
+      graft.llm.DataPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++
-      graft.llm.CorpusPipeline.oracle
+      graft.llm.CorpusPipeline.oracle ++
+      graft.llm.DataPrep.oracle
 }

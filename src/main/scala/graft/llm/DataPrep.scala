@@ -1,0 +1,355 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Training-data preparation operators beyond cleaning/dedup: the
+  * corpus-shaping stages a 100 TB pipeline runs between "filtered
+  * documents" and "tokenizer-ready shards". Extends the reference's
+  * capability surface (its silver layer stops at normalization,
+  * `/root/reference/dags/gtfs_silver.py:125-213`) the same way
+  * Dedup/Similarity do — see SURVEY.md §2.13.
+  *
+  * Scale design notes, per operator:
+  *  - sampling/mixing decisions are pure hash functions of the row
+  *    (md5-derived, engine-independent) — stateless map-side filters,
+  *    no shuffle, reproducible under any partitioning or retry;
+  *  - mixture rates derive from a per-source aggregate that is tiny
+  *    (|sources| rows) and broadcast back — the corpus never shuffles;
+  *  - contamination joins on n-gram hashes (equi-join), never
+  *    doc × doc;
+  *  - shard packing computes prefix sums inside (lang) partitions —
+  *    no global ordering, so the window parallelizes across groups.
+  */
+object DataPrep {
+
+  /** Top 60 bits of md5 as a positive long — identical to DuckDB's
+    * CAST('0x' || substring(md5(s),1,15) AS BIGINT) (see Dedup q24).
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def wsToks(text: Column): Column = size(split(text, " "))
+
+  // ---------------------------------------------------------------
+  // q41 — stratified sampling
+  // ---------------------------------------------------------------
+
+  /** Per-language target rates in basis points. A real pipeline reads
+    * these from config; fixed literals keep the oracle total.
+    */
+  final val SampleRateBp: Map[String, Int] =
+    Map("en" -> 5000, "fr" -> 3000, "de" -> 2000, "es" -> 1500)
+  final val SampleRateDefaultBp = 1000
+
+  private def rateBp(lang: Column): Column =
+    SampleRateBp.foldLeft(lit(SampleRateDefaultBp)) { case (acc, (l, r)) =>
+      when(lang === l, r).otherwise(acc)
+    }
+
+  /** Deterministic hash-based stratified sampling: doc kept iff
+    * md5("graft_sample_" || doc_id) mod 10000 falls under its
+    * language's rate. No RNG, no state — the sample is a pure
+    * function of the row, so it is identical across runs, retries,
+    * and partitionings (the property that matters for reproducible
+    * training mixes at scale).
+    */
+  def q41_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        (hash60(concat(lit("graft_sample_"), $"doc_id".cast("string"))) % 10000)
+          .as("h_bp"),
+        rateBp($"lang").cast("long").as("rate_bp"))
+      .filter($"h_bp" < $"rate_bp")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q42 — mixture balancing
+  // ---------------------------------------------------------------
+
+  /** Source-mixture balancing: compute per-source acceptance rates
+    * that downsample every source to the token mass of the smallest
+    * one (equal-share mixture), then apply them with the same
+    * hash-filter as q41. Two tiny aggregates (|sources| rows) are
+    * broadcast back onto the corpus scan — the full corpus is never
+    * shuffled, only scanned twice (stats pass + filter pass); at
+    * scale the stats pass runs on a sample or a maintained catalog.
+    */
+  def q42_mixture_rates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+      .select($"doc_id", $"source", wsToks($"text").cast("long").as("toks"))
+
+    val perSource = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"))
+    val minToks = perSource.agg(min($"sum_toks").as("min_toks"))
+    val rates = perSource.crossJoin(broadcast(minToks))
+      .select($"source", $"n_docs", $"sum_toks",
+        round($"min_toks" * 1e6 / $"sum_toks").cast("long").as("rate_micro"))
+
+    val kept = docs.join(broadcast(rates.select($"source", $"rate_micro")), "source")
+      .filter(hash60(concat(lit("graft_mix_"), $"doc_id".cast("string"))) % 1000000
+        < $"rate_micro")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"toks").as("kept_toks"))
+
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs", $"sum_toks", $"rate_micro",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_toks", lit(0L)).as("kept_toks"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------
+  // q43 — PII redaction
+  // ---------------------------------------------------------------
+
+  /** ASCII-only patterns that parse identically under Java regex and
+    * DuckDB's RE2 (no backreferences, no lookaround).
+    */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PhoneRe = "\\+[0-9][0-9 ]+[0-9]"
+
+  /** PII scrubbing: detect + redact emails/phone numbers, emit match
+    * counts and a fingerprint of the redacted text. The harness corpus
+    * is synthetic and PII-free, so deterministic PII is injected from
+    * doc_id first (same construction on the oracle side) — the q29
+    * pattern: synthesize adversarial input in-query, verify the
+    * operator on it. Pure per-row map, no shuffle.
+    */
+  def q43_pii_redact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPii = concat(
+      $"text",
+      when($"doc_id" % 7 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" tel +33 6 12 34 "), ($"doc_id" % 90 + 10).cast("string")))
+        .otherwise(lit("")))
+    load(spark, dir, "documents")
+      .select($"doc_id", withPii.as("t"))
+      .select($"doc_id",
+        size(regexp_extract_all($"t", lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"t", lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        hash60(regexp_replace(regexp_replace($"t", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_h"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q44 — eval-set contamination
+  // ---------------------------------------------------------------
+
+  final val ContamGramWords = 5
+  final val ContamMinShared = 2
+  /** Harness eval split: every 17th doc plays the benchmark set. */
+  final val EvalModulus = 17
+
+  /** Core of q44, factored for fixture-driven specs: flag (corpus,
+    * eval) doc pairs sharing >= ContamMinShared distinct word
+    * 5-grams. Grams are md5-hashed 60-bit longs (engine-independent);
+    * candidate generation is an equi-join on the gram hash — never
+    * doc × doc. At 100 TB the eval side is small → broadcast; the
+    * per-pair count is a partial+final aggregate.
+    */
+  def contaminationPairs(docs: DataFrame, isEval: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Explode gram start positions, then hash with codegen'd
+    // expressions on the exploded rows (HOF lambdas would run
+    // interpreted per element — measured 170x slower in Dedup).
+    val grams = docs
+      .select($"doc_id", isEval.as("is_eval"), split($"text", " ").as("t"))
+      .select($"doc_id", $"is_eval",
+        explode(sequence(lit(1), greatest(size($"t") - (ContamGramWords - 1), lit(0))))
+          .as("i"), $"t")
+      .select($"doc_id", $"is_eval",
+        hash60(array_join(slice($"t", $"i", lit(ContamGramWords)), " ")).as("g"))
+      .distinct()
+    val eval = grams.filter($"is_eval").select($"doc_id".as("eval_doc"), $"g")
+    val corpus = grams.filter(!$"is_eval").select($"doc_id".as("corpus_doc"), $"g")
+    corpus.join(broadcast(eval), "g")
+      .groupBy($"corpus_doc", $"eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= ContamMinShared)
+      .orderBy($"corpus_doc", $"eval_doc")
+  }
+
+  def q44_contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contaminationPairs(load(spark, dir, "documents"), $"doc_id" % EvalModulus === 0)
+  }
+
+  // ---------------------------------------------------------------
+  // q45 — shard packing
+  // ---------------------------------------------------------------
+
+  final val ShardTokenBudget = 2000L
+
+  /** Core of q45, factored for specs: assign docs to token-budget
+    * shards by exclusive prefix sum inside each lang partition —
+    * shard = floor(tokens_before_this_doc / budget). The window
+    * partitions on lang (and at real scale on (lang, day) or finer),
+    * so no global sort and no single-partition window exists in the
+    * plan. Deterministic: doc order is doc_id.
+    */
+  def shardAssignments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select($"doc_id", $"lang", wsToks($"text").cast("long").as("toks"))
+      .withColumn("cum0", coalesce(sum($"toks").over(w), lit(0L)))
+      .withColumn("shard", floor($"cum0" / ShardTokenBudget).cast("long"))
+  }
+
+  def q45_shard_pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shardAssignments(load(spark, dir, "documents"))
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"))
+      .orderBy($"lang", $"shard")
+  }
+
+  // ---------------------------------------------------------------
+  // q46 — embedding outliers
+  // ---------------------------------------------------------------
+
+  /** Core of q46, factored for specs: per-label centroid-drift
+    * outliers — vectors whose cosine to their label's mean vector
+    * falls below mean − 2·stddev of the label group. Training-data
+    * QA: mislabeled or corrupt vectors surface as drift outliers
+    * before they reach a trainer (the harness embeddings are all
+    * unit-norm, so norm checks alone are blind here).
+    *
+    * Scale: the centroid pass partially aggregates (label, dim)
+    * means — the shuffle carries |labels|·64 rows per map partition,
+    * not the corpus; centroids and per-label stats are tiny frames
+    * broadcast back onto the scan. No corpus-side shuffle at all.
+    */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select($"vec_id", $"label",
+      Similarity.toDouble($"embedding").as("v"))
+    val cent = e.select($"label", posexplode($"v"))
+      .toDF("label", "i", "x")
+      .groupBy($"label", $"i").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+        s => s.getField("m")).as("cv"))
+    val sims = e.join(broadcast(cent), "label")
+      .select($"vec_id", $"label",
+        round(Similarity.dot($"v", $"cv")
+          / (Similarity.norm($"v") * Similarity.norm($"cv")) * 1e6)
+          .cast("long").as("sim_micro"))
+    val stats = sims.groupBy($"label")
+      .agg((avg($"sim_micro") - lit(2.0) * stddev_samp($"sim_micro")).as("thresh"))
+    sims.join(broadcast(stats), "label")
+      .filter($"sim_micro" < $"thresh")
+      .select($"label", $"vec_id", $"sim_micro")
+      .orderBy($"label", $"vec_id")
+  }
+
+  def q46_embedding_outliers(spark: SparkSession, dir: String): DataFrame =
+    centroidOutliers(load(spark, dir, "embeddings"))
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_stratified_sample" -> q41_stratified_sample,
+    "q42_mixture_rates" -> q42_mixture_rates,
+    "q43_pii_redact" -> q43_pii_redact,
+    "q44_contamination" -> q44_contamination,
+    "q45_shard_pack" -> q45_shard_pack,
+    "q46_embedding_outliers" -> q46_embedding_outliers)
+
+  private def rateBpSql: String =
+    SampleRateBp.foldLeft(s"$SampleRateDefaultBp") { case (acc, (l, r)) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+
+  val oracle: Map[String, String] = Map(
+    "q41_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+        |  CAST('0x' || substring(md5('graft_sample_' || doc_id), 1, 15) AS BIGINT) % 10000 AS h_bp,
+        |  CAST($rateBpSql AS BIGINT) AS rate_bp
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5('graft_sample_' || doc_id), 1, 15) AS BIGINT) % 10000
+        |  < $rateBpSql
+        |ORDER BY doc_id""".stripMargin,
+    "q42_mixture_rates" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |  s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_toks
+        |        FROM d GROUP BY source),
+        |  r AS (SELECT source, n_docs, sum_toks,
+        |          CAST(ROUND(MIN(sum_toks) OVER () * 1e6 / sum_toks) AS BIGINT) AS rate_micro
+        |        FROM s),
+        |  k AS (SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.toks) AS BIGINT) AS kept_toks
+        |        FROM d JOIN r ON d.source = r.source
+        |        WHERE CAST('0x' || substring(md5('graft_mix_' || d.doc_id), 1, 15) AS BIGINT) % 1000000
+        |          < r.rate_micro
+        |        GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.sum_toks, r.rate_micro,
+        |  COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_toks, 0) AS kept_toks
+        |FROM r LEFT JOIN k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
+    "q43_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' tel +33 6 12 34 ' || (doc_id % 90 + 10) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+        |  CAST('0x' || substring(md5(
+        |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+        |      '$PhoneRe', '<PHONE>', 'g')), 1, 15) AS BIGINT) AS redacted_h
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q44_contamination" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, doc_id % $EvalModulus = 0 AS is_eval,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - ${ContamGramWords - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(string_split(text, ' ')[i:i+${ContamGramWords - 1}], ' ')),
+        |             1, 15) AS BIGINT))) AS g
+        |  FROM documents)
+        |SELECT c.doc_id AS corpus_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+        |FROM (SELECT * FROM g WHERE NOT is_eval) c
+        |JOIN (SELECT * FROM g WHERE is_eval) e ON c.g = e.g
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinShared
+        |ORDER BY corpus_doc, eval_doc""".stripMargin,
+    "q45_shard_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |  a AS (SELECT lang, toks,
+        |          CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |        FROM d)
+        |SELECT lang, CAST(FLOOR(cum0 / $ShardTokenBudget) AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_toks
+        |FROM a GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+    "q46_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  u AS (SELECT label, r.range + 1 AS i, AVG(v[r.range + 1]) AS m
+        |        FROM e, range(64) r GROUP BY 1, 2),
+        |  c AS (SELECT label, list(m ORDER BY i) AS cv FROM u GROUP BY label),
+        |  s AS (SELECT e.vec_id, e.label,
+        |          CAST(ROUND(list_cosine_similarity(e.v, c.cv) * 1e6) AS BIGINT) AS sim_micro
+        |        FROM e JOIN c USING (label)),
+        |  st AS (SELECT label, AVG(sim_micro) - 2.0 * STDDEV_SAMP(sim_micro) AS thresh
+        |         FROM s GROUP BY label)
+        |SELECT s.label, s.vec_id, s.sim_micro
+        |FROM s JOIN st ON s.label = st.label
+        |WHERE s.sim_micro < st.thresh
+        |ORDER BY s.label, s.vec_id""".stripMargin)
+}

@@ -29,12 +29,12 @@ import graft.Tables.load
   */
 object Similarity {
 
-  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[llm] def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  private[llm] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def norm(c: Column): Column = sqrt(dot(c, c))
+  private[llm] def norm(c: Column): Column = sqrt(dot(c, c))
 
   final val TopK = 10
 
@@ -108,9 +108,10 @@ object Similarity {
   }
 
   /** Multiprobe LSH ANN: approximate top-k from hash-bucket
-    * candidates only. No DuckDB oracle (the LSH internals aren't
-    * SQL-portable) — covered by the recall spec in SimilaritySpec,
-    * which checks it against q26's exact answer.
+    * candidates only. The md5-derived planes make the whole pipeline
+    * deterministic and engine-independent, so the DuckDB oracle
+    * replays sketch → multiprobe → exact rerank bit-for-bit; the
+    * recall spec in LlmSpec additionally checks it against q26.
     */
   def q27_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -238,8 +239,35 @@ object Similarity {
     "q34_ann_ivf" -> q34_ann_ivf)
 
   val oracle: Map[String, String] = Map(
-    // q27 deliberately omitted: approximate operator, verified by the
-    // LlmSpec recall assertions against the exact q26 result.
+    // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
+    // recall assertions against the exact q26 result.
+    "q27_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(generate_series(0, ${Dim - 1}), d ->
+        |    CASE WHEN CAST('0x'||substring(md5('graft_plane_'||p||'_'||d),1,2) AS INT) % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS plane
+        |  FROM generate_series(0, ${NumPlanes - 1}) t(p)),
+        |sk AS (
+        |  SELECT e.vec_id, e.v,
+        |    CAST(SUM(CASE WHEN list_inner_product(e.v, pl.plane) > 0 THEN (1<<pl.p) ELSE 0 END) AS INT) AS bucket
+        |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, e.v),
+        |masks AS (
+        |  SELECT 0 AS m
+        |  UNION ALL SELECT (1<<i.i) FROM generate_series(0, ${NumPlanes - 1}) i(i)
+        |  UNION ALL SELECT (1<<i.i)|(1<<j.j) FROM generate_series(0, ${NumPlanes - 1}) i(i),
+        |    generate_series(0, ${NumPlanes - 1}) j(j) WHERE i.i < j.j),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM sk WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT DISTINCT q.q_id, s.vec_id AS neighbor_id,
+        |    CAST(ROUND(list_cosine_similarity(q.qv, s.v) * 1e6) AS BIGINT) AS sim_micro
+        |  FROM q CROSS JOIN masks m
+        |  JOIN sk s ON s.bucket = xor(q.bucket, m.m) AND s.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor_id, sim_micro,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, neighbor_id) AS rank
+        |      FROM cand)
+        |SELECT q_id, rank, neighbor_id, sim_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q30_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

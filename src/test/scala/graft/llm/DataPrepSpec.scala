@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Properties of the data-prep operators beyond what the DuckDB
+  * oracle checks: determinism under repartitioning, budget/stratum
+  * invariants, and planted-positive detection on fixture frames.
+  */
+class DataPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stratified sample: kept rows clear their stratum rate and the sample is partition-invariant") {
+    import spark.implicits._
+    val kept = DataPrep.q41_stratified_sample(spark, dir)
+    val rows = kept.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) < r.getLong(3)), "h_bp must be < rate_bp")
+    // The sample is a pure function of the row — shuffling the input
+    // into a different partitioning must not change the kept set.
+    val ids = rows.map(_.getLong(0)).toSet
+    val docs = graft.Tables.load(spark, dir, "documents").repartition(13, $"lang")
+    val tmp = TestSpark.tempDir("sample_det")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ids2 = DataPrep.q41_stratified_sample(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === ids2, "hash sampling must be deterministic under repartitioning")
+  }
+
+  test("mixture rates: the smallest source keeps rate 1e6 and kept token mass is ~equalized") {
+    val rows = DataPrep.q42_mixture_rates(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val minSrc = rows.minBy(_.getLong(2)) // smallest sum_toks
+    assert(minSrc.getLong(3) == 1000000L, "smallest source must be kept whole")
+    assert(rows.forall(r => r.getLong(3) <= 1000000L), "rates are probabilities")
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(1)), "kept docs <= docs")
+  }
+
+  test("pii redact: planted emails/phones are counted and scrubbed from the redacted text") {
+    import spark.implicits._
+    val rows = DataPrep.q43_pii_redact(spark, dir).collect()
+    assert(rows.exists(_.getLong(1) > 0), "docs with doc_id%7==0 carry a planted email")
+    assert(rows.exists(_.getLong(2) > 0), "docs with doc_id%11==0 carry a planted phone")
+    assert(rows.filter(r => r.getLong(0) % 7 == 0).forall(_.getLong(1) >= 1))
+    // Redacting the already-redacted text is a fixed point: rebuild the
+    // redacted text directly and scan it for residual matches.
+    val redacted = graft.Tables.load(spark, dir, "documents")
+      .select(regexp_replace(regexp_replace(
+        concat($"text",
+          when($"doc_id" % 7 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when($"doc_id" % 11 === 0,
+            concat(lit(" tel +33 6 12 34 "), ($"doc_id" % 90 + 10).cast("string")))
+            .otherwise(lit(""))),
+        DataPrep.EmailRe, "<EMAIL>"), DataPrep.PhoneRe, "<PHONE>").as("t"))
+      .filter(size(regexp_extract_all($"t", lit(DataPrep.EmailRe), lit(0))) > 0 ||
+        size(regexp_extract_all($"t", lit(DataPrep.PhoneRe), lit(0))) > 0)
+    assert(redacted.count() == 0, "no PII pattern may survive redaction")
+  }
+
+  test("contamination: a corpus doc copying an eval doc's text is flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (17L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // verbatim copy
+      (5L, "one two three four five six seven eight nine ten")          // clean
+    ).toDF("doc_id", "text")
+    val flagged = DataPrep.contaminationPairs(docs, $"doc_id" % 17 === 0).collect()
+    assert(flagged.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 17L)))
+    assert(flagged.head.getLong(2) >= DataPrep.ContamMinShared)
+  }
+
+  test("shard pack: shards are contiguous per lang and every shard except possibly the last stays near budget") {
+    import spark.implicits._
+    val assigned = DataPrep.shardAssignments(
+      graft.Tables.load(spark, dir, "documents")).collect()
+    assert(assigned.nonEmpty)
+    // shard id must be non-decreasing in doc_id order within a lang
+    assigned.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val byId = rs.sortBy(_.getLong(0))
+      val shards = byId.map(_.getLong(4))
+      assert(shards.zip(shards.drop(1)).forall { case (a, b) => a <= b },
+        s"shards must be monotone within lang=$lang")
+      // exclusive-prefix packing: a doc starts a new shard only once the
+      // budget is crossed, so tokens-before-doc < budget*(shard+1)
+      byId.foreach { r =>
+        assert(r.getLong(3) < DataPrep.ShardTokenBudget * (r.getLong(4) + 1))
+        assert(r.getLong(3) >= DataPrep.ShardTokenBudget * r.getLong(4))
+      }
+    }
+  }
+
+  test("embedding outliers: a planted anti-centroid vector is flagged") {
+    import spark.implicits._
+    val dim = 8
+    // 30 clustered vectors near +e1, one planted at -e1 (cos ~ -1 to
+    // the centroid) — the planted one must be the outlier.
+    val base = (0 until 30).map { i =>
+      (i.toLong, "labA", Array.fill(dim)(0.01f * (i % 3)).updated(0, 1.0f))
+    }
+    val planted = Seq((99L, "labA", Array.fill(dim)(0.0f).updated(0, -1.0f)))
+    val emb = (base ++ planted).toDF("vec_id", "label", "embedding")
+    val out = DataPrep.centroidOutliers(emb).collect()
+    assert(out.map(_.getLong(1)).toSet === Set(99L), s"got ${out.mkString(",")}")
+  }
+}

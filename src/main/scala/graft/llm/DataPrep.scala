@@ -97,7 +97,7 @@ object DataPrep {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_kept"), sum($"toks").as("kept_toks"))
 
-    rates.join(kept, Seq("source"), "left")
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select($"source", $"n_docs", $"sum_toks", $"rate_micro",
         coalesce($"n_kept", lit(0L)).as("n_kept"),
         coalesce($"kept_toks", lit(0L)).as("kept_toks"))

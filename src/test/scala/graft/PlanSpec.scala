@@ -49,6 +49,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(ts), EqualTo(event_type,signup)]"))
   }
 
+  test("stratified sampling is a map-side filter: no shuffle before the final sort") {
+    val p = plan("q41_stratified_sample")
+    assert(!p.contains("hashpartitioning"),
+      "the hash-threshold filter must not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("contamination and mixture join via broadcast, never cartesian") {
+    for (q <- Seq("q42_mixture_rates", "q44_contamination", "q46_embedding_outliers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast the small side")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a side that should broadcast")
+      // q42 attaches a 1-row global aggregate via crossJoin(broadcast) —
+      // that BroadcastNestedLoopJoin with a single-row build side IS the
+      // idiomatic scalar-attach plan; any other NLJ is a bug.
+      if (q != "q42_mixture_rates")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("shard packing windows partition on lang — no single-partition window") {
+    val p = plan("q45_shard_pack")
+    assert(p.contains("hashpartitioning(lang"),
+      "prefix-sum window must partition by lang")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "no global-ordering window may appear in the plan")
+  }
+
   test("GTFS silver incremental filter pushes insert_date to the bronze scan") {
     // the real P5 path: insert_date is a native TIMESTAMP_NTZ column,
     // so the watermark predicate prunes row groups at the scan

@@ -195,9 +195,18 @@ object Similarity {
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
 
+    // Train on a bounded deterministic sample: at 100 TB the centroid
+    // fit must not scan the corpus, and 16 centroids converge on a few
+    // thousand points. Random init + few iterations beats k-means||'s
+    // extra init passes at this k (recall bar enforced by LlmSpec).
+    val trainCap = 4096L
+    val corpusN = load(spark, dir, "embeddings").count()
+    val feat = emb.withColumn("features", array_to_vector($"v")).select("features")
+    val train = if (corpusN <= trainCap) feat
+      else feat.sample(withReplacement = false, trainCap.toDouble / corpusN, seed = 7)
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(IvfCentroids).setSeed(7).setMaxIter(10)
-      .fit(emb.withColumn("features", array_to_vector($"v")).select("features"))
+      .setK(IvfCentroids).setSeed(7).setMaxIter(5).setInitMode("random")
+      .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
 
     // corpus side: inverted-list assignment via the model itself

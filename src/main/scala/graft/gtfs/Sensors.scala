@@ -36,6 +36,24 @@ object Sensors {
     Seq("routes_static", "trips_static", "stops_static", "stop_times_static")
       .forall(t => waitForPath(spark, s"$warehouseDir/bronze/$t", pokeIntervalMs, timeoutMs))
 
+  /** S8/A3/P7 — the check_gtfs_static.py equivalent
+    * (scripts/check_gtfs_static.py:4-20): require the four GTFS files,
+    * read each with header only (no schema, no inference — every
+    * column lands StringType, the `dtype=str` parity), and report
+    * (file, n_rows, n_cols) shapes.
+    */
+  def checkGtfsStatic(spark: SparkSession, staticDir: String): Seq[(String, Long, Int)] = {
+    val required = Seq("routes.txt", "trips.txt", "stops.txt", "stop_times.txt")
+    required.map { f =>
+      val p = s"$staticDir/$f"
+      require(BronzeIngest.pathExists(spark, p), s"missing required GTFS file: $p")
+      val df = spark.read.option("header", "true").csv(p)
+      require(df.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.StringType), s"$f: all-string read expected")
+      (f, df.count(), df.columns.length)
+    }
+  }
+
   /** `LIST @stage` equivalent: file metadata of a landing dir. Reads
     * only the binaryFile source's metadata columns — column pruning
     * keeps the content bytes unread.

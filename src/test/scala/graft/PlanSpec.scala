@@ -54,6 +54,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       "the hash-threshold filter must not shuffle the corpus")
     assert(!p.contains("CartesianProduct"))
+    val scan = p.linesIterator.find(l => l.contains("documents") && l.contains("ReadSchema")).get
+    assert(!scan.contains("text"),
+      "sampling decides on doc_id+lang only — the text column must prune out of the scan")
   }
 
   test("contamination and mixture join via broadcast, never cartesian") {

@@ -87,6 +87,19 @@ class UtilSpec extends AnyFunSuite {
     assert(listed.forall(_.getLong(1) > 0))
   }
 
+  test("S8: all-string validation read reports shapes and rejects a missing file") {
+    val dir = graft.TestSpark.tempDir("s8_check")
+    graft.gtfs.Fixtures.writeStaticCsvs(dir)
+    val shapes = Sensors.checkGtfsStatic(spark, dir)
+      .map { case (f, rows, cols) => f -> ((rows, cols)) }.toMap
+    assert(shapes.keySet == Set("routes.txt", "trips.txt", "stops.txt", "stop_times.txt"))
+    assert(shapes.values.forall { case (rows, cols) => rows > 0 && cols > 1 })
+    val err = intercept[IllegalArgumentException] {
+      Sensors.checkGtfsStatic(spark, s"$dir/nope")
+    }
+    assert(err.getMessage.contains("missing required GTFS file"))
+  }
+
   test("T4: snapshot_ts parses the minute stamp from the file path") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.GtfsTimeToSeconds
+import graft.functions.{GtfsTimeToSeconds, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: users add
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` at
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("gtfs_time_to_seconds"),
       new ExpressionInfo(classOf[GtfsTimeToSeconds].getName, "gtfs_time_to_seconds"),
       (exprs: Seq[Expression]) => GtfsTimeToSeconds(exprs.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
   }
 }

@@ -31,8 +31,13 @@ object Similarity {
 
   private[llm] def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot (graft.functions.VectorDot) — bit-identical
+    * to the aggregate(zip_with(...)) HOF composition it replaced (same
+    * left-to-right accumulation from 0.0), but one generated Java loop
+    * instead of ~2·dim interpreted lambda calls per pair.
+    */
   private[llm] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.vectorDot(a, b)
 
   private[llm] def norm(c: Column): Column = sqrt(dot(c, c))
 
@@ -76,10 +81,12 @@ object Similarity {
     */
   private def planesLit(firstPlane: Int): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // Double literals so the per-plane projection runs through the
+    // native vector_dot (x·1.0 == x·1 bit-for-bit, oracle unchanged).
     val rows = (firstPlane until firstPlane + NumPlanes).map { p =>
       (0 until Dim).map { d =>
         val h = md.digest(s"graft_plane_${p}_$d".getBytes("UTF-8"))
-        if ((h(0) & 1) == 0) 1 else -1
+        if ((h(0) & 1) == 0) 1.0 else -1.0
       }
     }
     array(rows.map(r => array(r.map(lit): _*)): _*)
@@ -91,7 +98,7 @@ object Similarity {
   private def sketchWith(firstPlane: Int, v: Column): Column =
     aggregate(
       zip_with(planesLit(firstPlane), sequence(lit(0), lit(NumPlanes - 1)), (plane, p) =>
-        when(aggregate(zip_with(v, plane, (x, s) => x * s), lit(0.0), (acc, x) => acc + x) > 0,
+        when(dot(v, plane) > 0,
           pow(lit(2), p).cast("int")).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
 

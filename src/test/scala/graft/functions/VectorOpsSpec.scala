@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("vector_dot is bit-identical to the aggregate(zip_with(...)) HOF fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .collect().map(_.getDouble(0))
+    val native = df.select(VectorOps.vectorDot($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    // exact comparison on the raw bits: same accumulation order is the
+    // contract that keeps every DuckDB oracle hash stable
+    assert(hof.zip(native).forall { case (h, n) =>
+      java.lang.Double.doubleToLongBits(h) == java.lang.Double.doubleToLongBits(n)
+    })
+  }
+
+  test("NULL semantics: null input, null element, length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0), Array(3.0, 4.0)),     // 11.0
+      (Array(1.0, 2.0), Array(3.0))           // length mismatch -> null
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.vectorDot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+    val withNulls = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b").select(VectorOps.vectorDot($"a", $"b")).collect()
+    assert(withNulls.head.isNullAt(0), "null element must propagate")
+    val nullInput = Seq((null: Array[Double], Array(1.0)))
+      .toDF("a", "b").select(VectorOps.vectorDot($"a", $"b")).collect()
+    assert(nullInput.head.isNullAt(0))
+  }
+
+  test("registered in SQL via session extensions; twice in one projection codegens") {
+    val fresh = spark.newSession()
+    // two occurrences in one generated function — guards the fresh
+    // local-variable-name requirement of doGenCode
+    val r = fresh.sql(
+      """SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d1,
+        |       vector_dot(array(2.0d, 2.0d), array(1.0d, 1.0d)) AS d2""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 4.0)
+  }
+
+  test("type check rejects non-double arrays") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+        .select(VectorOps.vectorDot($"a", $"b")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vector_dot") ||
+      err.getMessage.contains("ARRAY<DOUBLE>"))
+  }
+}

@@ -130,7 +130,12 @@ object Dedup {
   }
 
   /** (doc_id, shingle hashes, minhash signature) — one narrow
-    * mapPartitions pass over the scan, no shuffle.
+    * mapPartitions pass over the scan, no shuffle. Persisted: the
+    * frame feeds the band fan-out AND both sides of the verify join,
+    * and Spark re-executes a subtree per consumer (self-joins don't
+    * share work) — without persist the sketch pass runs ~4×. At
+    * production scale this is a written sketch table; in-query,
+    * MEMORY_AND_DISK with LRU eviction is the analog.
     */
   private def sketches(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -143,6 +148,7 @@ object Dedup {
       })
       .toDF("doc_id", "sh", "sig")
       .filter(size($"sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification over
@@ -236,6 +242,9 @@ object Dedup {
         it.map { case (id, text) => (id, simhash(md, text)) }
       }
       .toDF("doc_id", "simhash")
+      // both sides of the chunk self-join re-execute this subtree;
+      // persist so the md5 fingerprint pass runs once (see sketches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val chunked = docs.selectExpr("doc_id", "simhash",
       s"explode(transform(sequence(0, ${SimChunks - 1}), c -> struct(c as chunk_idx, (shiftright(simhash, c * $ChunkBits) & ${(1L << ChunkBits) - 1}) as chunk_val))) as ck")
@@ -262,6 +271,9 @@ object Dedup {
       .mapPartitions(_.map { case (id, src, text) => (id, src, shingleHashes(text, 2)) })
       .toDF("doc_id", "source", "sh")
       .filter(size($"sh") > 0)
+      // both sides of the block self-join re-execute this subtree;
+      // persist so the bigram hashing runs once (see sketches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     docs.as("a").join(docs.as("b"),
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")

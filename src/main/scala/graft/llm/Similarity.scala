@@ -216,9 +216,22 @@ object Similarity {
       .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
 
-    // corpus side: inverted-list assignment via the model itself
-    val assigned = model.transform(emb.withColumn("features", array_to_vector($"v")))
-      .select($"vec_id", $"v", $"nrm", $"prediction".as("centroid"))
+    // corpus side: inverted-list assignment as a native argmin over
+    // the centroid literals — ||v−c||² = ||v||² − 2·v·c + ||c||², and
+    // ||v||² is constant per row, so argmin(||c||² − 2·v·c) suffices.
+    // Avoids the ML transform UDF (Vector boxing per row) and stays
+    // on the codegen'd vector_dot path; ties break on centroid id the
+    // same way KMeans assigns (first minimum wins).
+    val centArr = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.map(x => x * x).sum).as("cnorm2"),
+        array(c.map(lit).toSeq: _*).as("cv"), lit(i).as("cid"))
+    }.toSeq: _*)
+    val assigned = emb
+      .withColumn("cdist", transform(centArr,
+        c => struct((c.getField("cnorm2") - lit(2.0) * dot($"v", c.getField("cv")))
+          .as("d"), c.getField("cid").as("cid"))))
+      .withColumn("centroid", array_min($"cdist").getField("cid"))
+      .select($"vec_id", $"v", $"nrm", $"centroid")
 
     // query side: rank the 16 centroid literals by euclidean distance,
     // keep the IvfProbes nearest as probe targets

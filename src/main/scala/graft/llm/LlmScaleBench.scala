@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale stress drive for the LLM-pipeline layer — the `graft.gtfs.
+  * GtfsScaleBench` analog: synthesizes a deterministic corpus 20×
+  * the sf0.1 bench tables (100k documents with 10% planted near-dups,
+  * 20k embeddings) and times dedup, curation, contamination, sharding
+  * and similarity search against it, with detection-rate invariants
+  * so a silently-degenerate plan fails loudly.
+  *
+  *   sbt "runMain graft.llm.LlmScaleBench"
+  *
+  * Prints one JSON line of stage timings. The point is evidence the
+  * candidate-generation plans hold past bench size: every pair-finding
+  * stage stays an equi-join on a bucket/blocking key whose output is
+  * ~|true pairs|, not |corpus|².
+  */
+object LlmScaleBench {
+
+  private def t[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  final val NDocs = 100000L
+  final val NVecs = 20000L
+  final val Vocab = 500
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("llm_scale").toString
+
+    // ---- synthesize documents: ids ≡ 1 (mod 10) are one-word
+    // mutations of their predecessor (3-gram Jaccard ≈ 0.9) ----
+    val langs = Array("en", "fr", "de", "es", "pt")
+    val (_, tDocs) = t {
+      spark.range(NDocs).as[Long].mapPartitions(_.map { id =>
+        val seed = if (id % 10 == 1) id - 1 else id
+        val n = 60 + (seed % 40).toInt
+        val words = new Array[String](n)
+        var h = seed * 0x9e3779b97f4a7c15L + 0x1405d2f0a3c1e7b9L
+        var j = 0
+        while (j < n) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          words(j) = "w" + ((h >>> 33) % Vocab)
+          j += 1
+        }
+        if (id % 10 == 1) words(((id % 7) + 1).toInt) = "mut" + id
+        (id, words.mkString(" "), langs((id % 5).toInt), "src" + (id % 20))
+      }).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+
+    // ---- synthesize embeddings: 64-dim deterministic pseudo-randoms ----
+    val (_, tEmb) = t {
+      spark.range(NVecs).as[Long].mapPartitions(_.map { id =>
+        val v = new Array[Float](64)
+        var h = id * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+        var j = 0
+        while (j < 64) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          v(j) = ((h >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
+          j += 1
+        }
+        (id, v, "lab" + (id % 5))
+      }).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    def drive(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    def q(name: String): DataFrame = graft.SparkEntry.queries(name)(spark, dir)
+
+    // planted near-dups: one pair per id ≡ 1 (mod 10)
+    val nPlanted = NDocs / 10
+    val (mhPairs, tMinhash) = t(
+      Dedup.minhashPairs(spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")).count())
+    require(mhPairs >= (nPlanted * 95) / 100,
+      s"minhash-LSH must find ≥95% of $nPlanted planted near-dup pairs, got $mhPairs")
+
+    val stages = Seq[(String, () => Long)](
+      "exact_dedup" -> (() => drive(q("q20_exact_dedup"))),
+      "corpus_curation" -> (() => drive(q("q39_corpus_curation"))),
+      "contamination" -> (() => drive(q("q44_contamination"))),
+      "mixture_rates" -> (() => drive(q("q42_mixture_rates"))),
+      "stratified_sample" -> (() => drive(q("q41_stratified_sample"))),
+      "shard_pack" -> (() => drive(q("q45_shard_pack"))),
+      "ann_exact" -> (() => drive(q("q26_ann_topk"))),
+      "ann_lsh" -> (() => drive(q("q27_ann_lsh"))),
+      "embedding_neardup" -> (() => drive(q("q30_embedding_neardup"))),
+      "embedding_outliers" -> (() => drive(q("q46_embedding_outliers"))))
+
+    val timed = stages.map { case (name, f) =>
+      val (rows, sec) = t(f())
+      (name, rows, sec)
+    }
+    // contamination must catch planted pairs straddling the eval split
+    val contamRows = timed.find(_._1 == "contamination").get._2
+    require(contamRows > 0, "planted near-dups crossing the eval split must be flagged")
+
+    val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
+      ("minhash_pairs", mhPairs, tMinhash)) ++ timed)
+      .map { case (k, rows, sec) =>
+        s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
+      }
+    println(s"""{"metric":"llm_scale","docs":$NDocs,"vecs":$NVecs,"stages":{${json.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -150,27 +150,63 @@ object DataPrep {
   /** Harness eval split: every 17th doc plays the benchmark set. */
   final val EvalModulus = 17
 
+  /** Distinct md5-60-bit hashes of a doc's word n-grams — identical
+    * to the oracle's `CAST('0x' || substring(md5(gram),1,15) AS
+    * BIGINT)` (big-endian first 8 digest bytes >>> 4, the q35
+    * winnowing convention).
+    */
+  private[llm] def gramHashes(md: java.security.MessageDigest, text: String,
+                              n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val words = text.split(" ", -1)
+    if (words.length < n) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      set.add(v >>> 4)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   /** Core of q44, factored for fixture-driven specs: flag (corpus,
     * eval) doc pairs sharing >= ContamMinShared distinct word
     * 5-grams. Grams are md5-hashed 60-bit longs (engine-independent);
     * candidate generation is an equi-join on the gram hash — never
-    * doc × doc. At 100 TB the eval side is small → broadcast; the
-    * per-pair count is a partial+final aggregate.
+    * doc × doc. The gram pass is one narrow mapPartitions (per-doc
+    * distinct inside the loop — no global distinct shuffle; measured
+    * 16 s → map-side at 100k docs in LlmScaleBench). At 100 TB the
+    * eval side is small → broadcast; the per-pair count is a
+    * partial+final aggregate.
     */
   def contaminationPairs(docs: DataFrame, isEval: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Explode gram start positions, then hash with codegen'd
-    // expressions on the exploded rows (HOF lambdas would run
-    // interpreted per element — measured 170x slower in Dedup).
     val grams = docs
-      .select($"doc_id", isEval.as("is_eval"), split($"text", " ").as("t"))
-      .select($"doc_id", $"is_eval",
-        explode(sequence(lit(1), greatest(size($"t") - (ContamGramWords - 1), lit(0))))
-          .as("i"), $"t")
-      .select($"doc_id", $"is_eval",
-        hash60(array_join(slice($"t", $"i", lit(ContamGramWords)), " ")).as("g"))
-      .distinct()
+      .select($"doc_id".cast("long"), isEval.as("is_eval"), $"text")
+      .as[(Long, Boolean, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, ev, text) =>
+          gramHashes(md, text, ContamGramWords).map(g => (id, ev, g))
+        }
+      }
+      .toDF("doc_id", "is_eval", "g")
+      // both the eval and corpus filters consume this frame — persist
+      // so the md5 gram pass runs once (see Dedup.sketches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eval = grams.filter($"is_eval").select($"doc_id".as("eval_doc"), $"g")
     val corpus = grams.filter(!$"is_eval").select($"doc_id".as("corpus_doc"), $"g")
     corpus.join(broadcast(eval), "g")

@@ -33,6 +33,9 @@ object CorpusPipeline {
     val exactKept = survivors
       .withColumn("keep_id", min($"doc_id").over(byHash))
       .filter($"doc_id" === $"keep_id").drop("keep_id")
+      // consumed by the LSH stage AND the final anti-join — persist so
+      // the scan + quality filter + hash-window shuffle run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nearDupLosers = Dedup.minhashPairs(exactKept.select($"doc_id", $"text"))
       .select($"doc_b".as("doc_id")).distinct()

@@ -68,4 +68,21 @@ object StaticFetch {
     */
   def minuteStamp(ts: java.time.LocalDateTime = BronzeIngest.parisNow()): String =
     ts.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmm"))
+
+  /** S3's fetch half (gtfs_rt_minutely.py:40-41,58-59 with the 20 s
+    * feed timeout): GET a GTFS-RT protobuf feed and land it as a
+    * minute-stamped `<prefix>_yyyyMMdd_HHmm.pb` snapshot file for the
+    * streaming ingest (RtStream) to pick up. Returns the landed path.
+    * Driver-side by design — one ~100 KB blob per poll; the
+    * distributed work starts at the binaryFile stream over landingDir.
+    */
+  def fetchRtSnapshot(url: String, landingDir: String, prefix: String,
+                      ts: java.time.LocalDateTime = BronzeIngest.parisNow(),
+                      timeoutSeconds: Long = 20L): Path = {
+    val dir = Paths.get(landingDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"${prefix}_${minuteStamp(ts)}.pb")
+    Files.write(target, fetchUrl(url, timeoutSeconds))
+    target
+  }
 }

@@ -34,6 +34,20 @@ class UtilSpec extends AnyFunSuite {
     assert(BronzeIngest.readBronze(spark, s"$out/wh/bronze/stops_static", "stops_static").count() == 4)
   }
 
+  test("S3: RT snapshot fetch lands a minute-stamped decodable .pb") {
+    val src = TestSpark.tempDir("rt_fetch_src")
+    val landing = TestSpark.tempDir("rt_fetch_landing")
+    Fixtures.writeRtSnapshots(src, src)
+    val srcPb = Paths.get(src, "trip_updates_20250903_1432.pb")
+    val landed = StaticFetch.fetchRtSnapshot(srcPb.toUri.toString, landing,
+      "trip_updates", java.time.LocalDateTime.of(2025, 9, 3, 14, 34))
+    assert(landed.getFileName.toString == "trip_updates_20250903_1434.pb")
+    assert(Files.readAllBytes(landed).sameElements(Files.readAllBytes(srcPb)))
+    // the landed file feeds the decode path directly
+    val feed = GtfsRtProto.parseFeed(Files.readAllBytes(landed))
+    assert(feed.entities.nonEmpty)
+  }
+
   test("S2: zip-slip entries are rejected") {
     val dir = TestSpark.tempDir("zip_slip")
     val zipPath = Paths.get(dir, "evil.zip")

@@ -330,8 +330,52 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** GROUPING SETS beyond ROLLUP's prefix hierarchy (q33): the
+    * (type, dow) detail plus BOTH standalone marginals and the grand
+    * total in one pass — Catalyst expands to a single Expand + one
+    * aggregate, not four scans. Integer sums keep every grouping
+    * combination order-independent at any parallelism.
+    */
+  def q47_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_type", (weekday($"ts") + 1).as("isodow"), cents($"value").as("c"))
+      .createOrReplaceTempView("events_gs_v")
+    spark.sql(
+      """SELECT event_type, isodow, COUNT(*) AS n,
+        |  SUM(c) AS sum_cents,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(isodow) AS INT) AS lvl
+        |FROM events_gs_v
+        |GROUP BY GROUPING SETS ((event_type, isodow), (event_type), (isodow), ())
+        |ORDER BY lvl, event_type, isodow""".stripMargin)
+  }
+
+  /** Event-time RANGE-frame window: per user, activity in the
+    * trailing hour of each event (count + exact cents sum). The frame
+    * bounds are integer epoch seconds, so the peer set is identical
+    * across engines; the window partitions on the high-cardinality
+    * user_id.
+    */
+  def q48_range_window(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_s"),
+        cents($"value").as("c"))
+      .createOrReplaceTempView("events_rw_v")
+    spark.sql(
+      """SELECT event_id, user_id, ts_s,
+        |  COUNT(*) OVER w AS n_1h, SUM(c) OVER w AS sum_cents_1h
+        |FROM events_rw_v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_stats" -> q40_stats,
+    "q47_grouping_sets" -> q47_grouping_sets,
+    "q48_range_window" -> q48_range_window,
     "q37_sessionize" -> q37_sessionize,
     "q38_percentiles" -> q38_percentiles,
     "q29_gtfs_time" -> q29_gtfs_time,
@@ -352,6 +396,22 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q47_grouping_sets" ->
+      """SELECT event_type, isodow, COUNT(*) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(isodow) AS INT) AS lvl
+        |FROM (SELECT event_type, isodow(ts) AS isodow,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+        |GROUP BY GROUPING SETS ((event_type, isodow), (event_type), (isodow), ())
+        |ORDER BY lvl, event_type, isodow""".stripMargin,
+    "q48_range_window" ->
+      """SELECT event_id, user_id, ts_s,
+        |  COUNT(*) OVER w AS n_1h, CAST(SUM(c) OVER w AS BIGINT) AS sum_cents_1h
+        |FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q40_stats" ->
       """SELECT event_type,
         |  CAST(ROUND(stddev_samp(c)) AS BIGINT) AS sd,

@@ -261,15 +261,93 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF with deterministic seed centroids (the first IvfCentroids
+    * vectors act as the coarse quantizer) — q34's exact plumbing
+    * (argmin assignment → multi-probe → exact rerank) minus the
+    * KMeans fit, which is the one piece SQL can't replay. This
+    * variant is fully DuckDB-oracle-verified, so the inverted-list
+    * machinery itself has a hash-checked ground truth; q34 keeps the
+    * trained-centroid quality and its recall spec. Distances rank on
+    * micro-rounded values with centroid-id tie-breaks, so the probe
+    * sets are engine-independent.
+    */
+  def q49_ivf_seeded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+
+    // 16 seed vectors to the driver — a bounded tiny collect (the
+    // quantizer table), same shape as shipping KMeans centers.
+    val seeds = emb.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"v")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centArr = array(seeds.map { case (cid, c) =>
+      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
+    }.toSeq: _*)
+
+    def dist2Micro(v: Column, cv: Column): Column =
+      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+
+    val assigned = emb
+      .withColumn("cdist", transform(centArr,
+        c => struct(dist2Micro($"v", c.getField("cv")).as("d"), c.getField("cid").as("cid"))))
+      .withColumn("centroid", array_min($"cdist").getField("cid"))
+      .select($"vec_id", $"v", $"nrm", $"centroid")
+
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), explode(centArr).as("c"))
+      .withColumn("dmicro", dist2Micro($"qv", $"c.cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
+      .filter($"crank" <= IvfProbes)
+      .select($"q_id", $"qv", $"qnrm", $"c.cid".as("probe_centroid"))
+
+    val cands = assigned.join(broadcast(queries),
+        $"centroid" === $"probe_centroid" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+
+    val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"sim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> q26_ann_topk,
     "q27_ann_lsh" -> q27_ann_lsh,
     "q30_embedding_neardup" -> q30_embedding_neardup,
-    "q34_ann_ivf" -> q34_ann_ivf)
+    "q34_ann_ivf" -> q34_ann_ivf,
+    "q49_ivf_seeded" -> q49_ivf_seeded)
 
   val oracle: Map[String, String] = Map(
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
-    // recall assertions against the exact q26 result.
+    // recall assertions against the exact q26 result. q49 replays the
+    // same inverted-list machinery with SQL-reproducible seeds.
+    "q49_ivf_seeded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS q_id, v AS qv, cid AS probe FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS crank
+        |    FROM ad WHERE vec_id % 50 = 0) WHERE crank <= $IvfProbes),
+        |cand AS (SELECT qp.q_id, a.vec_id AS neighbor_id,
+        |    CAST(ROUND(list_cosine_similarity(qp.qv, a.v) * 1e6) AS BIGINT) AS sim_micro
+        |  FROM asg a JOIN qp ON a.centroid = qp.probe AND a.vec_id <> qp.q_id),
+        |r AS (SELECT q_id, neighbor_id, sim_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT q_id, rank, neighbor_id, sim_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q27_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (

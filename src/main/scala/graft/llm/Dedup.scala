@@ -110,18 +110,24 @@ object Dedup {
   final val NumBands = 16
   final val RowsPerBand = 4
 
-  /** 64-way MinHash signature over the shingle-hash set: sig(k) =
-    * min over shingles of mix64(h ⊕ seed_k).
+  /** 64-way MinHash signature over the shingle-hash set via the
+    * standard 2-universal trick: sig(k) = min over shingles of
+    * a + k·b where (a, b) are two independent full-avalanche mixes of
+    * the shingle hash — 2 mixes + 64 mult-adds per shingle instead of
+    * 64 mixes (the linear family keeps the per-slot min uniform; the
+    * all-pairs DuckDB oracle would fail loudly on any recall loss).
     */
   private[llm] def minhashSig(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
-      val h = sh(i)
+      val a = mix64(sh(i) ^ 0xd6e8feb86659fd93L)
+      val b = mix64(sh(i) ^ 0xa5a3b1c907e2f4d1L) | 1L
       var k = 0
+      var v = a
       while (k < NumHashes) {
-        val v = mix64(h ^ (0xd6e8feb86659fd93L * (k + 1)))
         if (v < sig(k)) sig(k) = v
+        v += b
         k += 1
       }
       i += 1

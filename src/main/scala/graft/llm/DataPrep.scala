@@ -297,6 +297,35 @@ object DataPrep {
     centroidOutliers(load(spark, dir, "embeddings"))
 
   // ---------------------------------------------------------------
+  // q50 — int8 embedding quantization
+  // ---------------------------------------------------------------
+
+  /** Int8 scalar quantization — the 4× storage/bandwidth step before
+    * embeddings ship to an index: per-vector scale = max |x_i|,
+    * q_i = round(x_i · 127 / scale) ∈ [−127, 127]. Emits the scale and
+    * integer summary stats of each quantized vector (the payload a
+    * quantized index stores). Pure per-row map, no shuffle; both
+    * engines use ROUND half-away-from-zero so the codes match exactly.
+    * The small arrays (64 elems) keep the HOF lambdas cheap here —
+    * per-element work is one multiply, not a sketch (see the Dedup
+    * note for when mapPartitions wins instead).
+    */
+  def q50_embedding_quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+      .withColumn("scale",
+        greatest(array_max(transform($"v", x => abs(x))), lit(1e-30)))
+      .withColumn("qv", transform($"v", x => round(x * 127 / $"scale").cast("long")))
+      .select($"vec_id",
+        round($"scale" * 1e6).cast("long").as("scale_micro"),
+        aggregate($"qv", lit(0L), (a, x) => a + x).as("sum_q"),
+        array_min($"qv").as("min_q"),
+        array_max($"qv").as("max_q"))
+      .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -304,7 +333,8 @@ object DataPrep {
     "q43_pii_redact" -> q43_pii_redact,
     "q44_contamination" -> q44_contamination,
     "q45_shard_pack" -> q45_shard_pack,
-    "q46_embedding_outliers" -> q46_embedding_outliers)
+    "q46_embedding_outliers" -> q46_embedding_outliers,
+    "q50_embedding_quantize" -> q50_embedding_quantize)
 
   private def rateBpSql: String =
     SampleRateBp.foldLeft(s"$SampleRateDefaultBp") { case (acc, (l, r)) =>
@@ -387,5 +417,16 @@ object DataPrep {
         |SELECT s.label, s.vec_id, s.sim_micro
         |FROM s JOIN st ON s.label = st.label
         |WHERE s.sim_micro < st.thresh
-        |ORDER BY s.label, s.vec_id""".stripMargin)
+        |ORDER BY s.label, s.vec_id""".stripMargin,
+    "q50_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  s AS (SELECT vec_id, v,
+        |          GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
+        |        FROM e),
+        |  q AS (SELECT vec_id, CAST(ROUND(scale * 1e6) AS BIGINT) AS scale_micro,
+        |          list_transform(v, x -> CAST(ROUND(x * 127 / scale) AS BIGINT)) AS qv
+        |        FROM s)
+        |SELECT vec_id, scale_micro, CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  list_min(qv) AS min_q, list_max(qv) AS max_q
+        |FROM q ORDER BY vec_id""".stripMargin)
 }

@@ -93,6 +93,25 @@ class DataPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("quantization: codes bounded to int8, the max element saturates, round-trip error within half a step") {
+    import spark.implicits._
+    val rows = DataPrep.q50_embedding_quantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= -127L && r.getLong(4) <= 127L))
+    assert(rows.forall(r => r.getLong(3) == -127L || r.getLong(4) == 127L),
+      "the max-|x| element must quantize to ±127")
+    // round-trip: dequantized values stay within half a quantization step
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    emb.take(20).foreach { case (_, v) =>
+      val scale = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30)
+      v.foreach { x =>
+        val q = math.round(x * 127 / scale).toDouble
+        assert(math.abs(x - q * scale / 127) <= scale / 254 + 1e-9)
+      }
+    }
+  }
+
   test("embedding outliers: a planted anti-centroid vector is flagged") {
     import spark.implicits._
     val dim = 8

@@ -10,6 +10,9 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional: comma-separated query-name filter (substring match) to
+# spot-check single queries without the slow all-pairs oracles
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -26,6 +29,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 fails = 0
 for name in sorted(oracle):
+    if only and not any(f in name for f in only):
+        continue
     res_path = f"{out_dir}/{name}"
     if not os.path.isdir(res_path):
         print(f"FAIL {name}: no result parquet"); fails += 1; continue

@@ -112,7 +112,7 @@ object SilverTransforms {
     if (dayDirs.isEmpty) return None
     val lastDay = dayDirs.max // ISO yyyy-MM-dd sorts chronologically
     spark.read.schema(Schemas.silver(silverName)).parquet(s"$silverPath/$lastDay")
-      .agg(max(col(Schemas.insertDateCol))).head.get(0) match {
+      .agg(max(col(Schemas.insertDateCol))).head().get(0) match {
         case null => None
         case t: java.time.LocalDateTime => Some(t)
         case other => Some(java.time.LocalDateTime.parse(other.toString.replace(' ', 'T')))

@@ -16,10 +16,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("gtfs_time_to_seconds"),
       new ExpressionInfo(classOf[GtfsTimeToSeconds].getName, "gtfs_time_to_seconds"),
-      (exprs: Seq[Expression]) => GtfsTimeToSeconds(exprs.head)))
+      {
+        case Seq(e) => GtfsTimeToSeconds(e)
+        case exprs => throw GraftExtensions.arity("gtfs_time_to_seconds", 1, exprs.length)
+      }))
     extensions.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+      {
+        case Seq(a, b) => VectorDot(a, b)
+        case exprs => throw GraftExtensions.arity("vector_dot", 2, exprs.length)
+      }))
   }
+}
+
+object GraftExtensions {
+  /** Clean analysis-time error for a wrong argument count (instead of
+    * an IndexOutOfBoundsException escaping the builder).
+    */
+  private[graft] def arity(fn: String, expected: Int, got: Int) =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> fn, "expectedNum" -> expected.toString,
+        "actualNum" -> got.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
 }

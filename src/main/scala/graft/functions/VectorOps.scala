@@ -87,5 +87,8 @@ object VectorOps {
   /** SQL registration: `SELECT vector_dot(v, w)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+      "vector_dot", {
+        case Seq(a, b) => VectorDot(a, b)
+        case exprs => throw graft.GraftExtensions.arity("vector_dot", 2, exprs.length)
+      }, "built-in")
 }

@@ -30,12 +30,11 @@ object CorpusPipeline {
     val survivors = docs.filter($"quality_bp" >= QualityThresholdBp)
 
     val byHash = Window.partitionBy(md5($"text"))
-    val exactKept = survivors
+    val exactKept = graft.Caches.tracked(survivors
       .withColumn("keep_id", min($"doc_id").over(byHash))
-      .filter($"doc_id" === $"keep_id").drop("keep_id")
-      // consumed by the LSH stage AND the final anti-join — persist so
-      // the scan + quality filter + hash-window shuffle run once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter($"doc_id" === $"keep_id").drop("keep_id"))
+      // consumed by the LSH stage AND the final anti-join — tracked-
+      // persist so the scan + quality filter + hash-window run once
 
     val nearDupLosers = Dedup.minhashPairs(exactKept.select($"doc_id", $"text"))
       .select($"doc_b".as("doc_id")).distinct()

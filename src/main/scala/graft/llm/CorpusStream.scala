@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   *
   * Pipeline per micro-batch: schema-pinned scan (never infer on a
   * stream) → quality gate (integer basis-point score, same formula as
-  * the batch q21/q39 path) → exact-dup drop within the event-time
-  * watermark (bounded state — the streaming form of q20's first-wins
-  * keeper; cross-batch near-dup stays a periodic batch job, q23, as
-  * LSH state does not bound cleanly).
+  * the batch q21/q39 path) → processing-time exact-dup drop: the
+  * watermark column is `current_timestamp()` (arrival time, not an
+  * event-time field), so duplicates arriving within `dedupDelay` of
+  * each other in wall-clock time collapse, while replays arriving
+  * later pass the gate — the periodic batch exact-dedup (q20) is the
+  * backstop for those. Bounded state — the streaming form of q20's
+  * first-wins keeper; cross-batch near-dup stays a periodic batch
+  * job, q23, as LSH state does not bound cleanly.
   *
   * Scale: every stage is map-side except the dedup, which shuffles on
   * the (high-cardinality, uniform) content hash; state size is bounded

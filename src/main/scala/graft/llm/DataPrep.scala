@@ -194,7 +194,7 @@ object DataPrep {
   def contaminationPairs(docs: DataFrame, isEval: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs
+    val grams = graft.Caches.tracked(docs
       .select($"doc_id".cast("long"), isEval.as("is_eval"), $"text")
       .as[(Long, Boolean, String)]
       .mapPartitions { it =>
@@ -203,10 +203,9 @@ object DataPrep {
           gramHashes(md, text, ContamGramWords).map(g => (id, ev, g))
         }
       }
-      .toDF("doc_id", "is_eval", "g")
-      // both the eval and corpus filters consume this frame — persist
-      // so the md5 gram pass runs once (see Dedup.sketches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "is_eval", "g"))
+      // both the eval and corpus filters consume this frame — tracked-
+      // persist so the md5 gram pass runs once (see Dedup.sketches)
     val eval = grams.filter($"is_eval").select($"doc_id".as("eval_doc"), $"g")
     val corpus = grams.filter(!$"is_eval").select($"doc_id".as("corpus_doc"), $"g")
     corpus.join(broadcast(eval), "g")

@@ -141,20 +141,20 @@ object Dedup {
     * and Spark re-executes a subtree per consumer (self-joins don't
     * share work) — without persist the sketch pass runs ~4×. At
     * production scale this is a written sketch table; in-query,
-    * MEMORY_AND_DISK with LRU eviction is the analog.
+    * Caches.tracked (MEMORY_AND_DISK, released by the driver loop
+    * after the consuming action) is the analog.
     */
   private def sketches(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.Caches.tracked(docs
       .select($"doc_id".cast("long"), $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val sh = shingleHashes(text, 3)
         (id, sh, minhashSig(sh))
       })
       .toDF("doc_id", "sh", "sig")
-      .filter(size($"sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size($"sh") > 0))
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification over
@@ -241,16 +241,15 @@ object Dedup {
     */
   def q24_simhash_dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = load(spark, dir, "documents")
+    val docs = graft.Caches.tracked(load(spark, dir, "documents")
       .select($"doc_id".cast("long"), $"text").as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) => (id, simhash(md, text)) }
       }
-      .toDF("doc_id", "simhash")
+      .toDF("doc_id", "simhash"))
       // both sides of the chunk self-join re-execute this subtree;
-      // persist so the md5 fingerprint pass runs once (see sketches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked-persist so the md5 fingerprint pass runs once
 
     val chunked = docs.selectExpr("doc_id", "simhash",
       s"explode(transform(sequence(0, ${SimChunks - 1}), c -> struct(c as chunk_idx, (shiftright(simhash, c * $ChunkBits) & ${(1L << ChunkBits) - 1}) as chunk_val))) as ck")
@@ -272,14 +271,13 @@ object Dedup {
     */
   def q25_ngram_jaccard_blocked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = load(spark, dir, "documents")
+    val docs = graft.Caches.tracked(load(spark, dir, "documents")
       .select($"doc_id".cast("long"), $"source", $"text").as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) => (id, src, shingleHashes(text, 2)) })
       .toDF("doc_id", "source", "sh")
-      .filter(size($"sh") > 0)
+      .filter(size($"sh") > 0))
       // both sides of the block self-join re-execute this subtree;
-      // persist so the bigram hashing runs once (see sketches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked-persist so the bigram hashing runs once (see sketches)
 
     docs.as("a").join(docs.as("b"),
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")

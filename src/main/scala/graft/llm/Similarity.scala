@@ -207,10 +207,16 @@ object Similarity {
     // thousand points. Random init + few iterations beats k-means||'s
     // extra init passes at this k (recall bar enforced by LlmSpec).
     val trainCap = 4096L
-    val corpusN = load(spark, dir, "embeddings").count()
+    // Reuse the already-built frame for the sizing count (Catalyst
+    // prunes the norm projection under count, so this stays a cheap
+    // metadata-driven scan — no second load). Oversample 2× then hard
+    // cap with limit(): Bernoulli sample alone could undershoot the
+    // cap (pathologically below k) near the boundary.
+    val corpusN = emb.count()
     val feat = emb.withColumn("features", array_to_vector($"v")).select("features")
     val train = if (corpusN <= trainCap) feat
-      else feat.sample(withReplacement = false, trainCap.toDouble / corpusN, seed = 7)
+      else feat.sample(withReplacement = false,
+        math.min(1.0, 2.0 * trainCap / corpusN), seed = 7).limit(trainCap.toInt)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(IvfCentroids).setSeed(7).setMaxIter(5).setInitMode("random")
       .fit(train)

@@ -54,6 +54,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 4.0)
   }
 
+  test("wrong argument count is a clean analysis error, not an index error") {
+    val fresh = spark.newSession()
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      fresh.sql("SELECT vector_dot(array(1.0d, 2.0d))").collect()
+    }
+    assert(err.getMessage.contains("vector_dot"))
+    val err2 = intercept[org.apache.spark.sql.AnalysisException] {
+      fresh.sql("SELECT gtfs_time_to_seconds('01:02:03', 'extra')").collect()
+    }
+    assert(err2.getMessage.contains("gtfs_time_to_seconds"))
+  }
+
   test("type check rejects non-double arrays") {
     import spark.implicits._
     val err = intercept[Exception] {

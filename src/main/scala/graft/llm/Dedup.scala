@@ -289,10 +289,60 @@ object Dedup {
       .orderBy($"source", $"doc_a", $"doc_b")
   }
 
+  /** Connected components over a near-dup pair list: every document in
+    * a transitively-connected group gets the group's minimum doc_id as
+    * its cluster id — the keeper-selection step that turns pairwise
+    * LSH output into "keep one per cluster". Iterative min-label
+    * propagation: each round every node takes the min of its own label
+    * and its neighbors'; converges in O(component diameter) rounds
+    * (near-dup clusters are tiny — a handful of rounds), each round one
+    * equi-join + one aggregation, both shuffle-partitioned on node id.
+    * This is the DataFrame form of the map-reduce CC algorithms
+    * (large-star/small-star); the per-round driver-side convergence
+    * check reads a single count, never the data.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = graft.Caches.tracked(
+      pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+        .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v"))))
+    var labels = graft.Caches.tracked(
+      edges.select($"u".as("node")).distinct().withColumn("label", $"node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, $"u" === $"node")
+        .select($"v".as("node"), $"label")
+      val next = graft.Caches.tracked(
+        labels.union(prop).groupBy($"node").agg(min($"label").as("label")))
+      changed = next.withColumnRenamed("label", "nl").join(labels, "node")
+        .filter($"nl" < $"label").count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Near-dup cluster assignment: q23's MinHash-LSH pairs, closed
+    * under transitivity. Output: every clustered doc with its cluster
+    * id (min doc_id of the component) and the cluster size.
+    */
+  def q52_neardup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashPairs(load(spark, dir, "documents").select($"doc_id", $"text"))
+    val labels = connectedComponents(pairs)
+    val bySize = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(bySize).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_minhash_dedup" -> q23_minhash_dedup,
     "q24_simhash_dedup" -> q24_simhash_dedup,
-    "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked)
+    "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked,
+    "q52_neardup_clusters" -> q52_neardup_clusters)
 
   // Oracles recompute the *exact* similarity all-pairs from the raw
   // strings (feasible at sf0.01's 500 docs; the Spark side must find
@@ -333,6 +383,23 @@ object Dedup {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q52_neardup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |              / len(list_distinct(a.sh || b.sh))) >= 5000),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "q25_ngram_jaccard_blocked" ->
       s"""WITH d AS (SELECT doc_id, source, $Shingle2Sql AS sh FROM documents),
         |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)

@@ -206,14 +206,152 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * filters (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams" /
+    * "fraction of characters in the most common word"): distinct-word
+    * fraction, top-word mass, and duplicate-trigram fraction, all in
+    * basis points. One mapPartitions pass (per-row hash-map counting —
+    * the HOF-interpretation rationale of the Dedup sketches), no
+    * shuffle at all: the operator is a pure map, so it runs unchanged
+    * over 100 TB of shards.
+    */
+  def q51_repetition_stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = if (text == null) Array.empty[String] else text.split(" ", -1)
+        val n = words.length
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < n) { counts.merge(words(i), 1, Integer.sum); i += 1 }
+        var top = 0
+        val it = counts.values.iterator()
+        while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+        val nTri = math.max(n - 2, 0)
+        val triSet = new java.util.HashSet[String]()
+        i = 0
+        while (i + 2 < n) {
+          triSet.add(words(i) + " " + words(i + 1) + " " + words(i + 2)); i += 1
+        }
+        def bp(num: Long, den: Long): Long =
+          if (den == 0) 0L else math.round(10000.0 * num / den)
+        (id, n.toLong, bp(counts.size.toLong, n), bp(top.toLong, n),
+          bp(nTri.toLong - triSet.size, nTri))
+      })
+      .toDF("doc_id", "n_words", "distinct_bp", "top_word_bp", "dup_trigram_bp")
+      .orderBy($"doc_id")
+  }
+
+  final val TfIdfTopK = 3
+
+  /** Top-k terms per document by TF-IDF — the keyword-extraction /
+    * salient-term operator. Two aggregations, both on high-cardinality
+    * keys ((doc_id, word) then word); the document-frequency table and
+    * the corpus-size scalar are tiny aggregates broadcast back, so the
+    * token stream shuffles exactly once. Scores in micro-units with a
+    * word tie-break, per the cross-engine ranking discipline.
+    */
+  def q53_tfidf_keywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val tf = docs.select($"doc_id", explode(wsTokens($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "word").crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        round($"tf" * log($"n_docs" / $"df") * 1e6).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score_micro".desc, $"word")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TfIdfTopK)
+      .select($"doc_id", $"rank", $"word", $"score_micro")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  final val ChunkTokens = 32
+  final val ChunkStride = 24
+
+  /** Sliding-window token chunking — split each document into
+    * fixed-size training chunks (32 tokens, stride 24 → 8-token
+    * overlap), the example-preparation step before tokenizer packing
+    * (q45 packs whole docs; this splits long ones). Pure per-row
+    * fan-out (posexplode over an arithmetic sequence — no shuffle);
+    * chunk content is carried as the engine-independent 60-bit md5
+    * fingerprint, not the text, so the output stays narrow.
+    */
+  def q54_token_chunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id", wsTokens($"text").as("wl"))
+      .withColumn("n", size($"wl"))
+      .select($"doc_id", $"wl",
+        posexplode(sequence(lit(0),
+          floor(($"n" - 1) / lit(ChunkStride)).cast("int") * ChunkStride,
+          lit(ChunkStride))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        slice($"wl", $"col" + 1, lit(ChunkTokens)).as("chunk"))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").cast("long").as("n_tokens"),
+        conv(substring(md5(concat_ws(" ", $"chunk")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_text_stats" -> q19_text_stats,
     "q20_exact_dedup" -> q20_exact_dedup,
     "q21_quality_score" -> q21_quality_score,
     "q22_lang_id" -> q22_lang_id,
-    "q35_fingerprint" -> q35_fingerprint)
+    "q35_fingerprint" -> q35_fingerprint,
+    "q51_repetition_stats" -> q51_repetition_stats,
+    "q53_tfidf_keywords" -> q53_tfidf_keywords,
+    "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q51_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+        |t AS (SELECT doc_id, wl, len(wl) AS n,
+        |    list_transform(generate_series(1, greatest(len(wl) - 2, 0)),
+        |      i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS tri
+        |  FROM w)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |       ELSE ROUND(10000.0 * len(list_distinct(wl)) / n) END AS BIGINT) AS distinct_bp,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |       ELSE ROUND(10000.0 * list_max(list_transform(list_distinct(wl),
+        |              u -> len(list_filter(wl, x -> x = u)))) / n) END AS BIGINT) AS top_word_bp,
+        |  CAST(CASE WHEN len(tri) = 0 THEN 0
+        |       ELSE ROUND(10000.0 * (len(tri) - len(list_distinct(tri))) / len(tri)) END
+        |       AS BIGINT) AS dup_trigram_bp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q53_tfidf_keywords" ->
+      s"""WITH tf AS (
+        |    SELECT doc_id, w.word, COUNT(*) AS tf
+        |    FROM documents, unnest(string_split(text, ' ')) AS w(word)
+        |    GROUP BY doc_id, w.word),
+        |  dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |  n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |  scored AS (
+        |    SELECT tf.doc_id, tf.word,
+        |      CAST(ROUND(tf.tf * ln(n.n_docs / dfreq.df) * 1e6) AS BIGINT) AS score_micro
+        |    FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |  r AS (SELECT doc_id, word, score_micro,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                         ORDER BY score_micro DESC, word) AS rank
+        |    FROM scored)
+        |SELECT doc_id, rank, word, score_micro FROM r
+        |WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin,
+    "q54_token_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+        |c AS (SELECT doc_id, wl, i.i AS chunk_idx,
+        |    wl[CAST(i.i * $ChunkStride + 1 AS INT) : CAST(i.i * $ChunkStride + $ChunkTokens AS INT)] AS chunk
+        |  FROM w, range(256) i(i) WHERE i.i <= (len(wl) - 1) // $ChunkStride)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  CAST('0x' || substring(md5(array_to_string(chunk, ' ')), 1, 15) AS BIGINT) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q35_fingerprint" ->
       s"""WITH g AS (SELECT doc_id,
         |    list_transform(generate_series(1, greatest(length(text) - ${GramChars - 1}, 0)),

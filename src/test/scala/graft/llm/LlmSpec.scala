@@ -32,6 +32,66 @@ class LlmSpec extends AnyFunSuite {
       s"second dedup pass over the kept set must find nothing, got ${second.length}")
   }
 
+  test("connected components close pair transitivity (chain A-B, B-C clusters as one)") {
+    import spark.implicits._
+    // a chain where A~B and B~C are edges but A~C is not: min-label
+    // must still pull all three into cluster min(A)
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 50L -> 50L, 60L -> 50L))
+    graft.Caches.releaseAll()
+  }
+
+  test("neardup clusters: every q23 pair lands in one cluster; cluster_id is member min") {
+    import spark.implicits._
+    val clusters = Dedup.q52_neardup_clusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.q23_minhash_dedup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(clusters(p.getLong(0)) == clusters(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid is not its member min")
+    }
+    graft.Caches.releaseAll()
+  }
+
+  test("repetition stats: a planted repeated trigram dominates dup_trigram_bp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"), // one trigram repeated: heavy dup
+      (2L, "w x y z q r s t u v k m") // all words distinct: zero dup
+    ).toDF("doc_id", "text")
+    val tmp = TestSpark.tempDir("rep_stats")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.q51_repetition_stats(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(4) > 5000, "repeated trigrams must dominate")
+    assert(out(2L).getLong(4) == 0L)
+    assert(out(2L).getLong(2) == 10000L, "all-distinct doc has full distinct_bp")
+  }
+
+  test("token chunks: stride/size invariants hold for every chunk") {
+    val rows = TextAnalysis.q54_token_chunks(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, chunks) =>
+      val idx = chunks.map(_.getLong(1)).sorted
+      assert(idx.head == 0L && idx.last == idx.length - 1, "chunk_idx must be dense from 0")
+      chunks.foreach { c =>
+        assert(c.getLong(2) >= 1 && c.getLong(2) <= TextAnalysis.ChunkTokens)
+      }
+      // n_tokens(i) = min(32, n - 24i), so every non-final chunk
+      // spans past the next chunk's start: n_tokens > stride
+      assert(chunks.sortBy(_.getLong(1)).dropRight(1)
+        .forall(_.getLong(2) > TextAnalysis.ChunkStride))
+    }
+  }
+
   test("simhash near-dup pairs are a superset-consistent view of minhash pairs") {
     // Both detectors target the same planted near-dups; every simhash
     // pair at hamming<=3 should be a high-Jaccard pair and vice-versa

@@ -304,20 +304,30 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Both edge directions in ONE pass over the (expensive) pair
+    // frame: a union of two selects would execute the LSH subtree
+    // twice inside the same materialization.
     val edges = graft.Caches.tracked(
-      pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
-        .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v"))))
+      pairs.select(explode(array(
+          struct($"doc_a".as("u"), $"doc_b".as("v")),
+          struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
+        .select($"e.u", $"e.v"))
     var labels = graft.Caches.tracked(
       edges.select($"u".as("node")).distinct().withColumn("label", $"node"))
-    var changed = 1L
+    // Convergence check by the label-sum invariant: min-label updates
+    // only ever decrease a label, so the sum strictly decreases until
+    // the fixpoint — one tiny aggregate per round instead of a join.
+    var prevSum = labels.agg(sum($"label")).head.getLong(0)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!converged && rounds < 50) {
       val prop = edges.join(labels, $"u" === $"node")
         .select($"v".as("node"), $"label")
       val next = graft.Caches.tracked(
         labels.union(prop).groupBy($"node").agg(min($"label").as("label")))
-      changed = next.withColumnRenamed("label", "nl").join(labels, "node")
-        .filter($"nl" < $"label").count()
+      val curSum = next.agg(sum($"label")).head.getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
       labels = next
       rounds += 1
     }

@@ -299,7 +299,42 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  final val ContainmentThresholdBp = 6000L
+
+  /** Near-containment detection over the winnowing fingerprints (q35's
+    * sketch): doc_a is (mostly) contained in doc_b when the shared
+    * fingerprint fraction |fp_a ∩ fp_b| / |fp_a| clears the threshold
+    * — the asymmetric cousin of Jaccard dedup, catching quotes /
+    * wrapped copies that symmetric similarity misses. Candidate
+    * generation is an equi-join on the fingerprint hash (inverted
+    * index), shuffle-partitioned on the high-cardinality hash — never
+    * all-pairs; a pair is only scored if it shares ≥1 fingerprint.
+    */
+  def q55_containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) => (id, winnowFingerprints(md, text)) }
+      }
+      .toDF("doc_id", "fp")
+      .filter(size($"fp") > 0))
+    val ex = fps.select($"doc_id", explode($"fp").as("h"))
+    val shared = ex.as("a").join(ex.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(fps.select($"doc_id".as("doc_a"), size($"fp").as("n_a")), "doc_a")
+      .withColumn("containment_bp",
+        round($"n_shared" * 10000.0 / $"n_a").cast("long"))
+      .filter($"containment_bp" >= ContainmentThresholdBp)
+      .select($"doc_a", $"doc_b", $"n_shared", $"containment_bp")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_containment" -> q55_containment,
     "q19_text_stats" -> q19_text_stats,
     "q20_exact_dedup" -> q20_exact_dedup,
     "q21_quality_score" -> q21_quality_score,
@@ -310,6 +345,25 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q55_containment" ->
+      s"""WITH g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(length(text) - ${GramChars - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(substring(text, i, $GramChars)), 1, 15) AS BIGINT)) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(h) - ${WinnowWindow - 1}, 0)),
+        |      i -> list_min(h[i:i+${WinnowWindow - 1}]))) AS fp
+        |  FROM g),
+        |f2 AS (SELECT * FROM f WHERE len(fp) > 0),
+        |ex AS (SELECT doc_id, unnest(fp) AS h FROM f2),
+        |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.doc_a, sh.doc_b, CAST(sh.n_shared AS BIGINT) AS n_shared,
+        |  CAST(ROUND(sh.n_shared * 10000.0 / len(fa.fp)) AS BIGINT) AS containment_bp
+        |FROM sh JOIN f2 fa ON fa.doc_id = sh.doc_a
+        |WHERE ROUND(sh.n_shared * 10000.0 / len(fa.fp)) >= $ContainmentThresholdBp
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q51_repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
         |t AS (SELECT doc_id, wl, len(wl) AS n,

@@ -140,7 +140,32 @@ object Relational {
       .limit(10)
   }
 
+  /** Full outer join: reconcile two partial aggregates that each miss
+    * some keys (high-balance customers vs low-balance suppliers per
+    * nation) — the "merge two reports, keep both null sides" shape.
+    * Both inputs are pre-aggregated to one row per nation, so the
+    * outer join is tiny regardless of fact size — aggregate-then-join,
+    * never join-then-aggregate, is what survives the 100× scale-up.
+    */
+  def q56_full_outer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = load(spark, dir, "customer")
+      .filter($"c_acctbal" > 9000)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_rich_cust"))
+    val supp = load(spark, dir, "supplier")
+      .filter($"s_acctbal" < 500)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_poor_supp"))
+    cust.join(supp, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nation_key"),
+        coalesce($"n_rich_cust", lit(0L)).as("n_rich_cust"),
+        coalesce($"n_poor_supp", lit(0L)).as("n_poor_supp"),
+        ($"c_nationkey".isNotNull && $"s_nationkey".isNotNull).cast("int").as("in_both"))
+      .orderBy($"nation_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_full_outer" -> q56_full_outer,
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_scalar_funcs" -> q02_scalar_funcs,
     "q03_join_broadcast" -> q03_join_broadcast,
@@ -150,6 +175,17 @@ object Relational {
     "q07_topk" -> q07_topk)
 
   val oracle: Map[String, String] = Map(
+    "q56_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_rich_cust
+        |    FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |  s AS (SELECT s_nationkey, COUNT(*) AS n_poor_supp
+        |    FROM supplier WHERE s_acctbal < 500 GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nation_key,
+        |  COALESCE(n_rich_cust, 0) AS n_rich_cust,
+        |  COALESCE(n_poor_supp, 0) AS n_poor_supp,
+        |  CAST(c_nationkey IS NOT NULL AND s_nationkey IS NOT NULL AS INT) AS in_both
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nation_key""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,

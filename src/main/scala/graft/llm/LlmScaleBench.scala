@@ -91,7 +91,23 @@ object LlmScaleBench {
     require(mhPairs >= (nPlanted * 95) / 100,
       s"minhash-LSH must find ≥95% of $nPlanted planted near-dup pairs, got $mhPairs")
 
+    // clustering closes the planted pairs transitively; every planted
+    // pair is disjoint (2·nPlanted distinct docs), so the component
+    // count must be ≥95% of nPlanted and every component has size ≥ 2
+    val (ccClusters, tCluster) = t {
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashPairs(spark.read.parquet(s"$dir/documents.parquet")
+          .select($"doc_id", $"text")))
+      labels.select($"label").distinct().count()
+    }
+    require(ccClusters >= (nPlanted * 95) / 100,
+      s"clustering must keep ≥95% of $nPlanted planted components, got $ccClusters")
+    graft.Caches.releaseAll()
+
     val stages = Seq[(String, () => Long)](
+      "repetition_stats" -> (() => drive(q("q51_repetition_stats"))),
+      "token_chunks" -> (() => drive(q("q54_token_chunks"))),
+      "tfidf_keywords" -> (() => drive(q("q53_tfidf_keywords"))),
       "exact_dedup" -> (() => drive(q("q20_exact_dedup"))),
       "corpus_curation" -> (() => drive(q("q39_corpus_curation"))),
       "contamination" -> (() => drive(q("q44_contamination"))),
@@ -112,7 +128,8 @@ object LlmScaleBench {
     require(contamRows > 0, "planted near-dups crossing the eval split must be flagged")
 
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
-      ("minhash_pairs", mhPairs, tMinhash)) ++ timed)
+      ("minhash_pairs", mhPairs, tMinhash),
+      ("neardup_clusters", ccClusters, tCluster)) ++ timed)
       .map { case (k, rows, sec) =>
         s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
       }

@@ -49,6 +49,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(ts), EqualTo(event_type,signup)]"))
   }
 
+  test("containment and tfidf candidate generation never plan a cartesian product") {
+    val pc = plan("q55_containment")
+    assert(!pc.contains("CartesianProduct"), "containment plans a data cartesian")
+    assert(!pc.contains("BroadcastNestedLoopJoin"), "containment plans a nested-loop join")
+    val pt = plan("q53_tfidf_keywords")
+    assert(!pt.contains("CartesianProductExec"), "tfidf plans a data cartesian")
+    // the corpus-size scalar rides in as a 1-row broadcast (the only
+    // permissible nested-loop join: its build side is a single row)
+    assert(pt.contains("Broadcast"))
+    graft.Caches.releaseAll()
+  }
+
+  test("token chunking is a pure fan-out: no shuffle before the final sort") {
+    val p = plan("q54_token_chunks")
+    assert(!p.contains("hashpartitioning"),
+      "per-row posexplode must not shuffle the corpus")
+    val scan = p.linesIterator.find(l => l.contains("documents") && l.contains("ReadSchema")).get
+    assert(!scan.contains("lang") && !scan.contains("source"),
+      "chunking reads doc_id+text only — other columns must prune out")
+  }
+
   test("stratified sampling is a map-side filter: no shuffle before the final sort") {
     val p = plan("q41_stratified_sample")
     assert(!p.contains("hashpartitioning"),

@@ -372,7 +372,28 @@ object Analytics {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** Top-k per group through the native bounded-heap operator
+    * (graft.plans.TopKPerGroup — custom LogicalPlan + Strategy +
+    * SparkPlan): top-3 events by value per user. The window
+    * formulation sorts every user's full event set; this plan keeps
+    * 3-row heaps, shuffles only the per-map-partition survivors, and
+    * never materializes a full sort. The oracle IS the window
+    * formulation — semantics must match exactly (ties broken by
+    * event_id, a total order).
+    */
+  def q57_topk_native(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"value")
+    graft.plans.TopKPerGroup.topK(ev, Seq("user_id"),
+        Seq($"value".desc, $"event_id".asc), k = 3)
+      .select($"user_id", $"rank", $"event_id",
+        round($"value" * 100).cast("long").as("value_cents"))
+      .orderBy($"user_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_topk_native" -> q57_topk_native,
     "q40_stats" -> q40_stats,
     "q47_grouping_sets" -> q47_grouping_sets,
     "q48_range_window" -> q48_range_window,
@@ -396,6 +417,14 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q57_topk_native" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |SELECT user_id, rank, event_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
     "q47_grouping_sets" ->
       """SELECT event_type, isodow, COUNT(*) AS n,
         |  CAST(SUM(c) AS BIGINT) AS sum_cents,

@@ -14,6 +14,7 @@ import graft.functions.{GtfsTimeToSeconds, VectorDot}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
     extensions.injectFunction((
       FunctionIdentifier("gtfs_time_to_seconds"),
       new ExpressionInfo(classOf[GtfsTimeToSeconds].getName, "gtfs_time_to_seconds"),

@@ -122,11 +122,14 @@ case class FinalTopKExec(grouping: Seq[Expression], order: Seq[SortOrder],
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      // row_number() is IntegerType; the explicit API defaults to LongType
+      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
       import scala.jdk.CollectionConverters._
       heaps.values.asScala.iterator.flatMap { heap =>
         val arr = heap.iterator().asScala.toArray.sorted(ord)
         arr.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          if (rankIsInt) rankRow.update(0, i + 1)
+          else rankRow.update(0, (i + 1).toLong)
           outProj(joined(row, rankRow))
         }
       }
@@ -148,14 +151,20 @@ object TopKStrategy extends SparkStrategy {
 
 object TopKPerGroup {
 
-  /** Idempotently make the strategy available on this session (the
-    * library's GraftExtensions also injects it at session build).
+  /** Idempotently make the strategy and the window→top-k rewrite
+    * available on this session (the library's GraftExtensions also
+    * injects both at session build).
     */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         TopKStrategy +: spark.experimental.extraStrategies
     }
+    if (!spark.experimental.extraOptimizations.contains(RankLimitRewrite)) {
+      spark.experimental.extraOptimizations =
+        RankLimitRewrite +: spark.experimental.extraOptimizations
+    }
+  }
 
   /** Top-k rows per group with a 1-based `rankCol`, equivalent to
     * `row_number().over(Window.partitionBy(groupCols).orderBy(order))

@@ -39,6 +39,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
+      graft.queries.Temporal.queries ++
+      graft.llm.Sketches.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
@@ -52,6 +54,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Analytics.oracle ++
+      graft.queries.Temporal.oracle ++
+      graft.llm.Sketches.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++
       graft.llm.Similarity.oracle ++

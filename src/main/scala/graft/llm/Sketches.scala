@@ -1,0 +1,194 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Caches
+import graft.Tables.load
+
+/** Mergeable sketch operators — the approximate-aggregation family a
+  * 100 TB pipeline leans on when exact distinct/frequency state stops
+  * fitting anywhere: a HyperLogLog-style distinct sketch and a
+  * count-min frequency sketch. Both are built from md5-derived
+  * hashes, so the identical sketch is recomputable in ANSI SQL and
+  * the whole machinery (not just the final answer) is
+  * oracle-verified.
+  *
+  * The scale property being demonstrated is MERGEABILITY:
+  *  - HLL registers combine by elementwise max — Spark's partial/final
+  *    `max` aggregation IS the sketch merge, so a 1000-executor
+  *    cluster ships 64 longs per group per map task, never raw
+  *    values.
+  *  - Count-min cells combine by elementwise sum — same shape,
+  *    `sum` partial aggregation, d×w integers per task.
+  *
+  * Reference analog: the KPI layer's COUNT(DISTINCT …) dashboards
+  * (README.md:118-129) are exactly what gets replaced by HLL when
+  * the group count × key cardinality stops fitting in an exact
+  * aggregate's hash map.
+  */
+object Sketches {
+
+  /** HLL parameters: m = 64 registers (p = 6 index bits), hash = top
+    * 60 bits of md5 (15 hex chars — the repo-wide engine-independent
+    * hash). rho counts leading zeros in the remaining 54 bits + 1,
+    * so register values live in [1, 55].
+    */
+  final val HllRegisters = 64
+  final val HllAlphaM2 = 0.709 * 4096 // alpha_64 * m^2, the standard bias constant
+
+  /** Count-min parameters: 4 independent rows × 512 buckets. */
+  final val CmsRows = 4
+  final val CmsWidth = 512
+  final val CmsTopK = 20
+
+  /** 8-char text grams as (lang, hash60) pairs — the high-cardinality
+    * key stream both sketches consume. Generated in mapPartitions
+    * (one MessageDigest per partition; HOF lambdas interpret per
+    * element, measured 170× slower on exactly this shape).
+    */
+  private def gramHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"lang", $"text").as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (lang, text) =>
+          val n = if (text == null) 0 else text.length - TextAnalysis.GramChars + 1
+          (0 until n).iterator.map { i =>
+            md.reset()
+            val d = md.digest(text.substring(i, i + TextAnalysis.GramChars)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var v = 0L
+            var j = 0
+            while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+            (lang, v >>> 4)
+          }
+        }
+      }.toDF("lang", "h")
+  }
+
+  /** q58 — HLL-style distinct-count sketch per language over the
+    * 8-char grams of `documents` (5–8k distinct per lang at sf0.01,
+    * well past the m·2.5 linear-counting regime, so the raw HLL
+    * estimator applies with no small-range correction).
+    *
+    * Register build: groupBy(lang, register).max(rho) — the map-side
+    * partial max is the HLL merge, so shuffle volume is bounded by
+    * 64 rows per (lang, map task) regardless of input size. The
+    * harmonic-mean denominator is kept EXACT-INTEGER on both engines
+    * (sum of 2^(55-reg) scaled by 2^55 for empty registers), so the
+    * one floating division at the end is deterministic regardless of
+    * aggregation order. n_exact rides along to show sketch error.
+    */
+  def q58_hll_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Caches.tracked(gramHashes(spark, dir))
+    val regs = grams.select($"lang",
+        ($"h" % HllRegisters).cast("int").as("j"),
+        expr(s"h DIV $HllRegisters").as("w"))
+      .withColumn("rho",
+        when($"w" === 0, lit(55)).otherwise(lit(55) - length(conv($"w", 10, 2))))
+      .groupBy($"lang", $"j").agg(max($"rho").as("reg"))
+    val sketch = regs.groupBy($"lang").agg(
+      count(lit(1)).cast("long").as("regs_hit"),
+      sum($"reg").cast("long").as("sum_rho"),
+      sum(pow(lit(2.0), lit(55) - $"reg").cast("long")).as("s_hit"))
+    val exact = grams.groupBy($"lang")
+      .agg(countDistinct($"h").as("n_exact"))
+    sketch.join(broadcast(exact), "lang")
+      .withColumn("s_total",
+        $"s_hit" + (lit(HllRegisters.toLong) - $"regs_hit") * lit(1L << 55))
+      .withColumn("hll_est",
+        round(lit(HllAlphaM2) * pow(lit(2.0), lit(55)) / $"s_total").cast("long"))
+      .select($"lang", $"regs_hit", $"sum_rho", $"hll_est", $"n_exact")
+      .orderBy($"lang")
+  }
+
+  /** q59 — count-min heavy hitters: the 20 most frequent 8-char grams
+    * with their sketch estimates next to the true counts.
+    *
+    * Scale shape: ONE shuffle over the gram stream (groupBy gram —
+    * partial counts map-side); everything downstream operates on the
+    * distinct-gram table (~8k rows): the d×w counter build is a
+    * union of 4 cheap projections aggregated to 2048 cells, and the
+    * probe joins broadcast those cells. The estimate is min over the
+    * d row-counters, ≥ the true count by construction.
+    */
+  def q59_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = load(spark, dir, "documents")
+      .select($"text").as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          val n = if (text == null) 0 else text.length - TextAnalysis.GramChars + 1
+          (0 until n).iterator.map(i => text.substring(i, i + TextAnalysis.GramChars))
+        }
+      }.toDF("gram")
+    val counts = Caches.tracked(
+      grams.groupBy($"gram").agg(count(lit(1)).as("n")))
+    def bucket(r: Int) =
+      (conv(substring(md5(concat(lit(s"$r:"), $"gram")), 1, 15), 16, 10)
+        .cast("long") % CmsWidth).cast("int")
+    val cells = (0 until CmsRows).map { r =>
+        counts.select(lit(r).as("r"), bucket(r).as("bucket"), $"n")
+      }.reduce(_ union _)
+      .groupBy($"r", $"bucket").agg(sum($"n").as("cnt"))
+    val top = counts.orderBy($"n".desc, $"gram").limit(CmsTopK)
+    val probes = (0 until CmsRows).map { r =>
+        top.select($"gram", $"n", lit(r).as("r"), bucket(r).as("bucket"))
+      }.reduce(_ union _)
+    probes.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy($"gram", $"n").agg(min($"cnt").as("cms_est"))
+      .select($"gram", $"n".cast("long").as("true_count"),
+        $"cms_est".cast("long").as("cms_est"))
+      .orderBy($"true_count".desc, $"gram")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_hll_distinct" -> q58_hll_distinct,
+    "q59_cms_heavy_hitters" -> q59_cms_heavy_hitters)
+
+  private val GramSql =
+    s"""SELECT lang, unnest(list_transform(
+       |    generate_series(1, greatest(length(text) - ${TextAnalysis.GramChars - 1}, 0)),
+       |    i -> substring(text, i, ${TextAnalysis.GramChars}))) AS gram
+       |  FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q58_hll_distinct" ->
+      s"""WITH g AS ($GramSql),
+         |h AS (SELECT lang,
+         |    CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS h FROM g),
+         |r AS (SELECT lang, h % $HllRegisters AS j,
+         |    CASE WHEN h // $HllRegisters = 0 THEN 55
+         |         ELSE 55 - length(printf('%b', h // $HllRegisters)) END AS rho
+         |  FROM h),
+         |s AS (SELECT lang, j, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+         |f AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS regs_hit,
+         |    CAST(SUM(reg) AS BIGINT) AS sum_rho,
+         |    CAST(SUM(CAST(POW(2, 55 - reg) AS BIGINT)) AS BIGINT) AS s_hit
+         |  FROM s GROUP BY 1),
+         |x AS (SELECT lang, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+         |  FROM h GROUP BY 1)
+         |SELECT f.lang, regs_hit, sum_rho,
+         |  CAST(ROUND($HllAlphaM2 * POW(2, 55)
+         |    / (s_hit + ($HllRegisters - regs_hit) * CAST(POW(2, 55) AS BIGINT))) AS BIGINT) AS hll_est,
+         |  n_exact
+         |FROM f JOIN x USING (lang) ORDER BY lang""".stripMargin,
+    "q59_cms_heavy_hitters" ->
+      s"""WITH g AS ($GramSql),
+         |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1),
+         |cells AS (SELECT r.range AS r,
+         |    CAST('0x' || substring(md5(CAST(r.range AS VARCHAR) || ':' || gram), 1, 15) AS BIGINT)
+         |      % $CmsWidth AS bucket,
+         |    SUM(n) AS cnt
+         |  FROM c, range($CmsRows) r GROUP BY 1, 2),
+         |top AS (SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT $CmsTopK)
+         |SELECT gram, CAST(n AS BIGINT) AS true_count,
+         |  CAST(MIN(cnt) AS BIGINT) AS cms_est
+         |FROM top, range($CmsRows) r
+         |JOIN cells ON cells.r = r.range
+         |  AND cells.bucket = CAST('0x' || substring(md5(CAST(r.range AS VARCHAR) || ':' || gram), 1, 15) AS BIGINT)
+         |      % $CmsWidth
+         |GROUP BY gram, n ORDER BY true_count DESC, gram""".stripMargin)
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{cents, load}
+
+/** Temporal join operators beyond the as-of join (q31): interval
+  * (range-overlap) joins and SCD2 point-in-time dimension lookups —
+  * the two remaining time-travel shapes a warehouse KPI layer needs
+  * (the reference's delay dashboards, README.md:118-129, all reduce
+  * to "what was true at time t" / "what happened around time t").
+  *
+  * Both are written so the non-equi predicate never degenerates into
+  * a cartesian product:
+  *  - the interval join buckets time and equi-joins on the bucket id
+  *    (the standard bin-and-verify range-join plan), with the tiny
+  *    side broadcast;
+  *  - the point-in-time join rides the user_id equi-key and applies
+  *    the interval predicate as a post-join filter over the ~tens of
+  *    versions per key.
+  */
+object Temporal {
+
+  /** Incident window half-width and the bucket size (equal so a
+    * window spans at most 3 buckets).
+    */
+  final val WindowS = 300L
+  final val Incidents = 20
+
+  /** q60 — interval/range join: the 20 highest-value error events
+    * define ±5-minute incident windows; count the events (and
+    * distinct affected users) inside each window.
+    *
+    * Plan: events bucketed by floor(ts/300) — a pure projection; the
+    * incident side explodes into its ≤3 covered buckets and is
+    * BROADCAST, so the fact stream is never shuffled at all; the
+    * exact [lo, hi] containment runs as a post-join filter. At 100 TB
+    * this is the only interval-join plan that works: the alternative
+    * theta-join is a cartesian per time-overlap.
+    */
+  def q60_interval_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_s"),
+        cents($"value").as("v_cents"))
+    val incidents = ev.filter($"event_type" === "error")
+      .orderBy($"v_cents".desc, $"event_id")
+      .limit(Incidents)
+      .select($"event_id".as("incident_id"),
+        ($"ts_s" - WindowS).as("lo"), ($"ts_s" + WindowS).as("hi"))
+    val incidentBuckets = incidents
+      .withColumn("bucket",
+        explode(sequence(expr(s"lo DIV $WindowS"), expr(s"hi DIV $WindowS"))))
+    ev.withColumn("bucket", expr(s"ts_s DIV $WindowS"))
+      .join(broadcast(incidentBuckets), "bucket")
+      .filter($"ts_s".between($"lo", $"hi"))
+      .groupBy($"incident_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"incident_id")
+  }
+
+  /** q61 — SCD2 build + point-in-time join: signup/error events are
+    * state-change markers; lead() over each user's marker sequence
+    * turns the log into [from, to) validity intervals (the
+    * slowly-changing-dimension type-2 build); every purchase is then
+    * joined to the version that was active when it happened.
+    *
+    * The join is equi on user_id (high-cardinality, evenly sharded);
+    * the interval predicate filters the per-user version list.
+    * Purchases before a user's first marker carry no state and are
+    * dropped (inner join) — the SQL-standard PIT shape.
+    */
+  def q61_scd2_pit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val dim = ev.filter($"event_type".isin("signup", "error"))
+      .withColumn("to_s", lead($"ts_s", 1).over(w))
+      .select($"user_id", $"event_type".as("state"),
+        $"ts_s".as("from_s"), $"to_s")
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_s")
+      .join(dim, Seq("user_id"))
+      .filter($"ts_s" >= $"from_s" && ($"to_s".isNull || $"ts_s" < $"to_s"))
+      .select($"event_id", $"user_id", $"state", $"from_s")
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_interval_join" -> q60_interval_join,
+    "q61_scd2_pit" -> q61_scd2_pit)
+
+  val oracle: Map[String, String] = Map(
+    "q60_interval_join" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+         |  FROM events),
+         |inc AS (SELECT event_id AS incident_id,
+         |    ts_s - $WindowS AS lo, ts_s + $WindowS AS hi
+         |  FROM ev WHERE event_type = 'error'
+         |  ORDER BY v_cents DESC, event_id LIMIT $Incidents)
+         |SELECT incident_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM ev JOIN inc ON ev.ts_s BETWEEN inc.lo AND inc.hi
+         |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
+    "q61_scd2_pit" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |dim AS (SELECT user_id, event_type AS state, ts_s AS from_s,
+        |    LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS to_s
+        |  FROM ev WHERE event_type IN ('signup', 'error'))
+        |SELECT p.event_id, p.user_id, d.state, d.from_s
+        |FROM ev p JOIN dim d ON p.user_id = d.user_id
+        |  AND p.ts_s >= d.from_s AND (d.to_s IS NULL OR p.ts_s < d.to_s)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin)
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("interval join equals the naive theta join") {
+    import spark.implicits._
+    val fast = Temporal.q60_interval_join(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // naive: plain range-predicate join, no bucketing
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_s"),
+        graft.Tables.cents($"value").as("v_cents"))
+    val inc = ev.filter($"event_type" === "error")
+      .orderBy($"v_cents".desc, $"event_id").limit(Temporal.Incidents)
+      .select($"event_id".as("incident_id"),
+        ($"ts_s" - Temporal.WindowS).as("lo"), ($"ts_s" + Temporal.WindowS).as("hi"))
+    val naive = ev.join(inc, $"ts_s" >= $"lo" && $"ts_s" <= $"hi")
+      .groupBy($"incident_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fast == naive)
+  }
+
+  test("interval join broadcasts the exploded incident buckets — fact side unshuffled before the agg") {
+    val plan = Temporal.q60_interval_join(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.toLowerCase.contains("cartesian"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("SCD2 intervals are disjoint: every purchase matches at most one version") {
+    import spark.implicits._
+    val out = Temporal.q61_scd2_pit(spark, dir)
+    val dups = out.groupBy($"event_id").count().filter($"count" > 1).count()
+    assert(dups == 0)
+    assert(out.count() > 0)
+  }
+
+  test("point-in-time state matches a driver-side recompute") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val markers = ev.filter(e => e._3 == "signup" || e._3 == "error")
+      .groupBy(_._2).map { case (u, ms) => u -> ms.sortBy(m => (m._4, m._1)) }
+    val expected = ev.filter(_._3 == "purchase").flatMap { case (id, u, _, ts) =>
+      markers.getOrElse(u, Array.empty[(Long, Long, String, Long)])
+        .takeWhile(_._4 <= ts).lastOption
+        .filter(_._4 <= ts) // state active at ts (from <= ts, next from > ts)
+        .map(m => (id, u, m._3, m._4))
+    }.toSeq.sorted
+    val got = Temporal.q61_scd2_pit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq.sorted
+    assert(got == expected)
+  }
+}

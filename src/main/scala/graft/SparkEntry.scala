@@ -40,6 +40,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Temporal.queries ++
+      graft.operators.ScaleOps.queries ++
       graft.llm.Sketches.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.Temporal.oracle ++
+      graft.operators.ScaleOps.oracle ++
       graft.llm.Sketches.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++

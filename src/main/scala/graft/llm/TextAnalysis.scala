@@ -346,7 +346,29 @@ object TextAnalysis {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q63 — text normalization: the canonical-form pass every corpus
+    * pipeline runs before hashing/dedup (lowercase, strip
+    * non-alphanumeric to spaces, collapse runs, trim). Pure per-row
+    * map, zero shuffle; the output fingerprint is the hash exact
+    * dedup (q20) would key on post-normalization. The normalized form
+    * is ASCII-only by construction, so char counts and md5 agree
+    * across engines regardless of the input's unicode content.
+    */
+  def q63_normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    load(spark, dir, "documents")
+      .select($"doc_id", $"text", norm.as("norm"))
+      .select($"doc_id",
+        length($"norm").cast("long").as("n_chars_norm"),
+        when($"norm" === $"text", 0L).otherwise(1L).as("changed"),
+        conv(substring(md5($"norm"), 1, 15), 16, 10).cast("long").as("fp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_normalize" -> q63_normalize,
     "q55_containment" -> q55_containment,
     "q19_text_stats" -> q19_text_stats,
     "q20_exact_dedup" -> q20_exact_dedup,
@@ -358,6 +380,15 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q63_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(CASE WHEN norm = text THEN 0 ELSE 1 END AS BIGINT) AS changed,
+        |  CAST('0x' || substring(md5(norm), 1, 15) AS BIGINT) AS fp
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q55_containment" ->
       s"""WITH g AS (SELECT doc_id,
         |    list_transform(generate_series(1, greatest(length(text) - ${GramChars - 1}, 0)),

@@ -63,4 +63,110 @@ object ScaleOps {
   def coLocatedJoin(spark: org.apache.spark.sql.SparkSession,
                     leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Bloom runtime filter — the semi-join pruning pattern Spark's AQE
+    * applies automatically for joins, exposed as a reusable operator
+    * so any big-side scan (including ones feeding aggregations or
+    * multi-stage pipelines AQE can't see through) can be pruned by a
+    * small side's key set BEFORE its first shuffle.
+    *
+    * The bitset is built distributed: each key fans out to `numHashes`
+    * md5-derived bit positions, positions partial-aggregate via
+    * `bit_or` into at most mBits/64 longs, and only those longs reach
+    * the driver — never the keys. Membership is a pure-Catalyst
+    * expression over an array literal (`element_at` + shift + mask),
+    * fully codegen'd, no UDF.
+    *
+    * False positives pass the filter and must be removed by the exact
+    * join downstream (same contract as every bloom runtime filter);
+    * false negatives cannot happen.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Int,
+                numHashes: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0 && numHashes > 0)
+    val slots = (0 until numHashes).map { r =>
+        keys.select((hash60(concat(lit(s"b$r:"), col(keyCol).cast("string")))
+          % mBits).as("pos"))
+      }.reduce(_ union _)
+    val words = slots
+      .select(expr("pos DIV 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("word")).agg(bit_or(col("bit")).as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(mBits / 64)(i => words.getOrElse(i, 0L))
+  }
+
+  /** Membership-test Column for a bitset from [[bloomBits]] — AND of
+    * `numHashes` bit probes against the bitset-as-literal array.
+    * Pure Catalyst built-ins (element_at / shiftleft / bitwise and),
+    * so the probe stays inside whole-stage codegen at the scan.
+    */
+  def bloomMightContain(bits: Array[Long], key: Column, mBits: Int,
+                        numHashes: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val bitsLit = lit(bits)
+    (0 until numHashes).map { r =>
+      val pos = hash60(concat(lit(s"b$r:"), key.cast("string"))) % mBits
+      // pos < mBits ≤ 2^20, so the double division is exact
+      val word = floor(pos / 64).cast("int")
+      val mask = ColumnGlue.column(ShiftLeft(
+        ColumnGlue.expression(lit(1L)),
+        ColumnGlue.expression((pos % 64).cast("int"))))
+      element_at(bitsLit, word + 1).bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** Engine-independent 60-bit hash (top 15 hex chars of md5) — the
+    * repo-wide convention, replayable in DuckDB as
+    * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`.
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  final val BloomBits = 1024
+  final val BloomHashes = 3
+  final val BloomIncidents = 15
+
+  /** q62 — bloom runtime filter in action: the 15 highest-value error
+    * events name the "incident users" (~10% of keys); a 1024-bit
+    * bloom over that set prunes the full event stream AT THE SCAN
+    * (before any shuffle), the broadcast equi-join removes bloom
+    * false positives, and the per-user activity summary aggregates
+    * only survivors. At 100 TB the bloom probe is the difference
+    * between shuffling 10% and 100% of the fact table; the oracle is
+    * the exact semi-join (bloom is semantics-free by contract).
+    */
+  def q62_bloom_prune(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        graft.Tables.cents($"value").as("v_cents"))
+    val incidentUsers = ev.filter($"event_type" === "error")
+      .orderBy($"v_cents".desc, $"event_id").limit(BloomIncidents)
+      .select($"user_id").distinct()
+    val bits = bloomBits(incidentUsers, "user_id", BloomBits, BloomHashes)
+    ev.filter(bloomMightContain(bits, $"user_id", BloomBits, BloomHashes))
+      .join(broadcast(incidentUsers), "user_id") // exact: drops false positives
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"v_cents").cast("long").as("sum_cents"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q62_bloom_prune" -> q62_bloom_prune)
+
+  val oracle: Map[String, String] = Map(
+    "q62_bloom_prune" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS v_cents FROM events),
+         |iu AS (SELECT DISTINCT user_id FROM (
+         |    SELECT user_id FROM ev WHERE event_type = 'error'
+         |    ORDER BY v_cents DESC, event_id LIMIT $BloomIncidents))
+         |SELECT ev.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(v_cents) AS BIGINT) AS sum_cents
+         |FROM ev JOIN iu ON ev.user_id = iu.user_id
+         |GROUP BY ev.user_id ORDER BY ev.user_id""".stripMargin)
 }

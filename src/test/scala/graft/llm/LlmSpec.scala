@@ -219,4 +219,18 @@ class LlmSpec extends AnyFunSuite {
       .collect()
     assert(byHash.forall(_.getLong(1) == 1L))
   }
+
+  test("q63 normalization is a fixed point: normalizing its output changes nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    val once = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", norm.as("text"))
+    val twice = once.select($"doc_id", norm.as("text2"), $"text")
+    assert(twice.filter($"text2" =!= $"text").count() == 0)
+    // every row emits a fingerprint (null text would surface as null fp)
+    val out = TextAnalysis.q63_normalize(spark, dir)
+    assert(out.filter($"fp".isNull).count() == 0)
+  }
 }

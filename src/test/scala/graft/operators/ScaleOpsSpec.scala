@@ -56,4 +56,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     val expected = orders.join(li, "o_orderkey").count()
     assert(joined.count() == expected)
   }
+
+  test("bloom filter has no false negatives and prunes most non-members") {
+    import spark.implicits._
+    val keys = (0L until 200L by 2).toDF("k") // even keys are members
+    val bits = ScaleOps.bloomBits(keys, "k", mBits = 1024, numHashes = 3)
+    val probe = (0L until 1000L).toDF("k")
+      .withColumn("hit", ScaleOps.bloomMightContain(bits, $"k", 1024, 3))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // every inserted key must test positive
+    (0L until 200L by 2).foreach(k => assert(probe(k), s"false negative for $k"))
+    // false-positive rate over the 900 non-members stays near theory
+    val fp = probe.count { case (k, hit) => hit && !(k < 200 && k % 2 == 0) }
+    assert(fp < 200, s"$fp false positives out of 900 — bloom not pruning")
+  }
+
+  test("bloom probe runs at the scan, below the aggregation exchange") {
+    val plan = ScaleOps.q62_bloom_prune(spark, dir).queryExecution.executedPlan.toString
+    // the probe (element_at over the bitset literal) must appear in the plan
+    assert(plan.contains("element_at") || plan.contains("ElementAt"), plan.take(600))
+    // and the big side must reach the join via broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

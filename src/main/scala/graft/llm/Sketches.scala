@@ -41,30 +41,41 @@ object Sketches {
   final val CmsWidth = 512
   final val CmsTopK = 20
 
-  /** 8-char text grams as (lang, hash60) pairs — the high-cardinality
-    * key stream both sketches consume. Generated in mapPartitions
-    * (one MessageDigest per partition; HOF lambdas interpret per
-    * element, measured 170× slower on exactly this shape).
+  /** DISTINCT 8-char-gram hashes per language — the key stream the
+    * HLL sketch consumes. Generated in mapPartitions (one
+    * MessageDigest per partition; HOF lambdas interpret per element,
+    * measured 170× slower on exactly this shape) with a PER-PARTITION
+    * dedup set, so the shuffle carries each (lang, hash) once per map
+    * partition instead of once per occurrence — the distinct analog
+    * of map-side combine. Distinct-ness is exactly what both the
+    * registers (max over equal values is idempotent) and the exact
+    * count need, so one pass feeds both.
     */
-  private def gramHashes(spark: SparkSession, dir: String): DataFrame = {
+  private def distinctGramHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     load(spark, dir, "documents")
       .select($"lang", $"text").as[(String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (lang, text) =>
+        val seen = new java.util.HashSet[(String, Long)]()
+        it.foreach { case (lang, text) =>
           val n = if (text == null) 0 else text.length - TextAnalysis.GramChars + 1
-          (0 until n).iterator.map { i =>
+          var i = 0
+          while (i < n) {
             md.reset()
             val d = md.digest(text.substring(i, i + TextAnalysis.GramChars)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             var v = 0L
             var j = 0
             while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-            (lang, v >>> 4)
+            seen.add((lang, v >>> 4))
+            i += 1
           }
         }
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala
       }.toDF("lang", "h")
+      .distinct()
   }
 
   /** q58 — HLL-style distinct-count sketch per language over the
@@ -82,7 +93,7 @@ object Sketches {
     */
   def q58_hll_distinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Caches.tracked(gramHashes(spark, dir))
+    val grams = Caches.tracked(distinctGramHashes(spark, dir))
     val regs = grams.select($"lang",
         ($"h" % HllRegisters).cast("int").as("j"),
         expr(s"h DIV $HllRegisters").as("w"))
@@ -94,7 +105,7 @@ object Sketches {
       sum($"reg").cast("long").as("sum_rho"),
       sum(pow(lit(2.0), lit(55) - $"reg").cast("long")).as("s_hit"))
     val exact = grams.groupBy($"lang")
-      .agg(countDistinct($"h").as("n_exact"))
+      .agg(count(lit(1)).as("n_exact")) // grams is distinct by construction
     sketch.join(broadcast(exact), "lang")
       .withColumn("s_total",
         $"s_hit" + (lit(HllRegisters.toLong) - $"regs_hit") * lit(1L << 55))

@@ -367,7 +367,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  final val PairTopK = 20
+
+  /** q65 — adjacent-token-pair mining: the count-the-merges statistic
+    * BPE vocabulary induction iterates on (most frequent adjacent
+    * pair → merge → recount). One round, distributed: pairs fan out
+    * per row (small-array HOF — fine at ~50 tokens/doc, unlike the
+    * per-element sketch loops), ONE shuffle for the pair counts
+    * (map-side partial agg), and the global top-k is
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def q65_token_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(wsTokens($"text").as("wl"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(wl) - 1, 0))," +
+          " i -> concat(wl[i-1], ' ', wl[i]))")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair").limit(PairTopK)
+      .select($"pair", $"n".cast("long").as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_token_pairs" -> q65_token_pairs,
     "q63_normalize" -> q63_normalize,
     "q55_containment" -> q55_containment,
     "q19_text_stats" -> q19_text_stats,
@@ -380,6 +403,12 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q65_token_pairs" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS wl FROM documents),
+         |p AS (SELECT unnest(list_transform(generate_series(1, len(wl) - 1),
+         |    i -> wl[i] || ' ' || wl[i + 1])) AS pair FROM w)
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $PairTopK""".stripMargin,
     "q63_normalize" ->
       """WITH n AS (SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(lower(text),

@@ -314,6 +314,33 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** q64 — sample-based quantile estimation: the mergeable path to
+    * percentiles at 100 TB. The sampler is a stateless md5-threshold
+    * filter (10% keep), so it composes under any partitioning, retry,
+    * or union — merging two sampled partitions IS the sampled merge,
+    * unlike an exact percentile whose state is the whole value set.
+    * The exact per-group percentile then runs on the bounded sample.
+    * Exact p50 over the full data rides along to show sampling error.
+    */
+  def q64_sampled_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"event_type", cents($"value").as("cents"))
+    val sampled = ev.filter(
+      conv(substring(md5(concat(lit("s"), $"event_id")), 1, 15), 16, 10)
+        .cast("long") % 100 < 10)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(percentile($"cents", lit(0.5)) * 100).cast("long").as("p50_centi"),
+        round(percentile($"cents", lit(0.9)) * 100).cast("long").as("p90_centi"))
+    val exact = ev.groupBy($"event_type")
+      .agg(round(percentile($"cents", lit(0.5)) * 100).cast("long").as("p50_exact_centi"))
+    sampled.join(broadcast(exact), "event_type")
+      .select($"event_type", $"n_sampled", $"p50_centi", $"p90_centi",
+        $"p50_exact_centi")
+      .orderBy($"event_type")
+  }
+
   /** Statistical aggregates (stddev/corr) — rounded to fixed points
     * coarse enough that the engines' different accumulation algorithms
     * (Welford vs two-pass) can't flip a digit.
@@ -399,6 +426,7 @@ object Analytics {
     "q48_range_window" -> q48_range_window,
     "q37_sessionize" -> q37_sessionize,
     "q38_percentiles" -> q38_percentiles,
+    "q64_sampled_quantiles" -> q64_sampled_quantiles,
     "q29_gtfs_time" -> q29_gtfs_time,
     "q31_asof_join" -> q31_asof_join,
     "q32_pivot" -> q32_pivot,
@@ -464,6 +492,20 @@ object Analytics {
         |  CAST(FLOOR(epoch(MIN(t))) AS BIGINT) AS session_start_s,
         |  CAST(FLOOR(epoch(MAX(t))) - FLOOR(epoch(MIN(t))) AS BIGINT) AS duration_s
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q64_sampled_quantiles" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |    CAST(ROUND(quantile_cont(cents, 0.5) * 100) AS BIGINT) AS p50_centi,
+        |    CAST(ROUND(quantile_cont(cents, 0.9) * 100) AS BIGINT) AS p90_centi
+        |  FROM ev
+        |  WHERE CAST('0x' || substring(md5('s' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
+        |  GROUP BY event_type),
+        |x AS (SELECT event_type,
+        |    CAST(ROUND(quantile_cont(cents, 0.5) * 100) AS BIGINT) AS p50_exact_centi
+        |  FROM ev GROUP BY event_type)
+        |SELECT s.event_type, n_sampled, p50_centi, p90_centi, p50_exact_centi
+        |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     "q38_percentiles" ->
       """SELECT event_type,
         |  CAST(ROUND(quantile_cont(cents, 0.5) * 100) AS BIGINT) AS p50_centi,

@@ -119,4 +119,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(insert_date"),
       s"insert_date watermark must push to parquet:\n${p.take(1500)}")
   }
+
+  test("pair mining and sampled quantiles: top-k via TakeOrdered, sampler is map-side") {
+    val pairs = graft.llm.TextAnalysis.q65_token_pairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pairs.contains("TakeOrderedAndProject"), pairs.take(400))
+    val q64 = graft.queries.Analytics.q64_sampled_quantiles(spark, dir)
+    val plan = q64.queryExecution.executedPlan.toString
+    // the md5-threshold sample must be a Filter under the scan stage,
+    // before any exchange (stateless map-side sampling)
+    val firstExchange = plan.indexOf("Exchange")
+    val filterIdx = plan.indexOf("conv(substring(md5(")
+    assert(filterIdx > firstExchange && firstExchange >= 0,
+      s"sampler filter must sit below the first exchange:\n${plan.take(800)}")
+  }
+
+  test("deterministic sampling keeps the same rows under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(conv(substring(md5(concat(lit("s"), $"event_id")), 1, 15), 16, 10)
+          .cast("long") % 100 < 10)
+        .select($"event_id").collect().map(_.getLong(0)).toSet
+    val ev = graft.Tables.load(spark, dir, "events")
+    val a = kept(ev)
+    val b = kept(ev.repartition(13))
+    val c = kept(ev.repartition(3, $"event_type"))
+    assert(a == b && b == c)
+    assert(a.nonEmpty && a.size < ev.count())
+  }
 }

@@ -25,7 +25,15 @@ object Bench {
     // the first measured query (q06 paid ~3s of warm-up in round 1).
     try drive(SparkEntry.queries("q07_topk")(spark, sfDir)) catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional arg: comma-separated query names for targeted profiling
+    // (e.g. `runMain graft.Bench q52_neardup_clusters,q49_ivf_seeded`).
+    val only: Set[String] =
+      args.headOption.map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val picked =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (k, _) => only(k) }.toSeq
+
+    val results = picked.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try drive(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{GtfsTimeToSeconds, VectorDot}
+import graft.functions.{GtfsTimeToSeconds, NormalizeText, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: users add
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` at
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       {
         case Seq(e) => GtfsTimeToSeconds(e)
         case exprs => throw GraftExtensions.arity("gtfs_time_to_seconds", 1, exprs.length)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      {
+        case Seq(e) => NormalizeText(e)
+        case exprs => throw GraftExtensions.arity("normalize_text", 1, exprs.length)
       }))
     extensions.injectFunction((
       FunctionIdentifier("vector_dot"),

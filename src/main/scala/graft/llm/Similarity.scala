@@ -228,15 +228,14 @@ object Similarity {
     // Avoids the ML transform UDF (Vector boxing per row) and stays
     // on the codegen'd vector_dot path; ties break on centroid id the
     // same way KMeans assigns (first minimum wins).
-    val centArr = array(centers.zipWithIndex.map { case (c, i) =>
-      struct(lit(c.map(x => x * x).sum).as("cnorm2"),
-        array(c.map(lit).toSeq: _*).as("cv"), lit(i).as("cid"))
-    }.toSeq: _*)
+    // Unrolled per-centroid codegen'd dots — see q49's note: a
+    // transform(...) lambda here runs interpreted per element.
     val assigned = emb
-      .withColumn("cdist", transform(centArr,
-        c => struct((c.getField("cnorm2") - lit(2.0) * dot($"v", c.getField("cv")))
-          .as("d"), c.getField("cid").as("cid"))))
-      .withColumn("centroid", array_min($"cdist").getField("cid"))
+      .withColumn("centroid", array_min(array(centers.zipWithIndex.map { case (c, i) =>
+          struct((lit(c.map(x => x * x).sum)
+            - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))).as("d"),
+            lit(i).as("cid"))
+        }.toSeq: _*)).getField("cid"))
       .select($"vec_id", $"v", $"nrm", $"centroid")
 
     // query side: rank the 16 centroid literals by euclidean distance,
@@ -296,10 +295,19 @@ object Similarity {
     def dist2Micro(v: Column, cv: Column): Column =
       round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
 
+    // Corpus-side assignment UNROLLED to one top-level codegen'd
+    // VectorDot per centroid: a `transform(centArr, …)` lambda
+    // evaluates interpreted per element (HigherOrderFunction is
+    // CodegenFallback — the measured 170x pitfall), which made this
+    // the hottest loop in the whole bench. Same values bit-for-bit:
+    // cc precomputed as the same left-to-right Σx² the dot fold uses.
+    val vv = dot($"v", $"v")
     val assigned = emb
-      .withColumn("cdist", transform(centArr,
-        c => struct(dist2Micro($"v", c.getField("cv")).as("d"), c.getField("cid").as("cid"))))
-      .withColumn("centroid", array_min($"cdist").getField("cid"))
+      .withColumn("centroid", array_min(array(seeds.map { case (cid, c) =>
+          struct(round((vv - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))
+            + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
+            lit(cid).as("cid"))
+        }.toSeq: _*)).getField("cid"))
       .select($"vec_id", $"v", $"nrm", $"centroid")
 
     val queries = emb.filter($"vec_id" % 50 === 0)

@@ -356,8 +356,9 @@ object TextAnalysis {
     */
   def q63_normalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = trim(regexp_replace(
-      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    // Native one-pass expression; byte-equivalent to
+    // trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    val norm = graft.functions.NormalizeText.normalizeText($"text")
     load(spark, dir, "documents")
       .select($"doc_id", $"text", norm.as("norm"))
       .select($"doc_id",

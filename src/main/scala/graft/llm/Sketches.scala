@@ -155,9 +155,39 @@ object Sketches {
       .orderBy($"true_count".desc, $"gram")
   }
 
+  /** q68 — fixed-resolution histogram quantile sketch over event
+    * values: bin = exact cents (integer), per-(event_type, bin) counts
+    * partial-aggregate map-side, and each quantile reads off the
+    * cumulative histogram as the smallest bin with cum·100 ≥ n·p —
+    * all-integer, so both engines agree bit-for-bit. The sketch is
+    * MERGEABLE (bin counts sum — same shape as the count-min cells
+    * above): a 1000-executor cluster ships one row per (group,
+    * distinct bin) per map task and never sorts the raw data, unlike
+    * sort-based exact percentile state (q38). Resolution is the bin
+    * width; at cent granularity over this domain the answer is exact.
+    */
+  def q68_histogram_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val binned = load(spark, dir, "events")
+      .groupBy($"event_type", graft.Tables.cents($"value").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = binned
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"event_type").orderBy($"bin")))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+    cum.groupBy($"event_type")
+      .agg(max($"n").cast("long").as("n"),
+        min(when($"cum" * 100 >= $"n" * 50, $"bin")).cast("long").as("p50_cents"),
+        min(when($"cum" * 100 >= $"n" * 90, $"bin")).cast("long").as("p90_cents"),
+        min(when($"cum" * 100 >= $"n" * 99, $"bin")).cast("long").as("p99_cents"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_hll_distinct" -> q58_hll_distinct,
-    "q59_cms_heavy_hitters" -> q59_cms_heavy_hitters)
+    "q59_cms_heavy_hitters" -> q59_cms_heavy_hitters,
+    "q68_histogram_quantiles" -> q68_histogram_quantiles)
 
   private val GramSql =
     s"""SELECT lang, unnest(list_transform(
@@ -166,6 +196,17 @@ object Sketches {
        |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q68_histogram_quantiles" ->
+      """WITH b AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS bin,
+        |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |cw AS (SELECT event_type, bin,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS BIGINT) AS p90_cents,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS BIGINT) AS p99_cents
+        |FROM cw GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q58_hll_distinct" ->
       s"""WITH g AS ($GramSql),
          |h AS (SELECT lang,

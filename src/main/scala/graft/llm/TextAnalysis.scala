@@ -368,6 +368,49 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** q70 — character-diversity scoring: Simpson diversity index and
+    * top-character concentration over the normalized form — the
+    * gibberish / low-entropy-content signal that complements the
+    * word-level repetition stats (q51). Shannon entropy would hang the
+    * cross-engine compare on transcendental-function ulps; the Simpson
+    * index (1 − Σp²) is a ratio of exact integers, so after one
+    * IEEE-exact division both engines agree bit-for-bit. One typed
+    * mapPartitions pass (array[128] counter per row — per-row loop
+    * compute stays out of interpreted HOFs), zero shuffle.
+    */
+  def q70_char_diversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val norm = graft.functions.NormalizeText.normalize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (text == null) "" else text)).toString
+        val n = norm.length.toLong
+        if (n == 0) None
+        else {
+          val counts = new Array[Long](128) // output is ASCII [a-z0-9 ]
+          var i = 0
+          while (i < norm.length) { counts(norm.charAt(i)) += 1; i += 1 }
+          var sumC2 = 0L; var maxC = 0L; var distinct = 0L
+          i = 0
+          while (i < 128) {
+            val c = counts(i)
+            if (c > 0) { distinct += 1; sumC2 += c * c; if (c > maxC) maxC = c }
+            i += 1
+          }
+          // (n² − Σc²)·10⁶ and n² stay exact in long AND double range
+          // (n ≤ ~10⁴ per doc), so the single division is IEEE-exact
+          // input → identical on every engine.
+          val simpson = math.round((n * n - sumC2) * 1000000.0 / (n * n))
+          val topBp = math.round(maxC * 10000.0 / n)
+          Some((id, n, distinct, simpson, topBp))
+        }
+      })
+      .toDF("doc_id", "n_chars", "n_distinct_chars", "simpson_micro", "top_char_bp")
+      .orderBy($"doc_id")
+  }
+
   final val PairTopK = 20
 
   /** q65 — adjacent-token-pair mining: the count-the-merges statistic
@@ -392,6 +435,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_token_pairs" -> q65_token_pairs,
+    "q70_char_diversity" -> q70_char_diversity,
     "q63_normalize" -> q63_normalize,
     "q55_containment" -> q55_containment,
     "q19_text_stats" -> q19_text_stats,
@@ -410,6 +454,21 @@ object TextAnalysis {
          |    i -> wl[i] || ' ' || wl[i + 1])) AS pair FROM w)
          |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $PairTopK""".stripMargin,
+    "q70_char_diversity" ->
+      """WITH nz AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(s)),
+        |      i -> substring(s, i, 1))) AS ch FROM nz WHERE length(s) > 0),
+        |g AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY 1, 2),
+        |a AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd,
+        |      SUM(c * c) AS sumc2, MAX(c) AS maxc FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(nd AS BIGINT) AS n_distinct_chars,
+        |  CAST(ROUND(CAST((n * n - sumc2) * 1000000 AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE)) AS BIGINT) AS simpson_micro,
+        |  CAST(ROUND(CAST(maxc * 10000 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS top_char_bp
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q63_normalize" ->
       """WITH n AS (SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(lower(text),

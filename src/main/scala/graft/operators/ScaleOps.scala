@@ -50,12 +50,16 @@ object ScaleOps {
     * spec asserts exactly that).
     */
   def writeBucketed(df: DataFrame, tableName: String, bucketKey: String,
-                    numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+                    numBuckets: Int, path: String = null): Unit = {
+    // Dropping first keeps overwrite deterministic whether the catalog
+    // entry is managed (spec) or external-at-path (q66).
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketKey)
       .sortBy(bucketKey)
       .format("parquet")
-      .saveAsTable(tableName)
+    (if (path == null) w else w.option("path", path)).saveAsTable(tableName)
+  }
 
   /** Join two tables bucketed on the same key with the same bucket
     * count — shuffle-free by construction.
@@ -155,10 +159,74 @@ object ScaleOps {
       .orderBy($"user_id")
   }
 
+  /** q66 — bucketed co-located join: both fact tables land bucketed +
+    * sorted on the join key, so the repeated-join workload reads
+    * co-located buckets and the sort-merge join has NO Exchange on
+    * either side (ScaleOpsSpec asserts the plan). At 100 TB this is
+    * the difference between shuffling two fact tables per run and
+    * shuffling them once at load time; the demo re-buckets per call
+    * because the harness tables arrive unbucketed. The `merge` hint
+    * pins SMJ so the bucketed layout (not a broadcast) carries the
+    * join at every scale.
+    */
+  def q66_bucketed_join(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    import spark.implicits._
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("okey"),
+        graft.Tables.cents($"o_totalprice").as("order_cents"))
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("okey"),
+        graft.Tables.cents($"l_extendedprice").as("item_cents"))
+    writeBucketed(o, "graft_orders_b", "okey", 8, "/tmp/graft_buckets/orders_b")
+    writeBucketed(li, "graft_lineitem_b", "okey", 8, "/tmp/graft_buckets/lineitem_b")
+    spark.table("graft_orders_b").hint("merge")
+      .join(spark.table("graft_lineitem_b"), "okey")
+      .groupBy(($"okey" % 97).as("okey_mod"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"item_cents").cast("long").as("sum_item_cents"),
+        sum($"order_cents").cast("long").as("sum_order_cents"))
+      .orderBy($"okey_mod")
+  }
+
+  final val AggSalts = 16
+
+  /** q67 — salted skew-safe aggregation: the partial aggregate runs on
+    * (event_type, salt) so a dominant event type spreads over
+    * [[AggSalts]] reducers before the tiny final aggregate on the key
+    * alone. Sums/counts are associative, so the result is exactly the
+    * unsalted aggregate — which is what the oracle computes.
+    */
+  def q67_salted_agg(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), graft.Tables.cents(col("value")).as("v_cents"))
+    saltedSumCount(ev, Seq("event_type"), "v_cents", AggSalts)
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q62_bloom_prune" -> q62_bloom_prune)
+    Map("q62_bloom_prune" -> q62_bloom_prune,
+      "q66_bucketed_join" -> q66_bucketed_join,
+      "q67_salted_agg" -> q67_salted_agg)
 
   val oracle: Map[String, String] = Map(
+    "q66_bucketed_join" ->
+      """WITH o AS (SELECT o_orderkey AS okey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS order_cents FROM orders),
+        |li AS (SELECT l_orderkey AS okey,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS item_cents FROM lineitem)
+        |SELECT o.okey % 97 AS okey_mod, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(li.item_cents) AS BIGINT) AS sum_item_cents,
+        |  CAST(SUM(o.order_cents) AS BIGINT) AS sum_order_cents
+        |FROM o JOIN li ON o.okey = li.okey
+        |GROUP BY 1 ORDER BY okey_mod""".stripMargin,
+    "q67_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q62_bloom_prune" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type,
          |    CAST(ROUND(value * 100) AS BIGINT) AS v_cents FROM events),

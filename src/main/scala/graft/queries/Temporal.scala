@@ -91,11 +91,78 @@ object Temporal {
       .orderBy($"event_id")
   }
 
+  /** Key offset that makes a deterministic subset of the update batch
+    * target keys absent from the base (the INSERT arm of the merge);
+    * far above any harness custkey.
+    */
+  final val InsertOffset = 200000L
+  final val InsertStride = 37
+
+  /** q69 — MERGE / upsert (SCD1): apply a batch of keyed updates to a
+    * base snapshot with latest-wins-within-batch semantics — the
+    * incremental "apply the day's changes" operator every warehouse
+    * table needs (the reference's K4 incremental INSERT…SELECT is the
+    * append-only cousin; this is the in-place-semantics one).
+    * Base = customer balances; updates = order totals keyed by
+    * customer, deduped to the latest (o_orderdate, o_orderkey) per key
+    * via a ranking window on the high-cardinality key; a strided
+    * subset of keys is offset out of the base's key space to exercise
+    * the INSERT arm. The merge itself is one full-outer equi-join on
+    * the key: matched → update, update-only → insert, base-only →
+    * keep. Scale: both sides shuffle once on the merge key (or zero
+    * times if the base is bucketed on it — q66); the window never
+    * sees more than the update batch.
+    */
+  def q69_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = load(spark, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"),
+        cents($"c_acctbal").as("bal_cents"), lit(true).as("in_base"))
+    val ords = load(spark, dir, "orders")
+      .select($"o_custkey".cast("long").as("ck"), $"o_orderdate", $"o_orderkey",
+        cents($"o_totalprice").as("upd_cents"))
+    val updates = ords.select($"ck".as("k"), $"o_orderdate", $"o_orderkey", $"upd_cents")
+      .union(ords.filter($"ck" % InsertStride === 0)
+        .select(($"ck" + InsertOffset).as("k"), $"o_orderdate", $"o_orderkey", $"upd_cents"))
+    val latest = updates
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"k").orderBy($"o_orderdate".desc, $"o_orderkey".desc)))
+      .filter($"rn" === 1)
+      .select($"k", $"upd_cents", lit(true).as("in_upd"))
+    base.join(latest, Seq("k"), "full_outer")
+      .select($"k",
+        coalesce($"upd_cents", $"bal_cents").cast("long").as("bal_cents"),
+        when($"in_upd".isNull, "keep")
+          .when($"in_base".isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_interval_join" -> q60_interval_join,
-    "q61_scd2_pit" -> q61_scd2_pit)
+    "q61_scd2_pit" -> q61_scd2_pit,
+    "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q69_merge_upsert" ->
+      s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+         |o AS (SELECT CAST(o_custkey AS BIGINT) AS ck, o_orderdate, o_orderkey,
+         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS upd_cents FROM orders),
+         |u AS (SELECT ck AS k, o_orderdate, o_orderkey, upd_cents FROM o
+         |  UNION ALL
+         |  SELECT ck + $InsertOffset, o_orderdate, o_orderkey, upd_cents
+         |  FROM o WHERE ck % $InsertStride = 0),
+         |lat AS (SELECT k, upd_cents FROM (
+         |    SELECT k, upd_cents, ROW_NUMBER() OVER (
+         |      PARTITION BY k ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM u) WHERE rn = 1)
+         |SELECT CAST(COALESCE(b.k, l.k) AS BIGINT) AS k,
+         |  CAST(COALESCE(l.upd_cents, b.bal_cents) AS BIGINT) AS bal_cents,
+         |  CASE WHEN l.k IS NULL THEN 'keep'
+         |       WHEN b.k IS NULL THEN 'insert' ELSE 'update' END AS action
+         |FROM base b FULL JOIN lat l ON b.k = l.k
+         |ORDER BY k""".stripMargin,
     "q60_interval_join" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type,
          |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,

@@ -61,6 +61,15 @@ class PlanSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("q66 bucketed join shuffles only at the final aggregate, never for the join") {
+    val p = plan("q66_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed layout must carry a sort-merge join")
+    // both join inputs read co-located buckets; the one hash exchange
+    // in the plan is the post-join okey_mod aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"join inputs must not shuffle, plan:\n${p.take(2000)}")
+  }
+
   test("token chunking is a pure fan-out: no shuffle before the final sort") {
     val p = plan("q54_token_chunks")
     assert(!p.contains("hashpartitioning"),

@@ -51,6 +51,32 @@ object Sketches {
     * registers (max over equal values is idempotent) and the exact
     * count need, so one pass feeds both.
     */
+  /** RAW (lang, gram-hash) stream — no dedup: consumers whose
+    * aggregation is idempotent under duplicates (the HLL register max,
+    * q71) skip the per-partition set entirely; their map-side partial
+    * agg is the volume bound instead.
+    */
+  private[llm] def rawGramHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"lang", $"text").as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (lang, text) =>
+          val n = if (text == null) 0 else text.length - TextAnalysis.GramChars + 1
+          (0 until math.max(n, 0)).iterator.map { i =>
+            md.reset()
+            val d = md.digest(text.substring(i, i + TextAnalysis.GramChars)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var v = 0L
+            var j = 0
+            while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+            (lang, v >>> 4)
+          }
+        }
+      }.toDF("lang", "h")
+  }
+
   private def distinctGramHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     load(spark, dir, "documents")
@@ -184,10 +210,27 @@ object Sketches {
       .orderBy($"event_type")
   }
 
+  /** q71 — the HLL sketch as a typed `Aggregator` UDAF
+    * (`functions/HllAggregator.scala`): same registers and estimator
+    * as q58, built by custom-aggregate partial/final merge over the
+    * RAW gram stream (no distinct pre-pass — register max is
+    * idempotent). One shuffle of a 64-long buffer per (lang, map
+    * task); completes the UDF(expr)/UDAF/UDTF extension triple.
+    */
+  def q71_hll_udaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawGramHashes(spark, dir)
+      .groupBy($"lang")
+      .agg(graft.functions.HllAggregator.sketch($"h").as("s"))
+      .select($"lang", $"s.regs_hit", $"s.sum_rho", $"s.hll_est")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_hll_distinct" -> q58_hll_distinct,
     "q59_cms_heavy_hitters" -> q59_cms_heavy_hitters,
-    "q68_histogram_quantiles" -> q68_histogram_quantiles)
+    "q68_histogram_quantiles" -> q68_histogram_quantiles,
+    "q71_hll_udaf" -> q71_hll_udaf)
 
   private val GramSql =
     s"""SELECT lang, unnest(list_transform(
@@ -196,6 +239,23 @@ object Sketches {
        |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q71_hll_udaf" ->
+      s"""WITH g AS ($GramSql),
+         |h AS (SELECT lang,
+         |    CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS h FROM g),
+         |r AS (SELECT lang, h % $HllRegisters AS j,
+         |    CASE WHEN h // $HllRegisters = 0 THEN 55
+         |         ELSE 55 - length(printf('%b', h // $HllRegisters)) END AS rho
+         |  FROM h),
+         |s AS (SELECT lang, j, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+         |f AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS regs_hit,
+         |    CAST(SUM(reg) AS BIGINT) AS sum_rho,
+         |    CAST(SUM(CAST(POW(2, 55 - reg) AS BIGINT)) AS BIGINT) AS s_hit
+         |  FROM s GROUP BY 1)
+         |SELECT lang, regs_hit, sum_rho,
+         |  CAST(ROUND($HllAlphaM2 * POW(2, 55)
+         |    / (s_hit + ($HllRegisters - regs_hit) * CAST(POW(2, 55) AS BIGINT))) AS BIGINT) AS hll_est
+         |FROM f ORDER BY lang""".stripMargin,
     "q68_histogram_quantiles" ->
       """WITH b AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS bin,
         |    COUNT(*) AS c FROM events GROUP BY 1, 2),

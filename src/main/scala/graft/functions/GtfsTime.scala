@@ -87,5 +87,8 @@ object GtfsTime {
   /** SQL registration: `SELECT gtfs_time_to_seconds(arrival_time)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gtfs_time_to_seconds", exprs => GtfsTimeToSeconds(exprs.head), "built-in")
+      "gtfs_time_to_seconds", {
+        case Seq(e) => GtfsTimeToSeconds(e)
+        case exprs => throw graft.GraftExtensions.arity("gtfs_time_to_seconds", 1, exprs.length)
+      }, "built-in")
 }

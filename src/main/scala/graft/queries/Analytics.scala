@@ -298,6 +298,20 @@ object Analytics {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** q72 — error-burst detection (gaps-and-islands): maximal runs of
+    * ≥ 3 consecutive `error` events per user, where a run survives
+    * only if nothing intervenes and each step is ≤ 1 day after
+    * the previous event. The batch dual of the custom-state streaming
+    * detector (`streaming/StatefulBursts` — flatMapGroupsWithState);
+    * StatefulBurstsSpec asserts the two agree on the same rows.
+    *
+    * Scale: one shuffle on the high-cardinality user_id for the
+    * window pass, then a partial+final agg on (user, run) — the
+    * standard islands plan; no self-join.
+    */
+  def q72_error_bursts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StatefulBursts.burstsBatch(load(spark, dir, "events"))
+
   /** Exact percentiles (linear interpolation — same formula as
     * DuckDB's quantile_cont), centi-rounded to absorb 1-ulp
     * interpolation differences.
@@ -425,6 +439,7 @@ object Analytics {
     "q47_grouping_sets" -> q47_grouping_sets,
     "q48_range_window" -> q48_range_window,
     "q37_sessionize" -> q37_sessionize,
+    "q72_error_bursts" -> q72_error_bursts,
     "q38_percentiles" -> q38_percentiles,
     "q64_sampled_quantiles" -> q64_sampled_quantiles,
     "q29_gtfs_time" -> q29_gtfs_time,
@@ -445,6 +460,24 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q72_error_bursts" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t,
+        |        event_type = 'error' AS is_err FROM events),
+        |m AS (SELECT user_id, event_id, t, is_err,
+        |        LAG(is_err) OVER w AS prev_err,
+        |        epoch(t) - epoch(LAG(t) OVER w) AS gap_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |r AS (SELECT *, CASE WHEN is_err
+        |          AND NOT (COALESCE(prev_err, FALSE) AND gap_s <= 86400)
+        |        THEN 1 ELSE 0 END AS new_run FROM m),
+        |s AS (SELECT *, SUM(new_run) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM r)
+        |SELECT user_id,
+        |  CAST(FLOOR(epoch(MIN(t))) AS BIGINT) AS start_s,
+        |  CAST(FLOOR(epoch(MAX(t))) AS BIGINT) AS end_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_errors
+        |FROM s WHERE is_err GROUP BY user_id, run_id HAVING COUNT(*) >= 3
+        |ORDER BY user_id, start_s""".stripMargin,
     "q57_topk_native" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

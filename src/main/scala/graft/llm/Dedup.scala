@@ -289,6 +289,71 @@ object Dedup {
       .orderBy($"source", $"doc_a", $"doc_b")
   }
 
+  /** q73 — prefix-filtering exact similarity join (the AllPairs/PPJoin
+    * family; Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    * DETERMINISTIC dual of q23's MinHash-LSH over the same 3-gram
+    * shingle sets. Order the universe by ascending document frequency
+    * (rarest first, ties by hash); a doc of n shingles indexes only
+    * its first ⌊n/2⌋ + 1 shingles (for J ≥ 0.5, prefix length
+    * n − ⌈t·n⌉ + 1). Any pair with J ≥ t MUST share a prefix entry, so
+    * the inverted-index equi-join on prefix hashes finds every
+    * qualifying pair — no probabilistic miss, unlike banded LSH.
+    *
+    * Scale design: the df table is a partial+final count; prefix
+    * selection is per-doc local work after one shuffle on the shingle
+    * hash; the index join buckets by RARE shingles (bucket sizes are
+    * bounded by construction — frequent shingles never enter short
+    * prefixes' tails); the O(n²) length filter 2·min(na,nb) ≥
+    * max(na,nb) prunes before the exact verify, which runs only on
+    * candidate pairs. The threshold filter is the INTEGER test
+    * 2·i ≥ u (J ≥ ½ exactly) — no float-rounding boundary between
+    * engines.
+    */
+  def q73_prefix_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, 3)) })
+      .toDF("doc_id", "sh")
+      .filter(size($"sh") > 0)
+      .withColumn("n", size($"sh")))
+      // consumed by the df count, the prefix build, and both verify
+      // sides — tracked-persist so shingling runs once
+
+    val toks = docs.select($"doc_id", $"n", explode($"sh").as("h"))
+    val dfTab = toks.groupBy($"h").agg(count(lit(1)).as("df"))
+
+    // prefix per doc: sort its shingles by (global df, hash), keep the
+    // first ⌊n/2⌋ + 1 — per-doc local sort over ≤ n entries, no window
+    val prefix = toks.join(dfTab, "h")
+      .groupBy($"doc_id", $"n")
+      .agg(collect_list(struct($"df", $"h")).as("ts"))
+      .as[(Long, Int, Array[(Long, Long)])]
+      .flatMap { case (id, n, ts) =>
+        ts.sortBy(t => (t._1, t._2)).take(n / 2 + 1).map(t => (t._2, id, n))
+      }
+      .toDF("h", "doc_id", "n")
+
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"sha", $"shb")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, sa, sb) =>
+        val i = intersectSize(sa, sb)
+        val u = sa.length + sb.length - i
+        if (2L * i >= u) Some((a, b, math.round(10000.0 * i / u))) else None
+      }
+      .toDF("doc_a", "doc_b", "j_bp")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Connected components over a near-dup pair list: every document in
     * a transitively-connected group gets the group's minimum doc_id as
     * its cluster id — the keeper-selection step that turns pairwise
@@ -352,7 +417,8 @@ object Dedup {
     "q23_minhash_dedup" -> q23_minhash_dedup,
     "q24_simhash_dedup" -> q24_simhash_dedup,
     "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked,
-    "q52_neardup_clusters" -> q52_neardup_clusters)
+    "q52_neardup_clusters" -> q52_neardup_clusters,
+    "q73_prefix_jaccard" -> q73_prefix_jaccard)
 
   // Oracles recompute the *exact* similarity all-pairs from the raw
   // strings (feasible at sf0.01's 500 docs; the Spark side must find
@@ -419,5 +485,15 @@ object Dedup {
         |FROM d2 a JOIN d2 b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
         |            / len(list_distinct(a.sh || b.sh))) >= 3000
-        |ORDER BY source, doc_a, doc_b""".stripMargin)
+        |ORDER BY source, doc_a, doc_b""".stripMargin,
+    "q73_prefix_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |     d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS j_bp
+        |FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |      >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -32,6 +32,28 @@ class LlmSpec extends AnyFunSuite {
       s"second dedup pass over the kept set must find nothing, got ${second.length}")
   }
 
+  test("prefix-filter join finds EVERY J>=0.5 pair brute force finds (no-miss guarantee)") {
+    import spark.implicits._
+    val got = Dedup.q73_prefix_jaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute force over all pairs on the same shingle sets
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().map { case (id, t) => (id, Dedup.shingleHashes(t, 3)) }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      i = sa.intersect(sb).length
+      u = sa.length + sb.length - i
+      if 2L * i >= u
+    } yield (a, b, math.round(10000.0 * i / u))).toSet
+
+    assert(got == expected,
+      s"prefix filter missed ${(expected -- got).size} / invented ${(got -- expected).size}")
+    assert(expected.nonEmpty, "corpus plants near-dups; the property must bite")
+  }
+
   test("connected components close pair transitivity (chain A-B, B-C clusters as one)") {
     import spark.implicits._
     // a chain where A~B and B~C are edges but A~C is not: min-label

@@ -67,6 +67,29 @@ object DataPrep {
       .orderBy($"doc_id")
   }
 
+  /** q74 — importance (weighted) sampling: each doc's inclusion
+    * probability IS its quality score (p = quality_bp / 10000), so
+    * high-quality docs are kept preferentially while every kept row
+    * carries the exact inverse-probability weight (Horvitz-Thompson:
+    * any downstream sum reweighted by w is an unbiased estimate of
+    * the full-corpus sum). Same deterministic md5 acceptance as q41 —
+    * a pure per-row map: no RNG, no state, identical under any
+    * partitioning, retry, or speculative re-execution. The weight is
+    * integer floor-division (10^8 div quality_bp, 1e-4 units), so
+    * both engines compute it bit-identically.
+    */
+  def q74_importance_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id", $"lang", TextAnalysis.qualityBp($"text").as("quality_bp"),
+        (hash60(concat(lit("graft_weight_"), $"doc_id".cast("string"))) % 10000)
+          .as("h_bp"))
+      .filter($"h_bp" < $"quality_bp")
+      .withColumn("w_x4", expr("CAST(100000000 AS BIGINT) div quality_bp"))
+      .select($"doc_id", $"lang", $"quality_bp", $"w_x4")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------
   // q42 — mixture balancing
   // ---------------------------------------------------------------
@@ -328,6 +351,7 @@ object DataPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_stratified_sample" -> q41_stratified_sample,
+    "q74_importance_sample" -> q74_importance_sample,
     "q42_mixture_rates" -> q42_mixture_rates,
     "q43_pii_redact" -> q43_pii_redact,
     "q44_contamination" -> q44_contamination,
@@ -341,6 +365,15 @@ object DataPrep {
     }
 
   val oracle: Map[String, String] = Map(
+    "q74_importance_sample" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+        |    ${TextAnalysis.QualityBpSql} AS quality_bp,
+        |    CAST('0x' || substring(md5('graft_weight_' || doc_id), 1, 15) AS BIGINT)
+        |      % 10000 AS h_bp
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(quality_bp AS BIGINT) AS quality_bp,
+        |  CAST(100000000 // quality_bp AS BIGINT) AS w_x4
+        |FROM q WHERE h_bp < quality_bp ORDER BY doc_id""".stripMargin,
     "q41_stratified_sample" ->
       s"""SELECT doc_id, lang,
         |  CAST('0x' || substring(md5('graft_sample_' || doc_id), 1, 15) AS BIGINT) % 10000 AS h_bp,

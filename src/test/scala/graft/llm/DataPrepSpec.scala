@@ -29,6 +29,28 @@ class DataPrepSpec extends AnyFunSuite {
     assert(ids === ids2, "hash sampling must be deterministic under repartitioning")
   }
 
+  test("importance sample: weights invert the inclusion probability; kept set is partition-invariant") {
+    import spark.implicits._
+    val rows = DataPrep.q74_importance_sample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) == 100000000L / r.getLong(2)),
+      "w_x4 must be the exact integer inverse of quality_bp")
+    // higher-quality docs must be over-represented: the mean quality
+    // of the kept set exceeds the corpus mean (p proportional to quality)
+    val keptMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = graft.llm.TextAnalysis.q21_quality_score(spark, dir)
+      .agg(avg($"quality_bp")).head().getDouble(0)
+    assert(keptMean > corpusMean, s"kept mean $keptMean vs corpus mean $corpusMean")
+
+    val ids = rows.map(_.getLong(0)).toSet
+    val docs = graft.Tables.load(spark, dir, "documents").repartition(13, $"lang")
+    val tmp = TestSpark.tempDir("wsample_det")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ids2 = DataPrep.q74_importance_sample(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === ids2, "hash acceptance must be deterministic under repartitioning")
+  }
+
   test("mixture rates: the smallest source keeps rate 1e6 and kept token mass is ~equalized") {
     val rows = DataPrep.q42_mixture_rates(spark, dir).collect()
     assert(rows.nonEmpty)

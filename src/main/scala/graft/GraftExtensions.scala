@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{GtfsTimeToSeconds, NormalizeText, VectorDot}
+import graft.functions.{GtfsTimeToSeconds, NormalizeText, VectorDot, WordNGrams}
 
 /** Library entry point for `spark.sql.extensions`: users add
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` at
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       {
         case Seq(e) => NormalizeText(e)
         case exprs => throw GraftExtensions.arity("normalize_text", 1, exprs.length)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      {
+        case Seq(t, k) => WordNGrams(t, k)
+        case exprs => throw GraftExtensions.arity("word_ngrams", 2, exprs.length)
       }))
     extensions.injectFunction((
       FunctionIdentifier("vector_dot"),

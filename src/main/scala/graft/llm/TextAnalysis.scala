@@ -433,7 +433,24 @@ object TextAnalysis {
       .select($"pair", $"n".cast("long").as("n"))
   }
 
+  /** q75 — trigram mining through the native `word_ngrams` Generator
+    * (`functions/WordNGrams.scala`): the UDTF path — one row fans out
+    * to a streamed row per gram under a `Generate` node (no per-doc
+    * gram array materialization, unlike q65's explode(transform(...))
+    * HOF). Same shape downstream: ONE shuffle for the partial+final
+    * counts, global top-k as TakeOrderedAndProject.
+    */
+  def q75_ngram_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(graft.functions.NGrams.wordNGrams($"text", 3).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"gram").limit(PairTopK)
+      .select($"gram", $"n".cast("long").as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_ngram_topk" -> q75_ngram_topk,
     "q65_token_pairs" -> q65_token_pairs,
     "q70_char_diversity" -> q70_char_diversity,
     "q63_normalize" -> q63_normalize,
@@ -448,6 +465,12 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q75_ngram_topk" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS wl FROM documents),
+         |g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(wl) - 2, 0)),
+         |    i -> wl[i] || ' ' || wl[i + 1] || ' ' || wl[i + 2])) AS gram FROM w)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT $PairTopK""".stripMargin,
     "q65_token_pairs" ->
       s"""WITH w AS (SELECT string_split(text, ' ') AS wl FROM documents),
          |p AS (SELECT unnest(list_transform(generate_series(1, len(wl) - 1),

@@ -79,4 +79,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // The runtime complement to saltedJoin: when a shuffle partition's
+    // bytes blow past threshold AND factor × median, AQE rewrites the
+    // SMJ to read the hot partition in slices. This spec pins the
+    // behavior our skew story depends on at 100 TB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // one hot key carrying megabytes against a long tail of tiny
+      // keys; the payload must be incompressible (shuffle sizes are
+      // post-compression) — md5 hex, not a repeated char
+      val pad = concat(md5($"id".cast("string")),
+        md5(($"id" + 1).cast("string")), md5(($"id" + 2).cast("string")))
+      val hot = spark.range(100000).select(lit(1L).as("k"), pad.as("payload"))
+      val tail = spark.range(5000).select(($"id" % 500 + 2).as("k"), pad.as("payload"))
+      val right = spark.range(600).select($"id".as("k"), $"id".as("v"))
+      val joined = hot.union(tail).join(right, "k")
+
+      // drive THIS plan (count() would wrap a fresh query execution,
+      // leaving joined.queryExecution unexecuted / isFinalPlan=false)
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == 105000L, "every left row matches exactly one right key")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split did not engage:\n${finalPlan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -312,6 +312,35 @@ object Analytics {
   def q72_error_bursts(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StatefulBursts.burstsBatch(load(spark, dir, "events"))
 
+  /** q76 — GLOBAL row numbering the scale-safe way. The naive
+    * formulation — `row_number().over(Window.orderBy(...))` with no
+    * partitionBy — funnels the entire table through ONE partition
+    * (Spark even warns); at 100 TB that's the job-killing anti-plan.
+    * The distributed total order instead: range-repartition on the
+    * sort key (sampled boundaries → balanced partitions), sort within
+    * partitions, then `zipWithIndex` — which runs one lightweight
+    * count job over partition SIZES (a Long per partition reaches the
+    * driver, never data) and assigns offsets per partition in a
+    * second pass. This is the documented legitimate RDD drop-down:
+    * per-partition imperative indexing the relational API can't
+    * express without the single-partition window.
+    *
+    * Output rank is deterministic whatever boundaries the range
+    * sampler picks, because (ts_s, event_id) is a unique total order.
+    */
+  def q76_global_rank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", epochS($"ts").as("ts_s"), cents($"value").as("value_cents"))
+      .repartitionByRange(32, $"ts_s", $"event_id")
+      .sortWithinPartitions($"ts_s", $"event_id")
+    sorted.as[(Long, Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, tsS, cents), i) => (id, tsS, cents, i + 1) }
+      .toDF("event_id", "ts_s", "value_cents", "global_rank")
+      .orderBy($"global_rank")
+  }
+
   /** Exact percentiles (linear interpolation — same formula as
     * DuckDB's quantile_cont), centi-rounded to absorb 1-ulp
     * interpolation differences.
@@ -440,6 +469,7 @@ object Analytics {
     "q48_range_window" -> q48_range_window,
     "q37_sessionize" -> q37_sessionize,
     "q72_error_bursts" -> q72_error_bursts,
+    "q76_global_rank" -> q76_global_rank,
     "q38_percentiles" -> q38_percentiles,
     "q64_sampled_quantiles" -> q64_sampled_quantiles,
     "q29_gtfs_time" -> q29_gtfs_time,
@@ -460,6 +490,12 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q76_global_rank" ->
+      """SELECT event_id, CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_s,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+        |  ROW_NUMBER() OVER (ORDER BY date_trunc('second', ts), event_id) AS global_rank
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY global_rank""".stripMargin,
     "q72_error_bursts" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS t,
         |        event_type = 'error' AS is_err FROM events),

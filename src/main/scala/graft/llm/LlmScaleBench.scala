@@ -104,6 +104,13 @@ object LlmScaleBench {
       s"clustering must keep ≥95% of $nPlanted planted components, got $ccClusters")
     graft.Caches.releaseAll()
 
+    // the DETERMINISTIC dedup path: prefix filtering is exact, so it
+    // must find every planted pair (J ≈ 0.9 ≥ 0.5), not 95% of them
+    val (ppPairs, tPrefix) = t(drive(q("q73_prefix_jaccard")))
+    require(ppPairs >= nPlanted,
+      s"prefix-filter join is exact: must find all $nPlanted planted pairs, got $ppPairs")
+    graft.Caches.releaseAll()
+
     val stages = Seq[(String, () => Long)](
       "repetition_stats" -> (() => drive(q("q51_repetition_stats"))),
       "token_chunks" -> (() => drive(q("q54_token_chunks"))),
@@ -129,7 +136,8 @@ object LlmScaleBench {
 
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
       ("minhash_pairs", mhPairs, tMinhash),
-      ("neardup_clusters", ccClusters, tCluster)) ++ timed)
+      ("neardup_clusters", ccClusters, tCluster),
+      ("prefix_jaccard_pairs", ppPairs, tPrefix)) ++ timed)
       .map { case (k, rows, sec) =>
         s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
       }

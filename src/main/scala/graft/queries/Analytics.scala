@@ -341,6 +341,52 @@ object Analytics {
       .orderBy($"global_rank")
   }
 
+  /** q77 — ordered funnel analysis: how many users progress through
+    * view → click → purchase IN ORDER (a later-stage event only
+    * counts after the user's first previous-stage event). Each stage
+    * is a filtered partial+final min-aggregate on user_id followed by
+    * an equi-join back — the joins stay on the same high-cardinality
+    * key, so at scale all three stages co-partition and the "funnel"
+    * never materializes per-user event lists.
+    */
+  def q77_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select($"user_id", $"event_type", epochS($"ts").as("t"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"t").as("v_t"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"t" > $"v_t")
+      .groupBy($"user_id").agg(min($"t").as("c_t"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"t" > $"c_t")
+      .groupBy($"user_id").agg(min($"t").as("p_t"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("name"), $"n_users")
+      .union(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("stage"), lit("click").as("name"), $"n_users"))
+      .union(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("stage"), lit("purchase").as("name"), $"n_users"))
+      .orderBy($"stage")
+  }
+
+  /** q78 — retention cohorts: users grouped by first-activity week,
+    * matrix of (cohort_week, activity_week, active users). Two
+    * aggregations and one join, all keyed on user_id / week — the
+    * cohort dimension never exceeds |weeks|², and the user table is
+    * touched once for the cohort assignment (partial+final min).
+    */
+  def q78_retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val act = load(spark, dir, "events")
+      .select($"user_id", unix_timestamp(date_trunc("week", $"ts")).as("week_s"))
+      .distinct()
+    val cohort = act.groupBy($"user_id").agg(min($"week_s").as("cohort_s"))
+    act.join(cohort, "user_id")
+      .groupBy($"cohort_s", $"week_s")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_s", $"week_s")
+  }
+
   /** Exact percentiles (linear interpolation — same formula as
     * DuckDB's quantile_cont), centi-rounded to absorb 1-ulp
     * interpolation differences.
@@ -470,6 +516,8 @@ object Analytics {
     "q37_sessionize" -> q37_sessionize,
     "q72_error_bursts" -> q72_error_bursts,
     "q76_global_rank" -> q76_global_rank,
+    "q77_funnel" -> q77_funnel,
+    "q78_retention" -> q78_retention,
     "q38_percentiles" -> q38_percentiles,
     "q64_sampled_quantiles" -> q64_sampled_quantiles,
     "q29_gtfs_time" -> q29_gtfs_time,
@@ -490,6 +538,26 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q77_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS t FROM events),
+        |v AS (SELECT user_id, MIN(t) AS v_t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(t) AS c_t FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND t > v_t GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(t) AS p_t FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND t > c_t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name,
+        |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        |ORDER BY stage""".stripMargin,
+    "q78_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |        CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s FROM events),
+        |co AS (SELECT user_id, MIN(week_s) AS cohort_s FROM a GROUP BY 1)
+        |SELECT co.cohort_s, a.week_s, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN co ON a.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q76_global_rank" ->
       """SELECT event_id, CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS ts_s,
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents,

@@ -195,9 +195,63 @@ object Similarity {
     * No DuckDB oracle (KMeans isn't SQL-portable) — LlmSpec checks
     * recall against the exact q26 answer.
     */
+  /** Lloyd's algorithm over a driver-resident sample (bounded by
+    * trainCap — never the corpus). Deterministic: splitmix-style LCG
+    * picks the initial centers, points assign to the first minimum,
+    * empty clusters keep their previous center.
+    */
+  private[llm] def localKMeans(points: Array[Array[Double]], k: Int,
+                               iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans needs a non-empty sample")
+    val dim = points.head.length
+    var rng = seed
+    def nextLong(): Long = {
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      rng
+    }
+    val centers = Array.tabulate(k)(_ =>
+      points(((nextLong() >>> 33) % points.length).toInt).clone())
+    val assign = new Array[Int](points.length)
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < points.length) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ctr = centers(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val v = points(p); val a = assign(p)
+        var j = 0
+        while (j < dim) { sums(a)(j) += v(j); j += 1 }
+        counts(a) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    centers
+  }
+
   def q34_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
@@ -213,14 +267,17 @@ object Similarity {
     // cap with limit(): Bernoulli sample alone could undershoot the
     // cap (pathologically below k) near the boundary.
     val corpusN = emb.count()
-    val feat = emb.withColumn("features", array_to_vector($"v")).select("features")
-    val train = if (corpusN <= trainCap) feat
+    val feat = emb.select($"v")
+    val train = (if (corpusN <= trainCap) feat
       else feat.sample(withReplacement = false,
-        math.min(1.0, 2.0 * trainCap / corpusN), seed = 7).limit(trainCap.toInt)
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(IvfCentroids).setSeed(7).setMaxIter(5).setInitMode("random")
-      .fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
+        math.min(1.0, 2.0 * trainCap / corpusN), seed = 7).limit(trainCap.toInt))
+      .as[Array[Double]].collect()
+    // Lloyd's on the driver: the sample is ≤ 4096 × 64 doubles (2 MB)
+    // and k·|sample|·dim·iters ≈ 20M flops — launching distributed ML
+    // jobs for that is pure scheduling overhead (measured ~2 s of the
+    // old q34 time). The cluster's job stays what it should be:
+    // assignment + rerank. Deterministic seed → stable lists.
+    val centers = localKMeans(train, IvfCentroids, iters = 5, seed = 7)
 
     // corpus side: inverted-list assignment as a native argmin over
     // the centroid literals — ||v−c||² = ||v||² − 2·v·c + ||c||², and

@@ -68,6 +68,55 @@ object ScaleOps {
                     leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Small-file compaction — the operational tax of every streaming /
+    * incremental sink (each micro-batch lands a file per partition;
+    * a year of 2-minute batches is 260k files whose open/seek cost
+    * dwarfs the data). Rewrites a parquet directory into
+    * ceil(totalBytes / targetFileBytes) files. File sizes come from
+    * the Hadoop FileSystem API (HDFS/S3-correct, never java.io);
+    * the rewrite is a scan + round-robin repartition (no keyed
+    * shuffle — compaction must not assume a layout) into a staging
+    * dir, swapped in only after success, so a crashed compaction
+    * leaves the original data untouched.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long, schemaDdl: String = null): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (dataFiles.size <= nOut) return dataFiles.size.toLong // already compact
+
+    val reader = if (schemaDdl == null) spark.read else spark.read.schema(schemaDdl)
+    val staging = new org.apache.hadoop.fs.Path(dir + "_compacting")
+    fs.delete(staging, true)
+    reader.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    // swap: the window without live data is the two renames, and the
+    // original survives any failure before the final rename
+    val retired = new org.apache.hadoop.fs.Path(dir + "_precompact")
+    fs.delete(retired, true)
+    require(fs.rename(path, retired), s"cannot retire $dir")
+    require(fs.rename(staging, path), s"cannot activate compacted $dir")
+    fs.delete(retired, true)
+    nOut.toLong
+  }
+
+  /** Cluster-for-skipping write: range-repartition + sort on the
+    * filter key before writing, so every parquet row group holds a
+    * narrow [min, max] of that key and point/range scans prune row
+    * groups from the footer stats alone — the poor man's Z-order for
+    * a single dimension, and the reason "sorted by the hot filter
+    * column" is table-layout advice at 100 TB.
+    */
+  def writeClustered(df: DataFrame, dir: String, key: String,
+                     numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(dir)
+
   /** Bloom runtime filter — the semi-join pruning pattern Spark's AQE
     * applies automatically for joins, exposed as a reusable operator
     * so any big-side scan (including ones feeding aggregations or

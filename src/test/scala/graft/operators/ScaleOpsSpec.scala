@@ -80,6 +80,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("compaction shrinks a many-small-files dir without changing its contents") {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+    val tmp = TestSpark.tempDir("compact") + "/events"
+    events.repartition(40).write.mode("overwrite").parquet(tmp)
+    def parquetFiles = new java.io.File(tmp).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 40)
+    val checksum = events.agg(sum($"event_id"), count(lit(1))).head()
+
+    ScaleOps.compact(spark, tmp, targetFileBytes = 64L * 1024 * 1024,
+      schemaDdl = "event_id LONG, user_id LONG, value DOUBLE")
+    assert(parquetFiles < before / 10, s"still $parquetFiles files")
+    val after = spark.read.schema("event_id LONG, user_id LONG, value DOUBLE")
+      .parquet(tmp).agg(sum($"event_id"), count(lit(1))).head()
+    assert(after == checksum, "compaction must be a pure rewrite")
+    // idempotent: already-compact dirs are left alone
+    val files = new java.io.File(tmp).listFiles().map(_.getName).sorted.toSeq
+    ScaleOps.compact(spark, tmp, targetFileBytes = 64L * 1024 * 1024,
+      schemaDdl = "event_id LONG, user_id LONG, value DOUBLE")
+    assert(new java.io.File(tmp).listFiles().map(_.getName).sorted.toSeq == files)
+  }
+
+  test("clustered write lets parquet row-group stats prune a point scan") {
+    import spark.implicits._
+    val n = 400000L
+    val wide = spark.range(n).select($"id".as("k"),
+      md5($"id".cast("string")).as("payload"))
+    val base = TestSpark.tempDir("cluster")
+
+    ScaleOps.writeClustered(wide, s"$base/clustered", "k", numFiles = 8)
+    wide.orderBy(rand(7)).coalesce(8) // same file count, shuffled layout
+      .write.mode("overwrite").parquet(s"$base/shuffled")
+
+    def scanRows(dir: String): Long = {
+      val q = spark.read.schema("k LONG, payload STRING").parquet(dir)
+        .filter($"k" === 123456L)
+      assert(q.count() == 1)
+      q.queryExecution.toRdd.count()
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .find(_.metrics.contains("numOutputRows")).get
+      scan.metrics("numOutputRows").value
+    }
+    val clustered = scanRows(s"$base/clustered")
+    val shuffled = scanRows(s"$base/shuffled")
+    // clustered: only the one row group whose [min,max] straddles the
+    // key survives; shuffled: every row group straddles every key
+    assert(clustered < n / 10,
+      s"clustered scan should prune to ~one row group, read $clustered rows")
+    assert(shuffled > clustered * 10,
+      s"shuffled layout must not prune (read $shuffled vs $clustered)")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // The runtime complement to saltedJoin: when a shuffle partition's

@@ -387,6 +387,35 @@ object Analytics {
       .orderBy($"cohort_s", $"week_s")
   }
 
+  /** q79 — time-series resample + gap-fill: project each user's
+    * purchase history onto an hourly grid between their first and
+    * last observation, forward-filling the last known value (the
+    * as-of resampling every feature/observability pipeline needs).
+    * The grid is a bounded `sequence` explode per user — fan-out is
+    * |user's span in hours|, never a cross join against a calendar
+    * table — and the fill is `last(ignoreNulls)` over a running frame
+    * partitioned by the high-cardinality user key.
+    */
+  def q79_gap_fill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_timestamp(date_trunc("hour", $"ts")).as("h"),
+        $"ts", $"event_id", cents($"value").as("cents"))
+    val wHour = Window.partitionBy($"user_id", $"h").orderBy($"ts".desc, $"event_id".desc)
+    val hv = p.withColumn("rn", row_number().over(wHour))
+      .filter($"rn" === 1).select($"user_id", $"h", $"cents")
+    val grid = p.groupBy($"user_id").agg(min($"h").as("mn"), max($"h").as("mx"))
+      .select($"user_id", explode(sequence($"mn", $"mx", lit(3600L))).as("h"))
+    val fill = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hv, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h".as("hour_s"),
+        last($"cents", ignoreNulls = true).over(fill).as("cents_filled"),
+        $"cents".isNotNull.as("observed"))
+      .orderBy($"user_id", $"hour_s")
+  }
+
   /** Exact percentiles (linear interpolation — same formula as
     * DuckDB's quantile_cont), centi-rounded to absorb 1-ulp
     * interpolation differences.
@@ -518,6 +547,7 @@ object Analytics {
     "q76_global_rank" -> q76_global_rank,
     "q77_funnel" -> q77_funnel,
     "q78_retention" -> q78_retention,
+    "q79_gap_fill" -> q79_gap_fill,
     "q38_percentiles" -> q38_percentiles,
     "q64_sampled_quantiles" -> q64_sampled_quantiles,
     "q29_gtfs_time" -> q29_gtfs_time,
@@ -538,6 +568,22 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q79_gap_fill" ->
+      """WITH p AS (SELECT user_id, CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+        |        ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |hv AS (SELECT user_id, h, cents FROM
+        |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h
+        |                ORDER BY ts DESC, event_id DESC) AS rn FROM p) WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM p GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS h FROM b),
+        |f AS (SELECT g.user_id, g.h, hv.cents FROM grid g
+        |      LEFT JOIN hv ON g.user_id = hv.user_id AND g.h = hv.h)
+        |SELECT user_id, h AS hour_s,
+        |  CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_filled,
+        |  (cents IS NOT NULL) AS observed
+        |FROM f ORDER BY user_id, hour_s""".stripMargin,
     "q77_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |        CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS t FROM events),

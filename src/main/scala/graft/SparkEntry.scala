@@ -40,6 +40,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Temporal.queries ++
+      graft.queries.Spatial.queries ++
       graft.operators.ScaleOps.queries ++
       graft.llm.Sketches.queries ++
       graft.llm.TextAnalysis.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.Temporal.oracle ++
+      graft.queries.Spatial.oracle ++
       graft.operators.ScaleOps.oracle ++
       graft.llm.Sketches.oracle ++
       graft.llm.TextAnalysis.oracle ++

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Spatial join via grid-cell bucketing — the "find pairs within
+  * distance R" operator (station proximity, stop clustering,
+  * geo-dedup) done the way it scales: bucket every point into an
+  * R-sized grid cell, explode ONE side to its 3×3 neighbor cells, and
+  * equi-join on the cell id — every pair within R must land in the
+  * same bucket (a point's R-ball fits in its neighbor set), so the
+  * join output is ~|near pairs| + cell-collision noise, never the
+  * |points|² cross product. Exact distance check on candidates only.
+  *
+  * Coordinates are derived md5-deterministically from user_id (the
+  * harness tables carry no geo columns), in INTEGER micro-degrees,
+  * and the distance test is the integer planar dx² + dy² ≤ R² — both
+  * engines compute the same pairs with zero float boundary risk (the
+  * haversine refinement at real scale changes only the verify
+  * expression, not the plan).
+  */
+object Spatial {
+
+  /** 60-bit engine-independent hash (see graft-verify-loop rules). */
+  private def h60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  final val CellMicroDeg = 8000000L // 8° grid = the search radius
+
+  def q80_spatial_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = load(spark, dir, "events")
+      .select($"user_id").distinct()
+      .select($"user_id",
+        (h60(concat(lit("lat_"), $"user_id")) % 160000000L).as("lat_u"),
+        (h60(concat(lit("lon_"), $"user_id")) % 360000000L).as("lon_u"))
+      .withColumn("cx", floor($"lon_u" / CellMicroDeg))
+      .withColumn("cy", floor($"lat_u" / CellMicroDeg))
+
+    // probe side visits its 3×3 neighborhood; build side stays put —
+    // the classic asymmetric fan-out keeping the join an equi-join
+    val probe = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"user_id".as("ua"), $"lat_u".as("la"), $"lon_u".as("lo_a"),
+        ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+    val build = pts.select($"user_id".as("ub"), $"lat_u".as("lb"),
+      $"lon_u".as("lo_b"), $"cx", $"cy")
+
+    val r2 = CellMicroDeg * CellMicroDeg
+    probe.join(build, Seq("cx", "cy"))
+      .filter($"ua" < $"ub")
+      .withColumn("d2",
+        ($"la" - $"lb") * ($"la" - $"lb") + ($"lo_a" - $"lo_b") * ($"lo_a" - $"lo_b"))
+      .filter($"d2" <= r2)
+      // a pair straddling a cell border is found from both neighbor
+      // probes — dedup on the pair key
+      .select($"ua", $"ub", $"d2").distinct()
+      .orderBy($"ua", $"ub")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_spatial_join" -> q80_spatial_join)
+
+  val oracle: Map[String, String] = Map(
+    "q80_spatial_join" ->
+      s"""WITH p AS (SELECT DISTINCT user_id FROM events),
+        |pts AS (SELECT user_id,
+        |    CAST('0x' || substring(md5('lat_' || user_id), 1, 15) AS BIGINT)
+        |      % 160000000 AS lat_u,
+        |    CAST('0x' || substring(md5('lon_' || user_id), 1, 15) AS BIGINT)
+        |      % 360000000 AS lon_u
+        |  FROM p)
+        |SELECT a.user_id AS ua, b.user_id AS ub,
+        |  CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        |     + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT) AS d2
+        |FROM pts a JOIN pts b ON a.user_id < b.user_id
+        |WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        |    + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+        |  <= ${CellMicroDeg * CellMicroDeg}
+        |ORDER BY ua, ub""".stripMargin)
+}

@@ -377,8 +377,12 @@ object Dedup {
           struct($"doc_a".as("u"), $"doc_b".as("v")),
           struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
         .select($"e.u", $"e.v"))
+    // Seed with round 1 fused into initialization: label(u) =
+    // min(u, min neighbor) — one groupBy replaces both the
+    // distinct-node pass and the first propagation round.
     var labels = graft.Caches.tracked(
-      edges.select($"u".as("node")).distinct().withColumn("label", $"node"))
+      edges.select($"u".as("node"), least($"u", $"v").as("label"))
+        .groupBy($"node").agg(min($"label").as("label")))
     // Convergence check by the label-sum invariant: min-label updates
     // only ever decrease a label, so the sum strictly decreases until
     // the fixpoint — one tiny aggregate per round instead of a join.

@@ -15,6 +15,13 @@ object ColumnGlue {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus — `SparkContext.listenerBus` is
+    * private[spark]; metric harvesting (graft.Observability) needs a
+    * deterministic flush before reading captured stats.
+    */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** DataFrame from a LogicalPlan — `Dataset.ofRows` is private[sql];
     * custom logical operators (graft.plans) need this bridge to hand
     * their plan back to the public API.

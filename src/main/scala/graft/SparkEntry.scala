@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.Spatial.queries ++
+      graft.queries.Graph.queries ++
       graft.operators.ScaleOps.queries ++
       graft.llm.Sketches.queries ++
       graft.llm.TextAnalysis.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       graft.queries.Analytics.oracle ++
       graft.queries.Temporal.oracle ++
       graft.queries.Spatial.oracle ++
+      graft.queries.Graph.oracle ++
       graft.operators.ScaleOps.oracle ++
       graft.llm.Sketches.oracle ++
       graft.llm.TextAnalysis.oracle ++

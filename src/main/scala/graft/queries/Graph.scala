@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Graph analytics over the co-purchase graph (parts co-ordered in
+  * one order = an edge) — the join-intensive workload family, done
+  * with the standard scale trick: DEGREE ORIENTATION. Orient every
+  * edge from its (degree, id)-smaller endpoint; each triangle then
+  * has exactly one pivot with two out-edges, so enumeration is
+  * out-wedges ⋈ closing-edge — and a vertex's out-degree is bounded
+  * by ~√(2·|E|) whatever its real degree, which caps the wedge
+  * fan-out a hub vertex can produce (the unoriented wedge join
+  * explodes quadratically on hubs; the oriented one cannot).
+  * Everything is equi-joins on vertex/edge keys — co-partitionable,
+  * no cartesian anywhere.
+  */
+object Graph {
+
+  def q81_triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Edge list built group-wise: one shuffle on the order key, pair
+    // fan-out inside each (tiny, ≤ 7 items) group, then one distinct
+    // on the BIT-PACKED pair key — replaces self-join + two distincts
+    // (and the double scan a self-join implies). Packed (p1<<32)|p2
+    // keys keep every downstream hash a fast single-long hash.
+    val edges = graft.Caches.tracked(
+      load(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+        .groupBy($"o").agg(collect_set($"p").as("ps"))
+        .as[(Long, Array[Long])]
+        .flatMap { case (_, ps) =>
+          val s = ps.sorted
+          for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
+            yield (s(i) << 32) | s(j)
+        }
+        .toDF("pk").distinct())
+
+    // degree table: |V| rows — ALWAYS tiny next to |E|; broadcast it
+    // so orientation never shuffles the edge list
+    val deg = edges
+      .select(explode(array(shiftright($"pk", 32),
+        $"pk".bitwiseAND(lit(0xffffffffL)))).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+    val nVertices = deg.count()
+    val nEdges = edges.count()
+
+    // orient u→v iff (deg(u), u) < (deg(v), v): each triangle then
+    // has exactly ONE pivot with two out-edges, and out-degree is
+    // bounded by ~√(2|E|) however hubby the vertex — the cap that
+    // keeps the wedge fan-out polynomial on skewed graphs
+    val oriented = graft.Caches.tracked(edges
+      .select(shiftright($"pk", 32).as("p1"),
+        $"pk".bitwiseAND(lit(0xffffffffL)).as("p2"))
+      .join(broadcast(deg.select($"p".as("p1"), $"d".as("d1"))), "p1")
+      .join(broadcast(deg.select($"p".as("p2"), $"d".as("d2"))), "p2")
+      .select(
+        when($"d1" < $"d2" || ($"d1" === $"d2" && $"p1" < $"p2"), $"p1")
+          .otherwise($"p2").as("u"),
+        when($"d1" < $"d2" || ($"d1" === $"d2" && $"p1" < $"p2"), $"p2")
+          .otherwise($"p1").as("v")))
+
+    // wedge at the pivot: two out-neighbors, canonical v1 < v2; the
+    // closing edge is exactly the canonical packed pair. The wedge
+    // stream is the big intermediate (Σ outdeg² — two orders past
+    // |E| on a dense graph); it must NEVER hit an exchange: the
+    // self-join shuffles only the |E|-sized oriented list on u, and
+    // the closing check probes a BROADCAST long-keyed edge set, so
+    // wedges flow map-side straight into the partial count. (Past
+    // broadcast reach: shuffle semi-join on pk, same plan minus the
+    // hint.)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .select(shiftleft($"e1.v", 32).bitwiseOR($"e2.v").as("pk"))
+    val nTri = wedges.join(broadcast(edges), Seq("pk"), "left_semi").count()
+
+    Seq((nVertices, nEdges, nTri)).toDF("n_vertices", "n_edges", "n_triangles")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_triangles" -> q81_triangles)
+
+  val oracle: Map[String, String] = Map(
+    "q81_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM (SELECT p1 AS p FROM e
+        |        UNION SELECT p2 FROM e)) AS BIGINT) AS n_vertices,
+        |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COUNT(*) FROM e e1
+        |        JOIN e e2 ON e1.p2 = e2.p1
+        |        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS BIGINT) AS n_triangles""".stripMargin)
+}

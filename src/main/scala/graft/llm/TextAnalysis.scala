@@ -449,7 +449,51 @@ object TextAnalysis {
       .select($"gram", $"n".cast("long").as("n"))
   }
 
+  final val HashDims = 64
+
+  /** q82 — hashing-trick bag-of-words embedding (feature hashing,
+    * Weinberger et al.): text → fixed-dim vector with NO model —
+    * every token hashes to a dimension and a ±1 sign, the vector is
+    * the signed token-count sum. The model-free featurization stage
+    * between cleaning and training (and the cheap input to the
+    * similarity/ANN operators when no learned embeddings exist).
+    * All-integer (counts × signs — no normalization inside), so both
+    * engines agree bit-for-bit; the md5-derived (dim, sign) is
+    * replayed by the oracle. One mapPartitions pass (per-row token
+    * loop — the measured HOF-interpretation rationale), then one
+    * partial+final sum on (doc, dim); emitted exploded as (doc_id,
+    * dim, val) rows, nonzero dims only.
+    */
+  def q82_hash_embedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val acc = new Array[Long](HashDims)
+          if (text != null) text.split(" ", -1).foreach { tok =>
+            md.reset()
+            val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var j = 0
+            while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            h = h >>> 4 // 60-bit, matches the engine-independent rule
+            val dim = (h % HashDims).toInt
+            val sign = if (((h >>> 6) & 1L) == 0L) 1L else -1L
+            acc(dim) += sign
+          }
+          acc.iterator.zipWithIndex.collect {
+            case (v, dim) if v != 0L => (id, dim.toLong, v)
+          }
+        }
+      }
+      .toDF("doc_id", "dim", "val")
+      .orderBy($"doc_id", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_hash_embedding" -> q82_hash_embedding,
     "q75_ngram_topk" -> q75_ngram_topk,
     "q65_token_pairs" -> q65_token_pairs,
     "q70_char_diversity" -> q70_char_diversity,
@@ -465,6 +509,15 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q82_hash_embedding" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv FROM t),
+         |s AS (SELECT doc_id, hv % $HashDims AS dim,
+         |    CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h)
+         |SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sgn) AS BIGINT) AS val
+         |FROM s GROUP BY doc_id, dim HAVING SUM(sgn) <> 0
+         |ORDER BY doc_id, dim""".stripMargin,
     "q75_ngram_topk" ->
       s"""WITH w AS (SELECT string_split(text, ' ') AS wl FROM documents),
          |g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(wl) - 2, 0)),

@@ -39,6 +39,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Analytics.queries ++
+      graft.queries.SqlSurface.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.Spatial.queries ++
       graft.queries.Graph.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Analytics.oracle ++
+      graft.queries.SqlSurface.oracle ++
       graft.queries.Temporal.oracle ++
       graft.queries.Spatial.oracle ++
       graft.queries.Graph.oracle ++

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{cents, load}
+
+/** SQL-surface operators the reference's warehouse dialect exposes and
+  * a migrating user would reach for on day one: distribution window
+  * functions, correlated subqueries (EXISTS + scalar), UNPIVOT/melt,
+  * and a skyline (Pareto-dominance) computed with windows instead of a
+  * quadratic self-join.
+  *
+  * Determinism rules per Tables.scala: cents-BIGINTs, basis-point
+  * longs, every window ordered with an id tie-break, ORDER BY on
+  * output keys.
+  */
+object SqlSurface {
+
+  /** q83 — distribution window functions: decile (NTILE), percent_rank
+    * and cume_dist of per-customer spend. One shuffle to aggregate on
+    * the high-cardinality customer key; the global ranking window runs
+    * on the |customers| aggregate, not the fact table — at 100 TB the
+    * fact scan is the cost and the window input is orders of magnitude
+    * smaller. Ranks are exact because the order includes the unique
+    * key tie-break (percent_rank over a tied order is engine-defined).
+    */
+  def q83_ntile_dist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("spend_cents"))
+    val w = Window.orderBy($"spend_cents".desc, $"o_custkey")
+    spend.select(
+        $"o_custkey", $"spend_cents",
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w) * 10000).cast("long").as("pr_bp"),
+        round(cume_dist().over(w) * 10000).cast("long").as("cd_bp"))
+      .orderBy($"o_custkey")
+  }
+
+  /** q84 — correlated subqueries, the declarative cousin of the
+    * explicit semi-join (q06) and aggregate-join (q03): an EXISTS
+    * filter plus a correlated scalar COUNT in the projection. Spark's
+    * analyzer decorrelates both into joins (RewriteCorrelatedScalarSubquery
+    * / RewritePredicateSubquery), so the executed plan is a left-semi
+    * plus an aggregate equi-join on the same customer key — verified
+    * here because a migrating user writes EXISTS, not joins.
+    */
+  def q84_exists_subquery(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |    AS n_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q85 — UNPIVOT/melt: wide per-group metrics into (group, metric,
+    * value) long form — the shape every metrics store and ML feature
+    * pipeline wants. The melt itself is a zero-shuffle Expand node
+    * (rows × |metrics|) over the already-aggregated frame; only the
+    * upstream aggregation shuffles.
+    */
+  def q85_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(cents($"l_extendedprice")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(
+        ids = Array($"l_returnflag"),
+        values = Array($"sum_qty", $"sum_price_cents", $"n_rows"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  /** q92 — skyline / Pareto frontier (minimize price, maximize size)
+    * without the quadratic dominance self-join: sort by price, then a
+    * part is dominated iff a strictly-cheaper part has size ≥ its own
+    * (RANGE window max over cheaper rows) or an equal-priced part has
+    * strictly larger size (per-price partition max). Two windows over
+    * one sort — O(n log n) and shuffle-free after the sort, where the
+    * naive NOT EXISTS is O(n²) pairs; at 100 TB the self-join is not
+    * runnable, the window form is.
+    */
+  def q92_skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = load(spark, dir, "part")
+      .select($"p_partkey", cents($"p_retailprice").as("price_cents"),
+        $"p_size".cast("long").as("p_size"))
+    val cheaper = Window.orderBy($"price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy($"price_cents")
+    p.withColumn("max_size_cheaper", max($"p_size").over(cheaper))
+      .withColumn("max_size_same", max($"p_size").over(samePrice))
+      .filter(
+        (col("max_size_cheaper").isNull || $"max_size_cheaper" < $"p_size") &&
+          $"max_size_same" === $"p_size")
+      .select($"p_partkey", $"price_cents", $"p_size")
+      .orderBy($"price_cents", $"p_partkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_ntile_dist" -> q83_ntile_dist,
+    "q84_exists_subquery" -> q84_exists_subquery,
+    "q85_unpivot" -> q85_unpivot,
+    "q92_skyline" -> q92_skyline)
+
+  val oracle: Map[String, String] = Map(
+    "q83_ntile_dist" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend_cents,
+        |  CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+        |  CAST(ROUND(PERCENT_RANK() OVER w * 10000) AS BIGINT) AS pr_bp,
+        |  CAST(ROUND(CUME_DIST() OVER w * 10000) AS BIGINT) AS cd_bp
+        |FROM spend WINDOW w AS (ORDER BY spend_cents DESC, o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+    "q84_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |    AS BIGINT) AS n_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q85_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q92_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size FROM part),
+        |m AS (SELECT *,
+        |    MAX(p_size) OVER (ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_size_cheaper,
+        |    MAX(p_size) OVER (PARTITION BY price_cents) AS max_size_same
+        |  FROM p)
+        |SELECT p_partkey, price_cents, p_size FROM m
+        |WHERE (max_size_cheaper IS NULL OR max_size_cheaper < p_size)
+        |  AND max_size_same = p_size
+        |ORDER BY price_cents, p_partkey""".stripMargin)
+}

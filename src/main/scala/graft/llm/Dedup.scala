@@ -417,7 +417,38 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q86 — blocked edit-distance (Levenshtein) near-dup: the fuzzy
+    * title/lead dedup every curation pipeline runs where token-set
+    * similarity (q23/q25) is too coarse — character-level edits, typo
+    * tolerance. Candidate generation is a co-partitioned equi-join on
+    * the (lang, leading token) block key plus a length-difference
+    * band; the O(k²) DP only ever runs on the bounded 48-char prefix
+    * of candidate pairs, never all pairs. At 100 TB a Zipf-hot leading
+    * token makes a skewed block — AQE skew-split or a second block
+    * token bounds it (same salting pattern as q67).
+    */
+  def q86_edit_distance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // prefix/block columns computed once BELOW the self-join: a
+    // self-join re-evaluates its child on both sides (perf pitfall)
+    val d = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        split($"text", " ").getItem(0).as("w1"),
+        substring($"text", 1, 48).as("pre")))
+    val a = d.select($"doc_id".as("a_id"), $"lang", $"w1",
+      $"n_chars".as("a_n"), $"pre".as("a_pre"))
+    val b = d.select($"doc_id".as("b_id"), $"lang", $"w1",
+      $"n_chars".as("b_n"), $"pre".as("b_pre"))
+    a.join(b, Seq("lang", "w1"))
+      .filter($"a_id" < $"b_id" && abs($"a_n" - $"b_n") <= 24)
+      .withColumn("dist", levenshtein($"a_pre", $"b_pre"))
+      .filter($"dist" <= 30)
+      .select($"a_id", $"b_id", $"dist".cast("long").as("dist"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_edit_distance" -> q86_edit_distance,
     "q23_minhash_dedup" -> q23_minhash_dedup,
     "q24_simhash_dedup" -> q24_simhash_dedup,
     "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked,
@@ -442,6 +473,16 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q86_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |        split_part(text, ' ', 1) AS w1, left(text, 48) AS pre
+        |      FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.w1 = b.w1
+        |  AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 24
+        |WHERE levenshtein(a.pre, b.pre) <= 30
+        |ORDER BY a_id, b_id""".stripMargin,
     "q23_minhash_dedup" ->
       s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
         |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)

@@ -492,7 +492,38 @@ object TextAnalysis {
       .orderBy($"doc_id", $"dim")
   }
 
+  /** q89 — vocabulary coverage curve: the top-40 tokens with their
+    * cumulative share of all token occurrences in basis points — the
+    * number a tokenizer-budget decision reads off ("how much of the
+    * corpus do the k most frequent types cover"). Scale shape: one
+    * partial+final count aggregation, then TakeOrdered pulls the
+    * top-40 (distributed heap, never a global sort of the vocab), and
+    * the cumulative window runs over those 40 rows only. The corpus
+    * total is the one scalar that crosses the driver.
+    */
+  def q89_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = load(spark, dir, "documents")
+      .select(explode(wsTokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n")).as[Long].head()
+    val top = counts.orderBy($"n".desc, $"token").limit(40)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"token")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"token"))
+        .cast("long"))
+      .withColumn("cum_bp",
+        round(lit(10000.0) * sum($"n").over(w) / total).cast("long"))
+      .select($"rank", $"token", $"n", $"cum_bp")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_vocab_coverage" -> q89_vocab_coverage,
     "q82_hash_embedding" -> q82_hash_embedding,
     "q75_ngram_topk" -> q75_ngram_topk,
     "q65_token_pairs" -> q65_token_pairs,
@@ -509,6 +540,19 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q89_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE len(tok) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS s FROM c),
+        |r AS (SELECT token, n,
+        |        ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+        |        SUM(n) OVER (ORDER BY n DESC, token
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, n,
+        |  CAST(ROUND(10000.0 * cum / (SELECT s FROM tot)) AS BIGINT) AS cum_bp
+        |FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
     "q82_hash_embedding" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |h AS (SELECT doc_id,

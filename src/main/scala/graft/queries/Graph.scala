@@ -78,10 +78,73 @@ object Graph {
     Seq((nVertices, nEdges, nTri)).toDF("n_vertices", "n_edges", "n_triangles")
   }
 
+  /** q87 — PageRank (3 synchronous iterations, d = 0.85) over the
+    * undirected co-purchase graph. Per iteration exactly ONE shuffle:
+    * the contribution aggregate on the destination key. The rank and
+    * degree vectors are |V|-sized — orders of magnitude under |E| —
+    * so both join map-side via broadcast; the |E|-sized edge list is
+    * built once (same group-wise fan-out as q81, no self-join) and
+    * persisted across iterations. No dangling mass: every vertex of a
+    * co-purchase graph has degree ≥ 1 by construction. On a cluster
+    * past broadcast reach the same plan runs with the edge list
+    * hash-partitioned on u and the rank vector co-partitioned — the
+    * shuffle count per iteration is unchanged.
+    */
+  def q87_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = graft.Caches.tracked(
+      load(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+        .groupBy($"o").agg(collect_set($"p").as("ps"))
+        .as[(Long, Array[Long])]
+        .flatMap { case (_, ps) =>
+          val s = ps.sorted
+          for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
+            yield (s(i) << 32) | s(j)
+        }
+        .toDF("pk").distinct())
+    val edges = graft.Caches.tracked(
+      und.select(shiftright($"pk", 32).as("u"),
+          $"pk".bitwiseAND(lit(0xffffffffL)).as("v"))
+        .union(und.select($"pk".bitwiseAND(lit(0xffffffffL)).as("u"),
+          shiftright($"pk", 32).as("v"))))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+    val n = deg.count().toDouble
+
+    var pr = deg.select($"u", lit(1.0 / n).as("pr"))
+    for (_ <- 1 to 3)
+      pr = edges
+        .join(broadcast(pr), "u").join(broadcast(deg), "u")
+        .groupBy($"v")
+        .agg(sum($"pr" / $"d").as("m"))
+        .select($"v".as("u"), (lit(0.15 / n) + lit(0.85) * $"m").as("pr"))
+    pr.select($"u".as("part"), round($"pr" * 1e8).cast("long").as("pr_e8"))
+      .orderBy($"part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q81_triangles" -> q81_triangles)
+    "q81_triangles" -> q81_triangles,
+    "q87_pagerank" -> q87_pagerank)
 
   val oracle: Map[String, String] = Map(
+    "q87_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p <> b.p GROUP BY 1, 2),
+        |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS c FROM deg),
+        |p0 AS (SELECT u, 1.0 / (SELECT c FROM n) AS pr FROM deg),
+        |p1 AS (SELECT e.v AS u, 0.15 / (SELECT c FROM n)
+        |         + 0.85 * SUM(p0.pr / deg.d) AS pr
+        |       FROM e JOIN p0 ON e.u = p0.u JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |p2 AS (SELECT e.v AS u, 0.15 / (SELECT c FROM n)
+        |         + 0.85 * SUM(p1.pr / deg.d) AS pr
+        |       FROM e JOIN p1 ON e.u = p1.u JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |p3 AS (SELECT e.v AS u, 0.15 / (SELECT c FROM n)
+        |         + 0.85 * SUM(p2.pr / deg.d) AS pr
+        |       FROM e JOIN p2 ON e.u = p2.u JOIN deg ON e.u = deg.u GROUP BY e.v)
+        |SELECT u AS part, CAST(ROUND(pr * 1e8) AS BIGINT) AS pr_e8
+        |FROM p3 ORDER BY part""".stripMargin,
     "q81_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2

@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.Spatial.queries ++
       graft.queries.Graph.queries ++
       graft.operators.ScaleOps.queries ++
+      graft.operators.DataQuality.queries ++
       graft.llm.Sketches.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       graft.queries.Spatial.oracle ++
       graft.queries.Graph.oracle ++
       graft.operators.ScaleOps.oracle ++
+      graft.operators.DataQuality.oracle ++
       graft.llm.Sketches.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++

@@ -92,32 +92,48 @@ object Graph {
     */
   def q87_pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = graft.Caches.tracked(
-      load(spark, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
-        .groupBy($"o").agg(collect_set($"p").as("ps"))
-        .as[(Long, Array[Long])]
-        .flatMap { case (_, ps) =>
-          val s = ps.sorted
-          for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
-            yield (s(i) << 32) | s(j)
-        }
-        .toDF("pk").distinct())
+    val und = load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+      .groupBy($"o").agg(collect_set($"p").as("ps"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (_, ps) =>
+        val s = ps.sorted
+        for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
+          yield (s(i) << 32) | s(j)
+      }
+      .toDF("pk").distinct()
+    // both directions in ONE pass over und: a self-union would run the
+    // whole (unpersisted) fan-out + distinct lineage once per branch
     val edges = graft.Caches.tracked(
-      und.select(shiftright($"pk", 32).as("u"),
-          $"pk".bitwiseAND(lit(0xffffffffL)).as("v"))
-        .union(und.select($"pk".bitwiseAND(lit(0xffffffffL)).as("u"),
-          shiftright($"pk", 32).as("v"))))
-    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+      und.select(explode(array(
+          struct(shiftright($"pk", 32).as("u"),
+            $"pk".bitwiseAND(lit(0xffffffffL)).as("v")),
+          struct($"pk".bitwiseAND(lit(0xffffffffL)).as("u"),
+            shiftright($"pk", 32).as("v")))).as("e"))
+        .select($"e.u", $"e.v")
+        // pre-partition on the destination key ONCE: the broadcast
+        // join is narrow, so every iteration's groupBy(v) reuses this
+        // partitioning — 3 aggregate exchanges become 0
+        .repartition($"v"))
+    val deg = graft.Caches.tracked(
+      edges.groupBy($"u").agg(count(lit(1)).as("d")))
     val n = deg.count().toDouble
 
+    // each iteration broadcasts ONE pre-divided |V|-vector (pr/deg),
+    // so the |E|-sized edge list sees a single map-side join before
+    // the destination-key aggregate — the iteration's only shuffle
     var pr = deg.select($"u", lit(1.0 / n).as("pr"))
-    for (_ <- 1 to 3)
-      pr = edges
-        .join(broadcast(pr), "u").join(broadcast(deg), "u")
+    for (_ <- 1 to 3) {
+      val contrib = pr.join(deg, "u").select($"u", ($"pr" / $"d").as("w"))
+      // persist each iterate: the broadcast exchange materializes its
+      // input EAGERLY per consumer, so an unpersisted pr re-runs every
+      // earlier iteration's aggregate once per remaining iteration
+      pr = graft.Caches.tracked(edges
+        .join(broadcast(contrib), "u")
         .groupBy($"v")
-        .agg(sum($"pr" / $"d").as("m"))
-        .select($"v".as("u"), (lit(0.15 / n) + lit(0.85) * $"m").as("pr"))
+        .agg(sum($"w").as("m"))
+        .select($"v".as("u"), (lit(0.15 / n) + lit(0.85) * $"m").as("pr")))
+    }
     pr.select($"u".as("part"), round($"pr" * 1e8).cast("long").as("pr_e8"))
       .orderBy($"part")
   }

@@ -609,7 +609,55 @@ object Analytics {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** q97 — rolling 7-day distinct users (rolling DAU/WAU): COUNT
+    * (DISTINCT) over a sliding frame, which no engine's window
+    * operator supports directly. The scalable formulation: reduce the
+    * stream to the distinct (day, user) set FIRST (one shuffle —
+    * typically orders of magnitude smaller than the event stream),
+    * then fan each day-user pair out to the ≤ 7 window anchors it
+    * contributes to (a bounded explode, the q79 grid idea), and
+    * count-distinct per anchor day. Fan-out is 7×|distinct pairs|,
+    * never 7×|events|.
+    */
+  def q97_rolling_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = 86400L
+    val du = load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select(unix_timestamp(date_trunc("day", $"ts")).as("d"), $"user_id")
+      .distinct()
+    val days = du.select($"d").distinct()
+    du.withColumn("anchor", explode(sequence($"d", $"d" + lit(6 * day), lit(day))))
+      .join(days.select($"d".as("anchor")), "anchor") // only real days
+      .groupBy($"anchor")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .select($"anchor".as("day_s"), $"users_7d")
+      .orderBy($"day_s")
+  }
+
+  /** q98 — dense reporting grid with zero-fill: every (day, event
+    * type) cell even when no event occurred — the shape dashboards
+    * and downstream diff jobs need. The cross join multiplies two
+    * BOUNDED dimension sets (days × types), never fact rows; actual
+    * counts left-join in and coalesce to zero.
+    */
+  def q98_dense_grid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select(unix_timestamp(date_trunc("day", $"ts")).as("d"), $"event_type")
+    val counts = e.groupBy($"d", $"event_type").agg(count(lit(1)).as("n"))
+    val days = e.select($"d").distinct()
+    val types = e.select($"event_type").distinct()
+    days.crossJoin(types)
+      .join(counts, Seq("d", "event_type"), "left")
+      .select($"d".as("day_s"), $"event_type",
+        coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"day_s", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_rolling_distinct" -> q97_rolling_distinct,
+    "q98_dense_grid" -> q98_dense_grid,
     "q57_topk_native" -> q57_topk_native,
     "q88_incremental_agg" -> q88_incremental_agg,
     "q90_group_sample" -> q90_group_sample,
@@ -643,6 +691,26 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q97_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT
+        |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS d, user_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |days AS (SELECT DISTINCT d FROM du),
+        |f AS (SELECT du.user_id, days.d AS anchor FROM du
+        |      JOIN days ON days.d BETWEEN du.d AND du.d + 6 * 86400)
+        |SELECT anchor AS day_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q98_dense_grid" ->
+      """WITH e AS (SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS d,
+        |        event_type FROM events),
+        |c AS (SELECT d, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT days.d AS day_s, types.event_type AS event_type,
+        |  COALESCE(c.n, 0) AS n
+        |FROM days CROSS JOIN types
+        |LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
+        |ORDER BY day_s, event_type""".stripMargin,
     "q88_incremental_agg" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -110,13 +110,62 @@ object SqlSurface {
       .orderBy($"price_cents", $"p_partkey")
   }
 
+  /** q95 — CUBE: all four aggregation levels of (returnflag,
+    * linestatus) in a single Expand pass (rows × 4) + one aggregate —
+    * completes the grouping family (q32 pivot, q33 rollup, q47
+    * grouping sets). GROUPING() disambiguates real NULLs from
+    * subtotal rows, encoded as the same lvl integer both engines
+    * compute.
+    */
+  def q95_cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("sum_qty"),
+        (grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+          .cast("int").as("lvl"))
+      .orderBy($"lvl", $"l_returnflag", $"l_linestatus")
+  }
+
+  /** q96 — ordered string aggregation (LISTAGG/string_agg): nations
+    * per region as a comma-joined, alphabetically-ordered list.
+    * Spark's collect_list is order-nondeterministic under parallelism,
+    * so the deterministic form is collect_list → sort_array →
+    * concat_ws — the sort happens per GROUP (bounded), never globally.
+    */
+  def q96_string_agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+      .orderBy($"r_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cube" -> q95_cube,
+    "q96_string_agg" -> q96_string_agg,
     "q83_ntile_dist" -> q83_ntile_dist,
     "q84_exists_subquery" -> q84_exists_subquery,
     "q85_unpivot" -> q85_unpivot,
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q95_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS lvl
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "q96_string_agg" ->
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q83_ntile_dist" ->
       """WITH spend AS (SELECT o_custkey,
         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents

@@ -138,11 +138,60 @@ object Graph {
       .orderBy($"part")
   }
 
+  /** q99 — market-basket association rules: support, confidence and
+    * lift for co-purchased part pairs (min support 3), top-20 by
+    * lift. Pair counts come from the same group-wise fan-out as q81
+    * (one shuffle on the basket key, never a fact self-join); the
+    * per-part counts are a |P|-sized vector joined back broadcast;
+    * the only scalar on the driver is the basket count. Lift keeps a
+    * fixed float expression tree (1e6 · n_ab · N, then one divide) so
+    * both engines round identically.
+    */
+  def q99_market_basket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Caches.tracked(load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+      .distinct())
+    val nBaskets = li.select($"o").distinct().count().toDouble
+    val partCounts = li.groupBy($"p").agg(count(lit(1)).as("n_p"))
+    val ab = li.groupBy($"o").agg(collect_set($"p").as("ps"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (_, ps) =>
+        val s = ps.sorted
+        for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
+          yield (s(i), s(j))
+      }
+      .toDF("pa", "pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    ab.join(broadcast(partCounts.select($"p".as("pa"), $"n_p".as("n_a"))), "pa")
+      .join(broadcast(partCounts.select($"p".as("pb"), $"n_p".as("n_b"))), "pb")
+      .select($"pa", $"pb", $"n_ab",
+        round(lit(10000) * $"n_ab" / $"n_a").cast("long").as("conf_bp"),
+        round(lit(1e6) * $"n_ab" * lit(nBaskets) / ($"n_a" * $"n_b"))
+          .cast("long").as("lift_e6"))
+      .orderBy($"lift_e6".desc, $"pa", $"pb").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_triangles" -> q81_triangles,
-    "q87_pagerank" -> q87_pagerank)
+    "q87_pagerank" -> q87_pagerank,
+    "q99_market_basket" -> q99_market_basket)
 
   val oracle: Map[String, String] = Map(
+    "q99_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT o) AS c FROM li),
+        |pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM li GROUP BY 1),
+        |ab AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pa, pb, n_ab,
+        |  CAST(ROUND(10000 * n_ab / na.n_p) AS BIGINT) AS conf_bp,
+        |  CAST(ROUND(1e6 * n_ab * CAST((SELECT c FROM n) AS DOUBLE)
+        |    / (na.n_p * nb.n_p)) AS BIGINT) AS lift_e6
+        |FROM ab JOIN pc na ON ab.pa = na.p JOIN pc nb ON ab.pb = nb.p
+        |ORDER BY lift_e6 DESC, pa, pb LIMIT 20""".stripMargin,
     "q87_pagerank" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a

@@ -655,7 +655,63 @@ object Analytics {
       .orderBy($"day_s", $"event_type")
   }
 
+  /** q100 — robust outlier detection (median / MAD): the
+    * distribution-free anomaly flag that survives the skew that wrecks
+    * mean/stddev z-scores. Two bounded stat passes — per-group median,
+    * then median absolute deviation — each a tiny aggregate broadcast
+    * back to the stream; the outlier test is a map-side comparison.
+    * Exact percentile is the deliberate choice here (the robust-stats
+    * contract); q64's mergeable sampled path is the open-scale
+    * variant when |group| exceeds sort reach.
+    */
+  def q100_robust_outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_type", cents($"value").as("c"))
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"c", lit(0.5)).as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed
+      .groupBy($"event_type")
+      .agg(percentile(abs($"c" - $"med"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        round(max($"med") * 100).cast("long").as("med_centi"),
+        round(max($"mad") * 100).cast("long").as("mad_centi"),
+        sum(when(abs($"c" - $"med") > $"mad" * 5, 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** q101 — time-weighted average (TWAP): per-user purchase value
+    * integrated over holding time — the observability/finance
+    * aggregate where arithmetic means lie. One lead() pass on the
+    * high-cardinality user key; the integral's numerator stays exact
+    * 64-bit (cents × seconds), one final double divide.
+    */
+  def q101_twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", epochS($"ts").as("t"), $"event_id", cents($"value").as("c"))
+      .withColumn("t_next", lead($"t", 1).over(w))
+      .filter($"t_next".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum($"c" * ($"t_next" - $"t")).as("num"),
+        sum($"t_next" - $"t").as("den"))
+      .filter($"den" > 0)
+      .select($"user_id", $"n_segments",
+        round(lit(100.0) * $"num" / $"den").cast("long").as("twap_centicents"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_robust_outliers" -> q100_robust_outliers,
+    "q101_twap" -> q101_twap,
     "q97_rolling_distinct" -> q97_rolling_distinct,
     "q98_dense_grid" -> q98_dense_grid,
     "q57_topk_native" -> q57_topk_native,
@@ -691,6 +747,36 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q100_robust_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med FROM ev GROUP BY 1),
+        |wm AS (SELECT ev.event_type, c, med FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(c - med), 0.5) AS mad
+        |        FROM wm GROUP BY 1)
+        |SELECT wm.event_type,
+        |  CAST(ROUND(MAX(med) * 100) AS BIGINT) AS med_centi,
+        |  CAST(ROUND(MAX(mad) * 100) AS BIGINT) AS mad_centi,
+        |  CAST(SUM(CASE WHEN abs(c - med) > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM wm JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_twap" ->
+      """WITH p AS (SELECT user_id,
+        |        CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS t,
+        |        event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+        |      FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, t, c,
+        |        LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t_next
+        |      FROM p),
+        |s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |        CAST(SUM(c * (t_next - t)) AS BIGINT) AS num,
+        |        CAST(SUM(t_next - t) AS BIGINT) AS den
+        |      FROM l WHERE t_next IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_segments,
+        |  CAST(ROUND(100.0 * num / den) AS BIGINT) AS twap_centicents
+        |FROM s WHERE den > 0 ORDER BY user_id""".stripMargin,
     "q97_rolling_distinct" ->
       """WITH du AS (SELECT DISTINCT
         |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS d, user_id

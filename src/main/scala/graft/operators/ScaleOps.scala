@@ -117,6 +117,52 @@ object ScaleOps {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(dir)
 
+  /** Bit-interleave two `bitsPer`-bit non-negative longs into a
+    * Z-order (Morton) curve value — pure Catalyst built-ins
+    * (shiftright / and / shiftleft / or), so the whole computation
+    * stays inside whole-stage codegen; no UDF.
+    */
+  def interleaveBits(a: Column, b: Column, bitsPer: Int): Column =
+    (0 until bitsPer).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Z-order clustered write: layout for tables filtered on EITHER of
+    * two keys. A single-key sort (writeClustered) gives perfect
+    * pruning on that key and none on any other; interleaving the two
+    * keys' bits makes file/row-group [min, max] ranges narrow in BOTH
+    * dimensions — a range filter on either column prunes most files
+    * from footer stats alone. This is the layout decision that turns
+    * a 100 TB "scan everything for the second access path" table into
+    * two prunable ones without storing it twice.
+    *
+    * Keys are normalized to 16-bit by linear min/max scaling (one tiny
+    * aggregate; the two scalars are the only driver values). Uniform
+    * synthetic data makes linear scaling exact; for skewed production
+    * keys substitute quantile-boundary bucketing — the curve logic is
+    * unchanged.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, keyA: String, keyB: String,
+                    numFiles: Int): Unit = {
+    val Array(r) = df.agg(
+      min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
+      min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).collect()
+    val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // `/` on longs is double division in Spark SQL — floor + cast
+    // keeps the bucket id integral for the bit ops
+    def to16(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else floor((c.cast("long") - lit(lo)) * lit(65535.0) / lit((hi - lo).toDouble))
+        .cast("long")
+    val z = interleaveBits(
+      to16(col(keyA), aMin, aMax), to16(col(keyB), bMin, bMax), 16)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Bloom runtime filter — the semi-join pruning pattern Spark's AQE
     * applies automatically for joins, exposed as a reusable operator
     * so any big-side scan (including ones feeding aggregations or

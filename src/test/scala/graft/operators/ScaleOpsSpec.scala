@@ -178,4 +178,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("z-order layout prunes range scans on BOTH dimensions; linear sort only on one") {
+    import spark.implicits._
+    val n = 400000L
+    // two independent uniform 16-bit dims + incompressible payload
+    val pts = spark.range(n).select(
+      (graft.Tables.cents(lit(0)) + ($"id" * 48271L) % 65536L).as("x"),
+      (($"id" * 69621L + 11L) % 65536L).as("y"),
+      md5($"id".cast("string")).as("payload"))
+    val base = TestSpark.tempDir("zorder")
+    ScaleOps.writeZOrdered(pts, s"$base/z", "x", "y", numFiles = 32)
+    ScaleOps.writeClustered(pts, s"$base/linear", "x", numFiles = 32)
+
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.schema("x LONG, y LONG, payload STRING").parquet(dir)
+        .filter(pred)
+      q.queryExecution.toRdd.count()
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .find(_.metrics.contains("numOutputRows")).get
+      scan.metrics("numOutputRows").value
+    }
+    // 1/16-span range on each dimension
+    val zX = scanRows(s"$base/z", $"x".between(1000L, 5095L))
+    val zY = scanRows(s"$base/z", $"y".between(1000L, 5095L))
+    val linX = scanRows(s"$base/linear", $"x".between(1000L, 5095L))
+    val linY = scanRows(s"$base/linear", $"y".between(1000L, 5095L))
+    // linear-by-x: near-perfect on x, no pruning on y
+    assert(linX < n / 8, s"linear layout should prune x scans, read $linX")
+    assert(linY > n * 9 / 10, s"linear layout cannot prune y, read $linY")
+    // z-order: substantial pruning on BOTH dimensions. 32 files give
+    // the curve 5 leading bits = 8 x-splits × 4 y-splits, so a
+    // 1/16-span scan reads ~1/8 on x and ~1/4 (+ boundary files) on y
+    assert(zX < n * 3 / 10, s"z-order should prune x scans, read $zX")
+    assert(zY < n * 2 / 5, s"z-order should prune y scans, read $zY")
+    assert(zY * 2 < linY, s"z-order y pruning must beat linear ($zY vs $linY)")
+  }
 }

@@ -37,7 +37,8 @@ object Bench {
       val t0 = System.nanoTime()
       try drive(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      Caches.releaseAll() // drop intra-query persisted frames between queries
+      // blocking: eviction must not overlap the next query's timing
+      Caches.releaseAll(blocking = true)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

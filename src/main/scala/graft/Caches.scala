@@ -20,12 +20,15 @@ object Caches {
     df
   }
 
-  /** Unpersist every tracked frame (non-blocking) and clear the
-    * registry. Safe to call between queries: by then the consuming
-    * action has materialized the query's result.
+  /** Unpersist every tracked frame and clear the registry. Safe to
+    * call between queries: by then the consuming action has
+    * materialized the query's result. Pass `blocking = true` when the
+    * caller times the NEXT query (Bench): lazy eviction otherwise
+    * overlaps the next measurement and inflates it (measured: q68 at
+    * 4.8s mid-suite vs 1.2s solo).
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     var df = live.poll()
-    while (df != null) { df.unpersist(blocking = false); df = live.poll() }
+    while (df != null) { df.unpersist(blocking); df = live.poll() }
   }
 }

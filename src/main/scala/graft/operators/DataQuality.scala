@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.load
+import graft.Tables.{cents, load}
 
 /** Declarative data-quality audit (Deequ-style, reduced to its Spark
   * core): a rule set evaluated in ONE scan of the audited table —
@@ -87,9 +87,72 @@ object DataQuality {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q102 — one-pass table profiling (Deequ/Glue-crawler analog):
+    * per-column row count, null count, exact distinct count, min/max,
+    * and mode (most frequent value, tie-broken by value). The melt is
+    * an Expand (rows × |columns|, zero shuffle); all stats then hang
+    * off two aggregations keyed by column name / (column, value).
+    * Columns are profiled through a canonical string rendering;
+    * floats go through the cents cast first because float→string
+    * rendering is NOT engine-portable (the one profiling gotcha).
+    */
+  def q102_profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = load(spark, dir, "customer").select(
+      $"c_custkey".cast("string").as("c_custkey"),
+      $"c_name", $"c_nationkey".cast("string").as("c_nationkey"),
+      cents($"c_acctbal").cast("string").as("c_acctbal_cents"),
+      $"c_mktsegment")
+    val cols = c.columns
+    val melted = graft.Caches.tracked(c.unpivot(
+      Array.empty[org.apache.spark.sql.Column],
+      cols.map(col), "col_name", "val"))
+    val stats = melted.groupBy($"col_name").agg(
+      count(lit(1)).as("n"),
+      sum(when($"val".isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct($"val").as("n_distinct"),
+      min($"val").as("min_s"), max($"val").as("max_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"col_name").orderBy($"cnt".desc, $"val")
+    val mode = melted.filter($"val".isNotNull)
+      .groupBy($"col_name", $"val").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"col_name", $"val".as("top_value"), $"cnt".as("top_count"))
+    stats.join(mode, Seq("col_name"), "left")
+      .orderBy($"col_name")
+  }
+
+  /** q103 — snapshot diff (CDC reconciliation): classify every key
+    * across two table versions as added / removed / changed /
+    * unchanged with ONE co-partitioned full-outer join on the
+    * high-cardinality key. At 100 TB the change test compares a
+    * single row-hash column computed at scan (not N wide columns) —
+    * here the payload is one value, which is its own hash. Both
+    * versions derive deterministically from the same snapshot so the
+    * oracle can replay them.
+    */
+  def q103_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+      .select($"o_orderkey".as("k"), cents($"o_totalprice").as("c"))
+    val base = o.filter($"k" % 10 =!= 0).select($"k", $"c".as("v1"))
+    val next = o.filter($"k" % 7 =!= 0)
+      .select($"k", ($"c" + when($"k" % 5 === 0, 1000L).otherwise(0L)).as("v2"))
+    base.join(next, Seq("k"), "full_outer")
+      .select(
+        when($"v1".isNull, "added")
+          .when($"v2".isNull, "removed")
+          .when($"v1" =!= $"v2", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_quality_checks" -> q93_quality_checks,
-    "q94_sparse_cosine" -> q94_sparse_cosine)
+    "q94_sparse_cosine" -> q94_sparse_cosine,
+    "q102_profile" -> q102_profile,
+    "q103_snapshot_diff" -> q103_snapshot_diff)
 
   val oracle: Map[String, String] = Map(
     "q93_quality_checks" ->
@@ -111,6 +174,42 @@ object DataQuality {
         |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
         |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT))
         |ORDER BY rule""".stripMargin,
+    "q102_profile" ->
+      """WITH m AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS val FROM customer
+        |  UNION ALL SELECT 'c_name', c_name FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_acctbal_cents',
+        |    CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer),
+        |stats AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+        |    MIN(val) AS min_s, MAX(val) AS max_s
+        |  FROM m GROUP BY 1),
+        |mode AS (SELECT col_name, val AS top_value, cnt AS top_count FROM (
+        |    SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY col_name
+        |        ORDER BY COUNT(*) DESC, val) AS rn
+        |    FROM m WHERE val IS NOT NULL GROUP BY col_name, val)
+        |  WHERE rn = 1)
+        |SELECT stats.col_name AS col_name, n, n_nulls, n_distinct, min_s, max_s,
+        |  top_value, top_count
+        |FROM stats LEFT JOIN mode ON stats.col_name = mode.col_name
+        |ORDER BY col_name""".stripMargin,
+    "q103_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |base AS (SELECT k, c AS v1 FROM o WHERE k % 10 <> 0),
+        |nxt AS (SELECT k, c + CASE WHEN k % 5 = 0 THEN 1000 ELSE 0 END AS v2
+        |        FROM o WHERE k % 7 <> 0),
+        |d AS (SELECT CASE WHEN v1 IS NULL THEN 'added'
+        |             WHEN v2 IS NULL THEN 'removed'
+        |             WHEN v1 <> v2 THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM base FULL OUTER JOIN nxt USING (k))
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q94_sparse_cosine" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |        unnest(string_split(text, ' ')) AS tok FROM documents),

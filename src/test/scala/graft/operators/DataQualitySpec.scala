@@ -59,4 +59,29 @@ class DataQualitySpec extends AnyFunSuite {
     } yield (aId, bId, math.round(cos * 1e6))).toSet
     assert(got == naive)
   }
+
+  test("q102: every column profiles the full table; mode count <= distinct mass") {
+    val rows = DataQuality.q102_profile(spark, dir).collect()
+    val n = graft.Tables.load(spark, dir, "customer").count()
+    graft.Caches.releaseAll()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(1) == n))
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= n + r.getLong(2)) // nulls+distinct sane
+      assert(r.getLong(7) >= 1L)                              // mode exists
+    }
+  }
+
+  test("q103: statuses partition the key universe of both versions") {
+    import spark.implicits._
+    val got = DataQuality.q103_snapshot_diff(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.Tables.load(spark, dir, "orders").select($"o_orderkey".as("k"))
+    val nBase = o.filter($"k" % 10 =!= 0).count()
+    val nNext = o.filter($"k" % 7 =!= 0).count()
+    val nBoth = o.filter($"k" % 10 =!= 0 && $"k" % 7 =!= 0).count()
+    assert(got.getOrElse("removed", 0L) == nBase - nBoth)
+    assert(got.getOrElse("added", 0L) == nNext - nBoth)
+    assert(got.getOrElse("changed", 0L) + got.getOrElse("unchanged", 0L) == nBoth)
+  }
 }

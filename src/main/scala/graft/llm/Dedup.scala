@@ -447,7 +447,34 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q106 — canonical document selection: dedup that keeps the BEST
+    * copy, not the first one. Composes the verified cores — MinHash-
+    * LSH pairs (q23) → connected components (q52) → quality score
+    * (q21) — then one ranking window per cluster picks the canonical
+    * survivor (highest quality, doc_id tie-break); singletons are
+    * their own canonical. This is the curation step that turns "these
+    * are duplicates" into "keep exactly this one": every stage is an
+    * equi-join or a window on the cluster key, nothing all-pairs.
+    */
+  def q106_canonical_docs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val labels = connectedComponents(minhashPairs(docs.select($"doc_id", $"text")))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    val q = docs.select($"doc_id", TextAnalysis.qualityBp($"text").as("q_bp"))
+    val member = docs.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"q_bp".desc, $"doc_id")
+    member.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select($"cluster_id", $"doc_id", $"q_bp", ($"rn" === 1).as("canonical"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_canonical_docs" -> q106_canonical_docs,
     "q86_edit_distance" -> q86_edit_distance,
     "q23_minhash_dedup" -> q23_minhash_dedup,
     "q24_simhash_dedup" -> q24_simhash_dedup,
@@ -473,6 +500,31 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q106_canonical_docs" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |              / len(list_distinct(a.sh || b.sh))) >= 5000),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        |q AS (SELECT doc_id, ${TextAnalysis.QualityBpSql} AS q_bp FROM documents),
+        |member AS (SELECT documents.doc_id,
+        |    COALESCE(cl.cluster_id, documents.doc_id) AS cluster_id
+        |  FROM documents LEFT JOIN cl ON documents.doc_id = cl.doc_id),
+        |r AS (SELECT member.cluster_id, member.doc_id, q.q_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY member.cluster_id
+        |      ORDER BY q.q_bp DESC, member.doc_id) AS rn
+        |  FROM member JOIN q ON member.doc_id = q.doc_id)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id,
+        |  CAST(q_bp AS BIGINT) AS q_bp, (rn = 1) AS canonical
+        |FROM r ORDER BY cluster_id, doc_id""".stripMargin,
     "q86_edit_distance" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,
         |        split_part(text, ' ', 1) AS w1, left(text, 48) AS pre

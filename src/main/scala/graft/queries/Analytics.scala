@@ -709,7 +709,55 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** q104 — group-wise least-squares trend (slope/intercept): is each
+    * event type's value drifting over time? Computed from the five
+    * algebraic sums (n, Σx, Σy, Σxy, Σx²) — one partial+final
+    * aggregate, mergeable across any partitioning, the same shape
+    * DuckDB's regr_slope uses. All sums stay exact 64-bit (x = days
+    * since epoch, y = cents); the only floats are the two final
+    * divides, in a fixed expression tree. Slope is cents/day ×1e6.
+    */
+  def q104_trend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_type",
+        (epochS($"ts") / lit(86400L)).cast("long").as("x"),
+        cents($"value").as("y"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        round(lit(1e6) * ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).cast("long").as("slope_e6"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").cast("long")
+          .as("intercept_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** q105 — period-over-period comparison (WoW deltas): weekly sums
+    * per event type with previous-week lag and change in basis
+    * points — the dashboard staple. The lag window runs over the tiny
+    * (type, week) aggregate, never the event stream.
+    */
+  def q105_week_over_week(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = load(spark, dir, "events")
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("week", $"ts")).as("week_s"))
+      .agg(sum(cents($"value")).as("sum_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"week_s")
+    wk.withColumn("prev_cents", lag($"sum_cents", 1).over(w))
+      .withColumn("delta_bp",
+        when($"prev_cents".isNotNull && $"prev_cents" =!= 0,
+          round(lit(10000.0) * ($"sum_cents" - $"prev_cents") / $"prev_cents")
+            .cast("long")))
+      .orderBy($"event_type", $"week_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_trend" -> q104_trend,
+    "q105_week_over_week" -> q105_week_over_week,
     "q100_robust_outliers" -> q100_robust_outliers,
     "q101_twap" -> q101_twap,
     "q97_rolling_distinct" -> q97_rolling_distinct,
@@ -747,6 +795,32 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q104_trend" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(FLOOR(epoch(date_trunc('second', ts)) / 86400) AS BIGINT) AS x,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS y FROM events),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM ev GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (n * sxx - sx * sx)) AS BIGINT) AS slope_e6,
+        |  CAST(ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (n * sxx - sx * sx) * sx) / n) AS BIGINT) AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q105_week_over_week" ->
+      """WITH wk AS (SELECT event_type,
+        |    CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, LAG(sum_cents) OVER
+        |        (PARTITION BY event_type ORDER BY week_s) AS prev_cents FROM wk)
+        |SELECT event_type, week_s, sum_cents, prev_cents,
+        |  CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+        |       THEN CAST(ROUND(10000.0 * (sum_cents - prev_cents) / prev_cents)
+        |            AS BIGINT) END AS delta_bp
+        |FROM l ORDER BY event_type, week_s""".stripMargin,
     "q100_robust_outliers" ->
       """WITH ev AS (SELECT event_type,
         |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),

@@ -24,6 +24,10 @@ object SqlSurface {
     * fact scan is the cost and the window input is orders of magnitude
     * smaller. Ranks are exact because the order includes the unique
     * key tie-break (percent_rank over a tied order is engine-defined).
+    * When even the aggregate outgrows one partition, the same outputs
+    * come from q76's range+zipWithIndex global rank (ntile = rank·k/n)
+    * — this form is the readable default, that one is the escape
+    * hatch.
     */
   def q83_ntile_dist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -85,27 +89,64 @@ object SqlSurface {
   }
 
   /** q92 — skyline / Pareto frontier (minimize price, maximize size)
-    * without the quadratic dominance self-join: sort by price, then a
-    * part is dominated iff a strictly-cheaper part has size ≥ its own
-    * (RANGE window max over cheaper rows) or an equal-priced part has
-    * strictly larger size (per-price partition max). Two windows over
-    * one sort — O(n log n) and shuffle-free after the sort, where the
-    * naive NOT EXISTS is O(n²) pairs; at 100 TB the self-join is not
-    * runnable, the window form is.
+    * without the quadratic dominance self-join AND without the
+    * single-partition `Window.orderBy` funnel: range-partition by
+    * price (equal prices land in one partition; later partitions hold
+    * strictly greater prices), then the q76 two-phase pattern — each
+    * partition reports its max size (one tiny collect of
+    * |partitions| longs), the prefix-max of those seeds a per-
+    * partition linear scan that marks a part dominated iff a
+    * strictly-cheaper part has size ≥ its own or an equal-priced part
+    * has strictly larger size. O(n log n), every partition works
+    * independently — the plan a 1000-executor cluster can run, where
+    * both the NOT EXISTS (O(n²)) and the global window (one reducer)
+    * cannot.
     */
   def q92_skyline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = load(spark, dir, "part")
-      .select($"p_partkey", cents($"p_retailprice").as("price_cents"),
-        $"p_size".cast("long").as("p_size"))
-    val cheaper = Window.orderBy($"price_cents")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val samePrice = Window.partitionBy($"price_cents")
-    p.withColumn("max_size_cheaper", max($"p_size").over(cheaper))
-      .withColumn("max_size_same", max($"p_size").over(samePrice))
-      .filter(
-        (col("max_size_cheaper").isNull || $"max_size_cheaper" < $"p_size") &&
-          $"max_size_same" === $"p_size")
+    val sorted = graft.Caches.tracked(load(spark, dir, "part")
+      .select(cents($"p_retailprice").as("price_cents"),
+        $"p_size".cast("long").as("p_size"), $"p_partkey")
+      .repartitionByRange(32, $"price_cents")
+      .sortWithinPartitions($"price_cents", $"p_partkey"))
+    def rdd = sorted.as[(Long, Long, Long)].rdd
+    // phase 1: per-partition max size — |partitions| longs to the driver
+    val partMax = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = it.foldLeft(Long.MinValue) { case (acc, (_, sz, _)) => math.max(acc, sz) }
+        Iterator.single(pid -> m)
+      }
+      .collect().toMap
+    val nParts = partMax.keySet.foldLeft(0)((a, b) => math.max(a, b + 1))
+    val prefix = Array.fill(math.max(nParts, 1))(Long.MinValue)
+    for (pid <- 1 until nParts)
+      prefix(pid) = math.max(prefix(pid - 1), partMax.getOrElse(pid - 1, Long.MinValue))
+    // phase 2: linear scan per partition, seeded with the max size of
+    // all strictly-cheaper partitions; buffer one price group at a
+    // time for the equal-price tie rule
+    val survivors = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var prefixMax = prefix(pid)
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long)] {
+        private var group: Iterator[(Long, Long, Long)] = Iterator.empty
+        private def refill(): Unit = {
+          while (!group.hasNext && buf.hasNext) {
+            val price = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            while (buf.hasNext && buf.head._1 == price) rows += buf.next()
+            val groupMax = rows.iterator.map(_._2).max
+            val pm = prefixMax // capture BEFORE update: filter is lazy
+            group = rows.iterator.filter { case (_, sz, _) =>
+              pm < sz && groupMax == sz
+            }
+            prefixMax = math.max(prefixMax, groupMax)
+          }
+        }
+        def hasNext: Boolean = { refill(); group.hasNext }
+        def next(): (Long, Long, Long) = { refill(); group.next() }
+      }
+    }
+    survivors.toDF("price_cents", "p_size", "p_partkey")
       .select($"p_partkey", $"price_cents", $"p_size")
       .orderBy($"price_cents", $"p_partkey")
   }

@@ -32,7 +32,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${plan.take(1200)}")
   }
 
-  test("q92: window skyline equals the quadratic NOT EXISTS answer") {
+  test("q92: two-phase range-partitioned skyline equals the quadratic NOT EXISTS answer") {
     import spark.implicits._
     val got = SqlSurface.q92_skyline(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

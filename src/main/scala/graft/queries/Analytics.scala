@@ -571,7 +571,11 @@ object Analytics {
     * engines — the property a 100 TB pipeline needs for debuggable
     * eval sets (a true reservoir sample differs per execution). The
     * hash is the engine-independent 60-bit md5 prefix used across this
-    * library (Spark conv == DuckDB 0x-cast).
+    * library (Spark conv == DuckDB 0x-cast). Though written as the
+    * standard row_number()≤k window idiom, RankLimitRewrite plans it
+    * as PartialTopK→FinalTopK bounded heaps (spec-pinned) — per-group
+    * state is k rows however large the group, so the sample scales to
+    * arbitrarily hot groups.
     */
   def q90_group_sample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -26,6 +26,13 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("q90: the row_number<=k idiom plans as bounded TopK heaps, not a window sort") {
+    val plan = Analytics.q90_group_sample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"), plan.take(900))
+    assert(!plan.contains("Window"), plan.take(900))
+  }
+
   test("q90: sample is identical across two independent executions") {
     val a = Analytics.q90_group_sample(spark, dir).collect().toSeq
     val b = Analytics.q90_group_sample(spark, dir).collect().toSeq

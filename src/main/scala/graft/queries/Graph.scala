@@ -173,12 +173,66 @@ object Graph {
       .orderBy($"lift_e6".desc, $"pa", $"pb").limit(20)
   }
 
+  /** q107 — bounded-hop BFS: co-purchase distance from a seed part
+    * (min part id, 3 hops) — the "blast radius" / related-items
+    * traversal. Each hop is one equi-join of the |E| edge list
+    * against the broadcast distance vector plus a min-aggregate;
+    * distances only shrink, so the iteration is monotone (same
+    * convergence argument as q52's components). Output is the reach
+    * histogram: parts first reached at each depth. A frontier-delta
+    * variant (join only newly-discovered nodes) is the constant-
+    * factor optimization at diameter scale; the plan shape per hop is
+    * identical.
+    */
+  def q107_bfs_hops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+      .groupBy($"o").agg(collect_set($"p").as("ps"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (_, ps) =>
+        val s = ps.sorted
+        for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
+          yield (s(i) << 32) | s(j)
+      }
+      .toDF("pk").distinct()
+    val edges = graft.Caches.tracked(
+      und.select(explode(array(
+          struct(shiftright($"pk", 32).as("u"),
+            $"pk".bitwiseAND(lit(0xffffffffL)).as("v")),
+          struct($"pk".bitwiseAND(lit(0xffffffffL)).as("u"),
+            shiftright($"pk", 32).as("v")))).as("e"))
+        .select($"e.u", $"e.v"))
+    val seed = edges.agg(min(least($"u", $"v"))).as[Long].head()
+    var dist = Seq((seed, 0L)).toDF("p", "d")
+    for (h <- 1 to 3)
+      dist = graft.Caches.tracked(
+        edges.join(broadcast(dist), $"u" === $"p")
+          .select($"v".as("p"), lit(h.toLong).as("d"))
+          .unionByName(dist)
+          .groupBy($"p").agg(min($"d").as("d")))
+    dist.groupBy($"d").agg(count(lit(1)).as("n_parts")).orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_triangles" -> q81_triangles,
     "q87_pagerank" -> q87_pagerank,
-    "q99_market_basket" -> q99_market_basket)
+    "q99_market_basket" -> q99_market_basket,
+    "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q107_bfs_hops" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p <> b.p GROUP BY 1, 2),
+        |seed AS (SELECT MIN(LEAST(u, v)) AS s FROM e),
+        |reach(p, d) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.v, r.d + 1 FROM reach r JOIN e ON e.u = r.p WHERE r.d < 3),
+        |m AS (SELECT p, MIN(d) AS d FROM reach GROUP BY 1)
+        |SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT o) AS c FROM li),

@@ -186,7 +186,28 @@ object SqlSurface {
       .orderBy($"r_name")
   }
 
+  /** q108 — correlated LATERAL join: "top-2 orders per customer"
+    * written the way SQL users write it — a per-row subquery with
+    * ORDER BY + LIMIT. Spark's analyzer plans the correlation as a
+    * join and the per-key limit as a ranking filter (the same family
+    * RankLimitRewrite targets), so the executed plan is set-based,
+    * not nested-loop-per-customer.
+    */
+  def q108_lateral(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_lateral" -> q108_lateral,
     "q95_cube" -> q95_cube,
     "q96_string_agg" -> q96_string_agg,
     "q83_ntile_dist" -> q83_ntile_dist,
@@ -195,6 +216,14 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q108_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
+        |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin,
     "q95_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -87,6 +87,18 @@ object UpsertSink {
       case vs => Some(spark.read.schema(snapshotDdl).parquet(s"$tableDir/v=${vs.max}"))
     }
 
+  /** Time travel: read the table as of `version` — the newest
+    * committed snapshot ≤ the requested version (the Delta/Iceberg
+    * `VERSION AS OF` contract). Bounded by `retainVersions`: pruned
+    * history returns None, never a silently-wrong newer snapshot.
+    */
+  def snapshotAsOf(spark: SparkSession, tableDir: String,
+                   version: Long): Option[DataFrame] =
+    versions(spark, tableDir).filter(_ <= version) match {
+      case Nil => None
+      case vs => Some(spark.read.schema(snapshotDdl).parquet(s"$tableDir/v=${vs.max}"))
+    }
+
   /** Fold one epoch into the store (exposed for the spec's replay
     * test). Reading the previous version and overwriting `v=epochId`
     * is idempotent under sink-side replay: max(v < epochId) is the

@@ -86,4 +86,23 @@ class UpsertSinkSpec extends AnyFunSuite {
     val vs = new java.io.File(table).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
     assert(vs.toSeq == Seq("v=1", "v=2"))
   }
+
+  test("snapshotAsOf time-travels to the newest version <= requested; pruned history is None") {
+    val table = TestSpark.tempDir("upsert_asof")
+    UpsertSink.commitEpoch(spark, table, 0L,
+      eventsDf(Seq((1L, ts(10, 0), 1L, 1.0))), retainVersions = 10)
+    UpsertSink.commitEpoch(spark, table, 2L,
+      eventsDf(Seq((2L, ts(11, 0), 1L, 2.0))), retainVersions = 10)
+    def valAt(v: Long): Option[Long] =
+      UpsertSink.snapshotAsOf(spark, table, v)
+        .map(_.collect().map(r => r.getLong(3)).max)
+    assert(valAt(0L) == Some(100L))            // exact version
+    assert(valAt(1L) == Some(100L))            // gap -> newest <= requested
+    assert(valAt(5L) == Some(200L))            // future -> latest
+    assert(UpsertSink.snapshotAsOf(spark, table, -1L).isEmpty)
+    // pruning drops v=0: as-of 0 must be None, not silently v=2
+    UpsertSink.commitEpoch(spark, table, 3L,
+      eventsDf(Seq((3L, ts(12, 0), 2L, 3.0))), retainVersions = 2)
+    assert(UpsertSink.snapshotAsOf(spark, table, 0L).isEmpty)
+  }
 }

@@ -59,4 +59,29 @@ class NormalizeTextSpec extends AnyFunSuite {
       .select(NormalizeText.normalizeText($"text")).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("property: equivalence holds on arbitrary unicode strings (500 cases)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    val charGen: Gen[Char] = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      4 -> Gen.const(' '),
+      3 -> Gen.oneOf("!@#$%^&*()_+-=[]{};:'\"|,.<>/?~`".toSeq),
+      2 -> Gen.oneOf("\u00e9\u00e0\u00fc\u00c9\u00c0\u00dc\u0153\u0152\u00df\u0130\u01c4".toSeq),
+      2 -> Gen.oneOf("\u65e5\u672c\u8a9e\u4e2d\u6587".toSeq),
+      1 -> Gen.oneOf("\t\n\r".toSeq),
+      1 -> Gen.choose(0x20.toChar, 0x7e.toChar))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    // batch the property inputs through ONE dataframe per run for speed
+    val inputs = Gen.listOfN(500, strGen).sample.get
+    val rows = inputs.toDF("text")
+      .withColumn("fast", NormalizeText.normalizeText($"text"))
+      .withColumn("slow", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
+      .collect()
+    val bad = rows.filter(r => r.getString(1) != r.getString(2))
+    assert(bad.isEmpty, bad.take(3).map(r =>
+      s"input='${r.getString(0)}' fast='${r.getString(1)}' slow='${r.getString(2)}'").mkString("; "))
+  }
 }

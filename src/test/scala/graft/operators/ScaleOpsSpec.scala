@@ -214,4 +214,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zY < n * 2 / 5, s"z-order should prune y scans, read $zY")
     assert(zY * 2 < linY, s"z-order y pruning must beat linear ($zY vs $linY)")
   }
+
+  test("interleaveBits matches a reference Morton encoding on random 16-bit pairs") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val pairs = Gen.listOfN(300,
+      Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))).sample.get
+    val got = pairs.toDF("a", "b")
+      .select(ScaleOps.interleaveBits($"a", $"b", 16).as("z"))
+      .as[Long].collect()
+    pairs.zip(got).foreach { case ((a, b), z) =>
+      assert(z == ref(a, b), s"interleave($a, $b) = $z != ${ref(a, b)}")
+    }
+    // monotone in each coordinate with the other fixed (the property
+    // that makes per-dimension range scans contiguous-ish on the curve)
+    pairs.sliding(2).foreach {
+      case Seq((a1, b1), _) =>
+        assert(ref(a1, b1) <= ref(a1 + 1, b1) || a1 == 65535L)
+        assert(ref(a1, b1) <= ref(a1, b1 + 1) || b1 == 65535L)
+      case _ =>
+    }
+  }
 }

@@ -759,7 +759,21 @@ object Analytics {
       .orderBy($"event_type", $"week_s")
   }
 
+  /** q109 — tumbling event-time windows in batch: the EXACT transform
+    * the streaming path runs (graft.streaming.WindowedCounts.transform
+    * — Structured Streaming's batch/stream unification), driven
+    * through the correctness gate. `window()` compiles to a bucket projection
+    * + plain aggregate; no state, no sort.
+    */
+  def q109_tumbling_windows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.WindowedCounts
+      .transform(load(spark, dir, "events"), "10 minutes")
+      .orderBy($"window_s", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_tumbling_windows" -> q109_tumbling_windows,
     "q104_trend" -> q104_trend,
     "q105_week_over_week" -> q105_week_over_week,
     "q100_robust_outliers" -> q100_robust_outliers,
@@ -799,6 +813,12 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q109_tumbling_windows" ->
+      """SELECT CAST(FLOOR(epoch(date_trunc('second', ts)) / 600) * 600 AS BIGINT)
+        |    AS window_s,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY window_s, event_type""".stripMargin,
     "q104_trend" ->
       """WITH ev AS (SELECT event_type,
         |        CAST(FLOOR(epoch(date_trunc('second', ts)) / 86400) AS BIGINT) AS x,

@@ -138,12 +138,72 @@ object Temporal {
       .orderBy($"k")
   }
 
+  /** q110 — sweep-line peak concurrency: the maximum number of
+    * lineitems simultaneously in transit per supplier nation
+    * (interval = shipdate → shipdate + a deterministic per-line
+    * transit duration; the harness lineitem has no receiptdate). The classic interval-overlap question
+    * without sorting events globally: intervals reduce to per-(nation,
+    * day) +start/−end deltas in ONE aggregate over the fact scan, the
+    * cumulative sum runs over the BOUNDED (nation × days) delta table,
+    * and the peak is a plain max — no global-order window ever touches
+    * fact rows. Ties on the peak resolve to the earliest day.
+    */
+  def q110_peak_concurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name",
+        unix_timestamp(date_trunc("day", $"l_shipdate")).as("d0"),
+        (unix_timestamp(date_trunc("day", $"l_shipdate"))
+          + ($"l_linenumber" % 14 + 1) * 86400L).as("d1"))
+    val deltas = li
+      .select($"n_name", explode(array(
+        struct($"d0".as("day_s"), lit(1L).as("delta")),
+        struct($"d1".as("day_s"), lit(-1L).as("delta")))).as("e"))
+      .groupBy($"n_name", $"e.day_s").agg(sum($"e.delta").as("delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"n_name").orderBy($"day_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val active = deltas.withColumn("active", sum($"delta").over(w))
+    val byPeak = org.apache.spark.sql.expressions.Window
+      .partitionBy($"n_name").orderBy($"active".desc, $"day_s")
+    active.withColumn("rn", row_number().over(byPeak)).filter($"rn" === 1)
+      .select($"n_name", $"active".as("peak_active"), $"day_s".as("peak_day_s"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_peak_concurrency" -> q110_peak_concurrency,
     "q60_interval_join" -> q60_interval_join,
     "q61_scd2_pit" -> q61_scd2_pit,
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q110_peak_concurrency" ->
+      """WITH li AS (SELECT n_name,
+        |    CAST(FLOOR(epoch(date_trunc('day', l_shipdate))) AS BIGINT) AS d0,
+        |    CAST(FLOOR(epoch(date_trunc('day', l_shipdate)))
+        |      + (l_linenumber % 14 + 1) * 86400 AS BIGINT) AS d1
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |deltas AS (
+        |  SELECT n_name, day_s, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        |    SELECT n_name, d0 AS day_s, 1 AS delta FROM li
+        |    UNION ALL SELECT n_name, d1, -1 FROM li)
+        |  GROUP BY 1, 2),
+        |act AS (SELECT n_name, day_s,
+        |    SUM(delta) OVER (PARTITION BY n_name ORDER BY day_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |  FROM deltas),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+        |        ORDER BY active DESC, day_s) AS rn FROM act)
+        |SELECT n_name, CAST(active AS BIGINT) AS peak_active,
+        |  day_s AS peak_day_s
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin,
     "q69_merge_upsert" ->
       s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
          |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),

@@ -522,7 +522,45 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** q111 — BPE-style merge induction: the tokenizer-training core
+    * run distributed. Each round counts adjacent token pairs (one
+    * partial+final aggregate over the corpus), takes the most
+    * frequent pair (deterministic (n desc, x, y) tie-break — the ONLY
+    * driver-resident values are the learned merges, which are vocab
+    * metadata by definition), and applies the merge corpus-wide as a
+    * pure map (string replace; identical non-overlapping left-to-
+    * right semantics in both engines). Two rounds here; the per-round
+    * plan is what scales — pair counting shuffles (x, y) partials,
+    * never token streams, and application is shuffle-free.
+    */
+  def q111_bpe_merges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var tx = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", concat(lit(" "), $"text", lit(" ")).as("tx")))
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (rank <- 1 to 2) {
+      val (x, y, n) = tx
+        .select(split(trim($"tx"), " ").as("sp"))
+        .filter(size($"sp") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(sp) - 2), i -> struct(sp[i] AS x, sp[i+1] AS y))"))
+          .as("p"))
+        .groupBy($"p.x", $"p.y").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"x", $"y").limit(1)
+        .as[(String, String, Long)].head()
+      val next = graft.Caches.tracked(tx.select($"doc_id",
+        expr(s"replace(tx, ' $x $y ', ' ${x}_$y ')").as("tx")))
+      val tokensAfter = next
+        .select(sum(size(split(trim($"tx"), " ")))).as[Long].head()
+      out += ((rank.toLong, x, y, n, tokensAfter))
+      tx = next
+    }
+    out.result().toDF("rank", "x", "y", "n_pairs", "tokens_after")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_bpe_merges" -> q111_bpe_merges,
     "q89_vocab_coverage" -> q89_vocab_coverage,
     "q82_hash_embedding" -> q82_hash_embedding,
     "q75_ngram_topk" -> q75_ngram_topk,
@@ -540,6 +578,32 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q111_bpe_merges" ->
+      """WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS tx FROM documents),
+        |p1 AS (SELECT sp[i] AS x, sp[i+1] AS y, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT string_split(trim(tx), ' ') AS sp,
+        |      unnest(generate_series(1, greatest(len(string_split(trim(tx), ' ')) - 1, 0))) AS i
+        |    FROM t0) GROUP BY 1, 2),
+        |m1 AS (SELECT x, y, n FROM p1 ORDER BY n DESC, x, y LIMIT 1),
+        |t1 AS (SELECT doc_id, replace(tx,
+        |         ' ' || (SELECT x FROM m1) || ' ' || (SELECT y FROM m1) || ' ',
+        |         ' ' || (SELECT x FROM m1) || '_' || (SELECT y FROM m1) || ' ') AS tx FROM t0),
+        |p2 AS (SELECT sp[i] AS x, sp[i+1] AS y, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT string_split(trim(tx), ' ') AS sp,
+        |      unnest(generate_series(1, greatest(len(string_split(trim(tx), ' ')) - 1, 0))) AS i
+        |    FROM t1) GROUP BY 1, 2),
+        |m2 AS (SELECT x, y, n FROM p2 ORDER BY n DESC, x, y LIMIT 1),
+        |t2 AS (SELECT doc_id, replace(tx,
+        |         ' ' || (SELECT x FROM m2) || ' ' || (SELECT y FROM m2) || ' ',
+        |         ' ' || (SELECT x FROM m2) || '_' || (SELECT y FROM m2) || ' ') AS tx FROM t1)
+        |SELECT CAST(1 AS BIGINT) AS rank, (SELECT x FROM m1) AS x,
+        |  (SELECT y FROM m1) AS y, (SELECT n FROM m1) AS n_pairs,
+        |  CAST((SELECT SUM(len(string_split(trim(tx), ' '))) FROM t1) AS BIGINT)
+        |    AS tokens_after
+        |UNION ALL
+        |SELECT 2, (SELECT x FROM m2), (SELECT y FROM m2), (SELECT n FROM m2),
+        |  CAST((SELECT SUM(len(string_split(trim(tx), ' '))) FROM t2) AS BIGINT)
+        |ORDER BY rank""".stripMargin,
     "q89_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n

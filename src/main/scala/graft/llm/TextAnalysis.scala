@@ -559,7 +559,36 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** q112 — rare-bigram rate: the share (bp) of each document's
+    * adjacent token pairs that occur at most once corpus-wide — the
+    * integer-exact stand-in for LM-perplexity filtering (disfluent
+    * text is made of bigrams nobody else writes; no logs, no model).
+    * One pair fan-out feeds BOTH the corpus count and the per-doc
+    * score: count the (x, y) aggregate once, join it back to the
+    * per-doc pair stream on the bigram key, aggregate per doc. The
+    * corpus count table is vocab²-bounded and joins as the build side;
+    * nothing all-pairs, nothing driver-side.
+    */
+  def q112_rare_bigram_rate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("sp"))
+      .filter(size($"sp") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i+1]))"))
+        .as("bg")))
+    val corpus = pairs.groupBy($"bg").agg(count(lit(1)).as("cn"))
+    pairs.join(corpus, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"cn" <= 1, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_bp",
+        round(lit(10000.0) * $"n_rare" / $"n_bigrams").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_rare_bigram_rate" -> q112_rare_bigram_rate,
     "q111_bpe_merges" -> q111_bpe_merges,
     "q89_vocab_coverage" -> q89_vocab_coverage,
     "q82_hash_embedding" -> q82_hash_embedding,
@@ -578,6 +607,18 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q112_rare_bigram_rate" ->
+      """WITH p AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS bg FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS sp,
+        |      unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0))) AS i
+        |    FROM documents)),
+        |c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cn FROM p GROUP BY 1),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN cn <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM p JOIN c USING (bg) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_rare,
+        |  CAST(ROUND(10000.0 * n_rare / n_bigrams) AS BIGINT) AS rare_bp
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q111_bpe_merges" ->
       """WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS tx FROM documents),
         |p1 AS (SELECT sp[i] AS x, sp[i+1] AS y, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -772,7 +772,31 @@ object Analytics {
       .orderBy($"window_s", $"event_type")
   }
 
+  /** q113 — winsorized mean: clamp each group's values to its
+    * [p5, p95] band, then average — the outlier-robust mean that
+    * keeps sample size (unlike trimming). Same two-pass shape as
+    * q100: a bounded percentile aggregate broadcasts back, the clamp
+    * is map-side, one final aggregate. Output in centicents so the
+    * interpolated clamp survives engine-exact rounding.
+    */
+  def q113_winsorized_mean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_type", cents($"value").as("c"))
+    val bands = ev.groupBy($"event_type")
+      .agg(percentile($"c", lit(0.05)).as("lo"),
+        percentile($"c", lit(0.95)).as("hi"))
+    ev.join(broadcast(bands), "event_type")
+      .select($"event_type",
+        least(greatest($"c".cast("double"), $"lo"), $"hi").as("w"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"w") * 100).cast("long").as("wmean_centi"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_winsorized_mean" -> q113_winsorized_mean,
     "q109_tumbling_windows" -> q109_tumbling_windows,
     "q104_trend" -> q104_trend,
     "q105_week_over_week" -> q105_week_over_week,
@@ -813,6 +837,16 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q113_winsorized_mean" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT event_type, quantile_cont(c, 0.05) AS lo,
+        |        quantile_cont(c, 0.95) AS hi FROM ev GROUP BY 1)
+        |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(AVG(LEAST(GREATEST(CAST(c AS DOUBLE), lo), hi)) * 100)
+        |    AS BIGINT) AS wmean_centi
+        |FROM ev JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q109_tumbling_windows" ->
       """SELECT CAST(FLOOR(epoch(date_trunc('second', ts)) / 600) * 600 AS BIGINT)
         |    AS window_s,

@@ -60,10 +60,70 @@ object Spatial {
       .orderBy($"ua", $"ub")
   }
 
+  /** q114 — spatial kNN (k = 3 within the grid radius): same 3×3
+    * grid candidate generation as q80 — the R-ball guarantee means
+    * every neighbor within R is a candidate — then a per-point
+    * ranking that RankLimitRewrite plans as bounded TopK heaps
+    * (k rows of state per point, never a per-point sort). Neighbors
+    * beyond R are out of scope by contract: at open scale kNN
+    * without a radius bound is a different (multi-ring expansion)
+    * operator.
+    */
+  def q114_spatial_knn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = load(spark, dir, "events")
+      .select($"user_id").distinct()
+      .select($"user_id",
+        (h60(concat(lit("lat_"), $"user_id")) % 160000000L).as("lat_u"),
+        (h60(concat(lit("lon_"), $"user_id")) % 360000000L).as("lon_u"))
+      .withColumn("cx", floor($"lon_u" / CellMicroDeg))
+      .withColumn("cy", floor($"lat_u" / CellMicroDeg))
+    val probe = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"user_id".as("ua"), $"lat_u".as("la"), $"lon_u".as("lo_a"),
+        ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+    val build = pts.select($"user_id".as("ub"), $"lat_u".as("lb"),
+      $"lon_u".as("lo_b"), $"cx", $"cy")
+    val r2 = CellMicroDeg * CellMicroDeg
+    val cands = probe.join(build, Seq("cx", "cy"))
+      .filter($"ua" =!= $"ub")
+      .withColumn("d2",
+        ($"la" - $"lb") * ($"la" - $"lb") + ($"lo_a" - $"lo_b") * ($"lo_a" - $"lo_b"))
+      .filter($"d2" <= r2)
+      .select($"ua", $"ub", $"d2").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ua").orderBy($"d2", $"ub")
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"ua", $"rank", $"ub", $"d2")
+      .orderBy($"ua", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q80_spatial_join" -> q80_spatial_join)
+    "q80_spatial_join" -> q80_spatial_join,
+    "q114_spatial_knn" -> q114_spatial_knn)
 
   val oracle: Map[String, String] = Map(
+    "q114_spatial_knn" ->
+      s"""WITH p AS (SELECT DISTINCT user_id FROM events),
+        |pts AS (SELECT user_id,
+        |    CAST('0x' || substring(md5('lat_' || user_id), 1, 15) AS BIGINT)
+        |      % 160000000 AS lat_u,
+        |    CAST('0x' || substring(md5('lon_' || user_id), 1, 15) AS BIGINT)
+        |      % 360000000 AS lon_u
+        |  FROM p),
+        |cand AS (SELECT a.user_id AS ua, b.user_id AS ub,
+        |    CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        |       + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT) AS d2
+        |  FROM pts a JOIN pts b ON a.user_id <> b.user_id
+        |  WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        |      + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+        |    <= ${CellMicroDeg * CellMicroDeg}),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ua ORDER BY d2, ub) AS rank
+        |      FROM cand)
+        |SELECT ua, CAST(rank AS BIGINT) AS rank, ub, d2
+        |FROM r WHERE rank <= 3 ORDER BY ua, rank""".stripMargin,
     "q80_spatial_join" ->
       s"""WITH p AS (SELECT DISTINCT user_id FROM events),
         |pts AS (SELECT user_id,

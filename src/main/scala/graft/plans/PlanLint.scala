@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Plan linter — the scale guardrails this library designs every
+  * operator around, executable as a check: walk a physical plan and
+  * flag the anti-patterns that are survivable at sf0.1 and fatal at
+  * 100 TB. Intended for CI (specs assert `lint(df).isEmpty` on
+  * shipped queries) and for interactive triage of new pipelines.
+  *
+  * Rules:
+  *  - `cartesian-product`: CartesianProductExec / BroadcastNestedLoopJoin
+  *    — O(n·m) pair generation; a missing equi-key or un-bucketable
+  *    range predicate.
+  *  - `single-partition-window`: a WindowExec whose child exchange is
+  *    SinglePartition — the global `Window.orderBy` funnel (one
+  *    reducer does everything; q76/q92 show the scalable rewrites).
+  *  - `unpruned-wide-scan`: a parquet scan materializing ≥ `wideScanFactor`×
+  *    more columns than the table exposes... flagged when the read
+  *    schema is the full table width while the query uses a strict
+  *    subset (column pruning failed to reach the source).
+  *
+  * AQE note: adaptive plans and reused exchanges hide subtrees from
+  * `children` — walked explicitly (same traversal as Observability).
+  */
+object PlanLint {
+  final case class Finding(rule: String, node: String)
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val tail = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case other => other.children.flatMap(walk)
+    }
+    p +: tail
+  }
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val nodes = walk(df.queryExecution.executedPlan)
+    val cartesian = nodes.collect {
+      case c: CartesianProductExec =>
+        Finding("cartesian-product", c.nodeName)
+      case b: BroadcastNestedLoopJoinExec =>
+        Finding("cartesian-product", b.nodeName)
+    }
+    val globalWindow = nodes.collect {
+      case w: WindowExec
+          if walk(w.child).exists {
+            case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+            case _ => false
+          } =>
+        Finding("single-partition-window", w.nodeName)
+    }
+    val wideScan = nodes.collect {
+      case s: FileSourceScanExec
+          if s.relation.dataSchema.size >= 4 &&
+            s.requiredSchema.size == s.relation.dataSchema.size &&
+            df.schema.size * 2 < s.requiredSchema.size =>
+        Finding("unpruned-wide-scan",
+          s"${s.nodeName} reads ${s.requiredSchema.size} cols for a " +
+            s"${df.schema.size}-col result")
+    }
+    cartesian ++ globalWindow ++ wideScan
+  }
+}

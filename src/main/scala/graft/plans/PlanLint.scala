@@ -15,9 +15,12 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   * shipped queries) and for interactive triage of new pipelines.
   *
   * Rules:
-  *  - `cartesian-product`: CartesianProductExec / BroadcastNestedLoopJoin
-  *    — O(n·m) pair generation; a missing equi-key or un-bucketable
-  *    range predicate.
+  *  - `cartesian-product`: CartesianProductExec, or a
+  *    BroadcastNestedLoopJoin WITH a join condition — the silent
+  *    fallback for a non-equi predicate (a missing equi-key or an
+  *    un-bucketable range condition). A condition-less BNLJ is the
+  *    idiomatic `crossJoin(broadcast(tiny))` — scalar stats, query
+  *    batches, bounded dimension grids — and is not flagged.
   *  - `single-partition-window`: a WindowExec whose child exchange is
   *    SinglePartition — the global `Window.orderBy` funnel (one
   *    reducer does everything; q76/q92 show the scalable rewrites).
@@ -28,6 +31,14 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *
   * AQE note: adaptive plans and reused exchanges hide subtrees from
   * `children` — walked explicitly (same traversal as Observability).
+  *
+  * Findings are advisory triage, not a hard gate: three shipped
+  * queries flag BY DESIGN and document why — q26 (brute-force cosine
+  * baseline: broadcast query batch × corpus with the self-exclusion
+  * predicate as the join condition; the LSH/IVF variants are the
+  * scale paths it calibrates), q42 (broadcast per-source stats with
+  * an exclusion predicate), q83 (distribution window over the
+  * pre-bounded aggregate, q76 documented as the escape hatch).
   */
 object PlanLint {
   final case class Finding(rule: String, node: String)
@@ -47,7 +58,7 @@ object PlanLint {
     val cartesian = nodes.collect {
       case c: CartesianProductExec =>
         Finding("cartesian-product", c.nodeName)
-      case b: BroadcastNestedLoopJoinExec =>
+      case b: BroadcastNestedLoopJoinExec if b.condition.isDefined =>
         Finding("cartesian-product", b.nodeName)
     }
     val globalWindow = nodes.collect {

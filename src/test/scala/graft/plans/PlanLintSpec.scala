@@ -9,12 +9,15 @@ class PlanLintSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("flags a cartesian product") {
+  test("flags a non-equi join fallback; tolerates crossJoin(broadcast(tiny))") {
     import spark.implicits._
     val a = Seq(1, 2, 3).toDF("x")
     val b = Seq(4, 5).toDF("y")
-    val findings = PlanLint.lint(a.crossJoin(b))
-    assert(findings.exists(_.rule == "cartesian-product"), findings)
+    // non-equi predicate → BroadcastNestedLoopJoin WITH a condition
+    val fallback = PlanLint.lint(a.join(b, $"x" < $"y"))
+    assert(fallback.exists(_.rule == "cartesian-product"), fallback)
+    // the idiomatic bounded cross join is accepted
+    assert(PlanLint.lint(a.crossJoin(broadcast(b))).isEmpty)
   }
 
   test("flags the global Window.orderBy single-partition funnel") {

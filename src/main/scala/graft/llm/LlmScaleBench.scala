@@ -121,6 +121,9 @@ object LlmScaleBench {
       "mixture_rates" -> (() => drive(q("q42_mixture_rates"))),
       "stratified_sample" -> (() => drive(q("q41_stratified_sample"))),
       "shard_pack" -> (() => drive(q("q45_shard_pack"))),
+      "vocab_coverage" -> (() => drive(q("q89_vocab_coverage"))),
+      "bpe_merges" -> (() => drive(q("q111_bpe_merges"))),
+      "rare_bigram_rate" -> (() => drive(q("q112_rare_bigram_rate"))),
       "ann_exact" -> (() => drive(q("q26_ann_topk"))),
       "ann_lsh" -> (() => drive(q("q27_ann_lsh"))),
       "embedding_neardup" -> (() => drive(q("q30_embedding_neardup"))),

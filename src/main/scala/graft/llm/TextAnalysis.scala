@@ -577,7 +577,9 @@ object TextAnalysis {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i+1]))"))
         .as("bg")))
-    val corpus = pairs.groupBy($"bg").agg(count(lit(1)).as("cn"))
+    // the count table is vocab²-bounded — broadcast it so the 50×-
+    // larger pair stream never shuffles on the string bigram key
+    val corpus = broadcast(pairs.groupBy($"bg").agg(count(lit(1)).as("cn")))
     pairs.join(corpus, "bg")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -589,7 +589,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** q116 — dataset-level vocabulary overlap: Jaccard similarity of
+    * the distinct-token sets of every source pair — the corpus-mixing
+    * diagnostic ("are these two crawls the same distribution?") at
+    * dataset granularity rather than q23's document granularity. The
+    * (source, token) set is one distinct aggregate; intersections come
+    * from an inverted self-join on the token (each token contributes
+    * its source-pair combinations, Σ df(t)² bounded by |sources|² per
+    * token); set sizes broadcast back. All-integer until the final
+    * basis-point division.
+    */
+  def q116_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"source", explode(wsTokens($"text")).as("tok"))
+      .filter(length($"tok") > 0)
+      .distinct())
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("sz"))
+    val inter = st.select($"source".as("sa"), $"tok")
+      .join(st.select($"source".as("sb"), $"tok"), "tok")
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select($"source".as("sa"), $"sz".as("za"))), "sa")
+      .join(broadcast(sizes.select($"source".as("sb"), $"sz".as("zb"))), "sb")
+      .select($"sa", $"sb", $"i",
+        round(lit(10000) * $"i" / ($"za" + $"zb" - $"i")).cast("long").as("j_bp"))
+      .orderBy($"sa", $"sb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_source_overlap" -> q116_source_overlap,
     "q112_rare_bigram_rate" -> q112_rare_bigram_rate,
     "q111_bpe_merges" -> q111_bpe_merges,
     "q89_vocab_coverage" -> q89_vocab_coverage,
@@ -609,6 +639,18 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q116_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS z FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+        |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT sa, sb, i.i AS i,
+        |  CAST(ROUND(10000 * i.i / (za.z + zb.z - i.i)) AS BIGINT) AS j_bp
+        |FROM i JOIN sz za ON i.sa = za.source JOIN sz zb ON i.sb = zb.source
+        |ORDER BY sa, sb""".stripMargin,
     "q112_rare_bigram_rate" ->
       """WITH p AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS bg FROM (
         |    SELECT doc_id, string_split(text, ' ') AS sp,

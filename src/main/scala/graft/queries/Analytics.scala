@@ -795,7 +795,37 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** q115 — chi-square test of independence between two categorical
+    * columns (market segment × order priority): the contingency table
+    * is one aggregate over the joined facts; marginals and the
+    * statistic derive from that |segments|×|priorities| table, so the
+    * heavy data is touched once and the statistical machinery runs on
+    * a bounded frame. Expected counts and the statistic use a fixed
+    * float expression tree; the ~25-term sum is far inside double
+    * precision at e6 rounding.
+    */
+  def q115_chi_square(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = load(spark, dir, "orders")
+      .join(broadcast(load(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy($"c_mktsegment").agg(sum($"o").as("rt"))
+    val colT = obs.groupBy($"o_orderpriority").agg(sum($"o").as("ct"))
+    val n = obs.agg(sum($"o")).as[Long].head().toDouble
+    obs.join(broadcast(rowT), "c_mktsegment")
+      .join(broadcast(colT), "o_orderpriority")
+      .withColumn("exp", $"rt" * $"ct" / lit(n))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(sum(($"o" - $"exp") * ($"o" - $"exp") / $"exp") * 1e6)
+          .cast("long").as("chi2_e6"))
+      .select($"n_cells", $"chi2_e6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_chi_square" -> q115_chi_square,
     "q113_winsorized_mean" -> q113_winsorized_mean,
     "q109_tumbling_windows" -> q109_tumbling_windows,
     "q104_trend" -> q104_trend,
@@ -837,6 +867,19 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q115_chi_square" ->
+      """WITH obs AS (SELECT c_mktsegment, o_orderpriority,
+        |        CAST(COUNT(*) AS BIGINT) AS o
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |      GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |c AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS DOUBLE) AS nn FROM obs),
+        |e AS (SELECT obs.o, r.rt * c.ct / (SELECT nn FROM n) AS exp
+        |      FROM obs JOIN r USING (c_mktsegment) JOIN c USING (o_orderpriority))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(ROUND(SUM((o - exp) * (o - exp) / exp) * 1e6) AS BIGINT) AS chi2_e6
+        |FROM e""".stripMargin,
     "q113_winsorized_mean" ->
       """WITH ev AS (SELECT event_type,
         |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),

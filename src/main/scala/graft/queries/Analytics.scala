@@ -824,7 +824,40 @@ object Analytics {
       .select($"n_cells", $"chi2_e6")
   }
 
+  /** q117 — spend concentration per market segment: Gini coefficient
+    * (2Σr·x / nΣx − (n+1)/n over ascending ranks) and top-10-customer
+    * revenue share. The fact table reduces to per-(segment, customer)
+    * cents in one shuffle; both windows then run inside segment
+    * partitions of the AGGREGATE (bounded by customers-per-segment,
+    * not orders). Rank·spend sums stay exact 64-bit; the two final
+    * ratios are fixed-tree doubles rounded to e6/bp.
+    */
+  def q117_concentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = load(spark, dir, "orders")
+      .join(broadcast(load(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(sum(cents($"o_totalprice")).as("x"))
+    val asc = Window.partitionBy($"c_mktsegment").orderBy($"x", $"c_custkey")
+    val desc = Window.partitionBy($"c_mktsegment").orderBy($"x".desc, $"c_custkey")
+    spend
+      .withColumn("r", row_number().over(asc).cast("long"))
+      .withColumn("rd", row_number().over(desc).cast("long"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"x").as("total"), sum($"r" * $"x").as("rx"),
+        sum(when($"rd" <= 10, $"x").otherwise(0L)).as("top10"))
+      .select($"c_mktsegment", $"n_customers",
+        round((lit(2.0) * $"rx" / ($"n_customers" * $"total")
+          - ($"n_customers" + lit(1L)).cast("double") / $"n_customers") * 1e6)
+          .cast("long").as("gini_e6"),
+        round(lit(10000.0) * $"top10" / $"total").cast("long").as("top10_share_bp"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_concentration" -> q117_concentration,
     "q115_chi_square" -> q115_chi_square,
     "q113_winsorized_mean" -> q113_winsorized_mean,
     "q109_tumbling_windows" -> q109_tumbling_windows,
@@ -867,6 +900,24 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q117_concentration" ->
+      """WITH spend AS (SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS r,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY x DESC, c_custkey) AS rd
+        |  FROM spend),
+        |a AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(x) AS BIGINT) AS total, CAST(SUM(r * x) AS BIGINT) AS rx,
+        |    CAST(SUM(CASE WHEN rd <= 10 THEN x ELSE 0 END) AS BIGINT) AS top10
+        |  FROM rk GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |  CAST(ROUND((2.0 * rx / (n_customers * total)
+        |    - CAST(n_customers + 1 AS DOUBLE) / n_customers) * 1e6) AS BIGINT)
+        |    AS gini_e6,
+        |  CAST(ROUND(10000.0 * top10 / total) AS BIGINT) AS top10_share_bp
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
     "q115_chi_square" ->
       """WITH obs AS (SELECT c_mktsegment, o_orderpriority,
         |        CAST(COUNT(*) AS BIGINT) AS o

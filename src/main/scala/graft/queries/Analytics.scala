@@ -856,7 +856,58 @@ object Analytics {
       .orderBy($"c_mktsegment")
   }
 
+  /** q118 — two-proportion z-test over a deterministic 50/50
+    * experiment split (user_id parity = assignment, so the test is
+    * reproducible): purchase rate per arm, pooled-variance z. One
+    * aggregate over the events scan; the statistic is arithmetic on
+    * four longs. sqrt is IEEE-exact, the tree is fixed, so z_e6 is
+    * engine-identical.
+    */
+  def q118_ab_ztest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = load(spark, dir, "events")
+      .select(($"user_id" % 2).cast("long").as("arm"),
+        ($"event_type" === "purchase").cast("long").as("conv"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+    val w = arms.select(
+      sum(when($"arm" === 0, $"n")).as("n0"), sum(when($"arm" === 0, $"k")).as("k0"),
+      sum(when($"arm" === 1, $"n")).as("n1"), sum(when($"arm" === 1, $"k")).as("k1"))
+    w.select(
+        $"n0", $"k0", $"n1", $"k1",
+        round(lit(10000.0) * $"k0" / $"n0").cast("long").as("rate0_bp"),
+        round(lit(10000.0) * $"k1" / $"n1").cast("long").as("rate1_bp"),
+        round(
+          (($"k0".cast("double") / $"n0") - ($"k1".cast("double") / $"n1")) /
+            sqrt((($"k0" + $"k1").cast("double") / ($"n0" + $"n1")) *
+              (lit(1.0) - ($"k0" + $"k1").cast("double") / ($"n0" + $"n1")) *
+              (lit(1.0) / $"n0" + lit(1.0) / $"n1")) * 1e6)
+          .cast("long").as("z_e6"))
+  }
+
+  /** q119 — conversion latency percentiles: per user, first view →
+    * first subsequent purchase; p50/p90 of that latency. Each stage is
+    * a min-aggregate on the user key (the q77 funnel shape); the
+    * percentile runs over the bounded converted-user set.
+    */
+  def q119_conversion_latency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select($"user_id", $"event_type", epochS($"ts").as("t"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"t").as("v_t"))
+    val p = e.filter($"event_type" === "purchase").join(v, "user_id")
+      .filter($"t" > $"v_t")
+      .groupBy($"user_id").agg(min($"t").as("p_t"), min($"v_t").as("v_t"))
+    p.select(($"p_t" - $"v_t").as("lat_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile($"lat_s", lit(0.5))).cast("long").as("p50_s"),
+        round(percentile($"lat_s", lit(0.9))).cast("long").as("p90_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_ab_ztest" -> q118_ab_ztest,
+    "q119_conversion_latency" -> q119_conversion_latency,
     "q117_concentration" -> q117_concentration,
     "q115_chi_square" -> q115_chi_square,
     "q113_winsorized_mean" -> q113_winsorized_mean,
@@ -900,6 +951,37 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q118_ab_ztest" ->
+      """WITH arms AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN k END) AS BIGINT) AS k0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN k END) AS BIGINT) AS k1
+        |  FROM arms)
+        |SELECT n0, k0, n1, k1,
+        |  CAST(ROUND(10000.0 * k0 / n0) AS BIGINT) AS rate0_bp,
+        |  CAST(ROUND(10000.0 * k1 / n1) AS BIGINT) AS rate1_bp,
+        |  CAST(ROUND(
+        |    ((CAST(k0 AS DOUBLE) / n0) - (CAST(k1 AS DOUBLE) / n1)) /
+        |      sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1)) *
+        |        (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1)) *
+        |        (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) AS z_e6
+        |FROM w""".stripMargin,
+    "q119_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        CAST(FLOOR(epoch(date_trunc('second', ts))) AS BIGINT) AS t FROM events),
+        |v AS (SELECT user_id, MIN(t) AS v_t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(t) AS p_t, MIN(v_t) AS v_t
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'purchase' AND t > v_t GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(ROUND(quantile_cont(p_t - v_t, 0.5)) AS BIGINT) AS p50_s,
+        |  CAST(ROUND(quantile_cont(p_t - v_t, 0.9)) AS BIGINT) AS p90_s
+        |FROM p""".stripMargin,
     "q117_concentration" ->
       """WITH spend AS (SELECT c_mktsegment, c_custkey,
         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x

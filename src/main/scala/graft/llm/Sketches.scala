@@ -226,7 +226,70 @@ object Sketches {
       .orderBy($"lang")
   }
 
+  /** q120 — HLL set algebra: estimated distinct-gram overlap between
+    * every language pair via inclusion–exclusion (est A + est B −
+    * est A∪B), with the exact intersection riding along as the error
+    * reference. The union sketch is just union-all + max over the two
+    * register tables — the MERGE operation itself, demonstrated as
+    * data: audience-overlap at 100 TB costs two 64-register sketches
+    * per side, not a distinct-join. The estimate difference can go
+    * negative within sketch error — clamped at 0 like every practical
+    * implementation.
+    */
+  def q120_hll_set_algebra(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Caches.tracked(distinctGramHashes(spark, dir))
+    val regs = Caches.tracked(grams.select($"lang",
+        ($"h" % HllRegisters).cast("int").as("j"),
+        expr(s"h DIV $HllRegisters").as("w"))
+      .withColumn("rho",
+        when($"w" === 0, lit(55)).otherwise(lit(55) - length(conv($"w", 10, 2))))
+      .groupBy($"lang", $"j").agg(max($"rho").as("reg")))
+
+    def estCol(hit: org.apache.spark.sql.Column, sHit: org.apache.spark.sql.Column) =
+      round(lit(HllAlphaM2) * pow(lit(2.0), lit(55)) /
+        (sHit + (lit(HllRegisters.toLong) - hit) * lit(1L << 55))).cast("long")
+
+    val perLang = regs.groupBy($"lang").agg(
+        count(lit(1)).cast("long").as("hit"),
+        sum(pow(lit(2.0), lit(55) - $"reg").cast("long")).as("s_hit"))
+      .select($"lang", estCol($"hit", $"s_hit").as("e"))
+
+    val langs = regs.select($"lang").distinct()
+    val pairs = langs.select($"lang".as("la"))
+      .crossJoin(broadcast(langs.select($"lang".as("lb"))))
+      .filter($"la" < $"lb")
+
+    // union sketch = union-all of the two register tables + max — the
+    // HLL merge, expressed relationally
+    val u = pairs.join(regs.select($"lang".as("la"), $"j", $"reg"), Seq("la"))
+      .select($"la", $"lb", $"j", $"reg")
+      .unionByName(pairs.join(regs.select($"lang".as("lb"), $"j", $"reg"), Seq("lb"))
+        .select($"la", $"lb", $"j", $"reg"))
+      .groupBy($"la", $"lb", $"j").agg(max($"reg").as("reg"))
+    val estU = u.groupBy($"la", $"lb").agg(
+        count(lit(1)).cast("long").as("hit"),
+        sum(pow(lit(2.0), lit(55) - $"reg").cast("long")).as("s_hit"))
+      .select($"la", $"lb", estCol($"hit", $"s_hit").as("e_union"))
+
+    val inter = grams.select($"lang".as("la"), $"h")
+      .join(grams.select($"lang".as("lb"), $"h"), "h")
+      .filter($"la" < $"lb")
+      .groupBy($"la", $"lb").agg(count(lit(1)).as("n_exact_inter"))
+
+    pairs
+      .join(broadcast(perLang.select($"lang".as("la"), $"e".as("est_a"))), "la")
+      .join(broadcast(perLang.select($"lang".as("lb"), $"e".as("est_b"))), "lb")
+      .join(broadcast(estU), Seq("la", "lb"))
+      .join(inter, Seq("la", "lb"), "left")
+      .select($"la", $"lb", $"est_a", $"est_b", $"e_union",
+        greatest(lit(0L), $"est_a" + $"est_b" - $"e_union").as("est_inter"),
+        coalesce($"n_exact_inter", lit(0L)).as("n_exact_inter"))
+      .orderBy($"la", $"lb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_hll_set_algebra" -> q120_hll_set_algebra,
     "q58_hll_distinct" -> q58_hll_distinct,
     "q59_cms_heavy_hitters" -> q59_cms_heavy_hitters,
     "q68_histogram_quantiles" -> q68_histogram_quantiles,
@@ -239,6 +302,46 @@ object Sketches {
        |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q120_hll_set_algebra" ->
+      s"""WITH g AS ($GramSql),
+         |h0 AS (SELECT lang,
+         |    CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS h FROM g),
+         |dh AS (SELECT DISTINCT lang, h FROM h0),
+         |r AS (SELECT lang, h % $HllRegisters AS j,
+         |    CASE WHEN h // $HllRegisters = 0 THEN 55
+         |         ELSE 55 - length(printf('%b', h // $HllRegisters)) END AS rho
+         |  FROM dh),
+         |s AS (SELECT lang, j, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+         |f AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS hit,
+         |    CAST(SUM(CAST(POW(2, 55 - reg) AS BIGINT)) AS BIGINT) AS s_hit
+         |  FROM s GROUP BY 1),
+         |est AS (SELECT lang, CAST(ROUND($HllAlphaM2 * POW(2, 55)
+         |    / (s_hit + ($HllRegisters - hit) * CAST(POW(2, 55) AS BIGINT))) AS BIGINT) AS e
+         |  FROM f),
+         |langs AS (SELECT DISTINCT lang FROM s),
+         |pairs AS (SELECT a.lang AS la, b.lang AS lb
+         |          FROM langs a JOIN langs b ON a.lang < b.lang),
+         |u AS (SELECT la, lb, j, MAX(reg) AS reg FROM (
+         |    SELECT p.la, p.lb, s.j, s.reg FROM pairs p JOIN s ON s.lang = p.la
+         |    UNION ALL
+         |    SELECT p.la, p.lb, s.j, s.reg FROM pairs p JOIN s ON s.lang = p.lb)
+         |  GROUP BY 1, 2, 3),
+         |fu AS (SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS hit,
+         |    CAST(SUM(CAST(POW(2, 55 - reg) AS BIGINT)) AS BIGINT) AS s_hit
+         |  FROM u GROUP BY 1, 2),
+         |eu AS (SELECT la, lb, CAST(ROUND($HllAlphaM2 * POW(2, 55)
+         |    / (s_hit + ($HllRegisters - hit) * CAST(POW(2, 55) AS BIGINT))) AS BIGINT)
+         |    AS e_union FROM fu),
+         |inter AS (SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM dh a JOIN dh b ON a.h = b.h AND a.lang < b.lang GROUP BY 1, 2)
+         |SELECT p.la AS la, p.lb AS lb, ea.e AS est_a, eb.e AS est_b, eu.e_union,
+         |  GREATEST(0, ea.e + eb.e - eu.e_union) AS est_inter,
+         |  COALESCE(inter.n, 0) AS n_exact_inter
+         |FROM pairs p
+         |JOIN est ea ON p.la = ea.lang JOIN est eb ON p.lb = eb.lang
+         |JOIN eu ON p.la = eu.la AND p.lb = eu.lb
+         |LEFT JOIN inter ON p.la = inter.la AND p.lb = inter.lb
+         |ORDER BY la, lb""".stripMargin,
     "q71_hll_udaf" ->
       s"""WITH g AS ($GramSql),
          |h AS (SELECT lang,

@@ -349,7 +349,35 @@ object DataPrep {
 
   // ---------------------------------------------------------------
 
+  /** q122 — deterministic negative sampling for contrastive training:
+    * for each anchor document (a hash-strided 10% of the corpus), k=3
+    * "negatives" drawn from OTHER sources by smallest salted pair
+    * hash — uniform in distribution, yet reproducible across runs,
+    * retries, partitionings and engines (RNG-based sampling is none
+    * of those). The anchor set broadcasts; the per-anchor ranking is
+    * the row_number≤k idiom RankLimitRewrite plans as bounded TopK
+    * heaps, so per-anchor state is k rows against any corpus size.
+    */
+  def q122_negative_sampling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"source")
+    val anchors = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("anchor_id"), $"source".as("a_src"))
+    val pairKey = hash60(concat(lit("ns:"), $"anchor_id".cast("string"),
+      lit(":"), $"doc_id".cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"anchor_id").orderBy($"hk", $"doc_id")
+    docs.crossJoin(broadcast(anchors))
+      .filter($"source" =!= $"a_src")
+      .withColumn("hk", pairKey)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"anchor_id", $"rank", $"doc_id".as("neg_id"))
+      .orderBy($"anchor_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
     "q74_importance_sample" -> q74_importance_sample,
     "q42_mixture_rates" -> q42_mixture_rates,
@@ -365,6 +393,19 @@ object DataPrep {
     }
 
   val oracle: Map[String, String] = Map(
+    "q122_negative_sampling" ->
+      """WITH anchors AS (SELECT doc_id AS anchor_id, source AS a_src
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cand AS (SELECT a.anchor_id, d.doc_id,
+        |    CAST('0x' || substring(md5('ns:' || CAST(a.anchor_id AS VARCHAR)
+        |      || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM documents d CROSS JOIN anchors a
+        |  WHERE d.source <> a.a_src),
+        |r AS (SELECT anchor_id, doc_id, ROW_NUMBER() OVER
+        |        (PARTITION BY anchor_id ORDER BY hk, doc_id) AS rank
+        |      FROM cand)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, doc_id AS neg_id
+        |FROM r WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
     "q74_importance_sample" ->
       s"""WITH q AS (SELECT doc_id, lang,
         |    ${TextAnalysis.QualityBpSql} AS quality_bp,

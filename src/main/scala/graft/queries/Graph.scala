@@ -234,13 +234,50 @@ object Graph {
     dist.groupBy($"d").agg(count(lit(1)).as("n_parts")).orderBy($"d")
   }
 
+  /** q121 — frequent 3-itemsets (Apriori's expensive level, done
+    * directly): co-purchased part triples with support ≥ 2. The
+    * candidate space never materializes — each basket fans out to its
+    * own C(k,3) ≤ 35 triples (basket size is bounded), counts
+    * partial-aggregate on the triple key, and the support filter
+    * prunes before any output. The 100 TB lever is the same as q99's:
+    * one shuffle on the basket key, one on the (bounded-support)
+    * triple key.
+    */
+  def q121_frequent_triples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+      .groupBy($"o").agg(collect_set($"p").as("ps"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (_, ps) =>
+        val s = ps.sorted
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1 until s.length).iterator
+          k <- (j + 1 until s.length).iterator
+        } yield (s(i), s(j), s(k))
+      }
+      .toDF("pa", "pb", "pc")
+      .groupBy($"pa", $"pb", $"pc").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .orderBy($"n".desc, $"pa", $"pb", $"pc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_frequent_triples" -> q121_frequent_triples,
     "q81_triangles" -> q81_triangles,
     "q87_pagerank" -> q87_pagerank,
     "q99_market_basket" -> q99_market_basket,
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q121_frequent_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS pa, b.p AS pb, c.p AS pc, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |          JOIN li c ON a.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY n DESC, pa, pb, pc""".stripMargin,
     "q107_bfs_hops" ->
       """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a

@@ -905,7 +905,33 @@ object Analytics {
         round(percentile($"lat_s", lit(0.9))).cast("long").as("p90_s"))
   }
 
+  /** q123 — equal-frequency binning (quartiles) per event type: the
+    * feature-engineering step that turns a numeric column into a
+    * balanced categorical one. Boundaries come from one bounded
+    * percentile aggregate broadcast back; assignment is a map-side
+    * CASE; the profile (count/min/max per bin) is one more aggregate.
+    * Boundary ties bin by <= consistently in both engines.
+    */
+  def q123_equifreq_binning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_type", cents($"value").as("c"))
+    val bounds = ev.groupBy($"event_type").agg(
+      percentile($"c", lit(0.25)).as("q1"),
+      percentile($"c", lit(0.5)).as("q2"),
+      percentile($"c", lit(0.75)).as("q3"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("bin",
+        when($"c" <= $"q1", 1L).when($"c" <= $"q2", 2L)
+          .when($"c" <= $"q3", 3L).otherwise(4L))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"c").as("min_cents"), max($"c").as("max_cents"))
+      .orderBy($"event_type", $"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_equifreq_binning" -> q123_equifreq_binning,
     "q118_ab_ztest" -> q118_ab_ztest,
     "q119_conversion_latency" -> q119_conversion_latency,
     "q117_concentration" -> q117_concentration,
@@ -951,6 +977,20 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q123_equifreq_binning" ->
+      """WITH ev AS (SELECT event_type,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT event_type, quantile_cont(c, 0.25) AS q1,
+        |        quantile_cont(c, 0.5) AS q2, quantile_cont(c, 0.75) AS q3
+        |      FROM ev GROUP BY 1)
+        |SELECT ev.event_type,
+        |  CAST(CASE WHEN c <= q1 THEN 1 WHEN c <= q2 THEN 2
+        |       WHEN c <= q3 THEN 3 ELSE 4 END AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(c) AS BIGINT) AS min_cents,
+        |  CAST(MAX(c) AS BIGINT) AS max_cents
+        |FROM ev JOIN b USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q118_ab_ztest" ->
       """WITH arms AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
         |    CAST(COUNT(*) AS BIGINT) AS n,

@@ -121,7 +121,7 @@ object Graph {
     * the contribution aggregate on the destination key. The rank and
     * degree vectors are |V|-sized — orders of magnitude under |E| —
     * so both join map-side via broadcast; the |E|-sized edge list is
-    * built once (same group-wise fan-out as q81, no self-join) and
+    * built once (the shared run-walk builder, no self-join) and
     * persisted across iterations. No dangling mass: every vertex of a
     * co-purchase graph has degree ≥ 1 by construction. On a cluster
     * past broadcast reach the same plan runs with the edge list

@@ -263,7 +263,28 @@ object Graph {
       .orderBy($"n".desc, $"pa", $"pb", $"pc")
   }
 
+  /** q124 — degree distribution in log2 buckets: the one-glance
+    * skew diagnostic that decides salting / orientation strategy for
+    * every other query in this family. Bucket = floor(log2(degree)),
+    * computed as bit length − 1 — integer-exact in both engines, no
+    * float log. Two bounded aggregates past the edge list.
+    */
+  def q124_degree_distribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = copurchasePackedPairs(spark, dir)
+    val deg = edges
+      .select(explode(array(shiftright($"pk", 32),
+        $"pk".bitwiseAND(lit(0xffffffffL)))).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+    deg.withColumn("bucket", (length(conv($"d", 10, 2)) - 1).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vertices"),
+        min($"d").as("min_deg"), max($"d").as("max_deg"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_degree_distribution" -> q124_degree_distribution,
     "q121_frequent_triples" -> q121_frequent_triples,
     "q81_triangles" -> q81_triangles,
     "q87_pagerank" -> q87_pagerank,
@@ -271,6 +292,16 @@ object Graph {
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q124_degree_distribution" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS p FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_frequent_triples" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
         |SELECT a.p AS pa, b.p AS pb, c.p AS pc, CAST(COUNT(*) AS BIGINT) AS n

@@ -32,16 +32,23 @@ object WindowedCounts {
         $"n", $"sum_cents")
   }
 
-  /** Stream a parquet landing dir into per-window parquet outputs. */
+  /** Stream a parquet landing dir into per-window parquet outputs.
+    * `maxFilesPerTrigger` bounds each micro-batch for rate-limited
+    * BACKFILL: pointing the stream at months of history must not
+    * build one giant batch — with a cap, the same checkpoint + the
+    * same code drain the backlog incrementally and converge to the
+    * identical output (spec-pinned).
+    */
   def start(spark: SparkSession, landingDir: String, outDir: String,
             checkpointDir: String, windowLen: String = "10 minutes",
             delay: String = "10 minutes",
+            maxFilesPerTrigger: Option[Int] = None,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val events = spark.readStream
+    val reader = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE, props STRING")
-      .parquet(landingDir)
-      .withWatermark("ts", delay)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val events = reader.parquet(landingDir).withWatermark("ts", delay)
     transform(events, windowLen)
       .writeStream.format("parquet")
       .option("path", outDir)

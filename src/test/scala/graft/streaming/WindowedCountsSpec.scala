@@ -56,4 +56,32 @@ class WindowedCountsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(read() == all)
   }
+
+  test("rate-limited backfill: one file per micro-batch, identical final output") {
+    import spark.implicits._
+    val landing = TestSpark.tempDir("wc_bf_landing")
+    val outA = TestSpark.tempDir("wc_bf_outA")
+    val outB = TestSpark.tempDir("wc_bf_outB")
+    // 4 landing files spanning 4 closed windows + later data to close them
+    (0 until 4).foreach { i =>
+      eventsDf(Seq((i.toLong, ts(i * 10 + 1), "view", i + 1.0)))
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    eventsDf(Seq((9L, ts(55), "view", 9.0)))
+      .coalesce(1).write.mode("append").parquet(landing)
+
+    val qa = WindowedCounts.start(spark, landing, outA,
+      TestSpark.tempDir("wc_bf_ckA"), maxFilesPerTrigger = Some(1))
+    qa.awaitTermination()
+    val batchesA = qa.recentProgress.count(_.numInputRows > 0)
+    val qb = WindowedCounts.start(spark, landing, outB,
+      TestSpark.tempDir("wc_bf_ckB"))
+    qb.awaitTermination()
+
+    def read(dir: String) = spark.read.schema(outSchema).parquet(dir)
+      .collect().map(_.toSeq).toSet
+    assert(read(outA) == read(outB), "rate-limited backfill must converge to the one-shot answer")
+    assert(read(outA).nonEmpty)
+    assert(batchesA >= 3, s"expected multiple micro-batches with maxFilesPerTrigger=1, saw $batchesA")
+  }
 }

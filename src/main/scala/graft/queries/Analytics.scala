@@ -930,7 +930,37 @@ object Analytics {
       .orderBy($"event_type", $"bin")
   }
 
+  /** q125 — cohort LTV curve: cumulative purchase value per signup
+    * cohort by weeks-since-cohort, normalized per cohort member — the
+    * growth chart behind every retention decision. Cohort assignment
+    * is q78's min-aggregate; spend buckets into (cohort, week-index)
+    * with one aggregate; the cumulative window runs over the bounded
+    * cohorts × weeks grid, never over events.
+    */
+  def q125_cohort_ltv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val act = load(spark, dir, "events")
+      .select($"user_id", unix_timestamp(date_trunc("week", $"ts")).as("week_s"),
+        $"event_type", cents($"value").as("c"))
+    val cohort = act.groupBy($"user_id").agg(min($"week_s").as("cohort_s"))
+    val sizes = cohort.groupBy($"cohort_s").agg(count(lit(1)).as("n_users"))
+    val spend = act.filter($"event_type" === "purchase")
+      .join(cohort, "user_id")
+      .groupBy($"cohort_s",
+        (($"week_s" - $"cohort_s") / lit(604800L)).cast("long").as("k"))
+      .agg(sum($"c").as("wk_cents"))
+    val w = Window.partitionBy($"cohort_s").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spend.join(broadcast(sizes), "cohort_s")
+      .withColumn("cum_cents", sum($"wk_cents").over(w))
+      .select($"cohort_s", $"k", $"wk_cents", $"cum_cents",
+        round($"cum_cents".cast("double") / $"n_users").cast("long")
+          .as("ltv_per_user_cents"))
+      .orderBy($"cohort_s", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_cohort_ltv" -> q125_cohort_ltv,
     "q123_equifreq_binning" -> q123_equifreq_binning,
     "q118_ab_ztest" -> q118_ab_ztest,
     "q119_conversion_latency" -> q119_conversion_latency,
@@ -977,6 +1007,25 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q125_cohort_ltv" ->
+      """WITH act AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s,
+        |    event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |co AS (SELECT user_id, MIN(week_s) AS cohort_s FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_s, CAST(COUNT(*) AS BIGINT) AS n_users FROM co GROUP BY 1),
+        |sp AS (SELECT co.cohort_s,
+        |    CAST(FLOOR((act.week_s - co.cohort_s) / 604800) AS BIGINT) AS k,
+        |    CAST(SUM(c) AS BIGINT) AS wk_cents
+        |  FROM act JOIN co ON act.user_id = co.user_id
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT sp.*, sz.n_users,
+        |    CAST(SUM(wk_cents) OVER (PARTITION BY sp.cohort_s ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM sp JOIN sz ON sp.cohort_s = sz.cohort_s)
+        |SELECT cohort_s, k, wk_cents, cum_cents,
+        |  CAST(ROUND(CAST(cum_cents AS DOUBLE) / n_users) AS BIGINT)
+        |    AS ltv_per_user_cents
+        |FROM cum ORDER BY cohort_s, k""".stripMargin,
     "q123_equifreq_binning" ->
       """WITH ev AS (SELECT event_type,
         |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),

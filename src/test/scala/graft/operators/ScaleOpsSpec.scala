@@ -239,4 +239,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("ignoreCorruptFiles reads past a truncated parquet shard") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("corrupt_scan")
+    spark.range(1000).select($"id", md5($"id".cast("string")).as("payload"))
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    // truncate one shard mid-file: footer gone, scan would normally fail
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val ch = java.nio.channels.FileChannel.open(shard.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(shard.length() / 3) finally ch.close()
+
+    val strict = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id LONG, payload STRING").parquet(dir).count()
+    }
+    assert(strict != null)
+    val saved = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      val n = spark.read.schema("id LONG, payload STRING").parquet(dir).count()
+      // the intact shard's rows survive; the corrupt shard drops
+      assert(n > 0 && n < 1000, s"expected partial read, got $n")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+        case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+      }
+    }
+  }
 }

@@ -37,8 +37,10 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   * baseline: broadcast query batch × corpus with the self-exclusion
   * predicate as the join condition; the LSH/IVF variants are the
   * scale paths it calibrates), q42 (broadcast per-source stats with
-  * an exclusion predicate), q83 (distribution window over the
-  * pre-bounded aggregate, q76 documented as the escape hatch).
+  * an exclusion predicate), and the global-window-over-a-pre-bounded-
+  * aggregate family (q83 deciles, q126 weekly backlog — inputs are
+  * hundreds of rows by construction; q76 is the documented escape
+  * hatch when they are not).
   */
 object PlanLint {
   final case class Finding(rule: String, node: String)

@@ -175,13 +175,63 @@ object Temporal {
       .orderBy($"n_name")
   }
 
+  /** q126 — backlog curve: cumulative lineitems ordered vs shipped
+    * per week, and the open backlog between them — the operational
+    * balance every fulfillment dashboard tracks. Both series reduce
+    * to per-week counts in one union-all aggregate (the q110 delta
+    * idea with two signs); the cumulative window runs over the
+    * bounded week table only (a few hundred rows for any calendar
+    * range — the q83-style accepted global window over a pre-bounded
+    * aggregate).
+    */
+  def q126_backlog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+      .join(load(spark, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+    val deltas = li.select(
+        unix_timestamp(date_trunc("week", $"o_orderdate")).as("week_s"),
+        lit(1L).as("ordered"), lit(0L).as("shipped"))
+      .unionByName(li.select(
+        unix_timestamp(date_trunc("week", $"l_shipdate")).as("week_s"),
+        lit(0L).as("ordered"), lit(1L).as("shipped")))
+      .groupBy($"week_s")
+      .agg(sum($"ordered").as("n_ordered"), sum($"shipped").as("n_shipped"))
+    val w = Window.orderBy($"week_s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("cum_ordered", sum($"n_ordered").over(w))
+      .withColumn("cum_shipped", sum($"n_shipped").over(w))
+      .withColumn("backlog", $"cum_ordered" - $"cum_shipped")
+      .orderBy($"week_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_backlog" -> q126_backlog,
     "q110_peak_concurrency" -> q110_peak_concurrency,
     "q60_interval_join" -> q60_interval_join,
     "q61_scd2_pit" -> q61_scd2_pit,
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q126_backlog" ->
+      """WITH li AS (SELECT l_orderkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (SELECT week_s, CAST(SUM(ordered) AS BIGINT) AS n_ordered,
+        |    CAST(SUM(shipped) AS BIGINT) AS n_shipped FROM (
+        |    SELECT CAST(FLOOR(epoch(date_trunc('week', o_orderdate))) AS BIGINT)
+        |      AS week_s, 1 AS ordered, 0 AS shipped FROM li
+        |    UNION ALL
+        |    SELECT CAST(FLOOR(epoch(date_trunc('week', l_shipdate))) AS BIGINT),
+        |      0, 1 FROM li)
+        |  GROUP BY 1)
+        |SELECT week_s, n_ordered, n_shipped,
+        |  CAST(SUM(n_ordered) OVER w AS BIGINT) AS cum_ordered,
+        |  CAST(SUM(n_shipped) OVER w AS BIGINT) AS cum_shipped,
+        |  CAST(SUM(n_ordered) OVER w - SUM(n_shipped) OVER w AS BIGINT) AS backlog
+        |FROM d WINDOW w AS (ORDER BY week_s
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY week_s""".stripMargin,
     "q110_peak_concurrency" ->
       """WITH li AS (SELECT n_name,
         |    CAST(FLOOR(epoch(date_trunc('day', l_shipdate))) AS BIGINT) AS d0,

@@ -206,7 +206,54 @@ object SqlSurface {
         |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin)
   }
 
+  /** q127 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    * join a late-arriving-dimension pipeline needs when NULL is a
+    * real key value ("unattributed") and two NULLs must match. Keys
+    * are derived deterministically (every 7th customer key nulled) so
+    * both engines build identical null populations; the output
+    * contrasts the null-safe match count with the plain-equality one,
+    * which silently drops every NULL pair. Null-safe equality still
+    * hash-partitions like an equi-join — no nested-loop fallback.
+    */
+  def q127_nullsafe_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = load(spark, dir, "orders")
+      .select(nullif(($"o_custkey" % 7).cast("long"), lit(0L)).as("k"),
+        $"o_orderkey")
+    val b = load(spark, dir, "customer")
+      .select(nullif(($"c_custkey" % 7).cast("long"), lit(0L)).as("k"),
+        $"c_custkey")
+      .groupBy($"k").agg(count(lit(1)).as("n_dim"))
+    val nullSafe = a.join(b, a("k") <=> b("k"))
+      .agg(count(lit(1)).as("n")).as[Long].head()
+    val plain = a.join(b, a("k") === b("k"))
+      .agg(count(lit(1)).as("n")).as[Long].head()
+    Seq((nullSafe, plain, nullSafe - plain))
+      .toDF("n_nullsafe", "n_plain", "n_null_matches")
+  }
+
+  /** q128 — NOT IN vs NOT EXISTS under NULLs: the most common silent
+    * wrong-answer in migrated SQL. A NULL in the subquery makes every
+    * NOT IN comparison UNKNOWN (three-valued logic ⇒ zero rows);
+    * NOT EXISTS keeps its anti-join meaning. Both engines implement
+    * the standard — this query pins that the engine reproduces it
+    * rather than "helpfully" fixing it.
+    */
+  def q128_not_in_semantics(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT nullif(o_custkey % 7, 0) FROM orders)) AS n_not_in,
+        |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o
+        |     WHERE nullif(o.o_custkey % 7, 0) = c.c_custkey)) AS n_not_exists""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_nullsafe_join" -> q127_nullsafe_join,
+    "q128_not_in_semantics" -> q128_not_in_semantics,
     "q108_lateral" -> q108_lateral,
     "q95_cube" -> q95_cube,
     "q96_string_agg" -> q96_string_agg,
@@ -216,6 +263,25 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q127_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(o_custkey % 7, 0) AS k, o_orderkey FROM orders),
+        |b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_dim FROM
+        |      (SELECT nullif(c_custkey % 7, 0) AS k FROM customer) GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+        |    AS BIGINT) AS n_nullsafe,
+        |  CAST((SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS BIGINT) AS n_plain,
+        |  CAST((SELECT COUNT(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+        |    - (SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS BIGINT)
+        |    AS n_null_matches""".stripMargin,
+    "q128_not_in_semantics" ->
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT nullif(o_custkey % 7, 0) FROM orders)) AS BIGINT) AS n_not_in,
+        |  CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o
+        |     WHERE nullif(o.o_custkey % 7, 0) = c.c_custkey)) AS BIGINT)
+        |    AS n_not_exists""".stripMargin,
     "q108_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.price_cents
         |FROM customer c

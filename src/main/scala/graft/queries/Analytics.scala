@@ -959,7 +959,29 @@ object Analytics {
       .orderBy($"cohort_s", $"k")
   }
 
+  /** q129 — cumulative reach curve: total unique users ever seen, by
+    * week. Running COUNT(DISTINCT) over an ever-growing set is
+    * unbounded state done naively; the scalable identity is
+    * first-seen attribution — each user counts exactly once, at their
+    * min week (one aggregate on the user key), and the cumulative sum
+    * runs over the bounded week table.
+    */
+  def q129_cumulative_reach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = load(spark, dir, "events")
+      .select($"user_id", unix_timestamp(date_trunc("week", $"ts")).as("week_s"))
+      .groupBy($"user_id").agg(min($"week_s").as("first_week"))
+      .groupBy($"first_week").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy($"first_week")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firstSeen
+      .withColumn("reach", sum($"n_new").over(w))
+      .select($"first_week".as("week_s"), $"n_new", $"reach")
+      .orderBy($"week_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_cumulative_reach" -> q129_cumulative_reach,
     "q125_cohort_ltv" -> q125_cohort_ltv,
     "q123_equifreq_binning" -> q123_equifreq_binning,
     "q118_ab_ztest" -> q118_ab_ztest,
@@ -1007,6 +1029,15 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q129_cumulative_reach" ->
+      """WITH fs AS (SELECT user_id,
+        |    MIN(CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT)) AS first_week
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT first_week, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+        |SELECT first_week AS week_s, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY first_week
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS reach
+        |FROM n ORDER BY week_s""".stripMargin,
     "q125_cohort_ltv" ->
       """WITH act AS (SELECT user_id,
         |    CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s,

@@ -376,7 +376,67 @@ object DataPrep {
       .orderBy($"anchor_id", $"rank")
   }
 
+  /** q130 — deterministic train/val/test split: every document lands
+    * in exactly one split by pure hash arithmetic (md5 bucket mod 100
+    * → <80 train, <90 val, else test), so the assignment is stable
+    * across runs, retries, partitionings and engines — the property
+    * an eval set must have (an RNG split silently re-shuffles eval
+    * docs into train on every backfill). Output is the split audit:
+    * per (split, lang) document counts and token mass. One map-side
+    * hash per row + one partial/final aggregate; the corpus never
+    * shuffles raw text.
+    */
+  def q130_train_val_test(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("bucket",
+        hash60(concat(lit("graft_split_"), $"doc_id".cast("string"))) % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsToks($"text").cast("long")).as("sum_toks"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** q135 — Kolmogorov–Smirnov drift statistic between two sources'
+    * document-length distributions — the distribution-shift gate a
+    * corpus refresh runs before new data joins the training mix. The
+    * doc stream reduces to per-distinct-length counts (bounded by the
+    * length domain, not corpus size); CDFs are cumulative sums over
+    * that bounded table; the statistic is computed in EXACT integer
+    * cross-multiplication (|cum0·n1 − cum1·n0|, one final divide for
+    * basis points) so both engines agree bit-for-bit. At counts past
+    * ~3e9 docs per source the cross-product needs decimal(38,0) —
+    * same shape, wider type.
+    */
+  def q135_ks_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars")
+    val counts = d.groupBy($"n_chars")
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = d.agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("n0"),
+      sum(when($"source" === "src1", 1L).otherwise(0L)).as("n1"))
+    counts
+      .withColumn("cum0", sum($"c0").over(w))
+      .withColumn("cum1", sum($"c1").over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy($"n0", $"n1")
+      .agg(max(abs($"cum0" * $"n1" - $"cum1" * $"n0")).as("dmax"))
+      .select($"n0", $"n1",
+        round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_ks_drift" -> q135_ks_drift,
+    "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
     "q74_importance_sample" -> q74_importance_sample,
@@ -393,6 +453,37 @@ object DataPrep {
     }
 
   val oracle: Map[String, String] = Map(
+    "q135_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents
+        |           WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT n_chars,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM d GROUP BY 1),
+        |cum AS (SELECT
+        |    CAST(SUM(c0) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0,
+        |    CAST(SUM(c1) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1
+        |  FROM c),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM d)
+        |SELECT t.n0, t.n1,
+        |  CAST(ROUND(10000.0 * MAX(ABS(cum0 * t.n1 - cum1 * t.n0))
+        |    / (t.n0 * t.n1)) AS BIGINT) AS ks_bp
+        |FROM cum, t GROUP BY t.n0, t.n1""".stripMargin,
+    "q130_train_val_test" ->
+      """WITH s AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST('0x' || substring(md5('graft_split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_toks
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q122_negative_sampling" ->
       """WITH anchors AS (SELECT doc_id AS anchor_id, source AS a_src
         |  FROM documents WHERE doc_id % 10 = 0),

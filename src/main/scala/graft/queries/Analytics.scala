@@ -980,7 +980,111 @@ object Analytics {
       .orderBy($"week_s")
   }
 
+  /** q132 — demand cross-correlation matrix: Pearson r of weekly
+    * event counts for every pair of event types ("do clicks move
+    * with purchases?"). The fact stream reduces ONCE to the bounded
+    * (week, type) count table; weeks with no events of a type are
+    * zero-filled through the q98 dense-grid trick (missing weeks ARE
+    * data — an inner join would bias r upward); the pair fan-out and
+    * the corr aggregate run entirely on the |types|²·|weeks| grid,
+    * never the event stream. corr rounds at 1e6 like q40 so the
+    * engines' accumulation-order differences can't flip a digit.
+    */
+  def q132_demand_correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select(unix_timestamp(date_trunc("week", $"ts")).as("week_s"),
+        $"event_type")
+    val counts = e.groupBy($"week_s", $"event_type").agg(count(lit(1)).as("n"))
+    val grid = e.select($"week_s").distinct()
+      .crossJoin(broadcast(e.select($"event_type").distinct()))
+      .join(counts, Seq("week_s", "event_type"), "left")
+      .select($"week_s", $"event_type", coalesce($"n", lit(0L)).as("n"))
+    grid.as("a").join(grid.as("b"),
+        $"a.week_s" === $"b.week_s" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_weeks"),
+        round(corr($"a.n", $"b.n") * 1e6).cast("long").as("corr_e6"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** q133 — RFM segmentation: every customer scored 1–5 on Recency
+    * (days since last order, vs the corpus max date), Frequency
+    * (order count) and Monetary (exact cents), via NTILE quintiles;
+    * output is the bounded 5×5×5 segment census. The fact table
+    * reduces once to a |customers|-sized aggregate; the anchor date
+    * is a broadcast 1-row aggregate (never a driver collect); the
+    * three quintile windows run on the aggregate only — same global-
+    * window-on-bounded-aggregate shape as q83, with unique-key
+    * tie-breaks so every rank is engine-exact.
+    */
+  def q133_rfm_segments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+    val per = o.groupBy($"o_custkey")
+      .agg(max(unix_timestamp($"o_orderdate")).as("last_s"),
+        count(lit(1)).as("f"),
+        sum(cents($"o_totalprice")).as("m"))
+    val anchor = o.agg(max(unix_timestamp($"o_orderdate")).as("anchor_s"))
+    val wr = Window.orderBy($"r_days", $"o_custkey")
+    val wf = Window.orderBy($"f".desc, $"o_custkey")
+    val wm = Window.orderBy($"m".desc, $"o_custkey")
+    per.crossJoin(broadcast(anchor))
+      .withColumn("r_days", floor(($"anchor_s" - $"last_s") / 86400L))
+      .withColumn("r_q", ntile(5).over(wr).cast("long"))
+      .withColumn("f_q", ntile(5).over(wf).cast("long"))
+      .withColumn("m_q", ntile(5).over(wm).cast("long"))
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"), sum($"m").as("sum_cents"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  /** q134 — ABC (Pareto) classification: parts bucketed by their
+    * cumulative share of revenue — A covers the first 70%, B to 90%,
+    * C the tail. The classic inventory cut needs a GLOBAL cumulative
+    * sum over parts ordered by revenue; the naive single-partition
+    * window funnel is the q76 anti-plan, so the cumsum is built the
+    * distributed way: range-repartition the |parts| aggregate on
+    * (revenue desc, part), per-partition totals to the driver (one
+    * long each), prefix offsets seed an independent within-partition
+    * scan. Output: per class, part count and revenue share in bp.
+    */
+  def q134_abc_classification(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = load(spark, dir, "lineitem")
+      .groupBy($"l_partkey".cast("long").as("p"))
+      .agg(sum(cents($"l_extendedprice")).as("x"))
+    val total = rev.agg(sum($"x")).as[Long].head()
+    val sorted = rev.repartitionByRange(32, $"x".desc, $"p")
+      .sortWithinPartitions($"x".desc, $"p")
+      .as[(Long, Long)]
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitions(it => Iterator(it.map(_._2).sum)).collect()
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val classified = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { case (_, x) =>
+        cum += x
+        // class from the INCLUSIVE prefix: a part is A while the
+        // running share (this part included) is still ≤ 70%, etc.
+        val cls = if (cum * 10 <= total * 7) "A"
+          else if (cum * 10 <= total * 9) "B" else "C"
+        (cls, x)
+      }
+    }
+    classified.toDF("cls", "x")
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"x").as("revenue_cents"))
+      .withColumn("share_bp",
+        round(lit(10000.0) * $"revenue_cents" / lit(total.toDouble)).cast("long"))
+      .orderBy($"cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_abc_classification" -> q134_abc_classification,
+    "q133_rfm_segments" -> q133_rfm_segments,
+    "q132_demand_correlation" -> q132_demand_correlation,
     "q129_cumulative_reach" -> q129_cumulative_reach,
     "q125_cohort_ltv" -> q125_cohort_ltv,
     "q123_equifreq_binning" -> q123_equifreq_binning,
@@ -1029,6 +1133,55 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q132_demand_correlation" ->
+      """WITH e AS (SELECT CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT)
+        |    AS week_s, event_type FROM events),
+        |c AS (SELECT week_s, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |g AS (SELECT w.week_s, t.event_type, COALESCE(c.n, 0) AS n
+        |      FROM (SELECT DISTINCT week_s FROM e) w
+        |      CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+        |      LEFT JOIN c ON c.week_s = w.week_s AND c.event_type = t.event_type)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_weeks,
+        |  CAST(ROUND(corr(a.n, b.n) * 1e6) AS BIGINT) AS corr_e6
+        |FROM g a JOIN g b ON a.week_s = b.week_s AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q133_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS last_s,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT per.*,
+        |    CAST(FLOOR(((SELECT MAX(last_s) FROM per) - last_s) / 86400) AS BIGINT)
+        |      AS r_days
+        |  FROM per),
+        |n AS (SELECT m,
+        |    NTILE(5) OVER (ORDER BY r_days, o_custkey) AS r_q,
+        |    NTILE(5) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+        |    NTILE(5) OVER (ORDER BY m DESC, o_custkey) AS m_q
+        |  FROM q)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  COUNT(*) AS n_customers, CAST(SUM(m) AS BIGINT) AS sum_cents
+        |FROM n GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q134_abc_classification" ->
+      """WITH rev AS (SELECT CAST(l_partkey AS BIGINT) AS p,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(x) AS BIGINT) AS total FROM rev),
+        |c AS (SELECT x, CAST(SUM(x) OVER (ORDER BY x DESC, p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM rev),
+        |k AS (SELECT x,
+        |    CASE WHEN cum * 10 <= (SELECT total FROM t) * 7 THEN 'A'
+        |         WHEN cum * 10 <= (SELECT total FROM t) * 9 THEN 'B'
+        |         ELSE 'C' END AS cls FROM c)
+        |SELECT cls, COUNT(*) AS n_parts, CAST(SUM(x) AS BIGINT) AS revenue_cents,
+        |  CAST(ROUND(10000.0 * SUM(x) / (SELECT total FROM t)) AS BIGINT)
+        |    AS share_bp
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q129_cumulative_reach" ->
       """WITH fs AS (SELECT user_id,
         |    MIN(CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT)) AS first_week

@@ -283,7 +283,48 @@ object Graph {
       .orderBy($"bucket")
   }
 
+  /** q131 — link prediction by common-neighbor Jaccard: for part
+    * pairs NOT yet co-purchased, how much their co-purchase
+    * neighborhoods overlap (the classic recommender candidate
+    * generator). Wedges a—w—b enumerate at the shared neighbor w —
+    * the |E| list self-joins with ONE shuffle on the pivot key —
+    * then already-adjacent pairs drop via a map-side anti-probe of
+    * the broadcast packed-edge set BEFORE the pair aggregate, so the
+    * count shuffle carries candidates only. Degrees join back
+    * broadcast (|V|-sized). Jaccard = cn / (deg a + deg b − cn) in
+    * integer-rounded micro-units; top-20 with full tie-break. The
+    * wedge fan-out is the same Σ outdeg² stream q81 bounds — on a
+    * hubbier graph the degree-cap/salting from q124's diagnostic
+    * applies before this query runs.
+    */
+  def q131_link_prediction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = graft.Caches.tracked(copurchasePackedPairs(spark, dir))
+    val edges = und.select(explode(array(
+        struct(shiftright($"pk", 32).as("u"),
+          $"pk".bitwiseAND(lit(0xffffffffL)).as("v")),
+        struct($"pk".bitwiseAND(lit(0xffffffffL)).as("u"),
+          shiftright($"pk", 32).as("v")))).as("e"))
+      .select($"e.u", $"e.v")
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+    val cn = edges.as("e1").join(edges.as("e2"),
+        $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .select(shiftleft($"e1.v", 32).bitwiseOR($"e2.v").as("pk"))
+      .join(broadcast(und), Seq("pk"), "left_anti")
+      .groupBy($"pk").agg(count(lit(1)).as("cn"))
+      .filter($"cn" >= 2)
+      .select(shiftright($"pk", 32).as("a"),
+        $"pk".bitwiseAND(lit(0xffffffffL)).as("b"), $"cn")
+    cn.join(broadcast(deg.select($"u".as("a"), $"d".as("da"))), "a")
+      .join(broadcast(deg.select($"u".as("b"), $"d".as("db"))), "b")
+      .select($"a", $"b", $"cn",
+        round(lit(1e6) * $"cn" / ($"da" + $"db" - $"cn"))
+          .cast("long").as("jaccard_e6"))
+      .orderBy($"jaccard_e6".desc, $"a", $"b").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_link_prediction" -> q131_link_prediction,
     "q124_degree_distribution" -> q124_degree_distribution,
     "q121_frequent_triples" -> q121_frequent_triples,
     "q81_triangles" -> q81_triangles,
@@ -292,6 +333,22 @@ object Graph {
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q131_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+        |w AS (SELECT e1.v AS a, e2.v AS b FROM ed e1
+        |      JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |cn AS (SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS cn
+        |       FROM w LEFT JOIN e ON w.a = e.u AND w.b = e.v
+        |       WHERE e.u IS NULL
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT cn.a, cn.b, cn.cn,
+        |  CAST(ROUND(1e6 * cn.cn / (da.d + db.d - cn.cn)) AS BIGINT) AS jaccard_e6
+        |FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
+        |ORDER BY jaccard_e6 DESC, cn.a, cn.b LIMIT 20""".stripMargin,
     "q124_degree_distribution" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a

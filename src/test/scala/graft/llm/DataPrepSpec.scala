@@ -147,4 +147,42 @@ class DataPrepSpec extends AnyFunSuite {
     val out = DataPrep.centroidOutliers(emb).collect()
     assert(out.map(_.getLong(1)).toSet === Set(99L), s"got ${out.mkString(",")}")
   }
+
+  test("train/val/test split: exact partition of the corpus, stable under repartitioning") {
+    import spark.implicits._
+    val out = DataPrep.q130_train_val_test(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_.getLong(2)).sum == total,
+      "every document lands in exactly one split")
+    val bySplit = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"),
+      s"80/10/10 shape: $bySplit")
+    // pure hash assignment ⇒ identical census from any partitioning
+    val docs = graft.Tables.load(spark, dir, "documents").repartition(13, $"lang")
+    val tmp = TestSpark.tempDir("split_det")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out2 = DataPrep.q130_train_val_test(spark, tmp).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      == out2.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+  }
+
+  test("ks drift: statistic bounded in [0, 10000] and zero for identical distributions") {
+    import spark.implicits._
+    val r = DataPrep.q135_ks_drift(spark, dir).collect()
+    assert(r.length == 1)
+    val ks = r(0).getLong(2)
+    assert(ks >= 0 && ks <= 10000, s"ks_bp=$ks")
+    // src1 relabeled as a copy of src0 ⇒ the two CDFs coincide
+    val src0 = graft.Tables.load(spark, dir, "documents")
+      .filter($"source" === "src0")
+    val same = src0.union(src0.withColumn("source", lit("src1"))
+      .select(src0.columns.map(col): _*))
+    val tmp = TestSpark.tempDir("ks_self")
+    same.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val self = DataPrep.q135_ks_drift(spark, tmp).collect()(0)
+    assert(self.getLong(2) == 0L,
+      s"identical distributions must give KS 0, got ${self.getLong(2)}")
+  }
 }

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Properties of the customer/part segmentation queries beyond the
+  * DuckDB value check: the RFM quintiles must balance (NTILE's
+  * defining property), and q134's distributed two-phase cumulative
+  * sum must agree with the single-partition window it replaces.
+  */
+class SegmentationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rfm: every quintile dimension is balanced and the census covers all customers") {
+    import spark.implicits._
+    val rows = Analytics.q133_rfm_segments(spark, dir).collect()
+    val nCustomers = graft.Tables.load(spark, dir, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCustomers,
+      "segment census must partition the customer base")
+    // NTILE(5) balance: each quintile holds n/5 customers ±1,
+    // checked per dimension by re-aggregating the census
+    for ((idx, name) <- Seq(0 -> "r", 1 -> "f", 2 -> "m")) {
+      val per = rows.groupBy(_.getLong(idx)).view
+        .mapValues(_.map(_.getLong(3)).sum).toMap
+      assert(per.keySet == Set(1L, 2L, 3L, 4L, 5L), s"$name quintiles present")
+      assert(per.values.max - per.values.min <= 1,
+        s"$name quintiles balanced: $per")
+    }
+  }
+
+  test("abc: distributed cumulative-share classes equal the single-partition window answer") {
+    import spark.implicits._
+    val got = Analytics.q134_abc_classification(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val rev = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey".cast("long").as("p"))
+      .agg(sum(graft.Tables.cents($"l_extendedprice")).as("x"))
+    val total = rev.agg(sum($"x")).head().getLong(0)
+    val naive = rev
+      .withColumn("cum", sum($"x").over(
+        Window.orderBy($"x".desc, $"p")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cls",
+        when($"cum" * 10 <= total * 7, "A")
+          .when($"cum" * 10 <= total * 9, "B").otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"), sum($"x").as("revenue_cents"))
+      .orderBy($"cls")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naive, s"two-phase vs window: $got vs $naive")
+    assert(got.map(_._2).sum == rev.count(), "classes partition the parts")
+  }
+}

@@ -1081,7 +1081,51 @@ object Analytics {
       .orderBy($"cls")
   }
 
+  /** q136 — survival table for view→purchase conversion (the
+    * Kaplan–Meier input): per whole-day duration with ≥1 conversion,
+    * how many users were still at risk and how many converted that
+    * day. Users who never convert are right-censored at the corpus
+    * max timestamp — dropping them (the naive "converted only"
+    * analysis) overstates conversion speed, which is the estimator's
+    * whole point. All counts integer-exact; the KM product itself is
+    * left to the consumer (it's a float fold over this bounded
+    * table). Plan: two min-aggregates on the user key (q77's funnel
+    * shape), one bounded per-day aggregate, and the at-risk curve as
+    * a cumulative window over the bounded day table only.
+    */
+  def q136_survival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select($"user_id", $"event_type", epochS($"ts").as("t"))
+    val fv = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"t").as("v_t"))
+    val fp = e.filter($"event_type" === "purchase").join(fv, "user_id")
+      .filter($"t" > $"v_t")
+      .groupBy($"user_id").agg(min($"t").as("p_t"))
+    val tmax = e.agg(max($"t").as("t_max"))
+    val users = fv.join(fp, Seq("user_id"), "left")
+      .crossJoin(broadcast(tmax))
+      .select(
+        when($"p_t".isNotNull, floor(($"p_t" - $"v_t") / 86400L))
+          .otherwise(floor(($"t_max" - $"v_t") / 86400L)).as("end_day"),
+        $"p_t".isNotNull.as("converted"))
+    val perDay = users.groupBy($"end_day")
+      .agg(count(lit(1)).as("n_end"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_conv"))
+    val before = Window.orderBy($"end_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("ended_before", coalesce(sum($"n_end").over(before), lit(0L)))
+      .crossJoin(broadcast(users.agg(count(lit(1)).as("n_users"))))
+      .filter($"n_conv" > 0)
+      .select($"end_day".as("day"),
+        ($"n_users" - $"ended_before").as("n_at_risk"),
+        $"n_conv".as("n_converted"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_survival" -> q136_survival,
     "q134_abc_classification" -> q134_abc_classification,
     "q133_rfm_segments" -> q133_rfm_segments,
     "q132_demand_correlation" -> q132_demand_correlation,
@@ -1133,6 +1177,32 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q136_survival" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+        |fv AS (SELECT user_id, MIN(t) AS v_t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.t) AS p_t FROM e JOIN fv USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > fv.v_t GROUP BY 1),
+        |u AS (SELECT
+        |    CASE WHEN fp.p_t IS NOT NULL
+        |      THEN CAST(FLOOR((fp.p_t - fv.v_t) / 86400) AS BIGINT)
+        |      ELSE CAST(FLOOR(((SELECT MAX(t) FROM e) - fv.v_t) / 86400) AS BIGINT)
+        |    END AS end_day,
+        |    fp.p_t IS NOT NULL AS converted
+        |  FROM fv LEFT JOIN fp USING (user_id)),
+        |pd AS (SELECT end_day, CAST(COUNT(*) AS BIGINT) AS n_end,
+        |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY 1),
+        |c AS (SELECT end_day, n_conv,
+        |    COALESCE(CAST(SUM(n_end) OVER (ORDER BY end_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS ended_before
+        |  FROM pd)
+        |SELECT end_day AS day,
+        |  (SELECT COUNT(*) FROM u) - ended_before AS n_at_risk,
+        |  n_conv AS n_converted
+        |FROM c WHERE n_conv > 0 ORDER BY day""".stripMargin,
     "q132_demand_correlation" ->
       """WITH e AS (SELECT CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT)
         |    AS week_s, event_type FROM events),

@@ -269,4 +269,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("schema evolution: mergeSchema unions shard schemas; old rows null-fill the new column") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("evolve_scan")
+    // epoch-1 shards: (id, payload); epoch-2 adds a quality column —
+    // the long-lived-table reality at 100 TB (backfills are rewrites
+    // you can't afford; readers must tolerate the union schema)
+    spark.range(100).select($"id", md5($"id".cast("string")).as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    spark.range(100, 150)
+      .select($"id", md5($"id".cast("string")).as("payload"),
+        ($"id" % 5).as("quality"))
+      .write.mode("append").parquet(dir)
+
+    // a pinned narrow schema keeps reading (column pruning still
+    // works against evolved shards: missing column → nulls)
+    assert(spark.read.schema("id LONG, quality LONG").parquet(dir).count() == 150)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "payload", "quality"))
+    val byEpoch = merged
+      .groupBy($"quality".isNull.as("pre_evolution"))
+      .count().collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(byEpoch == Map(true -> 100L, false -> 50L),
+      "old shards null-fill the new column; new shards carry it")
+  }
 }

@@ -30,44 +30,57 @@ object Graph {
     * final shuffle. Packed longs keep every downstream hash a fast
     * single-long hash.
     */
-  private[queries] def copurchasePackedPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    load(spark, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
-      .repartition($"o").sortWithinPartitions($"o", $"p")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        // per-order runs are contiguous and p-sorted; duplicates adjacent
-        val runs = new Iterator[Array[Long]] {
-          private var carry: (Long, Long) = if (it.hasNext) it.next() else null
-          def hasNext: Boolean = carry != null
-          def next(): Array[Long] = {
-            val o = carry._1
-            val buf = scala.collection.mutable.ArrayBuffer[Long](carry._2)
-            carry = null
-            while (it.hasNext && carry == null) {
-              val e = it.next()
-              if (e._1 == o) { if (buf.last != e._2) buf += e._2 }
-              else carry = e
-            }
-            buf.toArray
+  /** Shared run-walk pair fan-out: for (group, member) rows already
+    * hash-partitioned on group and sorted by (group, member), emit
+    * every within-group member pair as a packed long (a<<32|b, a<b) —
+    * streaming, with NO per-group array aggregation (no collect_set
+    * buffers, no encoder round-trip). Adjacent duplicates (a sorted
+    * group with repeated members) collapse in the walk.
+    */
+  private def packedPairFanout(
+      sorted: org.apache.spark.sql.Dataset[(Long, Long)]): org.apache.spark.sql.Dataset[Long] = {
+    import sorted.sparkSession.implicits._
+    sorted.mapPartitions { it =>
+      // per-group runs are contiguous and member-sorted
+      val runs = new Iterator[Array[Long]] {
+        private var carry: (Long, Long) = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = carry != null
+        def next(): Array[Long] = {
+          val g = carry._1
+          val buf = scala.collection.mutable.ArrayBuffer[Long](carry._2)
+          carry = null
+          while (it.hasNext && carry == null) {
+            val e = it.next()
+            if (e._1 == g) { if (buf.last != e._2) buf += e._2 }
+            else carry = e
           }
-        }
-        var pending: Iterator[Long] = Iterator.empty
-        new Iterator[Long] {
-          def hasNext: Boolean = {
-            while (!pending.hasNext && runs.hasNext) {
-              val s = runs.next()
-              if (s.length > 1)
-                pending = for (i <- s.indices.iterator;
-                               j <- (i + 1 until s.length).iterator)
-                  yield (s(i) << 32) | s(j)
-            }
-            pending.hasNext
-          }
-          def next(): Long = { hasNext; pending.next() }
+          buf.toArray
         }
       }
+      var pending: Iterator[Long] = Iterator.empty
+      new Iterator[Long] {
+        def hasNext: Boolean = {
+          while (!pending.hasNext && runs.hasNext) {
+            val s = runs.next()
+            if (s.length > 1)
+              pending = for (i <- s.indices.iterator;
+                             j <- (i + 1 until s.length).iterator)
+                yield (s(i) << 32) | s(j)
+          }
+          pending.hasNext
+        }
+        def next(): Long = { hasNext; pending.next() }
+      }
+    }
+  }
+
+  private[queries] def copurchasePackedPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedPairFanout(
+      load(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+        .repartition($"o").sortWithinPartitions($"o", $"p")
+        .as[(Long, Long)])
       .toDF("pk").distinct()
   }
 
@@ -283,19 +296,26 @@ object Graph {
       .orderBy($"bucket")
   }
 
-  /** q131 — link prediction by common-neighbor Jaccard: for part
-    * pairs NOT yet co-purchased, how much their co-purchase
-    * neighborhoods overlap (the classic recommender candidate
-    * generator). Wedges a—w—b enumerate at the shared neighbor w —
-    * the |E| list self-joins with ONE shuffle on the pivot key —
-    * then already-adjacent pairs drop via a map-side anti-probe of
-    * the broadcast packed-edge set BEFORE the pair aggregate, so the
-    * count shuffle carries candidates only. Degrees join back
-    * broadcast (|V|-sized). Jaccard = cn / (deg a + deg b − cn) in
-    * integer-rounded micro-units; top-20 with full tie-break. The
-    * wedge fan-out is the same Σ outdeg² stream q81 bounds — on a
-    * hubbier graph the degree-cap/salting from q124's diagnostic
-    * applies before this query runs.
+  /** q131 — anchored link prediction by common-neighbor Jaccard: for
+    * each anchor part (a hash-strided query set, the q122 idiom),
+    * rank the parts NOT yet co-purchased with it by neighborhood
+    * overlap — the recommender candidate-generation query as it is
+    * actually run at scale. The per-ANCHOR shape is the deliberate
+    * scale choice: the full all-pairs similarity matrix is
+    * output-bound (Σ C(deg,2) — 148M pairs at sf0.1, quadratically
+    * worse at 100 TB) and DOA as a serving query; anchoring bounds
+    * work to Σ_{w∈N(anchor)} deg(w) per anchor and composes back to
+    * the full matrix by sweeping anchor strides if a batch job truly
+    * needs it.
+    *
+    * Plan: anchor adjacency is tiny → broadcast; wedges
+    * anchor—w—candidate enumerate via ONE map-side broadcast join
+    * against the |E| list (the edge list never shuffles); the only
+    * exchange is the (anchor, candidate) count aggregate, sized by
+    * the candidate fan-out. Already-adjacent pairs drop via a
+    * broadcast anti-probe on the canonical packed key; degrees join
+    * back broadcast; the per-anchor top-5 is the row_number ≤ k
+    * pattern RankLimitRewrite plans as bounded TopK heaps.
     */
   def q131_link_prediction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -307,20 +327,27 @@ object Graph {
           shiftright($"pk", 32).as("v")))).as("e"))
       .select($"e.u", $"e.v")
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
-    val cn = edges.as("e1").join(edges.as("e2"),
-        $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
-      .select(shiftleft($"e1.v", 32).bitwiseOR($"e2.v").as("pk"))
-      .join(broadcast(und), Seq("pk"), "left_anti")
-      .groupBy($"pk").agg(count(lit(1)).as("cn"))
+    val anch = edges.filter($"u" % 200 === 0)
+      .select($"u".as("anchor"), $"v".as("w"))
+    val cand = edges.join(broadcast(anch), $"u" === $"w")
+      .filter($"v" =!= $"anchor")
+      .groupBy($"anchor", $"v").agg(count(lit(1)).as("cn"))
       .filter($"cn" >= 2)
-      .select(shiftright($"pk", 32).as("a"),
-        $"pk".bitwiseAND(lit(0xffffffffL)).as("b"), $"cn")
-    cn.join(broadcast(deg.select($"u".as("a"), $"d".as("da"))), "a")
-      .join(broadcast(deg.select($"u".as("b"), $"d".as("db"))), "b")
-      .select($"a", $"b", $"cn",
-        round(lit(1e6) * $"cn" / ($"da" + $"db" - $"cn"))
-          .cast("long").as("jaccard_e6"))
-      .orderBy($"jaccard_e6".desc, $"a", $"b").limit(20)
+      .withColumn("pk",
+        when($"anchor" < $"v", shiftleft($"anchor", 32).bitwiseOR($"v"))
+          .otherwise(shiftleft($"v", 32).bitwiseOR($"anchor")))
+      .join(broadcast(und), Seq("pk"), "left_anti")
+    val ranked = cand
+      .join(broadcast(deg.select($"u".as("anchor"), $"d".as("da"))), "anchor")
+      .join(broadcast(deg.select($"u".as("v"), $"d".as("db"))), "v")
+      .withColumn("jaccard_e6",
+        round(lit(1e6) * $"cn" / ($"da" + $"db" - $"cn")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"anchor").orderBy($"jaccard_e6".desc, $"v")
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"anchor", $"rank", $"v".as("candidate"), $"cn", $"jaccard_e6")
+      .orderBy($"anchor", $"rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,16 +366,24 @@ object Graph {
         |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
         |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
-        |w AS (SELECT e1.v AS a, e2.v AS b FROM ed e1
-        |      JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v),
-        |cn AS (SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS cn
-        |       FROM w LEFT JOIN e ON w.a = e.u AND w.b = e.v
-        |       WHERE e.u IS NULL
-        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        |SELECT cn.a, cn.b, cn.cn,
-        |  CAST(ROUND(1e6 * cn.cn / (da.d + db.d - cn.cn)) AS BIGINT) AS jaccard_e6
-        |FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
-        |ORDER BY jaccard_e6 DESC, cn.a, cn.b LIMIT 20""".stripMargin,
+        |anch AS (SELECT u AS anchor, v AS w FROM ed WHERE u % 200 = 0),
+        |cand AS (SELECT a.anchor, ed.v, CAST(COUNT(*) AS BIGINT) AS cn
+        |         FROM ed JOIN anch a ON ed.u = a.w
+        |         WHERE ed.v <> a.anchor
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nonadj AS (SELECT c.* FROM cand c
+        |           LEFT JOIN e ON e.u = LEAST(c.anchor, c.v)
+        |                      AND e.v = GREATEST(c.anchor, c.v)
+        |           WHERE e.u IS NULL),
+        |j AS (SELECT anchor, nonadj.v AS candidate, cn,
+        |        CAST(ROUND(1e6 * cn / (da.d + db.d - cn)) AS BIGINT) AS jaccard_e6
+        |      FROM nonadj JOIN deg da ON anchor = da.u
+        |                  JOIN deg db ON nonadj.v = db.u),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY anchor ORDER BY jaccard_e6 DESC, candidate) AS rank
+        |      FROM j)
+        |SELECT anchor, CAST(rank AS BIGINT) AS rank, candidate, cn, jaccard_e6
+        |FROM r WHERE rank <= 5 ORDER BY anchor, rank""".stripMargin,
     "q124_degree_distribution" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a

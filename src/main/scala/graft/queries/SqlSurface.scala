@@ -251,7 +251,50 @@ object SqlSurface {
         |     WHERE nullif(o.o_custkey % 7, 0) = c.c_custkey)) AS n_not_exists""".stripMargin)
   }
 
+  /** q137 — EXCEPT ALL / INTERSECT ALL (bag semantics): how many of a
+    * user's clicks exceed their purchases and how many pair off.
+    * DISTINCT set ops (q11) silently collapse multiplicity — the
+    * classic migrated-SQL wrong answer when the input is an event
+    * multiset. Spark plans both as one aggregate + replicate on the
+    * user key (no join tree), so each side is a single shuffle.
+    */
+  def q137_set_ops_all(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+    val clicks = e.filter($"event_type" === "click").select($"user_id")
+    val buys = e.filter($"event_type" === "purchase").select($"user_id")
+    val excess = clicks.exceptAll(buys)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_excess_clicks"))
+    val matched = clicks.intersectAll(buys)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_matched"))
+    excess.join(matched, Seq("user_id"), "full")
+      .select($"user_id",
+        coalesce($"n_excess_clicks", lit(0L)).as("n_excess_clicks"),
+        coalesce($"n_matched", lit(0L)).as("n_matched"))
+      .orderBy($"user_id")
+  }
+
+  /** q138 — ratio-to-report: each event type's share of its week's
+    * revenue, in basis points. The share window runs over the bounded
+    * (week, type) aggregate — never the event stream — and the float
+    * division is a single fixed tree over exact integer sums.
+    */
+  def q138_ratio_to_report(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = load(spark, dir, "events")
+      .select(unix_timestamp(date_trunc("week", $"ts")).as("week_s"),
+        $"event_type", graft.Tables.cents($"value").as("c"))
+      .groupBy($"week_s", $"event_type").agg(sum($"c").as("sum_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"week_s")
+    wk.withColumn("share_bp",
+        round(lit(10000.0) * $"sum_cents" / sum($"sum_cents").over(w))
+          .cast("long"))
+      .orderBy($"week_s", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_set_ops_all" -> q137_set_ops_all,
+    "q138_ratio_to_report" -> q138_ratio_to_report,
     "q127_nullsafe_join" -> q127_nullsafe_join,
     "q128_not_in_semantics" -> q128_not_in_semantics,
     "q108_lateral" -> q108_lateral,
@@ -263,6 +306,27 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q137_set_ops_all" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM
+        |      (SELECT * FROM c EXCEPT ALL SELECT * FROM p) GROUP BY 1),
+        |i AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM
+        |      (SELECT * FROM c INTERSECT ALL SELECT * FROM p) GROUP BY 1)
+        |SELECT COALESCE(d.user_id, i.user_id) AS user_id,
+        |  COALESCE(d.n, 0) AS n_excess_clicks,
+        |  COALESCE(i.n, 0) AS n_matched
+        |FROM d FULL JOIN i ON d.user_id = i.user_id ORDER BY 1""".stripMargin,
+    "q138_ratio_to_report" ->
+      """WITH wk AS (SELECT
+        |    CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s,
+        |    event_type,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT week_s, event_type, sum_cents,
+        |  CAST(ROUND(10000.0 * sum_cents /
+        |    SUM(sum_cents) OVER (PARTITION BY week_s)) AS BIGINT) AS share_bp
+        |FROM wk ORDER BY week_s, event_type""".stripMargin,
     "q127_nullsafe_join" ->
       """WITH a AS (SELECT nullif(o_custkey % 7, 0) AS k, o_orderkey FROM orders),
         |b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_dim FROM

@@ -434,7 +434,35 @@ object DataPrep {
         round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))
   }
 
+  /** q139 — token-weighted median document length per source: the
+    * "where is the token mass" diagnostic (an unweighted median
+    * over-represents short documents; training cost is per TOKEN).
+    * Exact weighted percentile without sorting raw data: the corpus
+    * reduces to per-(source, length) token sums — bounded by the
+    * length domain — cumulative weight runs inside source partitions
+    * of that bounded table, and the median is the smallest length
+    * whose cumulative weight reaches half the total. All integer.
+    */
+  def q139_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = load(spark, dir, "documents")
+      .select($"source", $"n_chars", wsToks($"text").cast("long").as("wtok"))
+      .groupBy($"source", $"n_chars").agg(sum($"wtok").as("w"))
+    val cumW = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy($"source")
+    agg
+      .withColumn("cw", sum($"w").over(cumW))
+      .withColumn("tw", sum($"w").over(totW))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"source")
+      .agg(min($"n_chars").as("weighted_median_len"),
+        max($"tw").as("total_tokens"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_weighted_median" -> q139_weighted_median,
     "q135_ks_drift" -> q135_ks_drift,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
@@ -453,6 +481,18 @@ object DataPrep {
     }
 
   val oracle: Map[String, String] = Map(
+    "q139_weighted_median" ->
+      """WITH a AS (SELECT source, n_chars,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars,
+        |    CAST(SUM(w) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+        |  FROM a)
+        |SELECT source, MIN(n_chars) AS weighted_median_len,
+        |  CAST(MAX(tw) AS BIGINT) AS total_tokens
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
     "q135_ks_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents
         |           WHERE source IN ('src0', 'src1')),

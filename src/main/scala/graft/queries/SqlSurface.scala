@@ -292,7 +292,33 @@ object SqlSurface {
       .orderBy($"week_s", $"event_type")
   }
 
+  /** q141 — ranking-ties semantics: top-3 part sizes per brand WITH
+    * ties kept (RANK), plus DENSE_RANK and a deterministic
+    * ROW_NUMBER for contrast — the three functions disagree exactly
+    * on tied rows, which is where migrated top-k queries silently
+    * change row counts. RANK/DENSE_RANK order by the tied value only
+    * (deterministic BY VALUE); ROW_NUMBER gets the unique-key
+    * tie-break it needs. Windows partition by brand — bounded groups
+    * over the dimension table, no global funnel.
+    */
+  def q141_ranking_ties(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byBrand = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_brand")
+    val bySize = byBrand.orderBy($"p_size".desc)
+    val stable = byBrand.orderBy($"p_size".desc, $"p_partkey")
+    load(spark, dir, "part")
+      .withColumn("rnk", rank().over(bySize).cast("long"))
+      .withColumn("drnk", dense_rank().over(bySize).cast("long"))
+      .withColumn("rn", row_number().over(stable).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"p_brand", $"p_partkey", $"p_size".cast("long").as("p_size"),
+        $"rnk", $"drnk", $"rn")
+      .orderBy($"p_brand", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_ranking_ties" -> q141_ranking_ties,
     "q137_set_ops_all" -> q137_set_ops_all,
     "q138_ratio_to_report" -> q138_ratio_to_report,
     "q127_nullsafe_join" -> q127_nullsafe_join,
@@ -306,6 +332,17 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q141_ranking_ties" ->
+      """SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT p_brand, p_partkey, p_size,
+        |    RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_size DESC, p_partkey) AS rn
+        |  FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, rn""".stripMargin,
     "q137_set_ops_all" ->
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

@@ -206,7 +206,34 @@ object Temporal {
       .orderBy($"week_s")
   }
 
+  /** q140 — feed-gap audit: per day, the minute-resolution holes in
+    * the purchase event stream (gap count, total missing minutes,
+    * longest outage). The operational freshness check behind the
+    * reference's 2-minute RT cadence (`gtfs_rt_minutely.py:262` — a
+    * missed poll IS a minute gap). Scale shape: the stream reduces to
+    * DISTINCT (day, minute) — bounded at 1440 rows per day whatever
+    * the event rate — and the lag window runs inside day partitions
+    * of that bounded set only. All integer arithmetic.
+    */
+  def q140_feed_gaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val minutes = load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select(unix_timestamp(date_trunc("day", $"ts")).as("day_s"),
+        floor(unix_timestamp($"ts") / 60L).as("m"))
+      .distinct()
+    val w = Window.partitionBy($"day_s").orderBy($"m")
+    minutes
+      .withColumn("gap", $"m" - lag($"m", 1).over(w) - 1L)
+      .groupBy($"day_s")
+      .agg(sum(when($"gap" > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(sum(when($"gap" > 0, $"gap")), lit(0L)).as("missing_minutes"),
+        coalesce(max(when($"gap" > 0, $"gap")), lit(0L)).as("max_gap_minutes"))
+      .orderBy($"day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_feed_gaps" -> q140_feed_gaps,
     "q126_backlog" -> q126_backlog,
     "q110_peak_concurrency" -> q110_peak_concurrency,
     "q60_interval_join" -> q60_interval_join,
@@ -214,6 +241,21 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q140_feed_gaps" ->
+      """WITH m AS (SELECT DISTINCT
+        |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS m
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT day_s,
+        |    m - LAG(m) OVER (PARTITION BY day_s ORDER BY m) - 1 AS gap
+        |  FROM m)
+        |SELECT day_s,
+        |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(COALESCE(SUM(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |    AS missing_minutes,
+        |  CAST(COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |    AS max_gap_minutes
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_backlog" ->
       """WITH li AS (SELECT l_orderkey, l_shipdate, o_orderdate
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,6 +29,18 @@ import graft.gtfs.{RtDecode, RtFeedMessage}
   *  - COLUMN PRUNING pushed into the source (`SupportsPushDownRequiredColumns`):
   *    a `select(trip_id)` materializes one field per entity instead of
   *    eight — visible in the scan's description;
+  *  - FILTER PUSHDOWN (`SupportsPushDownFilters`): comparison and
+  *    null-check predicates evaluate during decode, before any row
+  *    reaches Spark — exact, so Catalyst drops its own copy of the
+  *    filter (visible in the scan description);
+  *  - SNAPSHOT-FILE PRUNING (opt-in, `option("fileStampPrune","true")`):
+  *    a pushed `timestamp_epoch` range skips whole minute-stamped
+  *    snapshot files by their `yyyyMMdd_HHmm` name stamp — the custom-
+  *    source analog of partition pruning. Opt-in because it relies on
+  *    the WRITER contract (stamp ≈ feed header time, `StaticFetch`
+  *    F10 stamping): `fileStampSlackMinutes` (default 10) pads the
+  *    window, `fileStampZone` (default Europe/Paris, the reference's
+  *    stamp zone) interprets the stamp;
   *  - corrupt snapshots decode to zero rows via `parseFeedSafe`
   *    (ON_ERROR='CONTINUE' parity), never a task failure.
   *
@@ -106,25 +118,97 @@ private[sources] class GtfsRtTable(kind: String, path: String, schema: StructTyp
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GtfsRtScanBuilder(kind, path, schema)
+    new GtfsRtScanBuilder(kind, path, schema, options)
 }
 
 private[sources] class GtfsRtScanBuilder(kind: String, path: String,
-                                         full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+                                         full: StructType,
+                                         options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GtfsRtScan(kind, path, full, required)
+
+  /** Accept the comparison/null-check shapes the decode loop can
+    * evaluate exactly; everything else stays with Spark. Accepted
+    * filters are applied by the source EXACTLY, so they are not
+    * returned as post-scan residuals.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo(a, _) => full.fieldNames.contains(a)
+      case GreaterThan(a, _) => full.fieldNames.contains(a)
+      case GreaterThanOrEqual(a, _) => full.fieldNames.contains(a)
+      case LessThan(a, _) => full.fieldNames.contains(a)
+      case LessThanOrEqual(a, _) => full.fieldNames.contains(a)
+      case IsNotNull(a) => full.fieldNames.contains(a)
+      case _ => false
+    }
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GtfsRtScan(kind, path, full, required,
+    pushed,
+    options.getBoolean("fileStampPrune", false),
+    options.getLong("fileStampSlackMinutes", 10L),
+    options.getOrDefault("fileStampZone", "Europe/Paris"))
 }
 
 private[sources] class GtfsRtScan(kind: String, path: String,
-                                  full: StructType, required: StructType)
+                                  full: StructType, required: StructType,
+                                  pushed: Array[Filter],
+                                  stampPrune: Boolean, slackMinutes: Long,
+                                  stampZone: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"gtfsrt kind=$kind path=$path pruned=[${required.fieldNames.mkString(",")}]"
+    s"gtfsrt kind=$kind path=$path pruned=[${required.fieldNames.mkString(",")}]" +
+      s" filters=[${pushed.mkString(",")}]" +
+      (if (stampPrune) s" fileStampPrune(slack=${slackMinutes}m)" else "")
+
+  /** The pushed timestamp_epoch range, widened by the slack — the
+    * file-level prune window. (lo, hi) in epoch seconds.
+    */
+  private def stampWindow: Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    pushed.foreach {
+      case GreaterThan("timestamp_epoch", v) => num(v).foreach(x => lo = math.max(lo, x + 1))
+      case GreaterThanOrEqual("timestamp_epoch", v) => num(v).foreach(x => lo = math.max(lo, x))
+      case LessThan("timestamp_epoch", v) => num(v).foreach(x => hi = math.min(hi, x - 1))
+      case LessThanOrEqual("timestamp_epoch", v) => num(v).foreach(x => hi = math.min(hi, x))
+      case EqualTo("timestamp_epoch", v) => num(v).foreach { x => lo = math.max(lo, x); hi = math.min(hi, x) }
+      case _ =>
+    }
+    if (lo == Long.MinValue && hi == Long.MaxValue) None
+    else Some((lo, hi))
+  }
+
+  /** Epoch seconds of a `..._yyyyMMdd_HHmm.pb` name stamp in the
+    * writer's zone; None when the name carries no stamp (never
+    * pruned).
+    */
+  private def stampEpoch(name: String): Option[Long] = {
+    val m = GtfsRtScan.StampRe.findFirstMatchIn(name)
+    m.flatMap { g =>
+      try {
+        val dt = java.time.LocalDateTime.parse(g.group(1),
+          GtfsRtScan.StampFmt)
+        Some(dt.atZone(java.time.ZoneId.of(stampZone)).toEpochSecond)
+      } catch { case _: Exception => None }
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -136,22 +220,75 @@ private[sources] class GtfsRtScan(kind: String, path: String,
       if (st.isFile && st.getPath.getName.endsWith(".pb"))
         files += st.getPath.toString
     }
-    files.sorted.map(f => GtfsRtPartition(f): InputPartition).toArray
+    val window = if (stampPrune) stampWindow else None
+    val kept = window match {
+      case Some((lo, hi)) =>
+        val slack = slackMinutes * 60
+        // saturating bounds: a one-sided range keeps the open side open
+        val loB = if (lo <= Long.MinValue + slack) Long.MinValue else lo - slack
+        val hiB = if (hi >= Long.MaxValue - slack) Long.MaxValue else hi + slack
+        files.filter { f =>
+          stampEpoch(new Path(f).getName) match {
+            case Some(s) => s >= loB && s <= hiB
+            case None => true // unstamped file: never prune
+          }
+        }
+      case None => files
+    }
+    kept.sorted.map(f => GtfsRtPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // indices of the pruned fields within the full row
     val idx = required.fieldNames.map(full.fieldIndex)
-    new GtfsRtReaderFactory(kind, idx)
+    new GtfsRtReaderFactory(kind, idx, full, pushed)
   }
+}
+
+private[sources] object GtfsRtScan {
+  val StampRe = """(\d{8}_\d{4})\.pb$""".r
+  val StampFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmm")
 }
 
 private[sources] case class GtfsRtPartition(file: String) extends InputPartition
 
-private[sources] class GtfsRtReaderFactory(kind: String, fieldIdx: Array[Int])
+private[sources] class GtfsRtReaderFactory(kind: String, fieldIdx: Array[Int],
+                                           full: StructType,
+                                           pushed: Array[Filter])
     extends PartitionReaderFactory {
+
+  /** Compile the pushed filters into one predicate over the
+    * full-width decoded row. Strings compare as UTF8String (the
+    * decode emission type); integral types widen to Long. NULL fails
+    * every comparison (SQL semantics).
+    */
+  private def predicate: Array[Any] => Boolean = {
+    def cmp(colIdx: Int, v: Any)(op: Int => Boolean): Array[Any] => Boolean = {
+      row => row(colIdx) match {
+        case null => false
+        case s: UTF8String => op(s.compareTo(UTF8String.fromString(v.toString)))
+        case l: Long => op(java.lang.Long.compare(l, v.asInstanceOf[Number].longValue()))
+        case d: Double => op(java.lang.Double.compare(d, v.asInstanceOf[Number].doubleValue()))
+        case other => op(other.toString.compareTo(v.toString))
+      }
+    }
+    val fns = pushed.map {
+      case EqualTo(a, v) => cmp(full.fieldIndex(a), v)(_ == 0)
+      case GreaterThan(a, v) => cmp(full.fieldIndex(a), v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(full.fieldIndex(a), v)(_ >= 0)
+      case LessThan(a, v) => cmp(full.fieldIndex(a), v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(full.fieldIndex(a), v)(_ <= 0)
+      case IsNotNull(a) =>
+        val i = full.fieldIndex(a)
+        (row: Array[Any]) => row(i) != null
+      case f => throw new IllegalStateException(s"unpushable filter $f")
+    }
+    row => fns.forall(_(row))
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GtfsRtPartition].file
+    val pred = predicate
     new PartitionReader[InternalRow] {
       private val rows: Iterator[Array[Any]] = {
         val p = new Path(file)
@@ -166,7 +303,8 @@ private[sources] class GtfsRtReaderFactory(kind: String, fieldIdx: Array[Int])
           } finally in.close()
         // corrupt snapshot → zero rows, not a task failure
         RtDecode.parseFeedSafe(bytes).toSeq
-          .flatMap(GtfsRtSource.catalystRows(kind, _)).iterator
+          .flatMap(GtfsRtSource.catalystRows(kind, _))
+          .iterator.filter(pred)
       }
       private var current: Array[Any] = _
       override def next(): Boolean =

@@ -53,6 +53,55 @@ class GtfsRtSourceSpec extends AnyFunSuite {
     assert(q.collect().forall(_.length == 2))
   }
 
+  test("filter pushdown: predicate evaluates in the source, exactly, and shows in the scan") {
+    import spark.implicits._
+    val (_, vp) = writeSnapshots()
+    val all = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(vp)
+    val expected = all.collect()
+      .filter(r => r.getString(2) != null && r.getString(2) == "veh-2")
+    val q = all.filter($"vehicle_id" === "veh-2")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("filters=[") && plan.contains("EqualTo(vehicle_id,veh-2)"),
+      plan.take(900))
+    // exact source-side application: no residual Filter node above the scan
+    assert(!plan.contains("Filter ("), plan.take(900))
+    assert(q.collect().map(_.toSeq).toSet == expected.map(_.toSeq).toSet)
+    assert(q.count() > 0)
+  }
+
+  test("stamp-based file pruning skips snapshot files outside a pushed ts range") {
+    import spark.implicits._
+    val vp = TestSpark.tempDir("dsv2_prune")
+    // two snapshots an hour apart; stamps in Paris wall-clock, feed
+    // header epochs matching (the writer contract the prune relies on)
+    val zone = java.time.ZoneId.of("Europe/Paris")
+    def epochOf(stamp: String): Long =
+      java.time.LocalDateTime.parse(stamp,
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmm"))
+        .atZone(zone).toEpochSecond
+    val (s1, s2) = ("20250903_1000", "20250903_1100")
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_prune_tu1"), vp,
+      stamp = s1, feedTs = epochOf(s1))
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_prune_tu2"), vp,
+      stamp = s2, feedTs = epochOf(s2))
+
+    def read(prune: Boolean) = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions")
+      .option("fileStampPrune", prune.toString).load(vp)
+      .filter($"timestamp_epoch" >= epochOf(s2) - 300)
+
+    assert(read(prune = false).rdd.getNumPartitions == 2,
+      "without pruning both snapshot files plan")
+    val pruned = read(prune = true)
+    assert(pruned.rdd.getNumPartitions == 1,
+      "the 10:00 snapshot falls outside range+slack and is skipped")
+    // values agree: file pruning only removes files the row filter
+    // would have emptied anyway
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      read(prune = false).collect().map(_.toSeq).toSet)
+  }
+
   test("one input partition per snapshot file; corrupt file yields zero rows") {
     val (_, vp) = writeSnapshots()
     // add a second (corrupt) snapshot

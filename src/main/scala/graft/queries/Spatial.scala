@@ -100,11 +100,58 @@ object Spatial {
       .orderBy($"ua", $"rank")
   }
 
+  /** q142 — great-circle distance rings: users bucketed by haversine
+    * distance from a reference point (Nice city centre — the
+    * reference network's home), 500 km rings. The point of the
+    * operator: real geo distance needs NO custom expression — the
+    * haversine composes entirely from built-in codegen'd trig
+    * (`radians/sin/cos/asin/sqrt`), one fixed expression tree per
+    * row, zero shuffle before the bounded ring aggregate. Both
+    * engines evaluate the identical IEEE-double tree; ring boundaries
+    * at 500 km make a last-ulp flip a measure-zero risk.
+    */
+  def q142_geo_rings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = load(spark, dir, "events")
+      .select($"user_id").distinct()
+      .select($"user_id",
+        ((h60(concat(lit("lat_"), $"user_id")) % 160000000L) / 1e6 - 80.0).as("lat"),
+        ((h60(concat(lit("lon_"), $"user_id")) % 360000000L) / 1e6 - 180.0).as("lon"))
+    val (refLat, refLon) = (43.7, 7.27)
+    val dLat = radians($"lat" - lit(refLat)) / 2
+    val dLon = radians($"lon" - lit(refLon)) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lit(refLat))) * cos(radians($"lat")) * sin(dLon) * sin(dLon)
+    val distM = lit(2 * 6371000.0) * asin(sqrt(a))
+    pts.withColumn("ring", floor(distM / 500000.0).cast("long"))
+      .groupBy($"ring").agg(count(lit(1)).as("n_users"))
+      .orderBy($"ring")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_geo_rings" -> q142_geo_rings,
     "q80_spatial_join" -> q80_spatial_join,
     "q114_spatial_knn" -> q114_spatial_knn)
 
   val oracle: Map[String, String] = Map(
+    "q142_geo_rings" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events),
+        |pts AS (SELECT user_id,
+        |    CAST('0x' || substring(md5('lat_' || user_id), 1, 15) AS BIGINT)
+        |      % 160000000 / 1e6 - 80.0 AS lat,
+        |    CAST('0x' || substring(md5('lon_' || user_id), 1, 15) AS BIGINT)
+        |      % 360000000 / 1e6 - 180.0 AS lon
+        |  FROM p),
+        |d AS (SELECT user_id,
+        |    2 * 6371000.0 * asin(sqrt(
+        |      sin(radians(lat - 43.7) / 2) * sin(radians(lat - 43.7) / 2)
+        |      + cos(radians(43.7)) * cos(radians(lat))
+        |        * sin(radians(lon - 7.27) / 2) * sin(radians(lon - 7.27) / 2)))
+        |      AS dist_m
+        |  FROM pts)
+        |SELECT CAST(FLOOR(dist_m / 500000.0) AS BIGINT) AS ring,
+        |  COUNT(*) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q114_spatial_knn" ->
       s"""WITH p AS (SELECT DISTINCT user_id FROM events),
         |pts AS (SELECT user_id,

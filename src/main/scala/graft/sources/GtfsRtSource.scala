@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,7 +117,7 @@ private[sources] class GtfsRtTable(kind: String, path: String, schema: StructTyp
   override def name(): String = s"gtfsrt.$kind($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GtfsRtScanBuilder(kind, path, schema, options)
 }
@@ -243,6 +244,79 @@ private[sources] class GtfsRtScan(kind: String, path: String,
     val idx = required.fieldNames.map(full.fieldIndex)
     new GtfsRtReaderFactory(kind, idx, full, pushed)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GtfsRtMicroBatchStream(kind, path, full, required, pushed)
+}
+
+/** Streaming form of the snapshot scan: the offset is the
+  * lexicographically-largest processed file NAME. Minute-stamped
+  * snapshot names (`…_yyyyMMdd_HHmm.pb`, F10 stamping) sort
+  * chronologically, so each micro-batch is exactly the files that
+  * arrived since the checkpointed watermark — exactly-once across
+  * restarts with an O(1) offset (no seen-files log to compact).
+  * CONTRACT (documented, writer-enforced by `StaticFetch`): the
+  * landing dir is append-only and stamps are monotonic; a file
+  * back-dated behind the watermark is never picked up (the batch
+  * scan remains the backfill path).
+  */
+private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
+                                              full: StructType,
+                                              required: StructType,
+                                              pushed: Array[Filter])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow contract: pin the end offset ONCE at query
+  // start, so the run drains exactly the files present then and
+  // terminates even while new snapshots keep landing
+  @volatile private var availableNowTarget: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listNames().lastOption.getOrElse(""))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GtfsRtOffset(availableNowTarget.getOrElse(
+      listNames().lastOption.getOrElse("")))
+  override def reportLatestOffset(): Offset =
+    GtfsRtOffset(listNames().lastOption.getOrElse(""))
+
+  private def listNames(): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".pb"))
+        files += st.getPath.getName
+    }
+    files.sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = GtfsRtOffset("")
+  override def deserializeOffset(json: String): Offset = GtfsRtOffset(json)
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GtfsRtOffset].lastName
+    val hi = end.asInstanceOf[GtfsRtOffset].lastName
+    listNames()
+      .filter(n => n > lo && n <= hi)
+      .map(n => GtfsRtPartition(s"$path/$n"): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GtfsRtReaderFactory(kind,
+      required.fieldNames.map(full.fieldIndex), full, pushed)
+}
+
+/** O(1) streaming offset: the last processed snapshot file name. */
+private[sources] case class GtfsRtOffset(lastName: String) extends Offset {
+  override def json(): String = lastName
 }
 
 private[sources] object GtfsRtScan {

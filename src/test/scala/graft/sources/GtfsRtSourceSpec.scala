@@ -102,6 +102,40 @@ class GtfsRtSourceSpec extends AnyFunSuite {
       read(prune = false).collect().map(_.toSeq).toSet)
   }
 
+  test("streaming read: checkpointed name-watermark processes each snapshot exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val vp = TestSpark.tempDir("dsv2_stream_vp")
+    val out = TestSpark.tempDir("dsv2_stream_out")
+    val ckpt = TestSpark.tempDir("dsv2_stream_ckpt")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("gtfsrt")
+        .option("kind", "vehicle_positions").load(vp)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val outSchema = GtfsRtSource.schemaFor("vehicle_positions")
+
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_s_tu1"), vp,
+      stamp = "20250903_1000", feedTs = 1000000L)
+    drain()
+    val n1 = spark.read.schema(outSchema).parquet(out).count()
+    assert(n1 > 0)
+
+    // a second, later-stamped snapshot; same checkpoint → only the new
+    // file plans (the first would double row counts if reprocessed)
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_s_tu2"), vp,
+      stamp = "20250903_1002", feedTs = 1000120L)
+    drain()
+    val rows = spark.read.schema(outSchema).parquet(out)
+    assert(rows.count() == 2 * n1, "second run appends exactly one snapshot's rows")
+    // and a third run with nothing new is a no-op
+    drain()
+    assert(spark.read.schema(outSchema).parquet(out).count() == 2 * n1)
+  }
+
   test("one input partition per snapshot file; corrupt file yields zero rows") {
     val (_, vp) = writeSnapshots()
     // add a second (corrupt) snapshot

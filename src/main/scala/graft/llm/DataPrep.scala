@@ -461,7 +461,41 @@ object DataPrep {
       .orderBy($"source")
   }
 
+  /** Blocklist for q144 — a real pipeline loads this from config; a
+    * fixed literal keeps the oracle total. Terms chosen to actually
+    * occur in the harness vocabulary.
+    */
+  final val Blocklist: Seq[String] = Seq("error", "slow", "null", "drop")
+
+  /** q144 — blocklist filtering (the corpus safety/keyword gate):
+    * per source, how many documents trip any blocklisted term, plus
+    * per-term hit counts — the audit a filter rollout reviews before
+    * dropping data. The blocklist broadcasts as a literal array; the
+    * match is a map-side `exists` over the token array (no token
+    * fan-out, no join, zero shuffle before the bounded per-source
+    * aggregate); per-term counts come from one `aggregate` fold over
+    * the same array, so the corpus is scanned ONCE. At a 10k-term
+    * real blocklist the same plan swaps the array `exists` for a
+    * broadcast-join on exploded tokens — the audit shape is
+    * unchanged.
+    */
+  def q144_blocklist_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val flagged = Blocklist.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(array_contains(toks, t), 1L).otherwise(0L)
+    }
+    load(spark, dir, "documents")
+      .select($"source", flagged.as("n_terms_hit"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_terms_hit" > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum($"n_terms_hit").as("sum_terms_hit"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_blocklist_audit" -> q144_blocklist_audit,
     "q139_weighted_median" -> q139_weighted_median,
     "q135_ks_drift" -> q135_ks_drift,
     "q130_train_val_test" -> q130_train_val_test,
@@ -480,7 +514,20 @@ object DataPrep {
       s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
     }
 
+  private def blocklistHitsSql: String = Blocklist
+    .map(t => s"CASE WHEN list_contains(string_split(text, ' '), '$t') " +
+      "THEN 1 ELSE 0 END")
+    .mkString("(", " + ", ")")
+
   val oracle: Map[String, String] = Map(
+    "q144_blocklist_audit" ->
+      s"""WITH d AS (SELECT source, $blocklistHitsSql AS n_terms_hit
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_terms_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(n_terms_hit) AS BIGINT) AS sum_terms_hit
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q139_weighted_median" ->
       """WITH a AS (SELECT source, n_chars,
         |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS w

@@ -232,7 +232,36 @@ object Temporal {
       .orderBy($"day_s")
   }
 
+  /** q143 — calendar spine (dim_date build): the full day dimension
+    * spanning the fact table's date range, generated with a bounded
+    * `sequence` explode from a 1-row min/max aggregate — never a
+    * recursive loop or a driver-side range — then audited against
+    * actual order days per month (days, weekend days, days with
+    * orders). The date dimension every BI layer joins against,
+    * including days with no facts (which an orders-derived distinct
+    * would silently drop).
+    */
+  def q143_calendar_spine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+    val range = o.agg(min(date_trunc("day", $"o_orderdate")).as("lo"),
+      max(date_trunc("day", $"o_orderdate")).as("hi"))
+    val days = range
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+      .select($"day", (weekday($"day") + 1).as("isodow"),
+        date_format($"day", "yyyy-MM").as("month"))
+    val perDay = o.groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"))
+    days.join(perDay, Seq("day"), "left")
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"isodow" >= 6, 1L).otherwise(0L)).as("n_weekend_days"),
+        sum(when($"n".isNotNull, 1L).otherwise(0L)).as("n_days_with_orders"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_calendar_spine" -> q143_calendar_spine,
     "q140_feed_gaps" -> q140_feed_gaps,
     "q126_backlog" -> q126_backlog,
     "q110_peak_concurrency" -> q110_peak_concurrency,
@@ -241,6 +270,21 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q143_calendar_spine" ->
+      """WITH r AS (SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+        |    date_trunc('day', MAX(o_orderdate)) AS hi FROM orders),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |         FROM r),
+        |d AS (SELECT day, isodow(day) AS isodow,
+        |    strftime(day, '%Y-%m') AS month FROM days),
+        |pd AS (SELECT date_trunc('day', o_orderdate) AS day,
+        |    COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT month, COUNT(*) AS n_days,
+        |  CAST(SUM(CASE WHEN isodow >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_weekend_days,
+        |  CAST(SUM(CASE WHEN pd.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_days_with_orders
+        |FROM d LEFT JOIN pd USING (day) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q140_feed_gaps" ->
       """WITH m AS (SELECT DISTINCT
         |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,

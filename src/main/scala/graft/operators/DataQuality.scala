@@ -148,13 +148,62 @@ object DataQuality {
       .orderBy($"status")
   }
 
+  /** q145 — join-health preflight: before running a big join, audit
+    * the key relationship — distinct keys per side, overlap,
+    * one-sided keys, worst per-key multiplicity, and the EXACT output
+    * row count the join would produce (Σ over shared keys of
+    * left_mult × right_mult). At 100 TB this one-key-cardinality-
+    * sized report is what catches a join explosion (an unexpected
+    * many-to-many) before it takes the cluster down. Plan: each side
+    * reduces to a per-key count (partial+final on the join key), the
+    * audit is ONE full-outer join of those bounded count tables, and
+    * every metric is an exact integer sum over it.
+    */
+  def q145_join_health(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("lm"))
+    val r = load(spark, dir, "orders")
+      .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("rm"))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        sum(when($"lm".isNotNull, 1L).otherwise(0L)).as("n_left_keys"),
+        sum(when($"rm".isNotNull, 1L).otherwise(0L)).as("n_right_keys"),
+        sum(when($"lm".isNotNull && $"rm".isNotNull, 1L).otherwise(0L)).as("n_shared_keys"),
+        sum(when($"rm".isNull, 1L).otherwise(0L)).as("n_left_only"),
+        sum(when($"lm".isNull, 1L).otherwise(0L)).as("n_right_only"),
+        max(coalesce($"lm", lit(0L))).as("max_left_mult"),
+        max(coalesce($"rm", lit(0L))).as("max_right_mult"),
+        sum(when($"lm".isNotNull && $"rm".isNotNull, $"lm" * $"rm")
+          .otherwise(0L)).as("inner_join_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_join_health" -> q145_join_health,
     "q93_quality_checks" -> q93_quality_checks,
     "q94_sparse_cosine" -> q94_sparse_cosine,
     "q102_profile" -> q102_profile,
     "q103_snapshot_diff" -> q103_snapshot_diff)
 
   val oracle: Map[String, String] = Map(
+    "q145_join_health" ->
+      """WITH l AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS lm
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS rm
+        |      FROM orders GROUP BY 1),
+        |j AS (SELECT l.lm, r.rm FROM l FULL JOIN r ON l.k = r.k)
+        |SELECT
+        |  CAST(SUM(CASE WHEN lm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_keys,
+        |  CAST(SUM(CASE WHEN rm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_keys,
+        |  CAST(SUM(CASE WHEN lm IS NOT NULL AND rm IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared_keys,
+        |  CAST(SUM(CASE WHEN rm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+        |  CAST(SUM(CASE WHEN lm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only,
+        |  CAST(MAX(COALESCE(lm, 0)) AS BIGINT) AS max_left_mult,
+        |  CAST(MAX(COALESCE(rm, 0)) AS BIGINT) AS max_right_mult,
+        |  CAST(SUM(CASE WHEN lm IS NOT NULL AND rm IS NOT NULL
+        |    THEN lm * rm ELSE 0 END) AS BIGINT) AS inner_join_rows
+        |FROM j""".stripMargin,
     "q93_quality_checks" ->
       """WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CASE WHEN o_orderdate >= '1992-01-01'

@@ -260,7 +260,36 @@ object Temporal {
       .orderBy($"month")
   }
 
+  /** q146 — business-day lead time (order → ship) per order priority.
+    * Weekday arithmetic is CLOSED-FORM, not a calendar join: with
+    * g(d) = weekdays in (−∞, d] anchored to a known Monday
+    * (1970-01-05), g(d) = 5·⌊days/7⌋ + min(days mod 7 + 1, 5), and
+    * business days between two dates = g(ship) − g(order) — two
+    * integer expressions per row, map-side, no dimension table to
+    * broadcast or join at any scale. Average in exact centi-days.
+    */
+  def q146_business_days(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def g(d: org.apache.spark.sql.Column) = {
+      val days = datediff(d, to_date(lit("1970-01-05")))
+      lit(5) * floor(days / 7) + least(days % 7 + 1, lit(5))
+    }
+    val o = load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        (g($"l_shipdate") - g($"o_orderdate")).cast("long").as("bd"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(lit(100.0) * sum($"bd") / count(lit(1))).cast("long")
+          .as("avg_bd_centi"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_business_days" -> q146_business_days,
     "q143_calendar_spine" -> q143_calendar_spine,
     "q140_feed_gaps" -> q140_feed_gaps,
     "q126_backlog" -> q126_backlog,
@@ -270,6 +299,17 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q146_business_days" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    (5 * (date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) // 7)
+        |      + LEAST(date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) % 7 + 1, 5))
+        |  - (5 * (date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) // 7)
+        |      + LEAST(date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1, 5))
+        |    AS bd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(ROUND(100.0 * SUM(bd) / COUNT(*)) AS BIGINT) AS avg_bd_centi
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q143_calendar_spine" ->
       """WITH r AS (SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
         |    date_trunc('day', MAX(o_orderdate)) AS hi FROM orders),

@@ -52,4 +52,39 @@ class PlanLintSpec extends AnyFunSuite {
       assert(findings.isEmpty, findings)
     }
   }
+
+  /** Every registered query's plan walks through the linter. Flags
+    * are allowed only where the operator documents them BY DESIGN:
+    * the conditioned-broadcast baselines (q26's brute-force cosine
+    * and its derivatives, q42's exclusion predicate), and the
+    * global-window-over-a-pre-bounded-aggregate family (inputs are
+    * ≤ hundreds of rows by construction; q76 is the escape hatch
+    * when they are not). A new query that introduces a cartesian
+    * product or a single-partition funnel fails here, not at 100 TB.
+    */
+  test("ALL shipped queries lint clean of scale anti-patterns (documented exceptions only)") {
+    val allowed: Map[String, Set[String]] = Map(
+      "q26_ann_topk" -> Set("cartesian-product"),
+      "q42_mixture_rates" -> Set("cartesian-product"),
+      // la < lb over two ≤|langs| register tables — a bounded grid
+      "q120_hll_set_algebra" -> Set("cartesian-product"),
+      // corpus × broadcast anchors with the cross-source exclusion
+      // pushed into the BNLJ condition — the documented bounded form
+      "q122_negative_sampling" -> Set("cartesian-product"),
+      "q83_ntile_dist" -> Set("single-partition-window"),
+      "q126_backlog" -> Set("single-partition-window"),
+      "q129_cumulative_reach" -> Set("single-partition-window"),
+      "q133_rfm_segments" -> Set("single-partition-window"),
+      "q135_ks_drift" -> Set("single-partition-window"),
+      "q136_survival" -> Set("single-partition-window"))
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val findings =
+          try PlanLint.lint(fn(spark, dir))
+          finally graft.Caches.releaseAll()
+        findings.filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.rule))
+          .map(f => s"$name: ${f.rule} (${f.node})")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

@@ -301,12 +301,39 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** q149 — exact distinct counting via bitmap aggregation: per-group
+    * COUNT(DISTINCT key) computed as a two-level mergeable aggregate
+    * over Spark's native bitmap functions. Level 1 groups on
+    * (group, bitmap_bucket_number(key)) and ORs the keys of one
+    * 32k-wide bucket into a 4 KB bitmap (`bitmap_construct_agg`);
+    * level 2 sums the bucket popcounts. Unlike `count(distinct)` —
+    * which expands every (group, key) pair through the shuffle — the
+    * shuffle here carries one fixed-size bitmap per (group, bucket):
+    * for dense key domains that is orders of magnitude fewer bytes,
+    * and the partial aggregates merge associatively on every
+    * topology. The oracle is the exact COUNT(DISTINCT).
+    */
+  def q149_bitmap_distinct(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "events")
+      .groupBy($"event_type", expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q62_bloom_prune" -> q62_bloom_prune,
       "q66_bucketed_join" -> q66_bucketed_join,
-      "q67_salted_agg" -> q67_salted_agg)
+      "q67_salted_agg" -> q67_salted_agg,
+      "q149_bitmap_distinct" -> q149_bitmap_distinct)
 
   val oracle: Map[String, String] = Map(
+    "q149_bitmap_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q66_bucketed_join" ->
       """WITH o AS (SELECT o_orderkey AS okey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS order_cents FROM orders),

@@ -1124,7 +1124,45 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** q150 — top-N with OTHERS rollup: the dashboard staple that keeps
+    * total mass intact. Per market segment, the 5 highest-revenue
+    * part brands stay named and everything else collapses into one
+    * OTHER row, with each row's share of its segment in basis points
+    * — so the pie always sums to ~100% instead of silently dropping
+    * the tail. Plan: facts reduce once to the bounded
+    * (segment, brand) aggregate; the top-5 ranking window and the
+    * share window both run inside segment partitions of that
+    * aggregate (RankLimitRewrite plans the rank filter as bounded
+    * TopK heaps), never over the fact stream.
+    */
+  def q150_top_n_others(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byBrand = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", cents($"l_extendedprice").as("c"))
+      .join(load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(load(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(load(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"c_mktsegment", $"p_brand")
+      .agg(sum($"c").as("rev_c"))
+    val bySeg = Window.partitionBy($"c_mktsegment")
+    val labeled = byBrand
+      .withColumn("rk", row_number().over(
+        bySeg.orderBy($"rev_c".desc, $"p_brand")))
+      .withColumn("label", when($"rk" <= 5, $"p_brand").otherwise(lit("OTHER")))
+      .groupBy($"c_mktsegment", $"label")
+      .agg(sum($"rev_c").as("revenue_c"), count(lit(1)).as("n_brands"))
+    labeled
+      .withColumn("share_bp",
+        round(lit(10000.0) * $"revenue_c" / sum($"revenue_c").over(bySeg))
+          .cast("long"))
+      .orderBy($"c_mktsegment", $"revenue_c".desc, $"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_top_n_others" -> q150_top_n_others,
     "q136_survival" -> q136_survival,
     "q134_abc_classification" -> q134_abc_classification,
     "q133_rfm_segments" -> q133_rfm_segments,
@@ -1177,6 +1215,27 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q150_top_n_others" ->
+      """WITH bb AS (SELECT c_mktsegment, p_brand,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY rev_c DESC, p_brand) AS rk FROM bb),
+        |lab AS (SELECT c_mktsegment,
+        |    CASE WHEN rk <= 5 THEN p_brand ELSE 'OTHER' END AS label,
+        |    CAST(SUM(rev_c) AS BIGINT) AS revenue_c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_brands
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT c_mktsegment, label, revenue_c, n_brands,
+        |  CAST(ROUND(10000.0 * revenue_c /
+        |    SUM(revenue_c) OVER (PARTITION BY c_mktsegment)) AS BIGINT)
+        |    AS share_bp
+        |FROM lab ORDER BY c_mktsegment, revenue_c DESC, label""".stripMargin,
     "q136_survival" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),

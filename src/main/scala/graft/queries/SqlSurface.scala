@@ -317,7 +317,60 @@ object SqlSurface {
       .orderBy($"p_brand", $"rn")
   }
 
+  /** q147 — exact proration (largest-remainder allocation): spread
+    * each order's header total across its line items proportionally
+    * to extended price, in integer cents that sum back to the total
+    * EXACTLY. Floor the proportional share, then hand the order's
+    * leftover cents (< n_items, one per item at most) to the largest
+    * fractional remainders — the standard finance/ETL allocation,
+    * where a naive float split silently creates or destroys money.
+    *
+    * Scale: both window passes partition on the high-cardinality
+    * order key — one shuffle, state bounded by items-per-order; the
+    * audit output proves conservation (n_mismatch must be 0).
+    * Products stay in range: cents totals < 2^26, so tot_c · ext_c
+    * < 2^52 fits a long exactly.
+    */
+  /** Per-item largest-remainder allocation — q147's reusable core.
+    * Input must carry (l_orderkey, l_linenumber, ext_c, tot_c); adds
+    * `alloc` such that per order: Σ alloc = tot_c exactly, and every
+    * alloc is within 1 cent of the real-valued proportional share.
+    */
+  private[queries] def prorate(joined: DataFrame): DataFrame = {
+    import joined.sparkSession.implicits._
+    val byOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey")
+    joined
+      .withColumn("sum_ext", sum($"ext_c").over(byOrder))
+      .withColumn("base", expr("(tot_c * ext_c) div sum_ext"))
+      .withColumn("rem", expr("(tot_c * ext_c) % sum_ext"))
+      .withColumn("leftover", $"tot_c" - sum($"base").over(byOrder))
+      .withColumn("rk", row_number().over(
+        byOrder.orderBy($"rem".desc, $"l_linenumber")))
+      .withColumn("alloc",
+        $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+  }
+
+  def q147_proration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        graft.Tables.cents($"l_extendedprice").as("ext_c"))
+    val o = load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        graft.Tables.cents($"o_totalprice").as("tot_c"))
+    prorate(li.join(o, $"l_orderkey" === $"o_orderkey"))
+      .groupBy($"l_orderkey", $"o_orderpriority", $"tot_c")
+      .agg(count(lit(1)).as("n_items"), sum($"alloc").as("alloc_c"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum($"n_items").as("n_items"),
+        sum($"alloc_c").as("alloc_c"), sum($"tot_c").as("tot_c"),
+        sum(when($"alloc_c" =!= $"tot_c", 1L).otherwise(0L)).as("n_mismatch"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_proration" -> q147_proration,
     "q141_ranking_ties" -> q141_ranking_ties,
     "q137_set_ops_all" -> q137_set_ops_all,
     "q138_ratio_to_report" -> q138_ratio_to_report,
@@ -332,6 +385,33 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q147_proration" ->
+      """WITH j AS (SELECT l_orderkey, l_linenumber, o_orderpriority,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext_c,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tot_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (SELECT *, SUM(ext_c) OVER (PARTITION BY l_orderkey) AS sum_ext
+        |  FROM j),
+        |b AS (SELECT *, (tot_c * ext_c) // sum_ext AS base,
+        |    (tot_c * ext_c) % sum_ext AS rem FROM w),
+        |r AS (SELECT *, SUM(base) OVER (PARTITION BY l_orderkey) AS base_sum,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rk
+        |  FROM b),
+        |a AS (SELECT l_orderkey, o_orderpriority, tot_c,
+        |    base + CASE WHEN rk <= tot_c - base_sum THEN 1 ELSE 0 END AS alloc
+        |  FROM r),
+        |po AS (SELECT l_orderkey, o_orderpriority, tot_c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(alloc) AS BIGINT) AS alloc_c
+        |  FROM a GROUP BY 1, 2, 3)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(n_items) AS BIGINT) AS n_items,
+        |  CAST(SUM(alloc_c) AS BIGINT) AS alloc_c,
+        |  CAST(SUM(tot_c) AS BIGINT) AS tot_c,
+        |  CAST(SUM(CASE WHEN alloc_c <> tot_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch
+        |FROM po GROUP BY 1 ORDER BY 1""".stripMargin,
     "q141_ranking_ties" ->
       """SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
         |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,

@@ -288,7 +288,49 @@ object Temporal {
       .orderBy($"o_orderpriority")
   }
 
+  /** q148 — validity-interval overlap/gap audit: the data-quality
+    * check every SCD2/interval table needs before a point-in-time
+    * join can be trusted (q61's prerequisite). Per supplier, shipment
+    * intervals [d0, d1) (q110's in-transit windows) sort by start;
+    * an interval OVERLAPS its predecessors when it starts before the
+    * running max of prior ends (plain lag is wrong — an earlier long
+    * interval can swallow several successors), and opens a GAP when
+    * it starts after. One window pass partitioned on the
+    * high-cardinality supplier key, then a bounded per-nation rollup.
+    */
+  def q148_overlap_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = load(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        unix_timestamp(date_trunc("day", $"l_shipdate")).as("d0"))
+      .withColumn("d1", $"d0" + ($"l_linenumber" % 14 + 1) * 86400L)
+    val bySupp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_suppkey")
+      .orderBy($"d0", $"d1", $"l_orderkey", $"l_linenumber")
+    val flagged = iv
+      .withColumn("prev_max_end", max($"d1").over(
+        bySupp.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("overlap_s",
+        when($"prev_max_end" > $"d0", $"prev_max_end" - $"d0").otherwise(0L))
+      .withColumn("gap_s",
+        when($"prev_max_end".isNotNull && ($"prev_max_end" < $"d0"),
+          $"d0" - $"prev_max_end").otherwise(0L))
+    flagged
+      .join(broadcast(load(spark, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when($"overlap_s" > 0, 1L).otherwise(0L)).as("n_overlapping"),
+        sum(when($"gap_s" > 0, 1L).otherwise(0L)).as("n_gaps"),
+        expr("sum(overlap_s) div 86400").as("overlap_days"),
+        expr("max(gap_s) div 86400").as("max_gap_days"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_overlap_audit" -> q148_overlap_audit,
     "q146_business_days" -> q146_business_days,
     "q143_calendar_spine" -> q143_calendar_spine,
     "q140_feed_gaps" -> q140_feed_gaps,
@@ -299,6 +341,31 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q148_overlap_audit" ->
+      """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(FLOOR(epoch(date_trunc('day', l_shipdate))) AS BIGINT) AS d0,
+        |    CAST(FLOOR(epoch(date_trunc('day', l_shipdate))) AS BIGINT)
+        |      + (l_linenumber % 14 + 1) * 86400 AS d1
+        |  FROM lineitem),
+        |f AS (SELECT *,
+        |    MAX(d1) OVER (PARTITION BY l_suppkey
+        |      ORDER BY d0, d1, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |g AS (SELECT l_suppkey,
+        |    CASE WHEN pme > d0 THEN pme - d0 ELSE 0 END AS overlap_s,
+        |    CASE WHEN pme IS NOT NULL AND pme < d0 THEN d0 - pme
+        |         ELSE 0 END AS gap_s
+        |  FROM f)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(CASE WHEN overlap_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overlapping,
+        |  CAST(SUM(CASE WHEN gap_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(overlap_s) // 86400 AS BIGINT) AS overlap_days,
+        |  CAST(MAX(gap_s) // 86400 AS BIGINT) AS max_gap_days
+        |FROM g JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q146_business_days" ->
       """WITH g AS (SELECT o_orderpriority,
         |    (5 * (date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) // 7)

@@ -295,4 +295,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(byEpoch == Map(true -> 100L, false -> 50L),
       "old shards null-fill the new column; new shards carry it")
   }
+
+  test("bitmap distinct ≡ exact count(distinct); shuffle carries bitmaps, not keys") {
+    import spark.implicits._
+    val got = ScaleOps.q149_bitmap_distinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = graft.Tables.load(spark, dir, "events")
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exact)
+    // the plan's distinct work is bitmap aggregation — no Expand-based
+    // count(distinct) rewrite in sight
+    val plan = ScaleOps.q149_bitmap_distinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bitmap_construct_agg"), plan.take(600))
+    assert(!plan.contains("Expand"), plan.take(600))
+  }
 }

@@ -55,4 +55,29 @@ class SegmentationSpec extends AnyFunSuite {
     assert(got == naive, s"two-phase vs window: $got vs $naive")
     assert(got.map(_._2).sum == rev.count(), "classes partition the parts")
   }
+
+  test("top-n-others: OTHER keeps total mass intact and shares sum to ~100% per segment") {
+    import spark.implicits._
+    val rows = Analytics.q150_top_n_others(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySeg = rows.groupBy(_._1)
+    bySeg.foreach { case (seg, rs) =>
+      // ≤ 5 named brands + at most one OTHER row
+      assert(rs.count(_._2 != "OTHER") <= 5, s"$seg has >5 named rows")
+      assert(rs.count(_._2 == "OTHER") <= 1)
+      // shares sum to 10000 within per-row rounding slack
+      val shareSum = rs.map(_._5).sum
+      assert(math.abs(shareSum - 10000) <= rs.size, s"$seg shares sum $shareSum")
+    }
+    // mass conservation: segment revenue equals the direct fact aggregate
+    val direct = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.load(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum(graft.Tables.cents($"l_extendedprice")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    bySeg.foreach { case (seg, rs) =>
+      assert(rs.map(_._3).sum == direct(seg), s"$seg drops revenue mass")
+    }
+  }
 }

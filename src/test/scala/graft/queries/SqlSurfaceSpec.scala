@@ -55,4 +55,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val cd = rows.map(_.getLong(4))
     assert(cd.max == 10000L && cd.min > 0L)
   }
+
+  test("q147: proration conserves every order's total and stays within 1 cent of the exact share") {
+    import spark.implicits._
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        graft.Tables.cents($"l_extendedprice").as("ext_c"))
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        graft.Tables.cents($"o_totalprice").as("tot_c"))
+    val items = SqlSurface.prorate(li.join(o, $"l_orderkey" === $"o_orderkey"))
+      .select($"l_orderkey", $"tot_c", $"ext_c", $"sum_ext", $"alloc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exact conservation per order
+    items.groupBy(_._1).foreach { case (ok, rows) =>
+      assert(rows.map(_._5).sum == rows.head._2, s"order $ok leaks cents")
+    }
+    // per-item error bound: |alloc − tot·ext/Σext| < 1 cent
+    items.foreach { case (ok, tot, ext, sumExt, alloc) =>
+      val exact = tot.toDouble * ext / sumExt
+      assert(math.abs(alloc - exact) < 1.0 + 1e-9, s"order $ok item off by ≥1c")
+    }
+    // aggregate audit agrees: zero mismatching orders
+    val audit = SqlSurface.q147_proration(spark, dir).collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Long]("n_mismatch") == 0L))
+    assert(audit.forall(r => r.getAs[Long]("alloc_c") == r.getAs[Long]("tot_c")))
+  }
 }

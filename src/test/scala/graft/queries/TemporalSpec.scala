@@ -63,4 +63,42 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq.sorted
     assert(got == expected)
   }
+
+  test("overlap audit matches a per-supplier linear sweep (running max, not lag)") {
+    import spark.implicits._
+    // naive recompute: per supplier, sort intervals, track max end seen
+    val iv = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        unix_timestamp(date_trunc("day", $"l_shipdate")).as("d0"))
+      .withColumn("d1", $"d0" + ($"l_linenumber" % 14 + 1) * 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val perSupp = iv.groupBy(_._1).map { case (s, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._5, r._2, r._3))
+      var maxEnd = Long.MinValue
+      var nOv = 0L; var nGap = 0L; var ovS = 0L; var maxGapS = 0L
+      sorted.foreach { case (_, _, _, d0, d1) =>
+        if (maxEnd != Long.MinValue) {
+          if (maxEnd > d0) { nOv += 1; ovS += maxEnd - d0 }
+          else if (maxEnd < d0) { nGap += 1; maxGapS = math.max(maxGapS, d0 - maxEnd) }
+        }
+        maxEnd = math.max(maxEnd, d1)
+      }
+      s -> (rows.size.toLong, nOv, nGap, ovS, maxGapS)
+    }
+    val nationOf = graft.Tables.load(spark, dir, "supplier")
+      .join(graft.Tables.load(spark, dir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = perSupp.toSeq.groupBy(kv => nationOf(kv._1)).map {
+      case (n, ss) =>
+        val v = ss.map(_._2)
+        (n, v.map(_._1).sum, v.map(_._2).sum, v.map(_._3).sum,
+          v.map(_._4).sum / 86400L, v.map(_._5).max / 86400L)
+    }.toSeq.sortBy(_._1)
+    val got = Temporal.q148_overlap_audit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
 }

@@ -288,7 +288,47 @@ object Sketches {
       .orderBy($"la", $"lb")
   }
 
+  final val KmvK = 64
+
+  /** q151 — KMV (bottom-k / theta) distinct sketch: the third member
+    * of the distinct-estimation family (exact bitmap q149, HLL q58).
+    * Keep the [[KmvK]] smallest md5-60-bit hashes of the key per
+    * group; the k-th smallest estimates the distinct count as
+    * (k−1)·2^60 / h_k (uniform hashes ⇒ the k-th order statistic sits
+    * at ≈ k/n of the hash space). Unlike HLL the sketch supports
+    * set intersection natively, and its build IS the library's native
+    * top-k-per-group operator with an ascending order — bounded
+    * [[KmvK]]-row heaps before and after the group exchange, never a
+    * per-group sort. Groups with < k distinct keys fall back to the
+    * exact count (the sketch is the whole set there). Estimate is a
+    * fixed IEEE-double tree over two longs — identical in DuckDB.
+    */
+  def q151_kmv_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Caches.tracked(load(spark, dir, "events")
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct())
+    val bottomK = graft.plans.TopKPerGroup.topK(
+      h, Seq("event_type"), Seq($"h".asc), KmvK, rankCol = "rk")
+    val hk = bottomK.groupBy($"event_type")
+      .agg(max(when($"rk" === KmvK, $"h")).as("h_k"))
+    val exact = h.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    exact.join(hk, "event_type")
+      .withColumn("est_kmv", coalesce(
+        round(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) / $"h_k")
+          .cast("long"),
+        $"n_exact"))
+      .withColumn("err_bp",
+        round(lit(10000.0) * ($"est_kmv" - $"n_exact") / $"n_exact").cast("long"))
+      .select($"event_type", $"n_exact", coalesce($"h_k", lit(0L)).as("h_k"),
+        $"est_kmv", $"err_bp")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_kmv_distinct" -> q151_kmv_distinct,
     "q120_hll_set_algebra" -> q120_hll_set_algebra,
     "q58_hll_distinct" -> q58_hll_distinct,
     "q59_cms_heavy_hitters" -> q59_cms_heavy_hitters,
@@ -302,6 +342,25 @@ object Sketches {
        |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q151_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY h) AS rk FROM h),
+         |hk AS (SELECT event_type,
+         |    MAX(CASE WHEN rk = $KmvK THEN h END) AS h_k FROM rk GROUP BY 1),
+         |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM h GROUP BY 1)
+         |SELECT ex.event_type, ex.n_exact, COALESCE(hk.h_k, 0) AS h_k,
+         |  COALESCE(CAST(ROUND(${KmvK - 1}.0 * 1152921504606846976.0 / hk.h_k)
+         |    AS BIGINT), ex.n_exact) AS est_kmv,
+         |  CAST(ROUND(10000.0 * (COALESCE(CAST(ROUND(${KmvK - 1}.0
+         |      * 1152921504606846976.0 / hk.h_k) AS BIGINT), ex.n_exact)
+         |    - ex.n_exact) / ex.n_exact) AS BIGINT) AS err_bp
+         |FROM ex JOIN hk ON ex.event_type = hk.event_type
+         |ORDER BY ex.event_type""".stripMargin,
     "q120_hll_set_algebra" ->
       s"""WITH g AS ($GramSql),
          |h0 AS (SELECT lang,

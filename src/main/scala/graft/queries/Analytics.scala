@@ -1161,7 +1161,55 @@ object Analytics {
       .orderBy($"c_mktsegment", $"revenue_c".desc, $"label")
   }
 
+  /** q153 — first-touch attribution: credit every purchase's value to
+    * the event type of the user's FIRST event (the marketing-channel
+    * question "what first brought the buyer here"). The first touch
+    * is one min_by aggregate on the user key — min over the
+    * (epoch, event_id) struct gives a total order, so ties cannot
+    * flake — and purchases co-partition on the same key for the
+    * join-back; no window ever touches the raw stream. Output is the
+    * bounded per-channel credit table.
+    */
+  def q153_first_touch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        epochS($"ts").as("t"), cents($"value").as("v_c"))
+    val firstTouch = e.groupBy($"user_id")
+      .agg(min_by($"event_type", struct($"t", $"event_id")).as("channel"))
+    e.filter($"event_type" === "purchase")
+      .join(firstTouch, "user_id")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"v_c").as("attributed_cents"))
+      .orderBy($"channel")
+  }
+
+  /** q154 — longest consecutive-day activity streak per user: the
+    * classic gaps-and-islands rewrite. Distinct (user, day) first —
+    * the stream reduces to at most users × days rows — then island id
+    * = day_index − row_number inside user partitions (consecutive
+    * days share it), streak = island size. Every window partitions on
+    * the high-cardinality user key; output is one row per user.
+    */
+  def q154_streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = load(spark, dir, "events")
+      .select($"user_id",
+        (unix_timestamp(date_trunc("day", $"ts")) / 86400L).cast("long").as("d"))
+      .distinct()
+    val byUser = Window.partitionBy($"user_id").orderBy($"d")
+    val islands = days
+      .withColumn("island", $"d" - row_number().over(byUser))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+    islands.groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"), max($"len").as("max_streak_days"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_first_touch" -> q153_first_touch,
+    "q154_streaks" -> q154_streaks,
     "q150_top_n_others" -> q150_top_n_others,
     "q136_survival" -> q136_survival,
     "q134_abc_classification" -> q134_abc_classification,
@@ -1215,6 +1263,31 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q153_first_touch" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+        |ft AS (SELECT user_id, event_type AS channel FROM (
+        |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e)
+        |  WHERE rn = 1)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(v_c) AS BIGINT) AS attributed_cents
+        |FROM e JOIN ft USING (user_id)
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q154_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d
+        |  FROM events),
+        |i AS (SELECT user_id,
+        |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM d),
+        |s AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(len) AS BIGINT) AS max_streak_days
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_top_n_others" ->
       """WITH bb AS (SELECT c_mktsegment, p_brand,
         |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -329,7 +329,61 @@ object Temporal {
       .orderBy($"n_name")
   }
 
+  /** q152 — CDC apply (change feed with tombstones): reconcile a base
+    * snapshot with an out-of-order change feed carrying upserts AND
+    * deletes — q69's SCD1 merge extended with the two cases it lacks:
+    * tombstones and brand-new keys. The latest change per key wins
+    * (ranking window on the high-cardinality key, version + unique
+    * tie-break); a full-outer join against the base then classifies
+    * every key as kept / updated / inserted / deleted, and tombstones
+    * for unknown keys are no-ops. Feed: orders as balance updates,
+    * urgent orders as deletes, every 20th order re-keyed past the
+    * base key space to exercise inserts. Output is the bounded
+    * per-segment census (inserted keys land in 'NEW').
+    */
+  def q152_cdc_apply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = load(spark, dir, "customer")
+      .select($"c_custkey".as("key"), $"c_mktsegment",
+        graft.Tables.cents($"c_acctbal").as("bal_c"))
+    val feed = load(spark, dir, "orders")
+      .select(
+        when($"o_orderkey" % 20 === 0, $"o_custkey" + 1000000L)
+          .otherwise($"o_custkey").as("key"),
+        unix_timestamp($"o_orderdate").as("ver_s"),
+        $"o_orderkey".as("tie"),
+        when($"o_orderpriority" === "1-URGENT", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        graft.Tables.cents($"o_totalprice").as("payload_c"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"ver_s".desc, $"tie".desc)
+    val latest = feed.withColumn("rn", row_number().over(byKey))
+      .filter($"rn" === 1).select($"key", $"op", $"payload_c")
+    val applied = base.join(latest, Seq("key"), "full")
+      .withColumn("state",
+        when($"op".isNull, "kept")
+          .when($"op" === "delete" && $"c_mktsegment".isNull, "noop_delete")
+          .when($"op" === "delete", "deleted")
+          .when($"c_mktsegment".isNull, "inserted")
+          .otherwise("updated"))
+      .withColumn("segment", coalesce($"c_mktsegment", lit("NEW")))
+      .withColumn("new_bal_c",
+        when($"state".isin("updated", "inserted"), $"payload_c")
+          .when($"state" === "kept", $"bal_c")) // deleted rows carry none
+    applied
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when($"state" === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"state" === "updated", 1L).otherwise(0L)).as("n_updated"),
+        sum(when($"state" === "inserted", 1L).otherwise(0L)).as("n_inserted"),
+        sum(when($"state" === "deleted", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when($"state" === "noop_delete", 1L).otherwise(0L)).as("n_noop"),
+        coalesce(sum($"new_bal_c"), lit(0L)).as("sum_bal_c"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_cdc_apply" -> q152_cdc_apply,
     "q148_overlap_audit" -> q148_overlap_audit,
     "q146_business_days" -> q146_business_days,
     "q143_calendar_spine" -> q143_calendar_spine,
@@ -341,6 +395,45 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q152_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS key, c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |feed AS (SELECT
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS key,
+        |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ver_s,
+        |    o_orderkey AS tie,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS payload_c
+        |  FROM orders),
+        |latest AS (SELECT key, op, payload_c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY ver_s DESC, tie DESC) AS rn FROM feed)
+        |  WHERE rn = 1),
+        |ap AS (SELECT COALESCE(c_mktsegment, 'NEW') AS segment,
+        |    CASE WHEN op IS NULL THEN 'kept'
+        |         WHEN op = 'delete' AND c_mktsegment IS NULL THEN 'noop_delete'
+        |         WHEN op = 'delete' THEN 'deleted'
+        |         WHEN c_mktsegment IS NULL THEN 'inserted'
+        |         ELSE 'updated' END AS state,
+        |    CASE WHEN op IS NULL THEN bal_c
+        |         WHEN op = 'delete' THEN NULL
+        |         ELSE payload_c END AS new_bal_c
+        |  FROM base FULL JOIN latest USING (key))
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN state = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN state = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated,
+        |  CAST(SUM(CASE WHEN state = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(SUM(CASE WHEN state = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(SUM(CASE WHEN state = 'noop_delete' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_noop,
+        |  CAST(COALESCE(SUM(new_bal_c), 0) AS BIGINT) AS sum_bal_c
+        |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin,
     "q148_overlap_audit" ->
       """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
         |    CAST(FLOOR(epoch(date_trunc('day', l_shipdate))) AS BIGINT) AS d0,

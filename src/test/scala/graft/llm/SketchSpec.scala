@@ -79,4 +79,27 @@ class SketchSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(500))
     assert(!plan.toLowerCase.contains("cartesian"))
   }
+
+  test("KMV sketch: estimate within sampling error; bottom-k sets obey the merge law") {
+    import spark.implicits._
+    val rows = Sketches.q151_kmv_distinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hk, err) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      if (hk == 0L) assert(err == 0L, "exact fallback must have zero error")
+      // k=64 ⇒ σ ≈ 1/√63 ≈ 12.6%; 4σ guard band in basis points
+      else assert(math.abs(err) < 5100, s"err_bp $err outside 4σ for n=$n")
+    }
+    // merge law: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))
+    val h = graft.Tables.load(spark, dir, "events")
+      .select($"event_id",
+        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val whole = h.select($"h").distinct()
+      .orderBy($"h").limit(Sketches.KmvK).collect().map(_.getLong(0)).toSeq
+    def half(p: Int) = h.filter($"event_id" % 2 === p).select($"h").distinct()
+      .orderBy($"h").limit(Sketches.KmvK).collect().map(_.getLong(0)).toSeq
+    val merged = (half(0) ++ half(1)).distinct.sorted.take(Sketches.KmvK)
+    assert(merged == whole, "bottom-k union-merge must equal the whole-set sketch")
+  }
 }

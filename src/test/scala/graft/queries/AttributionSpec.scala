@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Conservation properties of the event-attribution queries: q153
+  * must credit every purchase exactly once (no channel double-counts,
+  * no dropped mass), and q154's island arithmetic must agree with a
+  * per-user linear scan.
+  */
+class AttributionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("first-touch attribution credits every purchase exactly once") {
+    import spark.implicits._
+    val rows = Analytics.q153_first_touch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val purchases = graft.Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Tables.cents($"value")).as("c"))
+      .collect().head
+    assert(rows.map(_._2).sum == purchases.getLong(0),
+      "every purchase attributed exactly once")
+    assert(rows.map(_._3).sum == purchases.getLong(1),
+      "attributed cents conserve total purchase value")
+  }
+
+  test("streaks match a per-user linear recompute") {
+    import spark.implicits._
+    val days = graft.Tables.load(spark, dir, "events")
+      .select($"user_id",
+        (unix_timestamp(date_trunc("day", $"ts")) / 86400L).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      var best = 1L; var run = 1L
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          run = if (b == a + 1) run + 1 else 1
+          best = math.max(best, run)
+        case _ =>
+      }
+      (u, sorted.length.toLong, if (sorted.length == 1) 1L else best)
+    }.toSeq.sorted
+    val got = Analytics.q154_streaks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected)
+  }
+}

@@ -101,4 +101,26 @@ class TemporalSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expected)
   }
+
+  test("CDC apply: census partitions the key universe; tombstones for unknown keys are no-ops") {
+    import spark.implicits._
+    val rows = Temporal.q152_cdc_apply(spark, dir).collect()
+    val bySeg = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // every base key is exactly one of kept/updated/deleted
+    val baseCounts = graft.Tables.load(spark, dir, "customer")
+      .groupBy($"c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    baseCounts.foreach { case (seg, n) =>
+      val (nKeys, kept, upd, ins, del, noop) = bySeg(seg)
+      assert(kept + upd + del == n, s"$seg census leaks base keys")
+      assert(ins == 0 && noop == 0, s"$seg: inserts/noops must land in NEW")
+      assert(nKeys == n)
+    }
+    // NEW holds only inserts and no-op deletes (keys outside the base)
+    val (nNew, keptNew, updNew, insNew, delNew, noopNew) = bySeg("NEW")
+    assert(keptNew == 0 && updNew == 0 && delNew == 0)
+    assert(insNew > 0, "the re-keyed feed rows must exercise the insert path")
+    assert(nNew == insNew + noopNew)
+  }
 }

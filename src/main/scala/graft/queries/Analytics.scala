@@ -1207,9 +1207,69 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** q156 — seasonally-adjusted anomaly detection: flag event values
+    * that are extreme FOR THEIR DAY OF WEEK, not globally — a Monday
+    * spike is normal if Mondays always spike. Detrend by the day-of-
+    * week median (bounded 7-row percentile aggregate, broadcast
+    * back), then flag residuals beyond 3 robust sigmas of the
+    * per-type MAD (bounded per-type aggregate, broadcast back) —
+    * q100's robust machinery composed with seasonal normalization.
+    * The residual frame persists through [[graft.Caches.tracked]]:
+    * it feeds both the MAD aggregate and the final census, and the
+    * two consumers must see one scan, not two. All thresholds are
+    * integer centi-cents; the only floats are inside the exact
+    * percentile, which q38 pins engine-identical.
+    */
+  def q156_seasonal_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select($"event_type", (weekday($"ts") + 1).as("dow"),
+        cents($"value").as("v_c"))
+    val medDow = e.groupBy($"dow")
+      .agg(round(expr("percentile(v_c, 0.5)") * 100).cast("long").as("med_cc"))
+    val resid = graft.Caches.tracked(
+      e.join(broadcast(medDow), "dow")
+        .withColumn("resid_cc", $"v_c" * 100 - $"med_cc"))
+    val mad = resid.groupBy($"event_type")
+      .agg(round(expr("percentile(abs(resid_cc), 0.5)")).cast("long").as("mad_cc"))
+    resid.join(broadcast(mad), "event_type")
+      // 3 robust sigmas: 3 × 1.4826 = 4.4478 as an integer ratio
+      .withColumn("is_outlier",
+        abs($"resid_cc") > expr("mad_cc * 44478 div 10000"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"is_outlier", 1L).otherwise(0L)).as("n_outliers"),
+        max($"mad_cc").as("mad_cc"))
+      .orderBy($"event_type")
+  }
+
+  /** q157 — inter-arrival burstiness histogram: the distribution of
+    * per-user gaps between consecutive events, bucketed by the gap's
+    * binary order of magnitude (integer bit length — no float log at
+    * any scale, q124's trick). One lag window on the high-cardinality
+    * user key reduces the stream to gaps; the histogram is bounded by
+    * ~40 buckets. The operational readout behind session-gap and
+    * rate-limit tuning.
+    */
+  def q157_interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    load(spark, dir, "events")
+      .select($"user_id", $"event_id", epochS($"ts").as("t"))
+      .withColumn("dt", $"t" - lag($"t", 1).over(byUser))
+      .filter($"dt".isNotNull)
+      .withColumn("bucket", (length(conv($"dt", 10, 2)) - 1).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"dt").as("min_gap_s"), max($"dt").as("max_gap_s"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_first_touch" -> q153_first_touch,
     "q154_streaks" -> q154_streaks,
+    "q156_seasonal_anomaly" -> q156_seasonal_anomaly,
+    "q157_interarrival" -> q157_interarrival,
     "q150_top_n_others" -> q150_top_n_others,
     "q136_survival" -> q136_survival,
     "q134_abc_classification" -> q134_abc_classification,
@@ -1263,6 +1323,34 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q156_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type, isodow(ts) AS dow,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+        |md AS (SELECT dow,
+        |    CAST(ROUND(quantile_cont(v_c, 0.5) * 100) AS BIGINT) AS med_cc
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT e.event_type, e.v_c * 100 - md.med_cc AS resid_cc
+        |  FROM e JOIN md ON e.dow = md.dow),
+        |mad AS (SELECT event_type,
+        |    CAST(ROUND(quantile_cont(abs(resid_cc), 0.5)) AS BIGINT) AS mad_cc
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN abs(r.resid_cc) > (mad.mad_cc * 44478) // 10000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(MAX(mad.mad_cc) AS BIGINT) AS mad_cc
+        |FROM r JOIN mad ON r.event_type = mad.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q157_interarrival" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+        |d AS (SELECT t - LAG(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS dt FROM t)
+        |SELECT CAST(length(printf('%b', dt)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(dt) AS BIGINT) AS min_gap_s,
+        |  CAST(MAX(dt) AS BIGINT) AS max_gap_s
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q153_first_touch" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,

@@ -369,7 +369,34 @@ object SqlSurface {
       .orderBy($"o_orderpriority")
   }
 
+  /** q155 — VARIANT semi-structured shredding: the modern (Spark 4)
+    * path for JSON payloads — `try_parse_json` to the binary VARIANT
+    * type once, typed `variant_get` extraction after — replacing
+    * per-access string re-parsing (q16's `get_json_object`) with a
+    * parse-once columnar decode. Malformed payloads (simulated on
+    * every 97th event) become NULL variants instead of task failures,
+    * and the audit counts them — the ingest-tolerance contract a
+    * 100 TB semi-structured scan needs. Aggregate is bounded
+    * per-type; all extraction is map-side.
+    */
+  def q155_variant_shred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_type",
+        try_parse_json(
+          when($"event_id" % 97 === 0, expr("substring(props, 1, 5)"))
+            .otherwise($"props")).as("v"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_unparseable"),
+        sum(coalesce($"k", lit(0L))).as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_variant_shred" -> q155_variant_shred,
     "q147_proration" -> q147_proration,
     "q141_ranking_ties" -> q141_ranking_ties,
     "q137_set_ops_all" -> q137_set_ops_all,
@@ -385,6 +412,21 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q155_variant_shred" ->
+      """WITH p AS (SELECT event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN substring(props, 1, 5)
+        |         ELSE props END AS s
+        |  FROM events),
+        |v AS (SELECT event_type,
+        |    CASE WHEN json_valid(s) THEN s END AS v FROM p),
+        |k AS (SELECT event_type, v,
+        |    CAST(json_extract(v, '$.k') AS BIGINT) AS k FROM v)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unparseable,
+        |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q147_proration" ->
       """WITH j AS (SELECT l_orderkey, l_linenumber, o_orderpriority,
         |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext_c,

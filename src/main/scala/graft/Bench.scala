@@ -44,7 +44,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Side artifact: sbt appends its own "[success]" line after ours,
+    // so a last-line parse of stdout misses the JSON. The file copy is
+    // unambiguous for any consumer.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

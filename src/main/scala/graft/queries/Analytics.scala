@@ -1265,11 +1265,67 @@ object Analytics {
       .orderBy($"bucket")
   }
 
+  /** q158 — user-journey paths: the top opening sequences ("what do
+    * users do first"). Each user's first 3 events come from the
+    * native top-k-per-group operator (bounded 3-row heaps both sides
+    * of the exchange — never a per-user sort), the path string
+    * assembles via the deterministic collect→sort_array→concat_ws
+    * form (q96: a bare collect_list is order-nondeterministic under
+    * parallelism), and the final top-20 is TakeOrderedAndProject.
+    */
+  def q158_user_paths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val first3 = graft.plans.TopKPerGroup.topK(
+      load(spark, dir, "events")
+        .select($"user_id", $"event_type", epochS($"ts").as("t"), $"event_id"),
+      Seq("user_id"), Seq($"t".asc, $"event_id".asc), 3, rankCol = "pos")
+    first3
+      .groupBy($"user_id")
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct($"pos", $"event_type"))),
+        x => x("event_type"))).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path").limit(20)
+  }
+
+  /** q159 — decile lift / gains curve: rank customers by total spend,
+    * cut into NTILE(10) deciles, report each decile's spend share and
+    * the cumulative share — "the top decile carries X% of revenue",
+    * the model-eval gains chart. The fact stream reduces once to the
+    * per-customer aggregate; the NTILE window runs over that bounded
+    * aggregate (q83's documented global-window-on-aggregate form —
+    * q76's two-phase rank is the escape hatch when customers stop
+    * fitting one partition), and the cumulative window runs over the
+    * 10-row decile table only.
+    */
+  def q159_lift_curve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("spend_c"))
+    val dec = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy($"spend_c".desc, $"o_custkey")).cast("long"))
+    val byDec = dec.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"spend_c").as("spend_c"))
+    val cum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDec
+      .withColumn("share_bp",
+        round(lit(10000.0) * $"spend_c" / sum($"spend_c").over(all)).cast("long"))
+      .withColumn("cum_share_bp",
+        round(lit(10000.0) * sum($"spend_c").over(cum) / sum($"spend_c").over(all))
+          .cast("long"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_first_touch" -> q153_first_touch,
     "q154_streaks" -> q154_streaks,
     "q156_seasonal_anomaly" -> q156_seasonal_anomaly,
     "q157_interarrival" -> q157_interarrival,
+    "q158_user_paths" -> q158_user_paths,
+    "q159_lift_curve" -> q159_lift_curve,
     "q150_top_n_others" -> q150_top_n_others,
     "q136_survival" -> q136_survival,
     "q134_abc_classification" -> q134_abc_classification,
@@ -1323,6 +1379,31 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q158_user_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS pos FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY pos) AS path
+        |  FROM r WHERE pos <= 3 GROUP BY 1)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "q159_lift_curve" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT *, CAST(NTILE(10) OVER (
+        |    ORDER BY spend_c DESC, o_custkey) AS BIGINT) AS decile FROM s),
+        |bd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(spend_c) AS BIGINT) AS spend_c FROM d GROUP BY 1)
+        |SELECT decile, n_customers, spend_c,
+        |  CAST(ROUND(10000.0 * spend_c / SUM(spend_c) OVER ()) AS BIGINT)
+        |    AS share_bp,
+        |  CAST(ROUND(10000.0 * SUM(spend_c) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / SUM(spend_c) OVER ()) AS BIGINT) AS cum_share_bp
+        |FROM bd ORDER BY decile""".stripMargin,
     "q156_seasonal_anomaly" ->
       """WITH e AS (SELECT event_type, isodow(ts) AS dow,
         |    CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),

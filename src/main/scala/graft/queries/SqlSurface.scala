@@ -395,7 +395,39 @@ object SqlSurface {
       .orderBy($"event_type")
   }
 
+  /** q160 — value-navigation window semantics (FIRST_VALUE /
+    * LAST_VALUE with IGNORE NULLS vs NTH_VALUE's RESPECT NULLS):
+    * per user, the first and last non-null metric plus the literal
+    * second row's value over the full frame. The semantics being
+    * pinned: IGNORE NULLS skips null rows entirely, while NTH_VALUE
+    * counts them — migrated queries that conflate the two silently
+    * read a different row (and LAST_VALUE without an explicit
+    * UNBOUNDED FOLLOWING frame reads the current row, another classic
+    * silent wrong answer). Windows partition on the user key; one row
+    * per user via rank-1 filter.
+    */
+  def q160_value_navigation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+    load(spark, dir, "events")
+      .select($"user_id", $"event_id", graft.Tables.epochS($"ts").as("t"),
+        when($"value" >= 30, graft.Tables.cents($"value")).as("v"))
+      .withColumn("first_nn", first($"v", ignoreNulls = true).over(full))
+      .withColumn("last_nn", last($"v", ignoreNulls = true).over(full))
+      .withColumn("second_v", nth_value($"v", 2).over(full))
+      .withColumn("rn", row_number().over(ordered))
+      .filter($"rn" === 1)
+      .select($"user_id", $"first_nn", $"last_nn", $"second_v")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_value_navigation" -> q160_value_navigation,
     "q155_variant_shred" -> q155_variant_shred,
     "q147_proration" -> q147_proration,
     "q141_ranking_ties" -> q141_ranking_ties,
@@ -412,6 +444,23 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q160_value_navigation" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+        |    CASE WHEN value >= 30 THEN CAST(ROUND(value * 100) AS BIGINT)
+        |         END AS v
+        |  FROM events),
+        |w AS (SELECT user_id,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER f AS first_nn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER f AS last_nn,
+        |    NTH_VALUE(v, 2) OVER f AS second_v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS rn
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_nn, last_nn, second_v
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q155_variant_shred" ->
       """WITH p AS (SELECT event_type,
         |    CASE WHEN event_id % 97 = 0 THEN substring(props, 1, 5)

@@ -72,6 +72,8 @@ class PlanLintSpec extends AnyFunSuite {
       // pushed into the BNLJ condition — the documented bounded form
       "q122_negative_sampling" -> Set("cartesian-product"),
       "q83_ntile_dist" -> Set("single-partition-window"),
+      // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table
+      "q159_lift_curve" -> Set("single-partition-window"),
       "q126_backlog" -> Set("single-partition-window"),
       "q129_cumulative_reach" -> Set("single-partition-window"),
       "q133_rfm_segments" -> Set("single-partition-window"),

@@ -49,4 +49,18 @@ class AttributionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(got == expected)
   }
+
+  test("user paths: top-20 matches a driver-side recompute of first-3 sequences") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("t"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._4)).take(3).map(_._2).mkString(">")
+    }.groupBy(identity).map { case (p, os) => (p, os.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Analytics.q158_user_paths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
 }

@@ -80,4 +80,18 @@ class SegmentationSpec extends AnyFunSuite {
       assert(rs.map(_._3).sum == direct(seg), s"$seg drops revenue mass")
     }
   }
+
+  test("lift curve: balanced deciles, shares sum to ~100%, cumulative monotone to 10000") {
+    val rows = Analytics.q159_lift_curve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1, "NTILE deciles must balance")
+    // top decile carries the largest share; shares sum within rounding
+    assert(rows.head._4 == rows.map(_._4).max)
+    assert(math.abs(rows.map(_._4).sum - 10000) <= rows.length)
+    val cum = rows.map(_._5)
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "cumulative must be monotone")
+    assert(cum.last == 10000L)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -81,5 +82,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val audit = SqlSurface.q147_proration(spark, dir).collect()
     assert(audit.nonEmpty && audit.forall(_.getAs[Long]("n_mismatch") == 0L))
     assert(audit.forall(r => r.getAs[Long]("alloc_c") == r.getAs[Long]("tot_c")))
+  }
+
+  test("q160: IGNORE NULLS navigation matches a driver recompute; NTH_VALUE counts null rows") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("t"),
+        when($"value" >= 30, graft.Tables.cents($"value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      (u, ordered.flatten.headOption, ordered.flatten.lastOption,
+        if (ordered.length >= 2) ordered(1) else None)
+    }.toSeq.sortBy(_._1)
+    val got = SqlSurface.q160_value_navigation(spark, dir).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), opt(1), opt(2), opt(3))
+    }.toSeq
+    assert(got == expected)
+    // the semantics contrast must actually occur in the data: some user
+    // whose second ROW is null but whose first non-null exists
+    assert(got.exists(r => r._4.isEmpty && r._2.nonEmpty),
+      "need a row where RESPECT NULLS and IGNORE NULLS disagree")
   }
 }

@@ -139,13 +139,53 @@ object Multimodal {
       }
   }
 
+  /** q161 — frame-sampling end-to-end: the video-pipeline UDTF shape
+    * ([[sampleFrames]]: one asset → N sampled frame rows) driven
+    * through fingerprinting and a bounded per-bucket aggregate. The
+    * fan-out is a streamed flatMap (no per-asset frame array ever
+    * materializes in one row), the per-frame md5 fingerprint is
+    * engine-independent, and because the stub "decode" is byte
+    * slicing over ASCII payloads, DuckDB replays the ENTIRE pipeline
+    * — sampling stride included — not just the aggregate.
+    */
+  final val FrameBytes = 64
+  final val FrameStride = 2
+
+  def q161_frame_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaTable(spark, dir), FrameBytes, FrameStride)
+      .toDF("img_id", "frame_idx", "frame")
+      .select($"img_id",
+        conv(substring(md5($"frame"), 1, 15), 16, 10).cast("long").as("fp"),
+        length($"frame").cast("long").as("n_bytes"))
+      .groupBy(($"img_id" % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum($"n_bytes").as("sum_bytes"),
+        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q28_multimodal_features" -> q28_multimodal_features)
+    "q28_multimodal_features" -> q28_multimodal_features,
+    "q161_frame_sample" -> q161_frame_sample)
 
   val oracle: Map[String, String] = Map(
     // DuckDB md5 over the text's utf-8 bytes == Spark md5 over
     // encode(text,'UTF-8') == the mapPartitions MessageDigest — the
     // fingerprint is engine-independent by construction.
+    "q161_frame_sample" ->
+      s"""WITH fr AS (SELECT doc_id AS img_id, text,
+         |    unnest(generate_series(0,
+         |      CAST((length(text) - 1) // $FrameBytes AS BIGINT))) AS idx
+         |  FROM documents WHERE length(text) > 0),
+         |s AS (SELECT img_id,
+         |    substring(text, idx * $FrameBytes + 1, $FrameBytes) AS frame
+         |  FROM fr WHERE idx % $FrameStride = 0)
+         |SELECT img_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(SUM(length(frame)) AS BIGINT) AS sum_bytes,
+         |  MIN(CAST('0x' || substring(md5(frame), 1, 15) AS BIGINT)) AS min_fp,
+         |  MAX(CAST('0x' || substring(md5(frame), 1, 15) AS BIGINT)) AS max_fp
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_multimodal_features" ->
       """WITH f AS (SELECT
         |    doc_id % 320 + 16 AS width,

@@ -1319,6 +1319,71 @@ object Analytics {
       .orderBy($"decile")
   }
 
+  /** q162 — linear multi-touch attribution: each purchase's value
+    * splits EQUALLY across every touch event (view/click/signup/
+    * error) the user made before it — q153's all-credit-to-first
+    * generalized to the shape marketing actually reconciles. One
+    * window pass per user carries five conditional running counts
+    * (rows-preceding frame, so the purchase's own row is excluded);
+    * the per-channel split is then a bounded 5-way map-side fan-out.
+    * Credits are integer micro-cents via `div` — each purchase leaks
+    * at most 4 micro-cents to flooring (spec-bounded), purchases with
+    * no prior touch credit 'direct' in full. Identical integer
+    * arithmetic on both engines.
+    */
+  def q162_linear_attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val touchTypes = Seq("view", "click", "signup", "error")
+    val before = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        epochS($"ts").as("t"), cents($"value").as("v_c"))
+    val counted = touchTypes.foldLeft(
+        e.withColumn("cnt_total",
+          coalesce(sum(when($"event_type" =!= "purchase", 1L)).over(before), lit(0L)))) {
+        case (df, tn) => df.withColumn(s"cnt_$tn",
+          coalesce(sum(when($"event_type" === tn, 1L)).over(before), lit(0L)))
+      }
+    val channelStructs = touchTypes.map { tn =>
+      struct(lit(tn).as("channel"),
+        when($"cnt_total" > 0,
+          expr(s"(v_c * 1000000 * cnt_$tn) div cnt_total")).otherwise(0L).as("credit"))
+    } :+ struct(lit("direct").as("channel"),
+      when($"cnt_total" === 0, $"v_c" * 1000000L).otherwise(0L).as("credit"))
+    counted.filter($"event_type" === "purchase")
+      .select(explode(array(channelStructs: _*)).as("c"))
+      .groupBy($"c.channel".as("channel"))
+      .agg(sum($"c.credit").as("credit_microcents"),
+        sum(when($"c.credit" > 0, 1L).otherwise(0L)).as("n_credited_purchases"))
+      .orderBy($"channel")
+  }
+
+  /** q163 — recency-decayed engagement score: half-life weighting
+    * with NO transcendental function — weight halves per week of age,
+    * implemented as `v_c div (1 << age_weeks)` (shift capped at 40,
+    * where the contribution is already zero) — so the score is
+    * integer-exact and bit-identical on any engine and any partition
+    * order, where an exp()-based decay would be neither. The anchor
+    * timestamp is a broadcast 1-row aggregate, never a collect; the
+    * scoring itself is map-side.
+    */
+  def q163_decayed_engagement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "events")
+      .select($"event_type", epochS($"ts").as("t"), cents($"value").as("v_c"))
+    val anchor = e.agg(max($"t").as("t_max"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("age_weeks",
+        least(expr("(t_max - t) div 604800"), lit(40L)).cast("int"))
+      .withColumn("decayed_c", expr("v_c div shiftleft(1L, age_weeks)"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"v_c").as("raw_cents"),
+        sum($"decayed_c").as("decayed_cents"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_first_touch" -> q153_first_touch,
     "q154_streaks" -> q154_streaks,
@@ -1326,6 +1391,8 @@ object Analytics {
     "q157_interarrival" -> q157_interarrival,
     "q158_user_paths" -> q158_user_paths,
     "q159_lift_curve" -> q159_lift_curve,
+    "q162_linear_attribution" -> q162_linear_attribution,
+    "q163_decayed_engagement" -> q163_decayed_engagement,
     "q150_top_n_others" -> q150_top_n_others,
     "q136_survival" -> q136_survival,
     "q134_abc_classification" -> q134_abc_classification,
@@ -1379,6 +1446,53 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q162_linear_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+        |c AS (SELECT *,
+        |    COALESCE(SUM(CASE WHEN event_type <> 'purchase' THEN 1 END)
+        |      OVER w, 0) AS cnt_total,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w, 0) AS cnt_view,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w, 0) AS cnt_click,
+        |    COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      OVER w, 0) AS cnt_signup,
+        |    COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END)
+        |      OVER w, 0) AS cnt_error
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT * FROM c WHERE event_type = 'purchase'),
+        |x AS (
+        |  SELECT 'view' AS channel, CASE WHEN cnt_total > 0
+        |    THEN (v_c * 1000000 * cnt_view) // cnt_total ELSE 0 END AS credit
+        |  FROM p
+        |  UNION ALL SELECT 'click', CASE WHEN cnt_total > 0
+        |    THEN (v_c * 1000000 * cnt_click) // cnt_total ELSE 0 END FROM p
+        |  UNION ALL SELECT 'signup', CASE WHEN cnt_total > 0
+        |    THEN (v_c * 1000000 * cnt_signup) // cnt_total ELSE 0 END FROM p
+        |  UNION ALL SELECT 'error', CASE WHEN cnt_total > 0
+        |    THEN (v_c * 1000000 * cnt_error) // cnt_total ELSE 0 END FROM p
+        |  UNION ALL SELECT 'direct', CASE WHEN cnt_total = 0
+        |    THEN v_c * 1000000 ELSE 0 END FROM p)
+        |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_microcents,
+        |  CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_credited_purchases
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q163_decayed_engagement" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c FROM events),
+        |a AS (SELECT MAX(t) AS t_max FROM e),
+        |d AS (SELECT event_type, v_c,
+        |    v_c // (1 << LEAST((t_max - t) // 604800, 40)) AS decayed_c
+        |  FROM e, a)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v_c) AS BIGINT) AS raw_cents,
+        |  CAST(SUM(decayed_c) AS BIGINT) AS decayed_cents
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q158_user_paths" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),

@@ -50,6 +50,43 @@ class AttributionSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("linear attribution: credit conserves purchase value within the flooring bound") {
+    import spark.implicits._
+    val rows = Analytics.q162_linear_attribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("click", "direct", "error", "signup", "view"))
+    val purchases = graft.Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .agg(sum(graft.Tables.cents($"value")).as("c"), count(lit(1)).as("n"))
+      .collect().head
+    val total = purchases.getLong(0) * 1000000L
+    val nP = purchases.getLong(1)
+    val credited = rows.map(_._2).sum
+    // 4 channel floors per purchase each lose < 1 micro-cent
+    assert(credited <= total && total - credited <= 4 * nP,
+      s"credited $credited vs total $total (n=$nP)")
+  }
+
+  test("decayed engagement: decay never exceeds raw and matches a driver recompute") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_timestamp($"ts").as("t"),
+        graft.Tables.cents($"value").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tMax = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (et, rows) =>
+      val dec = rows.map { case (_, t, v) =>
+        v / (1L << math.min((tMax - t) / 604800L, 40L))
+      }.sum
+      (et, rows.size.toLong, rows.map(_._3).sum, dec)
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.q163_decayed_engagement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._4 <= r._3, s"${r._1}: decayed exceeds raw"))
+  }
+
   test("user paths: top-20 matches a driver-side recompute of first-3 sequences") {
     import spark.implicits._
     val ev = graft.Tables.load(spark, dir, "events")

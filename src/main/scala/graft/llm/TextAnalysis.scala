@@ -125,7 +125,10 @@ object TextAnalysis {
     * lexicon fires. Emitted as a (label × prediction) confusion
     * matrix — one scan + one aggregation.
     */
-  def q22_lang_id(spark: SparkSession, dir: String): DataFrame = {
+  /** (lang, predicted, n) confusion counts — q22's core, reused by
+    * the q164 metric derivation.
+    */
+  private def langConfusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = wsTokens($"text")
     val hits = Lexicons.map { case (l, lex) =>
@@ -141,7 +144,45 @@ object TextAnalysis {
       .withColumn("predicted", pred)
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n"))
-      .orderBy($"lang", $"predicted")
+  }
+
+  def q22_lang_id(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    langConfusion(spark, dir).orderBy($"lang", $"predicted")
+  }
+
+  /** q164 — classifier evaluation metrics: per-class TP/FP/FN and
+    * precision/recall/F1 (basis points) derived from the q22
+    * confusion counts — the eval layer every model-quality dashboard
+    * sits on. Classes are the union of the label and prediction axes
+    * (zh is never predicted → recall 0; und is never a label →
+    * precision 0), F1 from the integer identity 2tp/(2tp+fp+fn).
+    * Everything past the one corpus scan operates on the bounded
+    * |classes|² matrix.
+    */
+  def q164_classifier_metrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cm = langConfusion(spark, dir)
+    val byLabel = cm.groupBy($"lang".as("cls")).agg(sum($"n").as("n_label"))
+    val byPred = cm.groupBy($"predicted".as("cls")).agg(sum($"n").as("n_pred"))
+    val tp = cm.filter($"lang" === $"predicted")
+      .select($"lang".as("cls"), $"n".as("tp"))
+    byLabel.join(byPred, Seq("cls"), "full").join(tp, Seq("cls"), "left")
+      .select($"cls",
+        coalesce($"tp", lit(0L)).as("tp"),
+        (coalesce($"n_pred", lit(0L)) - coalesce($"tp", lit(0L))).as("fp"),
+        (coalesce($"n_label", lit(0L)) - coalesce($"tp", lit(0L))).as("fn"))
+      .withColumn("precision_bp",
+        when($"tp" + $"fp" === 0, 0L).otherwise(
+          round(lit(10000.0) * $"tp" / ($"tp" + $"fp")).cast("long")))
+      .withColumn("recall_bp",
+        when($"tp" + $"fn" === 0, 0L).otherwise(
+          round(lit(10000.0) * $"tp" / ($"tp" + $"fn")).cast("long")))
+      .withColumn("f1_bp",
+        when(lit(2L) * $"tp" + $"fp" + $"fn" === 0, 0L).otherwise(
+          round(lit(10000.0) * 2 * $"tp" / (lit(2L) * $"tp" + $"fp" + $"fn"))
+            .cast("long")))
+      .orderBy($"cls")
   }
 
   final val GramChars = 8
@@ -633,6 +674,7 @@ object TextAnalysis {
     "q20_exact_dedup" -> q20_exact_dedup,
     "q21_quality_score" -> q21_quality_score,
     "q22_lang_id" -> q22_lang_id,
+    "q164_classifier_metrics" -> q164_classifier_metrics,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
     "q53_tfidf_keywords" -> q53_tfidf_keywords,
@@ -846,6 +888,42 @@ object TextAnalysis {
         |         - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
         |         + LEAST(len(string_split(text, ' ')), 100) * 10)) AS quality_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q164_classifier_metrics" ->
+      """WITH h AS (SELECT lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','is'))) AS h_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','est','un'))) AS h_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','ist','ein'))) AS h_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','es','un'))) AS h_es
+        |  FROM documents),
+        |cm AS (SELECT lang,
+        |    CASE WHEN h_en + h_fr + h_de + h_es = 0 THEN 'und'
+        |         WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+        |         WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+        |         WHEN h_de >= h_es THEN 'de' ELSE 'es' END AS predicted,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM h GROUP BY 1, 2),
+        |bl AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS n_label
+        |  FROM cm GROUP BY 1),
+        |bp AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM cm GROUP BY 1),
+        |tp AS (SELECT lang AS cls, n AS tp FROM cm WHERE lang = predicted),
+        |m AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
+        |    COALESCE(tp.tp, 0) AS tp,
+        |    COALESCE(bp.n_pred, 0) - COALESCE(tp.tp, 0) AS fp,
+        |    COALESCE(bl.n_label, 0) - COALESCE(tp.tp, 0) AS fn
+        |  FROM bl FULL JOIN bp ON bl.cls = bp.cls
+        |    LEFT JOIN tp ON COALESCE(bl.cls, bp.cls) = tp.cls)
+        |SELECT cls, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN 0
+        |       ELSE CAST(ROUND(10000.0 * tp / (tp + fp)) AS BIGINT)
+        |       END AS precision_bp,
+        |  CASE WHEN tp + fn = 0 THEN 0
+        |       ELSE CAST(ROUND(10000.0 * tp / (tp + fn)) AS BIGINT)
+        |       END AS recall_bp,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |       ELSE CAST(ROUND(10000.0 * 2 * tp / (2 * tp + fp + fn)) AS BIGINT)
+        |       END AS f1_bp
+        |FROM m ORDER BY cls""".stripMargin,
     "q22_lang_id" ->
       """WITH h AS (SELECT lang,
         |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','is'))) AS h_en,

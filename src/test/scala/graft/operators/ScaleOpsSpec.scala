@@ -296,6 +296,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       "old shards null-fill the new column; new shards carry it")
   }
 
+  test("ANALYZE TABLE feeds the optimizer: exact rowCount + filter selectivity estimates") {
+    import spark.implicits._
+    val t = s"graft_stats_demo"
+    graft.Tables.load(spark, dir, "customer")
+      .write.mode("overwrite").saveAsTable(t)
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+      val n = spark.table(t).count()
+      // table-level stats: the optimizer sees the exact row count, not
+      // a bytes-based guess
+      val full = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(full.rowCount.contains(BigInt(n)),
+        s"expected rowCount Some($n), got ${full.rowCount}")
+      // column-level stats: an equality filter on a ~5-value column is
+      // estimated well below the full table (histogram/NDV-based CBO
+      // selectivity, not the 100% fallback)
+      val filtered = spark.table(t).filter($"c_mktsegment" === "BUILDING")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined)
+      val est = filtered.rowCount.get.toLong
+      assert(est < n / 2 && est > 0, s"selectivity estimate $est of $n rows")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("bitmap distinct ≡ exact count(distinct); shuffle carries bitmaps, not keys") {
     import spark.implicits._
     val got = ScaleOps.q149_bitmap_distinct(spark, dir).collect()

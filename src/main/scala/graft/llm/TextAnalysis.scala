@@ -125,6 +125,29 @@ object TextAnalysis {
     * lexicon fires. Emitted as a (label × prediction) confusion
     * matrix — one scan + one aggregation.
     */
+  /** q165 — score calibration against duplication: per quality-score
+    * bucket (q21's formula, 1000-bp-wide bins), what fraction of docs
+    * are exact duplicates — the "is my quality score informative"
+    * readout a filter threshold decision needs. One scan computes
+    * score + content hash; the dup flag joins back co-partitioned on
+    * the (high-cardinality, uniform) hash; the calibration table is
+    * bounded at 11 buckets. All-integer rates.
+    */
+  def q165_score_calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = load(spark, dir, "documents")
+      .select($"doc_id", qualityBp($"text").as("q"), md5($"text").as("h"))
+    val dupCnt = scored.groupBy($"h").agg(count(lit(1)).as("cnt"))
+    scored.join(dupCnt, "h")
+      .withColumn("bucket", expr("q div 1000"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate_bp",
+        round(lit(10000.0) * $"n_dup_docs" / $"n_docs").cast("long"))
+      .orderBy($"bucket")
+  }
+
   /** (lang, predicted, n) confusion counts — q22's core, reused by
     * the q164 metric derivation.
     */
@@ -675,6 +698,7 @@ object TextAnalysis {
     "q21_quality_score" -> q21_quality_score,
     "q22_lang_id" -> q22_lang_id,
     "q164_classifier_metrics" -> q164_classifier_metrics,
+    "q165_score_calibration" -> q165_score_calibration,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
     "q53_tfidf_keywords" -> q53_tfidf_keywords,
@@ -888,6 +912,18 @@ object TextAnalysis {
         |         - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
         |         + LEAST(len(string_split(text, ' ')), 100) * 10)) AS quality_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q165_score_calibration" ->
+      s"""WITH s AS (SELECT doc_id, md5(text) AS h, $QualityBpSql AS q
+         |  FROM documents),
+         |d AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1)
+         |SELECT CAST(s.q // 1000 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(ROUND(10000.0 * SUM(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END)
+         |    / COUNT(*)) AS BIGINT) AS dup_rate_bp
+         |FROM s JOIN d ON s.h = d.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q164_classifier_metrics" ->
       """WITH h AS (SELECT lang,
         |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','is'))) AS h_en,

@@ -42,6 +42,39 @@ object StreamJoin {
         round(col("value") * 100).cast("long").as("v_cents"))
   }
 
+  /** LEFT OUTER variant of [[correlate]]: every error emits — matched
+    * rows as in the inner form, unmatched ones with null purchase
+    * columns. In streaming, the null row for an unmatched error can
+    * only be emitted once the watermark proves no in-window purchase
+    * can still arrive (err_ts + window + lateness) — Spark enforces
+    * exactly this: outer stream-stream joins REQUIRE the watermark +
+    * time-range bound that the inner form merely uses for state GC.
+    * Same plan runs in batch, where nulls emit immediately (the spec's
+    * oracle).
+    *
+    * Operational note (spec-pinned): the global watermark is the MIN
+    * across both sides' watermark nodes, and each side's event-time
+    * stats see only rows surviving its own filter — so null emission
+    * requires BOTH feeds to keep flowing. A quiet purchases feed
+    * withholds every unmatched-error row indefinitely; that is the
+    * documented Spark contract, not a bug, and the monitoring hook is
+    * `lastProgress.eventTime` per side.
+    */
+  def correlateOuter(errors: DataFrame, purchases: DataFrame,
+                     window: String = "10 minutes"): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"),
+      col("user_id").as("err_user"), col("ts").as("err_ts"))
+    val p = purchases.select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    e.join(p, expr(
+        s"err_user = p_user AND p_ts >= err_ts AND p_ts <= err_ts + interval $window"),
+        "left_outer")
+      .select(col("err_id"), col("p_id"), col("err_user").as("user_id"),
+        unix_timestamp(col("err_ts")).as("err_s"),
+        unix_timestamp(col("p_ts")).as("p_s"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+  }
+
   /** Drive the correlation over a parquet landing dir: one
     * schema-pinned source, split into two watermarked sides (a stream
     * self-join — supported and state-bounded exactly like two
@@ -58,6 +91,27 @@ object StreamJoin {
     val purchases = src.filter(col("event_type") === "purchase")
       .withWatermark("ts", lateness)
     correlate(errors, purchases, window)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
+  /** [[start]] for the left-outer form (see [[correlateOuter]]). */
+  def startOuter(spark: SparkSession, landingDir: String, outDir: String,
+                 checkpointDir: String, lateness: String = "10 minutes",
+                 window: String = "10 minutes",
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val src = spark.readStream
+      .schema(EventSessions.eventSchema).parquet(landingDir)
+    val errors = src.filter(col("event_type") === "error")
+      .withWatermark("ts", lateness)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .withWatermark("ts", lateness)
+    correlateOuter(errors, purchases, window)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

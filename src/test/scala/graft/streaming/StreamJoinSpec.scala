@@ -58,4 +58,57 @@ class StreamJoinSpec extends AnyFunSuite {
     // and the window semantics are the intended ones
     assert(expected == Seq((1L, 2L), (4L, 3L)))
   }
+
+  test("left-outer: unmatched errors emit nulls only after the watermark closes their window") {
+    val landing = TestSpark.tempDir("sjo_landing")
+    val out = TestSpark.tempDir("sjo_out")
+    val ckpt = TestSpark.tempDir("sjo_ckpt")
+    eventsDf().write.mode("overwrite").parquet(landing)
+
+    StreamJoin.startOuter(spark, landing, out, ckpt).awaitTermination()
+    val schema = "err_id LONG, p_id LONG, user_id LONG, err_s LONG, p_s LONG, v_cents LONG"
+    def read() = spark.read.schema(schema).parquet(out).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sorted.toSeq
+
+    // run 1: matches emit; the unmatched error 6 (user 3, 10:01)
+    // cannot emit yet — max event time 10:20 < 10:01 + 10m window +
+    // 10m lateness
+    val afterRun1 = read()
+    assert(afterRun1.contains((1L, Some(2L))) && afterRun1.contains((4L, Some(3L))))
+    assert(!afterRun1.exists(_._1 == 6L),
+      "null row must be withheld until the watermark proves no match can arrive")
+
+    // run 2: late closers push the watermark past 10:21. The global
+    // watermark is the MIN across both sides' EventTimeWatermark
+    // nodes, and each side's stats see only the rows surviving its
+    // event-type filter — so the closers must be one ERROR and one
+    // PURCHASE (a late 'view' would advance neither side and the
+    // null row would be withheld forever). A second run drives the
+    // eviction batch.
+    import spark.implicits._
+    def append(id: Long, m: Int, user: Long, tpe: String): Unit =
+      Seq((id, ts(m), user, tpe, 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(landing)
+    append(7L, 45, 8L, "error"); append(8L, 45, 9L, "purchase")
+    StreamJoin.startOuter(spark, landing, out, ckpt).awaitTermination()
+    append(9L, 46, 8L, "error"); append(10L, 46, 9L, "purchase")
+    StreamJoin.startOuter(spark, landing, out, ckpt).awaitTermination()
+    val afterRun2 = read()
+    assert(afterRun2.count(_._1 == 6L) == 1, s"expected one null row for error 6: $afterRun2")
+    assert(afterRun2.contains((6L, None)))
+    // batch dual on the CLOSED region (the closers' own windows are
+    // still open in the stream; batch emits their nulls immediately)
+    val batch = eventsDf()
+    val expected = StreamJoin.correlateOuter(
+        batch.filter(col("event_type") === "error"),
+        batch.filter(col("event_type") === "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sorted.toSeq
+    assert(afterRun2.filter(_._1 <= 6L) == expected)
+  }
 }

@@ -426,7 +426,53 @@ object SqlSurface {
       .orderBy($"user_id")
   }
 
+  /** The clamped-running-balance recursion — ONE ANSI SQL text run
+    * verbatim by Spark (q166) and by the DuckDB oracle. balance_t =
+    * max(0, balance_{t−1} + delta_t) is the canonical computation NO
+    * window function can express (the clamp makes each step depend on
+    * the clamped previous step, breaking sum-over-frame algebra) —
+    * inventory floors, credit limits, token-bucket rate limiters all
+    * have this shape.
+    */
+  private[queries] val ClampedBalanceSql: String =
+    """WITH RECURSIVE o AS (
+      |  SELECT o_custkey AS k,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS seq,
+      |    CASE WHEN o_orderstatus = 'O'
+      |         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |         ELSE -CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS d
+      |  FROM orders),
+      |sz AS (SELECT k, MAX(seq) AS n_orders FROM o GROUP BY k),
+      |r AS (
+      |  SELECT k, seq, GREATEST(d, 0) AS bal,
+      |    CAST(CASE WHEN d < 0 THEN 1 ELSE 0 END AS BIGINT) AS n_clamps
+      |  FROM o WHERE seq = 1
+      |  UNION ALL
+      |  SELECT o.k, o.seq, GREATEST(r.bal + o.d, 0),
+      |    r.n_clamps + CASE WHEN r.bal + o.d < 0 THEN 1 ELSE 0 END
+      |  FROM r JOIN o ON o.k = r.k AND o.seq = r.seq + 1)
+      |SELECT r.k AS custkey, CAST(sz.n_orders AS BIGINT) AS n_orders,
+      |  r.bal AS final_bal_c, r.n_clamps
+      |FROM r JOIN sz ON r.k = sz.k AND r.seq = sz.n_orders
+      |ORDER BY custkey""".stripMargin
+
+  /** q166 — recursive CTE (WITH RECURSIVE, Spark 4): the clamped
+    * running balance per customer over their order history. Scale:
+    * recursion depth = MAX orders per customer (≈25 here, bounded by
+    * the entity, not the table), and every iteration is one
+    * co-partitioned equi-join on (customer, seq) — all customers
+    * advance one step per round in parallel. The oracle runs the
+    * SAME SQL text, so the engines' recursion semantics are pinned
+    * against each other, not just the final numbers.
+    */
+  def q166_clamped_balance(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(ClampedBalanceSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_clamped_balance" -> q166_clamped_balance,
     "q160_value_navigation" -> q160_value_navigation,
     "q155_variant_shred" -> q155_variant_shred,
     "q147_proration" -> q147_proration,
@@ -444,6 +490,7 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q166_clamped_balance" -> ClampedBalanceSql,
     "q160_value_navigation" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,

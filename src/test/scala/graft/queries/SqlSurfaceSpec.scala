@@ -106,4 +106,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got.exists(r => r._4.isEmpty && r._2.nonEmpty),
       "need a row where RESPECT NULLS and IGNORE NULLS disagree")
   }
+
+  test("q166: recursive clamped balance matches a per-customer linear fold") {
+    import spark.implicits._
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select($"o_custkey", unix_timestamp($"o_orderdate").as("od"), $"o_orderkey",
+        when($"o_orderstatus" === "O", graft.Tables.cents($"o_totalprice"))
+          .otherwise(-graft.Tables.cents($"o_totalprice")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = orders.groupBy(_._1).map { case (k, rows) =>
+      val deltas = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val (bal, clamps) = deltas.foldLeft((0L, 0L)) {
+        case ((b, c), d) =>
+          val nb = b + d
+          if (nb < 0) (0L, c + 1) else (nb, c)
+      }
+      (k, deltas.length.toLong, bal, clamps)
+    }.toSeq.sortBy(_._1)
+    val got = SqlSurface.q166_clamped_balance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._3 >= 0L), "clamp invariant: balance never negative")
+    assert(got.exists(_._4 > 0L), "the clamp must actually fire somewhere")
+  }
 }

@@ -772,6 +772,47 @@ object Analytics {
       .orderBy($"window_s", $"event_type")
   }
 
+  /** q167 — SLIDING (hopping) window aggregate: 30-minute windows
+    * advancing every 10 — each event lands in exactly 3 overlapping
+    * windows, the smoothing shape dashboards use when tumbling edges
+    * are too jumpy. Spark's `window(ts, len, slide)` plans this as a
+    * 3-way Expand before the one aggregate (fan-out = len/slide, a
+    * constant — never a self-join); the oracle replays the same
+    * epoch-aligned window arithmetic with a bounded series explode.
+    * Completes the window-shape family: tumbling q109, session q168,
+    * sliding here.
+    */
+  def q167_sliding_window(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .groupBy(window($"ts", "30 minutes", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents($"value")).as("sum_cents"))
+      .select(unix_timestamp($"w.start").as("window_s"), $"event_type",
+        $"n", $"sum_cents")
+      .orderBy($"window_s", $"event_type")
+  }
+
+  /** q168 — native `session_window` in batch: per-user activity
+    * sessions with a 30-minute inactivity gap, via the SAME built-in
+    * that runs the streaming form (streaming/EventSessions) — pinned
+    * here against the classic SQL rewrite (lag → gap flag → running
+    * sum island id), which is exactly what the DuckDB oracle runs.
+    * One shuffle on the user key; Spark merges sessions inside each
+    * partition without materializing per-user event lists.
+    */
+  def q168_session_native(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("s"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("span_s"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        sum($"span_s").as("sum_span_s"))
+      .orderBy($"user_id")
+  }
+
   /** q113 — winsorized mean: clamp each group's values to its
     * [p5, p95] band, then average — the outlier-robust mean that
     * keeps sample size (unlike trimming). Same two-pass shape as
@@ -1407,6 +1448,8 @@ object Analytics {
     "q115_chi_square" -> q115_chi_square,
     "q113_winsorized_mean" -> q113_winsorized_mean,
     "q109_tumbling_windows" -> q109_tumbling_windows,
+    "q167_sliding_window" -> q167_sliding_window,
+    "q168_session_native" -> q168_session_native,
     "q104_trend" -> q104_trend,
     "q105_week_over_week" -> q105_week_over_week,
     "q100_robust_outliers" -> q100_robust_outliers,
@@ -1446,6 +1489,33 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q167_sliding_window" ->
+      """WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |x AS (SELECT event_type, c, ((t // 600) - k) * 600 AS window_s
+        |  FROM e, unnest(generate_series(0, 2)) AS u(k))
+        |SELECT window_s, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q168_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+        |f AS (SELECT user_id, t_us,
+        |    CASE WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+        |           >= 1800000000 OR
+        |         LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, t_us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |s AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(t_us) // 1000000 - MIN(t_us) // 1000000 AS span_s
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(span_s) AS BIGINT) AS sum_span_s
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q162_linear_attribution" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,

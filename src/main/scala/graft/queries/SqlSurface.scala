@@ -462,17 +462,79 @@ object SqlSurface {
     * recursion depth = MAX orders per customer (≈25 here, bounded by
     * the entity, not the table), and every iteration is one
     * co-partitioned equi-join on (customer, seq) — all customers
-    * advance one step per round in parallel. The oracle runs the
-    * SAME SQL text, so the engines' recursion semantics are pinned
-    * against each other, not just the final numbers.
+    * advance one step per round in parallel. The sequenced-order seed
+    * is MATERIALIZED before the recursion (Caches.tracked): Spark
+    * re-plans a non-recursive CTE on every iteration, so an inline
+    * seed re-runs the row_number shuffle ~25× (measured 10.7 s →
+    * ~2 s at sf0.1). The oracle runs the same recursion with the
+    * seed inline (DuckDB materializes CTEs once by itself), pinning
+    * the recursion semantics engine-against-engine.
     */
   def q166_clamped_balance(spark: SparkSession, dir: String): DataFrame = {
-    load(spark, dir, "orders").createOrReplaceTempView("orders")
-    spark.sql(ClampedBalanceSql)
+    import spark.implicits._
+    val seq = graft.Caches.tracked(load(spark, dir, "orders")
+      .select($"o_custkey".as("k"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey"))
+          .as("seq"),
+        when($"o_orderstatus" === "O", graft.Tables.cents($"o_totalprice"))
+          .otherwise(-graft.Tables.cents($"o_totalprice")).as("d")))
+    seq.createOrReplaceTempView("o_seq")
+    spark.sql(
+      """WITH RECURSIVE sz AS (
+        |  SELECT k, MAX(seq) AS n_orders FROM o_seq GROUP BY k),
+        |r AS (
+        |  SELECT k, seq, GREATEST(d, 0) AS bal,
+        |    CAST(CASE WHEN d < 0 THEN 1 ELSE 0 END AS BIGINT) AS n_clamps
+        |  FROM o_seq WHERE seq = 1
+        |  UNION ALL
+        |  SELECT o.k, o.seq, GREATEST(r.bal + o.d, 0),
+        |    r.n_clamps + CASE WHEN r.bal + o.d < 0 THEN 1 ELSE 0 END
+        |  FROM r JOIN o_seq o ON o.k = r.k AND o.seq = r.seq + 1)
+        |SELECT r.k AS custkey, CAST(sz.n_orders AS BIGINT) AS n_orders,
+        |  r.bal AS final_bal_c, r.n_clamps
+        |FROM r JOIN sz ON r.k = sz.k AND r.seq = sz.n_orders
+        |ORDER BY custkey""".stripMargin)
+  }
+
+  /** q169 — the clamped balance WITHOUT recursion: the scale path.
+    * max(0, b + d) steps form an associative "max-plus" semigroup
+    * ((s,m): b ↦ max(m, b+s) composes as (s1+s2, max(m2, m1+s2))),
+    * so the whole per-customer fold collapses into ONE aggregate: a
+    * bounded collect_list (≤ orders-per-customer elements), a
+    * deterministic sort_array, and an in-row `aggregate` fold — zero
+    * recursion rounds, one shuffle, no per-iteration scheduling
+    * (q166's 25 micro-plans cost ~9 s at sf0.1; this runs in the
+    * noise). q166 is the SQL-surface form, this is what you deploy;
+    * the oracle is the recursion itself and the spec pins q166 ≡
+    * q169.
+    */
+  def q169_clamped_balance_fold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "orders")
+      .select($"o_custkey".as("custkey"),
+        struct(unix_timestamp($"o_orderdate").as("od"), $"o_orderkey".as("ok"),
+          when($"o_orderstatus" === "O", graft.Tables.cents($"o_totalprice"))
+            .otherwise(-graft.Tables.cents($"o_totalprice")).as("d")).as("x"))
+      .groupBy($"custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sort_array(collect_list($"x")).as("xs"))
+      .select($"custkey", $"n_orders",
+        aggregate($"xs",
+          struct(lit(0L).as("bal"), lit(0L).as("n_clamps")),
+          (acc, x) => struct(
+            greatest(acc("bal") + x("d"), lit(0L)).as("bal"),
+            (acc("n_clamps") +
+              when(acc("bal") + x("d") < 0, 1L).otherwise(0L)).as("n_clamps")))
+          .as("r"))
+      .select($"custkey", $"n_orders", $"r.bal".as("final_bal_c"),
+        $"r.n_clamps".as("n_clamps"))
+      .orderBy($"custkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_clamped_balance" -> q166_clamped_balance,
+    "q169_clamped_balance_fold" -> q169_clamped_balance_fold,
     "q160_value_navigation" -> q160_value_navigation,
     "q155_variant_shred" -> q155_variant_shred,
     "q147_proration" -> q147_proration,
@@ -491,6 +553,7 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "q166_clamped_balance" -> ClampedBalanceSql,
+    "q169_clamped_balance_fold" -> ClampedBalanceSql,
     "q160_value_navigation" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,

@@ -128,5 +128,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.forall(_._3 >= 0L), "clamp invariant: balance never negative")
     assert(got.exists(_._4 > 0L), "the clamp must actually fire somewhere")
+    // the associative-fold scale path computes the identical answer
+    val fold = SqlSurface.q169_clamped_balance_fold(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(fold == expected, "q169 fold must equal the recursion")
   }
 }

@@ -382,7 +382,48 @@ object Temporal {
       .orderBy($"segment")
   }
 
+  /** q170 — FIFO lot matching: allocate issued quantity against the
+    * oldest received stock per part, WITHOUT the per-row loop FIFO is
+    * usually written as. The trick: cumulative-quantity intervals.
+    * Receipts (flag R) and issues (flag A) each get [cum_prev, cum)
+    * ranges per part via one window pass on the part key; an issue
+    * draws from exactly the receipts whose range overlaps its own,
+    * and the matched quantity IS the overlap length — so FIFO
+    * becomes an equi-join on part plus an overlap filter, with the
+    * per-part pair fan-out bounded by lines-per-part. All quantities
+    * integer units.
+    */
+  def q170_fifo_match(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_returnflag",
+        unix_timestamp($"l_shipdate").as("t"),
+        $"l_quantity".cast("long").as("qty"))
+    val byPart = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_partkey")
+      .orderBy($"t", $"l_orderkey", $"l_linenumber")
+    def ranged(flag: String, lo: String, hi: String) = li
+      .filter($"l_returnflag" === flag)
+      .withColumn(hi, sum($"qty").over(byPart))
+      .withColumn(lo, col(hi) - $"qty")
+    val receipts = ranged("R", "s_lo", "s_hi")
+      .select($"l_partkey".as("pk"), $"s_lo", $"s_hi")
+    val issues = ranged("A", "d_lo", "d_hi")
+      .select($"l_partkey".as("pk2"), $"d_lo", $"d_hi")
+    receipts.join(issues,
+        $"pk" === $"pk2" && $"s_lo" < $"d_hi" && $"d_lo" < $"s_hi")
+      .select($"pk",
+        (least($"s_hi", $"d_hi") - greatest($"s_lo", $"d_lo")).as("matched"))
+      .join(broadcast(load(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"pk" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_matches"),
+        sum($"matched").as("matched_qty"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_fifo_match" -> q170_fifo_match,
     "q152_cdc_apply" -> q152_cdc_apply,
     "q148_overlap_audit" -> q148_overlap_audit,
     "q146_business_days" -> q146_business_days,
@@ -395,6 +436,31 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q170_fifo_match" ->
+      """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS t,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |r AS (SELECT l_partkey AS pk,
+        |    SUM(qty) OVER w - qty AS s_lo, SUM(qty) OVER w AS s_hi
+        |  FROM li WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY t, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT l_partkey AS pk,
+        |    SUM(qty) OVER w - qty AS d_lo, SUM(qty) OVER w AS d_hi
+        |  FROM li WHERE l_returnflag = 'A'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY t, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT r.pk,
+        |    LEAST(r.s_hi, d.d_hi) - GREATEST(r.s_lo, d.d_lo) AS matched
+        |  FROM r JOIN d ON r.pk = d.pk
+        |    AND r.s_lo < d.d_hi AND d.d_lo < r.s_hi)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(SUM(matched) AS BIGINT) AS matched_qty
+        |FROM m JOIN part ON pk = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q152_cdc_apply" ->
       """WITH base AS (SELECT c_custkey AS key, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),

@@ -123,4 +123,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(insNew > 0, "the re-keyed feed rows must exercise the insert path")
     assert(nNew == insNew + noopNew)
   }
+
+  test("FIFO matching conserves quantity: matched per part = min(receipts, issues)") {
+    import spark.implicits._
+    // defining property of the cumulative-interval trick: the overlap
+    // pieces tile [0, min(total_R, total_A)) exactly, once, per part
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(when($"l_returnflag" === "R", $"l_quantity".cast("long"))
+          .otherwise(0L)).as("r"),
+        sum(when($"l_returnflag" === "A", $"l_quantity".cast("long"))
+          .otherwise(0L)).as("a"))
+      .collect().map(x => (x.getLong(0), math.min(x.getLong(1), x.getLong(2))))
+    val brandOf = graft.Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_brand")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = li.groupBy(x => brandOf(x._1)).map { case (b, xs) =>
+      (b, xs.map(_._2).sum)
+    }
+    val got = Temporal.q170_fifo_match(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    expected.filter(_._2 > 0).foreach { case (b, q) =>
+      assert(got.getOrElse(b, 0L) == q, s"brand $b: matched ${got.get(b)} vs min-total $q")
+    }
+  }
 }

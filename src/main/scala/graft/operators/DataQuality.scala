@@ -211,8 +211,43 @@ object DataQuality {
       .orderBy($"digit")
   }
 
+  /** q174 — duplicate-payment screen: multiple orders from the same
+    * customer on the same day, with how close their amounts sit — the
+    * double-submission audit (exact-amount repeats are the smoking
+    * gun; near-equal amounts are review candidates). One window pass
+    * on the (customer, day) key computes adjacent amount gaps inside
+    * each group (group sizes are tiny), one aggregate finds the
+    * groups, and the per-segment rollup reports group count, orders
+    * involved, total same-day exposure, and the closest amount gap
+    * seen — all integer cents.
+    */
+  def q174_duplicate_payments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", cents($"o_totalprice").as("amt_c"),
+        date_trunc("day", $"o_orderdate").as("day"))
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey", $"day").orderBy($"amt_c", $"o_orderkey")
+    val groups = o
+      .withColumn("gap_c", $"amt_c" - lag($"amt_c", 1).over(byGroup))
+      .groupBy($"o_custkey", $"day")
+      .agg(count(lit(1)).as("n"), sum($"amt_c").as("day_cents"),
+        min($"gap_c").as("min_gap_c"))
+      .filter($"n" > 1)
+    groups
+      .join(broadcast(load(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum($"n").as("n_orders_involved"),
+        sum($"day_cents").as("exposure_cents"),
+        min($"min_gap_c").as("closest_gap_c"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_benford" -> q172_benford,
+    "q174_duplicate_payments" -> q174_duplicate_payments,
     "q145_join_health" -> q145_join_health,
     "q93_quality_checks" -> q93_quality_checks,
     "q94_sparse_cosine" -> q94_sparse_cosine,
@@ -220,6 +255,24 @@ object DataQuality {
     "q103_snapshot_diff" -> q103_snapshot_diff)
 
   val oracle: Map[String, String] = Map(
+    "q174_duplicate_payments" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_c,
+        |    date_trunc('day', o_orderdate) AS day
+        |  FROM orders),
+        |w AS (SELECT *, amt_c - LAG(amt_c) OVER (
+        |    PARTITION BY o_custkey, day ORDER BY amt_c, o_orderkey) AS gap_c
+        |  FROM o),
+        |g AS (SELECT o_custkey, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(amt_c) AS BIGINT) AS day_cents,
+        |    CAST(MIN(gap_c) AS BIGINT) AS min_gap_c
+        |  FROM w GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_orders_involved,
+        |  CAST(SUM(day_cents) AS BIGINT) AS exposure_cents,
+        |  CAST(MIN(min_gap_c) AS BIGINT) AS closest_gap_c
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_benford" ->
       """WITH d AS (SELECT CAST(substring(
         |      CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)

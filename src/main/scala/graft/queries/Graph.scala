@@ -282,6 +282,41 @@ object Graph {
     * computed as bit length − 1 — integer-exact in both engines, no
     * float log. Two bounded aggregates past the edge list.
     */
+  /** q173 — degree assortativity: do high-degree parts co-purchase
+    * with other high-degree parts? Pearson r over (deg(u), deg(v))
+    * for both orientations of every edge — the structural diagnostic
+    * behind hub-and-spoke vs mesh topology calls (and the skew
+    * forecast for q81's orientation trick). Plan: the |V|-row degree
+    * table broadcasts, the edge list never shuffles, and r derives
+    * from FIVE exact integer sums in one aggregate (q104's algebraic
+    * form — engine corr() implementations differ in accumulation
+    * order; the fixed tree over exact longs does not). Symmetry makes
+    * Σx = Σy, so the tree needs only n, Σx, Σxy, Σx².
+    */
+  def q173_assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = graft.Caches.tracked(copurchasePackedPairs(spark, dir))
+    val deg = edges
+      .select(explode(array(shiftright($"pk", 32),
+        $"pk".bitwiseAND(lit(0xffffffffL)))).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+    val s = edges
+      .select(shiftright($"pk", 32).as("u"),
+        $"pk".bitwiseAND(lit(0xffffffffL)).as("v"))
+      .join(broadcast(deg.select($"p".as("u"), $"d".as("x"))), "u")
+      .join(broadcast(deg.select($"p".as("v"), $"d".as("y"))), "v")
+      .agg((count(lit(1)) * 2).as("n"),
+        sum($"x" + $"y").as("sx"),
+        (sum($"x" * $"y") * 2).as("sxy"),
+        sum($"x" * $"x" + $"y" * $"y").as("sxx"))
+    s.select($"n".as("n_samples"),
+      round(lit(1e6) * $"sx" / $"n").cast("long").as("mean_deg_micro"),
+      round(lit(1e6)
+        * ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sx")
+        / ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+        .cast("long").as("assortativity_micro"))
+  }
+
   def q124_degree_distribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = copurchasePackedPairs(spark, dir)
@@ -353,6 +388,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_link_prediction" -> q131_link_prediction,
     "q124_degree_distribution" -> q124_degree_distribution,
+    "q173_assortativity" -> q173_assortativity,
     "q121_frequent_triples" -> q121_frequent_triples,
     "q81_triangles" -> q81_triangles,
     "q87_pagerank" -> q87_pagerank,
@@ -360,6 +396,27 @@ object Graph {
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q173_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS p FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |j AS (SELECT d1.d AS x, d2.d AS y
+        |  FROM e JOIN deg d1 ON e.u = d1.p JOIN deg d2 ON e.v = d2.p),
+        |s AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x + y) AS BIGINT) AS sx,
+        |    CAST(2 * SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x + y * y) AS BIGINT) AS sxx
+        |  FROM j)
+        |SELECT n AS n_samples,
+        |  CAST(ROUND(1e6 * sx / n) AS BIGINT) AS mean_deg_micro,
+        |  CAST(ROUND(1e6
+        |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+        |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |    AS BIGINT) AS assortativity_micro
+        |FROM s""".stripMargin,
     "q131_link_prediction" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -813,6 +813,44 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** q175 — CUSUM drift detection: the sequential change-detector for
+    * a daily KPI series — c_t = max(0, c_{t−1} + (x_t − target − k)),
+    * alarm while c_t > h. The clamp makes it window-inexpressible
+    * (q166's argument), but the series is BOUNDED (days × types), so
+    * the whole detector is one bounded collect + deterministic
+    * sort_array + in-row fold per type (q169's max-plus machinery) —
+    * no recursion rounds, no state store. Target/slack/threshold are
+    * integer cents derived per type (slack 5%, threshold 20% of
+    * target). Output: per type, the peak CUSUM and alarm-day count.
+    */
+  def q175_cusum_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("day", $"ts")).as("day_s"))
+      .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)").as("x"))
+    val target = daily.groupBy($"event_type")
+      .agg(expr("sum(x) div count(1)").as("target_c"),
+        count(lit(1)).as("n_days"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day_s", $"x"))).as("xs"))
+      .join(broadcast(target), "event_type")
+      .select($"event_type", $"n_days", $"target_c",
+        aggregate($"xs",
+          struct(lit(0L).as("c"), lit(0L).as("maxc"), lit(0L).as("alarms")),
+          (acc, e) => {
+            val step = acc("c") + e("x") - $"target_c" -
+              expr("target_c div 20")
+            val c = greatest(step, lit(0L))
+            struct(c.as("c"), greatest(acc("maxc"), c).as("maxc"),
+              (acc("alarms") +
+                when(c > expr("target_c div 5"), 1L).otherwise(0L)).as("alarms"))
+          }).as("r"))
+      .select($"event_type", $"n_days", $"target_c",
+        $"r.maxc".as("max_cusum_c"), $"r.alarms".as("n_alarm_days"))
+      .orderBy($"event_type")
+  }
+
   /** q113 — winsorized mean: clamp each group's values to its
     * [p5, p95] band, then average — the outlier-robust mean that
     * keeps sample size (unlike trimming). Same two-pass shape as
@@ -1450,6 +1488,7 @@ object Analytics {
     "q109_tumbling_windows" -> q109_tumbling_windows,
     "q167_sliding_window" -> q167_sliding_window,
     "q168_session_native" -> q168_session_native,
+    "q175_cusum_drift" -> q175_cusum_drift,
     "q104_trend" -> q104_trend,
     "q105_week_over_week" -> q105_week_over_week,
     "q100_robust_outliers" -> q100_robust_outliers,
@@ -1489,6 +1528,37 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q175_cusum_drift" ->
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    SUM(CAST(ROUND(value * 100) AS BIGINT)) // COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY day_s) AS seq FROM d),
+        |t AS (SELECT event_type, CAST(SUM(x) // COUNT(*) AS BIGINT) AS target_c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT q.event_type, q.seq,
+        |    GREATEST(q.x - t.target_c - t.target_c // 20, 0) AS c,
+        |    GREATEST(q.x - t.target_c - t.target_c // 20, 0) AS maxc,
+        |    CASE WHEN GREATEST(q.x - t.target_c - t.target_c // 20, 0)
+        |           > t.target_c // 5 THEN 1 ELSE 0 END AS alarms
+        |  FROM q JOIN t USING (event_type) WHERE q.seq = 1
+        |  UNION ALL
+        |  SELECT q.event_type, q.seq,
+        |    GREATEST(r.c + q.x - t.target_c - t.target_c // 20, 0),
+        |    GREATEST(r.maxc,
+        |      GREATEST(r.c + q.x - t.target_c - t.target_c // 20, 0)),
+        |    r.alarms + CASE WHEN
+        |      GREATEST(r.c + q.x - t.target_c - t.target_c // 20, 0)
+        |        > t.target_c // 5 THEN 1 ELSE 0 END
+        |  FROM r JOIN q ON q.event_type = r.event_type AND q.seq = r.seq + 1
+        |    JOIN t ON t.event_type = q.event_type)
+        |SELECT t.event_type, t.n_days, t.target_c,
+        |  CAST(r.maxc AS BIGINT) AS max_cusum_c,
+        |  CAST(r.alarms AS BIGINT) AS n_alarm_days
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.seq = t.n_days
+        |ORDER BY t.event_type""".stripMargin,
     "q167_sliding_window" ->
       """WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type,
         |    CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),

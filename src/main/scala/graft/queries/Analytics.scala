@@ -851,6 +851,60 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** q176 — maximum drawdown: the worst peak-to-trough fall of the
+    * cumulative daily revenue curve per event type — the risk metric
+    * behind "how bad did it get". Unlike the clamped family (q175)
+    * this IS window-expressible: running sum → running max → max gap,
+    * three frames over the bounded (type, day) aggregate, partitioned
+    * by type. Integer cents throughout.
+    */
+  def q176_max_drawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("day", $"ts")).as("day_s"))
+      .agg(sum(cents($"value")).as("c"))
+    val run = Window.partitionBy($"event_type").orderBy($"day_s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum", sum($"c").over(run))
+      .withColumn("peak", max($"cum").over(run))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max($"peak" - $"cum").as("max_drawdown_c"),
+        max($"cum").as("peak_c"))
+      .orderBy($"event_type")
+  }
+
+  /** q177 — distribution similarity via histogram intersection: how
+    * alike are two segments' order-value distributions, in basis
+    * points — the cohort-comparison readout behind "can I pool these
+    * populations". Each segment reduces to a bounded cents-histogram
+    * (25k-unit bins); pairwise overlap = Σ min of NORMALIZED bin
+    * masses, kept exact by cross-multiplying counts instead of
+    * dividing early. Output is the bounded segment-pair matrix.
+    */
+  def q177_histogram_overlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binned = load(spark, dir, "orders")
+      .join(broadcast(load(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        expr("cast(round(o_totalprice * 100) as bigint) div 2500000").as("bin"))
+      .groupBy($"seg", $"bin").agg(count(lit(1)).as("n"))
+    val totals = binned.groupBy($"seg").agg(sum($"n").as("tot"))
+    val h = binned.join(broadcast(totals), "seg")
+    h.as("a").join(h.as("b"),
+        $"a.bin" === $"b.bin" && $"a.seg" < $"b.seg")
+      .groupBy($"a.seg".as("seg_a"), $"b.seg".as("seg_b"),
+        $"a.tot".as("tot_a"), $"b.tot".as("tot_b"))
+      .agg(sum(least($"a.n" * $"b.tot", $"b.n" * $"a.tot")).as("num"))
+      .select($"seg_a", $"seg_b",
+        round(lit(10000.0) * $"num" / ($"tot_a" * $"tot_b"))
+          .cast("long").as("overlap_bp"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
   /** q113 — winsorized mean: clamp each group's values to its
     * [p5, p95] band, then average — the outlier-robust mean that
     * keeps sample size (unlike trimming). Same two-pass shape as
@@ -1489,6 +1543,8 @@ object Analytics {
     "q167_sliding_window" -> q167_sliding_window,
     "q168_session_native" -> q168_session_native,
     "q175_cusum_drift" -> q175_cusum_drift,
+    "q176_max_drawdown" -> q176_max_drawdown,
+    "q177_histogram_overlap" -> q177_histogram_overlap,
     "q104_trend" -> q104_trend,
     "q105_week_over_week" -> q105_week_over_week,
     "q100_robust_outliers" -> q100_robust_outliers,
@@ -1528,6 +1584,36 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q176_max_drawdown" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (SELECT event_type, day_s, SUM(c) OVER w AS cum
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT event_type, day_s, cum, MAX(cum) OVER w AS peak
+        |  FROM r0
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_c,
+        |  CAST(MAX(cum) AS BIGINT) AS peak_c
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q177_histogram_overlap" ->
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2500000 AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS tot FROM b GROUP BY 1),
+        |h AS (SELECT b.seg, b.bin, b.n, t.tot FROM b JOIN t USING (seg))
+        |SELECT a.seg AS seg_a, c.seg AS seg_b,
+        |  CAST(ROUND(10000.0 * SUM(LEAST(a.n * c.tot, c.n * a.tot))
+        |    / (MAX(a.tot) * MAX(c.tot))) AS BIGINT) AS overlap_bp
+        |FROM h a JOIN h c ON a.bin = c.bin AND a.seg < c.seg
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q175_cusum_drift" ->
       """WITH RECURSIVE d AS (SELECT event_type,
         |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,

@@ -851,12 +851,15 @@ object Analytics {
       .orderBy($"event_type")
   }
 
-  /** q176 — maximum drawdown: the worst peak-to-trough fall of the
-    * cumulative daily revenue curve per event type — the risk metric
-    * behind "how bad did it get". Unlike the clamped family (q175)
-    * this IS window-expressible: running sum → running max → max gap,
-    * three frames over the bounded (type, day) aggregate, partitioned
-    * by type. Integer cents throughout.
+  /** q176 — maximum drawdown of the DETRENDED revenue curve: raw
+    * cumulative revenue is monotone (daily cents are positive), so
+    * its drawdown is trivially zero — the informative curve is the
+    * cumulative deviation from the type's mean daily revenue, whose
+    * drawdown is the worst below-trend stretch ("how far behind plan
+    * did we fall, peak to trough"). Window-expressible, unlike the
+    * clamped family (q175): running sum → running max → max gap,
+    * three frames over the bounded (type, day) aggregate partitioned
+    * by type; target and curve in exact integer cents.
     */
   def q176_max_drawdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -864,11 +867,13 @@ object Analytics {
       .groupBy($"event_type",
         unix_timestamp(date_trunc("day", $"ts")).as("day_s"))
       .agg(sum(cents($"value")).as("c"))
+    val target = daily.groupBy($"event_type")
+      .agg(expr("sum(c) div count(1)").as("target_c"))
     val run = Window.partitionBy($"event_type").orderBy($"day_s")
       .rowsBetween(Window.unboundedPreceding, 0)
-    daily
-      .withColumn("cum", sum($"c").over(run))
-      .withColumn("peak", max($"cum").over(run))
+    daily.join(broadcast(target), "event_type")
+      .withColumn("cum", sum($"c" - $"target_c").over(run))
+      .withColumn("peak", greatest(max($"cum").over(run), lit(0L)))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_days"),
         max($"peak" - $"cum").as("max_drawdown_c"),
@@ -1589,11 +1594,15 @@ object Analytics {
         |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
         |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
-        |r0 AS (SELECT event_type, day_s, SUM(c) OVER w AS cum
-        |  FROM d
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_s
+        |t AS (SELECT event_type, CAST(SUM(c) // COUNT(*) AS BIGINT) AS target_c
+        |  FROM d GROUP BY 1),
+        |r0 AS (SELECT d.event_type, day_s,
+        |    SUM(c - target_c) OVER w AS cum
+        |  FROM d JOIN t USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day_s
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |r AS (SELECT event_type, day_s, cum, MAX(cum) OVER w AS peak
+        |r AS (SELECT event_type, day_s, cum,
+        |    GREATEST(MAX(cum) OVER w, 0) AS peak
         |  FROM r0
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day_s
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))

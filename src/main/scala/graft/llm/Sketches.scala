@@ -302,12 +302,17 @@ object Sketches {
     * per-group sort. Groups with < k distinct keys fall back to the
     * exact count (the sketch is the whole set there). Estimate is a
     * fixed IEEE-double tree over two longs — identical in DuckDB.
+    * Key = (user, payload) combination: per-type distinct USERS are
+    * identical across types in this data (every user does everything
+    * — the estimates would all collapse to one value), while distinct
+    * combinations vary per type and actually exercise the estimator.
     */
   def q151_kmv_distinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = Caches.tracked(load(spark, dir, "events")
       .select($"event_type",
-        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+        conv(substring(md5(
+          concat($"user_id".cast("string"), lit(":"), $"props")), 1, 15), 16, 10)
           .cast("long").as("h"))
       .distinct())
     val bottomK = graft.plans.TopKPerGroup.topK(
@@ -344,7 +349,8 @@ object Sketches {
   val oracle: Map[String, String] = Map(
     "q151_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
-         |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |    CAST('0x' || substring(md5(
+         |      CAST(user_id AS VARCHAR) || ':' || props), 1, 15)
          |      AS BIGINT) AS h
          |  FROM events),
          |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type

@@ -165,26 +165,32 @@ object TextAnalysis {
       .limit(50)
   }
 
-  /** q165 — score calibration against duplication: per quality-score
-    * bucket (q21's formula, 1000-bp-wide bins), what fraction of docs
-    * are exact duplicates — the "is my quality score informative"
-    * readout a filter threshold decision needs. One scan computes
-    * score + content hash; the dup flag joins back co-partitioned on
-    * the (high-cardinality, uniform) hash; the calibration table is
-    * bounded at 11 buckets. All-integer rates.
+  /** q165 — score calibration against NEAR-duplication: per quality-
+    * score bucket (q21's formula, 1000-bp-wide bins), what fraction
+    * of docs participate in a MinHash near-dup pair (J ≥ 0.5, q23's
+    * verified core) — the "is my quality score informative" readout a
+    * filter-threshold decision needs. (Exact duplication is the
+    * obvious flag but this corpus has none — near-dup membership is
+    * the signal that actually exists.) The flagged-id set is tiny and
+    * broadcasts; the calibration table is bounded at 11 buckets;
+    * rates all-integer.
     */
   def q165_score_calibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = load(spark, dir, "documents")
-      .select($"doc_id", qualityBp($"text").as("q"), md5($"text").as("h"))
-    val dupCnt = scored.groupBy($"h").agg(count(lit(1)).as("cnt"))
-    scored.join(dupCnt, "h")
+    val dupIds = Dedup.minhashPairs(
+        load(spark, dir, "documents").select($"doc_id", $"text"))
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    load(spark, dir, "documents")
+      .select($"doc_id", qualityBp($"text").as("q"))
+      .join(broadcast(dupIds), Seq("doc_id"), "left")
       .withColumn("bucket", expr("q div 1000"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_docs"))
-      .withColumn("dup_rate_bp",
-        round(lit(10000.0) * $"n_dup_docs" / $"n_docs").cast("long"))
+        sum(coalesce($"is_dup", lit(0L))).as("n_neardup_docs"))
+      .withColumn("neardup_rate_bp",
+        round(lit(10000.0) * $"n_neardup_docs" / $"n_docs").cast("long"))
       .orderBy($"bucket")
   }
 
@@ -988,16 +994,23 @@ object TextAnalysis {
         |SELECT doc_id, dl, score_milli FROM sc
         |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin,
     "q165_score_calibration" ->
-      s"""WITH s AS (SELECT doc_id, md5(text) AS h, $QualityBpSql AS q
-         |  FROM documents),
-         |d AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY 1)
+      s"""WITH d AS (SELECT doc_id, ${Dedup.Shingle3Sql} AS sh FROM documents),
+         |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+         |  WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+         |        / len(list_distinct(a.sh || b.sh))) >= 5000),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |    SELECT da AS doc_id FROM p UNION ALL SELECT db FROM p)),
+         |s AS (SELECT doc_id, $QualityBpSql AS q FROM documents)
          |SELECT CAST(s.q // 1000 AS BIGINT) AS bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dup_docs,
-         |  CAST(ROUND(10000.0 * SUM(CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END)
-         |    / COUNT(*)) AS BIGINT) AS dup_rate_bp
-         |FROM s JOIN d ON s.h = d.h
+         |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_docs,
+         |  CAST(ROUND(10000.0
+         |    * SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / COUNT(*)) AS BIGINT) AS neardup_rate_bp
+         |FROM s LEFT JOIN dup USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q164_classifier_metrics" ->
       """WITH h AS (SELECT lang,

@@ -93,7 +93,8 @@ class SketchSpec extends AnyFunSuite {
     // merge law: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))
     val h = graft.Tables.load(spark, dir, "events")
       .select($"event_id",
-        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+        conv(substring(md5(
+          concat($"user_id".cast("string"), lit(":"), $"props")), 1, 15), 16, 10)
           .cast("long").as("h"))
     val whole = h.select($"h").distinct()
       .orderBy($"h").limit(Sketches.KmvK).collect().map(_.getLong(0)).toSeq

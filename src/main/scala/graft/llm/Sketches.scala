@@ -77,7 +77,7 @@ object Sketches {
       }.toDF("lang", "h")
   }
 
-  private def distinctGramHashes(spark: SparkSession, dir: String): DataFrame = {
+  private[llm] def distinctGramHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     load(spark, dir, "documents")
       .select($"lang", $"text").as[(String, String)]
@@ -228,18 +228,19 @@ object Sketches {
 
   /** q120 — HLL set algebra: estimated distinct-gram overlap between
     * every language pair via inclusion–exclusion (est A + est B −
-    * est A∪B), with the exact intersection riding along as the error
-    * reference. The union sketch is just union-all + max over the two
+    * est A∪B). The union sketch is just union-all + max over the two
     * register tables — the MERGE operation itself, demonstrated as
     * data: audience-overlap at 100 TB costs two 64-register sketches
     * per side, not a distinct-join. The estimate difference can go
     * negative within sketch error — clamped at 0 like every practical
-    * implementation.
+    * implementation. The exact-intersection error reference lives in
+    * SketchSpec ("HLL inclusion–exclusion…"), NOT here: a gram×gram
+    * distinct self-join in the shipped query would be exactly the
+    * all-pairs shuffle the sketch exists to avoid.
     */
   def q120_hll_set_algebra(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Caches.tracked(distinctGramHashes(spark, dir))
-    val regs = Caches.tracked(grams.select($"lang",
+    val regs = Caches.tracked(distinctGramHashes(spark, dir).select($"lang",
         ($"h" % HllRegisters).cast("int").as("j"),
         expr(s"h DIV $HllRegisters").as("w"))
       .withColumn("rho",
@@ -272,19 +273,12 @@ object Sketches {
         sum(pow(lit(2.0), lit(55) - $"reg").cast("long")).as("s_hit"))
       .select($"la", $"lb", estCol($"hit", $"s_hit").as("e_union"))
 
-    val inter = grams.select($"lang".as("la"), $"h")
-      .join(grams.select($"lang".as("lb"), $"h"), "h")
-      .filter($"la" < $"lb")
-      .groupBy($"la", $"lb").agg(count(lit(1)).as("n_exact_inter"))
-
     pairs
       .join(broadcast(perLang.select($"lang".as("la"), $"e".as("est_a"))), "la")
       .join(broadcast(perLang.select($"lang".as("lb"), $"e".as("est_b"))), "lb")
       .join(broadcast(estU), Seq("la", "lb"))
-      .join(inter, Seq("la", "lb"), "left")
       .select($"la", $"lb", $"est_a", $"est_b", $"e_union",
-        greatest(lit(0L), $"est_a" + $"est_b" - $"e_union").as("est_inter"),
-        coalesce($"n_exact_inter", lit(0L)).as("n_exact_inter"))
+        greatest(lit(0L), $"est_a" + $"est_b" - $"e_union").as("est_inter"))
       .orderBy($"la", $"lb")
   }
 
@@ -396,16 +390,12 @@ object Sketches {
          |  FROM u GROUP BY 1, 2),
          |eu AS (SELECT la, lb, CAST(ROUND($HllAlphaM2 * POW(2, 55)
          |    / (s_hit + ($HllRegisters - hit) * CAST(POW(2, 55) AS BIGINT))) AS BIGINT)
-         |    AS e_union FROM fu),
-         |inter AS (SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM dh a JOIN dh b ON a.h = b.h AND a.lang < b.lang GROUP BY 1, 2)
+         |    AS e_union FROM fu)
          |SELECT p.la AS la, p.lb AS lb, ea.e AS est_a, eb.e AS est_b, eu.e_union,
-         |  GREATEST(0, ea.e + eb.e - eu.e_union) AS est_inter,
-         |  COALESCE(inter.n, 0) AS n_exact_inter
+         |  GREATEST(0, ea.e + eb.e - eu.e_union) AS est_inter
          |FROM pairs p
          |JOIN est ea ON p.la = ea.lang JOIN est eb ON p.lb = eb.lang
          |JOIN eu ON p.la = eu.la AND p.lb = eu.lb
-         |LEFT JOIN inter ON p.la = inter.la AND p.lb = inter.lb
          |ORDER BY la, lb""".stripMargin,
     "q71_hll_udaf" ->
       s"""WITH g AS ($GramSql),

@@ -937,24 +937,29 @@ object Analytics {
     * columns (market segment × order priority): the contingency table
     * is one aggregate over the joined facts; marginals and the
     * statistic derive from that |segments|×|priorities| table, so the
-    * heavy data is touched once and the statistical machinery runs on
-    * a bounded frame. Expected counts and the statistic use a fixed
-    * float expression tree; the ~25-term sum is far inside double
-    * precision at e6 rounding.
+    * heavy data is touched once (the contingency table is cached —
+    * its four consumers, marginals/total/statistic, would otherwise
+    * each re-run the orders join) and the statistical machinery runs
+    * on a bounded frame. The grand total folds in-plan via a
+    * broadcast 1-row aggregate (the q42/q46 idiom) instead of a
+    * separate driver action. Expected counts and the statistic use a
+    * fixed float expression tree; the ~25-term sum is far inside
+    * double precision at e6 rounding.
     */
   def q115_chi_square(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val obs = load(spark, dir, "orders")
+    val obs = graft.Caches.tracked(load(spark, dir, "orders")
       .join(broadcast(load(spark, dir, "customer")
         .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment", $"o_orderpriority")
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("o")))
     val rowT = obs.groupBy($"c_mktsegment").agg(sum($"o").as("rt"))
     val colT = obs.groupBy($"o_orderpriority").agg(sum($"o").as("ct"))
-    val n = obs.agg(sum($"o")).as[Long].head().toDouble
+    val tot = obs.agg(sum($"o").cast("double").as("n_total"))
     obs.join(broadcast(rowT), "c_mktsegment")
       .join(broadcast(colT), "o_orderpriority")
-      .withColumn("exp", $"rt" * $"ct" / lit(n))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp", $"rt" * $"ct" / $"n_total")
       .agg(
         count(lit(1)).as("n_cells"),
         round(sum(($"o" - $"exp") * ($"o" - $"exp") / $"exp") * 1e6)

@@ -60,6 +60,35 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL inclusion–exclusion intersection tracks the exact gram overlap") {
+    // The exact-intersection error reference for q120 lives HERE, not
+    // in the shipped query: at scale a distinct-gram self-join across
+    // language pairs is the all-pairs shuffle the sketch replaces. At
+    // spec scale it is cheap, so the spec computes it and pins the
+    // sketch estimate against it.
+    import spark.implicits._
+    val est = Sketches.q120_hll_set_algebra(spark, dir)
+      .select($"la", $"lb", $"est_a", $"est_b", $"est_inter").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(est.nonEmpty)
+    val grams = Sketches.distinctGramHashes(spark, dir)
+    val exact = grams.select($"lang".as("la"), $"h")
+      .join(grams.select($"lang".as("lb"), $"h"), "h")
+      .filter($"la" < $"lb")
+      .groupBy($"la", $"lb").agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    est.foreach { case (pair, (ea, eb, ei)) =>
+      val ex = exact.getOrElse(pair, 0L)
+      // Inclusion–exclusion compounds three ~13%-σ estimates, each
+      // scaled by set size, so the band is relative to the SMALLER
+      // side (the intersection is bounded by it), 4σ wide.
+      val band = 0.55 * math.min(ea, eb) + 1
+      assert(math.abs(ei - ex) <= band,
+        s"pair=$pair est_inter=$ei exact=$ex band=$band")
+    }
+  }
+
   test("count-min never underestimates, and is exact without collisions") {
     import spark.implicits._
     val out = Sketches.q59_cms_heavy_hitters(spark, dir).collect()

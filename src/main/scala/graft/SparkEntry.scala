@@ -51,7 +51,8 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
       graft.llm.CorpusPipeline.queries ++
-      graft.llm.DataPrep.queries
+      graft.llm.DataPrep.queries ++
+      graft.gtfs.KpiHarness.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++
       graft.llm.CorpusPipeline.oracle ++
-      graft.llm.DataPrep.oracle
+      graft.llm.DataPrep.oracle ++
+      graft.gtfs.KpiHarness.oracle
 }

@@ -25,7 +25,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Similarity" -> graft.llm.Similarity.queries,
     "Multimodal" -> graft.llm.Multimodal.queries,
     "CorpusPipeline" -> graft.llm.CorpusPipeline.queries,
-    "DataPrep" -> graft.llm.DataPrep.queries)
+    "DataPrep" -> graft.llm.DataPrep.queries,
+    "KpiHarness" -> graft.gtfs.KpiHarness.queries)
 
   test("no query key is shadowed by the module merge") {
     val all = parts.flatMap { case (mod, m) => m.keys.map(_ -> mod) }

@@ -430,7 +430,12 @@ object DataPrep {
       .crossJoin(broadcast(tot))
       .groupBy($"n0", $"n1")
       .agg(max(abs($"cum0" * $"n1" - $"cum1" * $"n0")).as("dmax"))
-      .select($"n0", $"n1",
+      // runtime guard for the documented Long limit: past ~3e9 docs
+      // per source the cross-products would WRAP, not fail — surface
+      // it as an error instead of a silently wrong statistic
+      .select(when($"n0" * $"n1" < 0L,
+          raise_error(lit("q135: n0*n1 overflows Long — use decimal(38,0)")))
+        .otherwise($"n0").as("n0"), $"n1",
         round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))
   }
 

@@ -174,6 +174,15 @@ object TextAnalysis {
     * the signal that actually exists.) The flagged-id set is tiny and
     * broadcasts; the calibration table is bounded at 11 buckets;
     * rates all-integer.
+    *
+    * Oracle caveat (inherited from q23): the Spark side flags docs via
+    * LSH candidates (16 bands × 4 rows) while the DuckDB oracle
+    * computes exact all-pairs Jaccard, so the hash match is
+    * DATA-DEPENDENT — a true pair with J just above 0.5 shares a band
+    * with only ~64% probability. It holds on the harness corpus
+    * (q23's "LSH must find the same pairs" check pins that), but if a
+    * corpus change ever breaks this query, diagnose RECALL first, not
+    * a regression.
     */
   def q165_score_calibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1201,6 +1201,11 @@ object Analytics {
     val sorted = rev.repartitionByRange(32, $"x".desc, $"p")
       .sortWithinPartitions($"x".desc, $"p")
       .as[(Long, Long)]
+    // SINGLE .rdd instance, reused by both jobs below — load-bearing:
+    // the per-partition sums and the classify pass must see the SAME
+    // RangePartitioner sample (shuffle reuse). Two separate .rdd
+    // calls could resample different range boundaries and the prefix
+    // offsets would no longer line up with the partitions.
     val rdd = sorted.rdd
     val sums = rdd.mapPartitions(it => Iterator(it.map(_._2).sum)).collect()
     val offsets = sums.scanLeft(0L)(_ + _)

@@ -136,15 +136,27 @@ private[sources] class GtfsRtScanBuilder(kind: String, path: String,
   /** Accept the comparison/null-check shapes the decode loop can
     * evaluate exactly; everything else stays with Spark. Accepted
     * filters are applied by the source EXACTLY, so they are not
-    * returned as post-scan residuals.
+    * returned as post-scan residuals — which is why comparisons are
+    * accepted ONLY on string/long/double columns: those are the types
+    * the reader compares with Spark-identical semantics. Any other
+    * decoded type would fall into a toString comparison that silently
+    * diverges from Spark's, with no residual to catch it, so such
+    * filters stay Spark-side.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def comparable(name: String): Boolean =
+      full.fields.find(_.name == name).map(_.dataType).exists {
+        case org.apache.spark.sql.types.StringType => true
+        case org.apache.spark.sql.types.LongType => true
+        case org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      }
     val (ok, rest) = filters.partition {
-      case EqualTo(a, _) => full.fieldNames.contains(a)
-      case GreaterThan(a, _) => full.fieldNames.contains(a)
-      case GreaterThanOrEqual(a, _) => full.fieldNames.contains(a)
-      case LessThan(a, _) => full.fieldNames.contains(a)
-      case LessThanOrEqual(a, _) => full.fieldNames.contains(a)
+      case EqualTo(a, _) => comparable(a)
+      case GreaterThan(a, _) => comparable(a)
+      case GreaterThanOrEqual(a, _) => comparable(a)
+      case LessThan(a, _) => comparable(a)
+      case LessThanOrEqual(a, _) => comparable(a)
       case IsNotNull(a) => full.fieldNames.contains(a)
       case _ => false
     }
@@ -279,16 +291,26 @@ private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
   override def reportLatestOffset(): Offset =
     GtfsRtOffset(listNames().lastOption.getOrElse(""))
 
+  /** Snapshot names ROOT-RELATIVE (e.g. `sub/dir/t0001.pb`), not bare
+    * file names: the recursive listing admits nested subdirectories,
+    * and a bare-name key would both reconstruct a wrong path in
+    * planInputPartitions (`$path/$name` drops the subdir) and collide
+    * identically-named files across subdirs in the offset watermark
+    * (silently double-reading one and dropping the other). The
+    * relative path is unique under the root, so it serves as both the
+    * offset key and the partition path suffix.
+    */
   private def listNames(): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) return Seq.empty
+    val rootUri = fs.getFileStatus(p).getPath.toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(p, true)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".pb"))
-        files += st.getPath.getName
+        files += st.getPath.toUri.getPath.stripPrefix(rootUri + "/")
     }
     files.sorted.toSeq
   }

@@ -136,6 +136,33 @@ class GtfsRtSourceSpec extends AnyFunSuite {
     assert(spark.read.schema(outSchema).parquet(out).count() == 2 * n1)
   }
 
+  test("streaming read handles nested subdirectories: paths resolve, same-named files don't collide") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TestSpark.tempDir("dsv2_nested_vp")
+    val out = TestSpark.tempDir("dsv2_nested_out")
+    val ckpt = TestSpark.tempDir("dsv2_nested_ckpt")
+    // two snapshots with IDENTICAL file names in different subdirs —
+    // a bare-name offset key would collide them (one double-read, one
+    // dropped) and reconstruct wrong paths at read time
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_n_tu1"), s"$root/day1",
+      stamp = "20250903_1000", feedTs = 1000000L)
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_n_tu2"), s"$root/day2",
+      stamp = "20250903_1000", feedTs = 1000120L)
+    val q = spark.readStream.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val outSchema = GtfsRtSource.schemaFor("vehicle_positions")
+    val streamed = spark.read.schema(outSchema).parquet(out).count()
+    val batch = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(root).count()
+    assert(streamed == batch,
+      s"streaming read $streamed rows vs batch $batch over the same nested landing dir")
+    assert(streamed > 0)
+  }
+
   test("one input partition per snapshot file; corrupt file yields zero rows") {
     val (_, vp) = writeSnapshots()
     // add a second (corrupt) snapshot

@@ -62,6 +62,27 @@ object Kpi {
       .select(col("w.start").as("bucket_start"), col("avg_delay_s"), col("n_obs"))
       .orderBy(col("bucket_start"))
 
+  /** Streaming form of README.md:120 — the reference recomputes its
+    * dashboard from 2-minute RT snapshots, which in Spark is this:
+    * the observed stop events arrive as a STREAM, the schedule joins
+    * as a static broadcast dim (stream-static join — no state), and
+    * the 15-minute average-delay windows aggregate on event time
+    * behind a watermark, so late snapshots within `lateness` still
+    * land in their window and state is bounded by the watermark
+    * horizon, not the stream length. Append-mode semantics: a window
+    * emits exactly once, when the watermark closes it — the
+    * incremental dashboard feed. StreamingKpiSpec pins streaming ≡
+    * batch ([[avgDelayOverTime]]) on closed windows.
+    */
+  def streamingAvgDelay(observedStream: DataFrame, scheduled: DataFrame,
+                        serviceDate: LocalDate, bucket: String = "15 minutes",
+                        lateness: String = "30 minutes"): DataFrame =
+    delaySpine(observedStream, scheduled, serviceDate)
+      .withWatermark("obs_ts", lateness)
+      .groupBy(window(col("obs_ts"), bucket).as("w"))
+      .agg(avg(col("delay_s")).as("avg_delay_s"), count(lit(1)).as("n_obs"))
+      .select(col("w.start").as("bucket_start"), col("avg_delay_s"), col("n_obs"))
+
   /** README.md:121 — taux de ponctualité (≤ threshold seconds). */
   def punctualityRate(spine: DataFrame, thresholdS: Long = 300L): DataFrame =
     spine.agg(

@@ -1,0 +1,88 @@
+package graft.gtfs
+
+import java.time.LocalDate
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The streaming delay KPI must equal the batch KPI on every window
+  * the watermark has closed (streaming ≡ batch — the invariant that
+  * lets the dashboard trust an incremental feed), withhold open
+  * windows, and flush them exactly once when later data closes them.
+  */
+class StreamingKpiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val serviceDate = LocalDate.of(2025, 9, 3)
+  private val dayStart = serviceDate
+    .atStartOfDay(java.time.ZoneId.of("Europe/Paris")).toEpochSecond
+
+  // schedule: one trip, two stops, 09:00 and 09:10
+  private def scheduled: DataFrame = {
+    import spark.implicits._
+    Seq(("T1", 1L, "S1", "9:00:00"), ("T1", 2L, "S2", "9:10:00"))
+      .toDF("trip_id", "stop_sequence", "stop_id", "intermediate_stop")
+  }
+
+  /** observed row: (stop_sequence, delay_s) → epoch at sched + delay. */
+  private def observed(rows: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (seq, d) =>
+      ("T1", seq, s"S$seq", dayStart + (if (seq == 1) 32400L else 33000L) + d)
+    }.toDF("trip_id", "stop_sequence", "stop_id", "intermediate_stop")
+  }
+
+  private val obsSchema =
+    "trip_id STRING, stop_sequence BIGINT, stop_id STRING, intermediate_stop BIGINT"
+
+  test("closed windows equal the batch KPI; open windows withheld, then flushed once") {
+    import spark.implicits._
+    val landing = TestSpark.tempDir("skpi_landing")
+    val out = TestSpark.tempDir("skpi_out")
+    val ckpt = TestSpark.tempDir("skpi_ckpt")
+
+    def drain(): Unit = {
+      val q = Kpi.streamingAvgDelay(
+          spark.readStream.schema(obsSchema).parquet(landing),
+          scheduled, serviceDate)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def streamed(): Set[(Long, Long, Long)] =
+      spark.read.schema("bucket_start TIMESTAMP, avg_delay_s DOUBLE, n_obs BIGINT")
+        .parquet(out)
+        .select(unix_timestamp($"bucket_start"), round($"avg_delay_s" * 1000).cast("long"),
+          $"n_obs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def batch(rows: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      Kpi.avgDelayOverTime(Kpi.delaySpine(observed(rows), scheduled, serviceDate))
+        .select(unix_timestamp($"bucket_start"), round($"avg_delay_s" * 1000).cast("long"),
+          $"n_obs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // run 1: two observations in the 09:00 window (delays 60, 180),
+    // one in 09:15 (seq-2 sched 09:10 + 420 s = 09:17), and a
+    // watermark driver at ~10:10 (sched 09:10 + 3600). Watermark =
+    // 10:10 − 30 min = 09:40 → the 09:00/09:15 windows close; the
+    // 10:00 window (the driver's own) stays open.
+    val run1 = Seq((1L, 60L), (1L, 180L), (2L, 420L), (2L, 3600L))
+    observed(run1).write.mode("overwrite").parquet(landing)
+    drain()
+    assert(streamed() == batch(run1.filter(_._2 < 3600L)),
+      "closed windows must equal the batch KPI over the closed subset")
+    assert(streamed().nonEmpty)
+
+    // run 2: a far-future observation (sched 09:10 + 7200 = 11:10)
+    // pushes the watermark to 10:40, flushing the withheld 10:00
+    // window exactly once; streamed total now equals batch over run 1.
+    observed(Seq((2L, 7200L))).write.mode("append").parquet(landing)
+    drain()
+    assert(streamed() == batch(run1),
+      "flushed output must equal the batch KPI over all of run 1")
+  }
+}

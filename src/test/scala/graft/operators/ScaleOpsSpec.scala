@@ -57,6 +57,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == expected)
   }
 
+  test("q66 bucket load runs once per (session, dir): repeat calls don't rewrite the tables") {
+    // The bucketed layout is LOAD work; q66 invocations after the
+    // first must read the existing tables, not pay two fact writes.
+    ScaleOps.ensureBucketedFacts(spark, dir)
+    val probe = new java.io.File("/tmp/graft_buckets/orders_b")
+    def stamp(): Long = probe.listFiles().map(_.lastModified()).max
+    val before = stamp()
+    ScaleOps.q66_bucketed_join(spark, dir).queryExecution.toRdd.count()
+    assert(stamp() == before,
+      "second q66 invocation must not rewrite the bucketed fact tables")
+  }
+
   test("bloom filter has no false negatives and prunes most non-members") {
     import spark.implicits._
     val keys = (0L until 200L by 2).toDF("k") // even keys are members

@@ -35,4 +35,23 @@ class CopurchaseEdgesSpec extends AnyFunSuite {
       assert(fast.nonEmpty)
     }
   }
+
+  test("edge memo: one persisted frame per (session, dir), surviving Caches.releaseAll") {
+    // The whole point of the session memo is cross-QUERY reuse; the
+    // between-queries cache sweep must not evict it, and repeat calls
+    // must return the SAME persisted frame (not a rebuilt lineage).
+    val dir = "/root/testdata/sf0.001"
+    val a = Graph.copurchasePackedPairs(spark, dir)
+    graft.Caches.releaseAll(blocking = true)
+    val b = Graph.copurchasePackedPairs(spark, dir)
+    assert(a eq b, "memo must return the same DataFrame instance")
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk,
+      s"memoized edges must stay persisted, got ${a.storageLevel}")
+    val d1 = Graph.copurchaseDirectedEdges(spark, dir)
+    graft.Caches.releaseAll(blocking = true)
+    val d2 = Graph.copurchaseDirectedEdges(spark, dir)
+    assert(d1 eq d2)
+    assert(d1.storageLevel.useMemory || d1.storageLevel.useDisk)
+    assert(d1.count() == 2 * a.count(), "directed list is both orientations")
+  }
 }

@@ -622,10 +622,12 @@ object TextAnalysis {
     */
   def q89_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = load(spark, dir, "documents")
+    // cached: consumed twice (corpus-total scalar + the top-40 scan) —
+    // uncached it would re-run the full tokenize+aggregate
+    val counts = graft.Caches.tracked(load(spark, dir, "documents")
       .select(explode(wsTokens($"text")).as("token"))
       .filter(length($"token") > 0)
-      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .groupBy($"token").agg(count(lit(1)).as("n")))
     val total = counts.agg(sum($"n")).as[Long].head()
     val top = counts.orderBy($"n".desc, $"token").limit(40)
     val w = org.apache.spark.sql.expressions.Window

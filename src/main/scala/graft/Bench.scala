@@ -25,19 +25,6 @@ object Bench {
     // the first measured query (q06 paid ~3s of warm-up in round 1).
     try drive(SparkEntry.queries("q07_topk")(spark, sfDir)) catch { case _: Throwable => () }
 
-    // Load phase, timed separately from the queries: the shared
-    // co-purchase edge list (q81/q87/q107/q124/q131/q173) and the q66
-    // bucketed fact tables are session-lived load work — "shuffle the
-    // facts once at load" — so their build cost is reported as `load`,
-    // not smeared into whichever query runs first.
-    val loadSecs: Map[String, Double] = Map(
-      "copurchase_edges" ->
-        (try graft.queries.Graph.warmCopurchaseEdges(spark, sfDir)
-         catch { case _: Throwable => -1.0 }),
-      "bucketed_facts" ->
-        (try graft.operators.ScaleOps.warmBucketedFacts(spark, sfDir)
-         catch { case _: Throwable => -1.0 }))
-
     // Optional arg: comma-separated query names for targeted profiling
     // (e.g. `runMain graft.Bench q52_neardup_clusters,q49_ivf_seeded`).
     val only: Set[String] =
@@ -45,6 +32,28 @@ object Bench {
     val picked =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => only(k) }.toSeq
+
+    // Load phase, timed separately from the queries: the shared
+    // co-purchase edge list and the q66 bucketed fact tables are
+    // session-lived load work — "shuffle the facts once at load" — so
+    // their build cost is reported as `load`, not smeared into
+    // whichever query runs first. Each warms only when a selected
+    // query actually consumes it (targeted profiling of an unrelated
+    // query must not pay it).
+    val edgeConsumers = Set("q81_triangles", "q87_pagerank", "q107_bfs_hops",
+      "q124_degree_distribution", "q131_link_prediction", "q173_assortativity")
+    val pickedNames = picked.map(_._1).toSet
+    val loadSecs: Map[String, Double] = Map(
+      "copurchase_edges" ->
+        (if (pickedNames.exists(edgeConsumers)) {
+          try graft.queries.Graph.warmCopurchaseEdges(spark, sfDir)
+          catch { case _: Throwable => -1.0 }
+        } else 0.0),
+      "bucketed_facts" ->
+        (if (pickedNames("q66_bucketed_join")) {
+          try graft.operators.ScaleOps.warmBucketedFacts(spark, sfDir)
+          catch { case _: Throwable => -1.0 }
+        } else 0.0))
 
     val results = picked.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

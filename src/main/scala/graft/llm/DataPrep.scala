@@ -432,8 +432,11 @@ object DataPrep {
       .agg(max(abs($"cum0" * $"n1" - $"cum1" * $"n0")).as("dmax"))
       // runtime guard for the documented Long limit: past ~3e9 docs
       // per source the cross-products would WRAP, not fail — surface
-      // it as an error instead of a silently wrong statistic
-      .select(when($"n0" * $"n1" < 0L,
+      // it as an error instead of a silently wrong statistic. The
+      // check is exact (n0 > MaxValue/n1), not a negativity test: a
+      // product past 2^64 wraps back to POSITIVE and would sail
+      // through a sign check.
+      .select(when($"n1" =!= 0L && $"n0" > lit(Long.MaxValue) / $"n1",
           raise_error(lit("q135: n0*n1 overflows Long — use decimal(38,0)")))
         .otherwise($"n0").as("n0"), $"n1",
         round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))

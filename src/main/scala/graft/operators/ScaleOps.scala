@@ -254,21 +254,25 @@ object ScaleOps {
       .orderBy($"user_id")
   }
 
-  /** Once-per-(session, dir) guard for the q66 bucketed fact tables.
-    * Bucketing IS load work — "shuffle the facts once at load, then
-    * every equi-join on the key is exchange-free" — so paying the two
-    * bucketed writes inside every q66 invocation both misstates the
-    * per-query cost (round-5 bench: 5.3 s, ~90% write) and contradicts
-    * the operator's own story. [[Bench]] warms this explicitly and
-    * reports the write as a load metric.
+  /** Guard for the q66 bucketed fact tables: rewrite only when the
+    * (session, dir) changes. Bucketing IS load work — "shuffle the
+    * facts once at load, then every equi-join on the key is
+    * exchange-free" — so paying the two bucketed writes inside every
+    * q66 invocation both misstates the per-query cost (round-5 bench:
+    * 5.3 s, ~90% write) and contradicts the operator's own story.
+    * Single-slot on purpose (unlike Graph.edgeMemo's keyed map): the
+    * catalog table NAMES are fixed, so only one dir's layout can
+    * exist at a time — a session alternating dirs re-buckets on each
+    * switch, which is required for correctness there. [[Bench]] warms
+    * this explicitly and reports the write as a load metric.
     */
-  private val bucketMemo = new java.util.concurrent.atomic.AtomicReference("")
+  private var bucketedKey = ""
 
   def ensureBucketedFacts(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Unit = bucketMemo.synchronized {
+                          dir: String): Unit = synchronized {
     import spark.implicits._
     val key = s"${spark.sparkContext.applicationId}:$dir"
-    if (bucketMemo.get != key) {
+    if (bucketedKey != key) {
       val o = graft.Tables.load(spark, dir, "orders")
         .select($"o_orderkey".as("okey"),
           graft.Tables.cents($"o_totalprice").as("order_cents"))
@@ -277,7 +281,7 @@ object ScaleOps {
           graft.Tables.cents($"l_extendedprice").as("item_cents"))
       writeBucketed(o, "graft_orders_b", "okey", 8, "/tmp/graft_buckets/orders_b")
       writeBucketed(li, "graft_lineitem_b", "okey", 8, "/tmp/graft_buckets/lineitem_b")
-      bucketMemo.set(key)
+      bucketedKey = key
     }
   }
 

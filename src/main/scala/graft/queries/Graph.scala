@@ -303,7 +303,9 @@ object Graph {
     var currRows = 1L
     var seenRows = 1L // |prev ∪ curr|
     val hist = scala.collection.mutable.ArrayBuffer((0L, 1L))
-    for (h <- 1 to 3) {
+    // stop as soon as a frontier empties: further hops would schedule
+    // full edge-scan jobs against an empty probe for identical output
+    for (h <- 1 to 3 if currRows > 0) {
       def gated(df: DataFrame, rows: Long) =
         if (rows <= BfsBroadcastMaxRows) broadcast(df) else df
       val delta = graft.Caches.tracked(

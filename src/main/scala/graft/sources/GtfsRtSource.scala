@@ -291,14 +291,21 @@ private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
   override def reportLatestOffset(): Offset =
     GtfsRtOffset(listNames().lastOption.getOrElse(""))
 
-  /** Snapshot names ROOT-RELATIVE (e.g. `sub/dir/t0001.pb`), not bare
-    * file names: the recursive listing admits nested subdirectories,
-    * and a bare-name key would both reconstruct a wrong path in
-    * planInputPartitions (`$path/$name` drops the subdir) and collide
-    * identically-named files across subdirs in the offset watermark
-    * (silently double-reading one and dropping the other). The
-    * relative path is unique under the root, so it serves as both the
-    * offset key and the partition path suffix.
+  /** Offset keys are `<basename>\t<root-relative-path>`: the
+    * recursive listing admits nested subdirectories, so a bare-name
+    * key would reconstruct a wrong path in planInputPartitions and
+    * collide identically-named files across subdirs, while a
+    * relative-PATH key would order `day10/…` before `day9/…` and
+    * silently drop every later-stamped file landing in a
+    * lexicographically-earlier subdir. Leading with the basename
+    * keeps the watermark ordered by the chronological name stamp
+    * regardless of subdirectory (the documented "monotonic stamps
+    * suffice" contract); the relative-path suffix keeps same-named
+    * files in different subdirs distinct and carries the real path to
+    * the reader. Tab can't appear in the stamp names and keeps the
+    * key single-line for the checkpoint log. Flat landing dirs —
+    * the reference layout — degenerate to `<name>\t<name>`, which
+    * sorts exactly like the pre-nested bare-name keys.
     */
   private def listNames(): Seq[String] = {
     val p = new Path(path)
@@ -309,8 +316,10 @@ private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".pb"))
-        files += st.getPath.toUri.getPath.stripPrefix(rootUri + "/")
+      if (st.isFile && st.getPath.getName.endsWith(".pb")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri + "/")
+        files += s"${st.getPath.getName}\t$rel"
+      }
     }
     files.sorted.toSeq
   }
@@ -327,7 +336,8 @@ private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
     val hi = end.asInstanceOf[GtfsRtOffset].lastName
     listNames()
       .filter(n => n > lo && n <= hi)
-      .map(n => GtfsRtPartition(s"$path/$n"): InputPartition)
+      // key = "<basename>\t<relpath>"; the path part is after the tab
+      .map(n => GtfsRtPartition(s"$path/${n.substring(n.indexOf('\t') + 1)}"): InputPartition)
       .toArray
   }
 

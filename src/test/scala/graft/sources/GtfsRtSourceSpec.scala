@@ -161,6 +161,21 @@ class GtfsRtSourceSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming read $streamed rows vs batch $batch over the same nested landing dir")
     assert(streamed > 0)
+
+    // later-stamped snapshot in a LEXICOGRAPHICALLY-EARLIER subdir
+    // ("day10" < "day2" as strings): the watermark must order by the
+    // name stamp, not the subdir path, or this file is silently lost
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_n_tu3"), s"$root/day10",
+      stamp = "20250903_1004", feedTs = 1000240L)
+    val q2 = spark.readStream.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val after = spark.read.schema(outSchema).parquet(out).count()
+    assert(after > streamed,
+      "a later-stamped snapshot in an earlier-sorting subdir must still be ingested")
   }
 
   test("one input partition per snapshot file; corrupt file yields zero rows") {

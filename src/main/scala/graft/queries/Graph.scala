@@ -37,39 +37,35 @@ object Graph {
     * buffers, no encoder round-trip). Adjacent duplicates (a sorted
     * group with repeated members) collapse in the walk.
     */
+  /** Per-group member runs from (group, member) rows already
+    * hash-partitioned on group and sorted by (group, member):
+    * contiguous, member-sorted, adjacent duplicates collapsed.
+    */
+  private def memberRuns(it: Iterator[(Long, Long)]): Iterator[Array[Long]] =
+    new Iterator[Array[Long]] {
+      private var carry: (Long, Long) = if (it.hasNext) it.next() else null
+      def hasNext: Boolean = carry != null
+      def next(): Array[Long] = {
+        val g = carry._1
+        val buf = scala.collection.mutable.ArrayBuffer[Long](carry._2)
+        carry = null
+        while (it.hasNext && carry == null) {
+          val e = it.next()
+          if (e._1 == g) { if (buf.last != e._2) buf += e._2 }
+          else carry = e
+        }
+        buf.toArray
+      }
+    }
+
   private def packedPairFanout(
       sorted: org.apache.spark.sql.Dataset[(Long, Long)]): org.apache.spark.sql.Dataset[Long] = {
     import sorted.sparkSession.implicits._
     sorted.mapPartitions { it =>
-      // per-group runs are contiguous and member-sorted
-      val runs = new Iterator[Array[Long]] {
-        private var carry: (Long, Long) = if (it.hasNext) it.next() else null
-        def hasNext: Boolean = carry != null
-        def next(): Array[Long] = {
-          val g = carry._1
-          val buf = scala.collection.mutable.ArrayBuffer[Long](carry._2)
-          carry = null
-          while (it.hasNext && carry == null) {
-            val e = it.next()
-            if (e._1 == g) { if (buf.last != e._2) buf += e._2 }
-            else carry = e
-          }
-          buf.toArray
-        }
-      }
-      var pending: Iterator[Long] = Iterator.empty
-      new Iterator[Long] {
-        def hasNext: Boolean = {
-          while (!pending.hasNext && runs.hasNext) {
-            val s = runs.next()
-            if (s.length > 1)
-              pending = for (i <- s.indices.iterator;
-                             j <- (i + 1 until s.length).iterator)
-                yield (s(i) << 32) | s(j)
-          }
-          pending.hasNext
-        }
-        def next(): Long = { hasNext; pending.next() }
+      memberRuns(it).flatMap { s =>
+        if (s.length < 2) Iterator.empty
+        else for (i <- s.indices.iterator; j <- (i + 1 until s.length).iterator)
+          yield (s(i) << 32) | s(j)
       }
     }
   }
@@ -335,17 +331,21 @@ object Graph {
     */
   def q121_frequent_triples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // same streaming run-walk as the pair builders (no collect_set
+    // buffers, no encoder round-trip), fanned to sorted triples
     load(spark, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
-      .groupBy($"o").agg(collect_set($"p").as("ps"))
-      .as[(Long, Array[Long])]
-      .flatMap { case (_, ps) =>
-        val s = ps.sorted
-        for {
-          i <- s.indices.iterator
-          j <- (i + 1 until s.length).iterator
-          k <- (j + 1 until s.length).iterator
-        } yield (s(i), s(j), s(k))
+      .repartition($"o").sortWithinPartitions($"o", $"p")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        memberRuns(it).flatMap { s =>
+          if (s.length < 3) Iterator.empty
+          else for {
+            i <- s.indices.iterator
+            j <- (i + 1 until s.length).iterator
+            k <- (j + 1 until s.length).iterator
+          } yield (s(i), s(j), s(k))
+        }
       }
       .toDF("pa", "pb", "pc")
       .groupBy($"pa", $"pb", $"pc").agg(count(lit(1)).as("n"))

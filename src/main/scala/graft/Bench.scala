@@ -76,6 +76,29 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     catch { case _: Throwable => () }
+    // The harness keeps only the last ~2000 chars of stdout; with 180+
+    // queries the full line is ~5000 chars, so its head falls outside
+    // the window and the line never parses (observed rounds 1-5:
+    // parsed=null). Emit a compact final line that fits the window
+    // whole: total + load + the slowest queries, with the complete map
+    // in BENCH_LOCAL.json and the full line above.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val lsC = loadSecs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries_total":${results.size},"load":$lsC,"sf":"$sfDir",""" +
+      s""""detail":"BENCH_LOCAL.json","queries":{"""
+    val budget = 1600 // < 2000-char window minus sbt's "[success]" trailer
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = prefix.length + 2
+    var full = true
+    for ((k, v) <- results.sortBy(-_._2) if full) {
+      val e = "\"" + k + "\":" + fmt(v)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+      else full = false
+    }
+    println(prefix + entries.mkString(",") + "}}")
     spark.stop()
   }
 }

@@ -459,16 +459,24 @@ object SqlSurface {
 
   /** q166 — recursive CTE (WITH RECURSIVE, Spark 4): the clamped
     * running balance per customer over their order history. Scale:
-    * recursion depth = MAX orders per customer (≈25 here, bounded by
-    * the entity, not the table), and every iteration is one
-    * co-partitioned equi-join on (customer, seq) — all customers
-    * advance one step per round in parallel. The sequenced-order seed
-    * is MATERIALIZED before the recursion (Caches.tracked): Spark
-    * re-plans a non-recursive CTE on every iteration, so an inline
-    * seed re-runs the row_number shuffle ~25× (measured 10.7 s →
-    * ~2 s at sf0.1). The oracle runs the same recursion with the
-    * seed inline (DuckDB materializes CTEs once by itself), pinning
-    * the recursion semantics engine-against-engine.
+    * recursion depth = MAX orders per customer (24 at sf0.1, bounded
+    * by the entity, not the table), and each round is one
+    * driver-sequenced job — at ANY scale factor the wall clock is
+    * rounds × per-round scheduling, so the lever is ROUND COUNT, not
+    * data layout (pre-partitioned/broadcast seeds measured within
+    * noise of the base). Two reductions applied:
+    *  - the sequenced-order seed is MATERIALIZED before the recursion
+    *    (Caches.tracked): Spark re-plans a non-recursive CTE on every
+    *    iteration, so an inline seed re-runs the row_number shuffle
+    *    once per round;
+    *  - the recursive member is UNROLLED ×4 (o1..o4 advance up to
+    *    four sequence steps per round, elementwise, so n_clamps stays
+    *    exact; o_{i} absent ⇒ o_{i+1} absent, landing seq =
+    *    COALESCE from the tail) — 24 rounds → 6, measured 5.3 s →
+    *    2.7 s warm at sf0.1.
+    * The oracle (`ClampedBalanceSql`) keeps the canonical ONE-step
+    * recursion inline, so DuckDB independently re-derives the fold
+    * and cross-checks the unrolled form step-for-step.
     */
   def q166_clamped_balance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -488,9 +496,30 @@ object SqlSurface {
         |    CAST(CASE WHEN d < 0 THEN 1 ELSE 0 END AS BIGINT) AS n_clamps
         |  FROM o_seq WHERE seq = 1
         |  UNION ALL
-        |  SELECT o.k, o.seq, GREATEST(r.bal + o.d, 0),
-        |    r.n_clamps + CASE WHEN r.bal + o.d < 0 THEN 1 ELSE 0 END
-        |  FROM r JOIN o_seq o ON o.k = r.k AND o.seq = r.seq + 1)
+        |  SELECT k, seq, bal, n_clamps FROM (
+        |    SELECT o1.k,
+        |      COALESCE(o4.seq, o3.seq, o2.seq, o1.seq) AS seq,
+        |      GREATEST(r.bal + o1.d, 0) AS b1,
+        |      CASE WHEN o2.seq IS NULL THEN b1
+        |           ELSE GREATEST(b1 + o2.d, 0) END AS b2,
+        |      CASE WHEN o3.seq IS NULL THEN b2
+        |           ELSE GREATEST(b2 + o3.d, 0) END AS b3,
+        |      CASE WHEN o4.seq IS NULL THEN b3
+        |           ELSE GREATEST(b3 + o4.d, 0) END AS bal,
+        |      r.n_clamps
+        |        + CASE WHEN r.bal + o1.d < 0 THEN 1 ELSE 0 END
+        |        + CASE WHEN o2.seq IS NOT NULL AND b1 + o2.d < 0
+        |               THEN 1 ELSE 0 END
+        |        + CASE WHEN o3.seq IS NOT NULL AND b2 + o3.d < 0
+        |               THEN 1 ELSE 0 END
+        |        + CASE WHEN o4.seq IS NOT NULL AND b3 + o4.d < 0
+        |               THEN 1 ELSE 0 END
+        |        AS n_clamps
+        |    FROM r
+        |    JOIN o_seq o1 ON o1.k = r.k AND o1.seq = r.seq + 1
+        |    LEFT JOIN o_seq o2 ON o2.k = r.k AND o2.seq = r.seq + 2
+        |    LEFT JOIN o_seq o3 ON o3.k = r.k AND o3.seq = r.seq + 3
+        |    LEFT JOIN o_seq o4 ON o4.k = r.k AND o4.seq = r.seq + 4))
         |SELECT r.k AS custkey, CAST(sz.n_orders AS BIGINT) AS n_orders,
         |  r.bal AS final_bal_c, r.n_clamps
         |FROM r JOIN sz ON r.k = sz.k AND r.seq = sz.n_orders

@@ -82,4 +82,37 @@ class DedupPropertySpec extends AnyFunSuite {
       Dedup.minhashSig(a.reverse).sameElements(Dedup.minhashSig(a))
     })
   }
+
+  // ---- SimHash blocking (q24) ----
+
+  private def chunksOf(h: Long): Seq[Long] =
+    (0 until Dedup.SimChunks).map(c =>
+      (h >>> (c * Dedup.ChunkBits)) & ((1L << Dedup.ChunkBits) - 1))
+
+  /** The q24 candidate-generation guarantee: any pair within Hamming
+    * distance MaxHamming MUST collide on at least one 15-bit chunk
+    * (pigeonhole: ≤ 3 flipped bits cannot touch all 4 chunks). This
+    * pins the CONSTANTS — raising MaxHamming to SimChunks, or
+    * shrinking the chunk count, silently breaks recall of the chunk
+    * equi-join; this property fails instead.
+    */
+  test("simhash blocking: Hamming ≤ MaxHamming implies a shared chunk") {
+    val bit = Gen.choose(0, Dedup.SimHashBits - 1)
+    val flips = Gen.choose(0, Dedup.MaxHamming).flatMap(k => Gen.listOfN(k, bit))
+    val base = Gen.long.map(_ & ((1L << Dedup.SimHashBits) - 1))
+    run(Prop.forAll(base, flips) { (h, bs) =>
+      val other = bs.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      chunksOf(h).zip(chunksOf(other)).exists { case (x, y) => x == y }
+    })
+  }
+
+  test("simhash is word-order invariant and deterministic") {
+    run(Prop.forAll(words) { ws =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val a = Dedup.simhash(md, ws.mkString(" "))
+      val b = Dedup.simhash(md, ws.reverse.mkString(" "))
+      val again = Dedup.simhash(md, ws.mkString(" "))
+      a == b && a == again
+    })
+  }
 }

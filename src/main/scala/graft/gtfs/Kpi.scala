@@ -89,6 +89,37 @@ object Kpi {
       avg(when(col("delay_s") <= thresholdS, 1.0).otherwise(0.0)).as("punctuality_rate"),
       count(lit(1)).as("n_obs"))
 
+  /** README.md:121 as a time series — the punctuality rate per
+    * event-time bucket (the dashboard's trend line, vs
+    * [[punctualityRate]]'s headline scalar). Counts stay integral so
+    * the rate derives exactly from (n_on_time, n_obs) in any engine.
+    */
+  def punctualityOverTime(spine: DataFrame, thresholdS: Long = 300L,
+                          bucket: String = "15 minutes"): DataFrame =
+    spine.groupBy(window(col("obs_ts"), bucket).as("w"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("delay_s") <= thresholdS, 1L).otherwise(0L)).as("n_on_time"))
+      .select(col("w.start").as("bucket_start"), col("n_obs"), col("n_on_time"))
+      .orderBy(col("bucket_start"))
+
+  /** Streaming form of [[punctualityOverTime]] — same stream-static
+    * spine and watermark regime as [[streamingAvgDelay]] (state
+    * bounded by the watermark horizon; append mode emits each window
+    * exactly once when it closes). Emits the integral counts only:
+    * the consumer derives the rate, so no float crosses the sink.
+    * StreamingKpiSpec pins streaming ≡ batch on closed windows.
+    */
+  def streamingPunctuality(observedStream: DataFrame, scheduled: DataFrame,
+                           serviceDate: LocalDate, thresholdS: Long = 300L,
+                           bucket: String = "15 minutes",
+                           lateness: String = "30 minutes"): DataFrame =
+    delaySpine(observedStream, scheduled, serviceDate)
+      .withWatermark("obs_ts", lateness)
+      .groupBy(window(col("obs_ts"), bucket).as("w"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("delay_s") <= thresholdS, 1L).otherwise(0L)).as("n_on_time"))
+      .select(col("w.start").as("bucket_start"), col("n_obs"), col("n_on_time"))
+
   /** README.md:122 — lignes les plus en retard (top-k, named). */
   def topDelayedRoutes(spine: DataFrame, trips: DataFrame, routes: DataFrame,
                        k: Int = 10): DataFrame = {

@@ -263,6 +263,14 @@ object KpiHarness {
       .orderBy($"stop_id")
   }
 
+  def q189_kpi_punctuality_time(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Kpi.punctualityOverTime(spine(spark, dir))
+      .select(unix_timestamp($"bucket_start").as("bucket_epoch"),
+        $"n_obs", $"n_on_time")
+      .orderBy($"bucket_epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_kpi_delay_spine" -> q178_kpi_delay_spine,
     "q179_kpi_avg_delay_time" -> q179_kpi_avg_delay_time,
@@ -274,7 +282,8 @@ object KpiHarness {
     "q185_kpi_vehicle_positions" -> q185_kpi_vehicle_positions,
     "q186_kpi_stops_state" -> q186_kpi_stops_state,
     "q187_kpi_delay_evolution" -> q187_kpi_delay_evolution,
-    "q188_kpi_problem_stops" -> q188_kpi_problem_stops)
+    "q188_kpi_problem_stops" -> q188_kpi_problem_stops,
+    "q189_kpi_punctuality_time" -> q189_kpi_punctuality_time)
 
   /** Shared oracle CTE: the spine, derived with the same integer
     * arithmetic the fixtures use.
@@ -391,5 +400,12 @@ object KpiHarness {
          |top AS (SELECT * FROM agg ORDER BY avg_d DESC, stop_id LIMIT 10)
          |SELECT stop_id, 'Stop ' || substring(stop_id, 6) AS stop_name,
          |  CAST(ROUND(avg_d * 1e6) AS BIGINT) AS avg_delay_e6, n_obs
-         |FROM top ORDER BY stop_id""".stripMargin)
+         |FROM top ORDER BY stop_id""".stripMargin,
+    "q189_kpi_punctuality_time" ->
+      s"""WITH s AS ($SpineSql)
+         |SELECT CAST(FLOOR(obs_epoch / 900) * 900 AS BIGINT) AS bucket_epoch,
+         |  CAST(COUNT(*) AS BIGINT) AS n_obs,
+         |  CAST(SUM(CASE WHEN delay_s <= 300 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_on_time
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -85,4 +85,49 @@ class StreamingKpiSpec extends AnyFunSuite {
     assert(streamed() == batch(run1),
       "flushed output must equal the batch KPI over all of run 1")
   }
+
+  test("streaming punctuality equals the batch time series on closed windows") {
+    import spark.implicits._
+    val landing = TestSpark.tempDir("spct_landing")
+    val out = TestSpark.tempDir("spct_out")
+    val ckpt = TestSpark.tempDir("spct_ckpt")
+
+    def drain(): Unit = {
+      val q = Kpi.streamingPunctuality(
+          spark.readStream.schema(obsSchema).parquet(landing),
+          scheduled, serviceDate)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def streamed(): Set[(Long, Long, Long)] =
+      spark.read.schema("bucket_start TIMESTAMP, n_obs BIGINT, n_on_time BIGINT")
+        .parquet(out)
+        .select(unix_timestamp($"bucket_start"), $"n_obs", $"n_on_time")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def batch(rows: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      Kpi.punctualityOverTime(Kpi.delaySpine(observed(rows), scheduled, serviceDate))
+        .select(unix_timestamp($"bucket_start"), $"n_obs", $"n_on_time")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // delays straddle the 300 s threshold INSIDE one window (60 on
+    // time, 420 late, both in 09:00–09:15 for seq 1) plus a late stop
+    // in its own window; the 3600 s driver closes them, stays open
+    val run1 = Seq((1L, 60L), (1L, 420L), (2L, 600L), (2L, 3600L))
+    observed(run1).write.mode("overwrite").parquet(landing)
+    drain()
+    assert(streamed() == batch(run1.filter(_._2 < 3600L)),
+      "closed windows must equal the batch punctuality series")
+    assert(streamed().exists { case (_, n, on) => on > 0 && on < n },
+      "fixture must exercise a window with a mixed on-time/late split")
+
+    // the far-future row advances the watermark, flushing the withheld
+    // driver window exactly once
+    observed(Seq((2L, 7200L))).write.mode("append").parquet(landing)
+    drain()
+    assert(streamed() == batch(run1),
+      "flushed output must equal the batch series over all of run 1")
+  }
 }

@@ -77,7 +77,13 @@ object Sketches {
       }.toDF("lang", "h")
   }
 
-  private[llm] def distinctGramHashes(spark: SparkSession, dir: String): DataFrame = {
+  /** Partition-LOCAL distinct gram hashes: the map-side HashSet cuts
+    * the per-occurrence stream to per-partition-distinct rows with
+    * ZERO shuffle — the right input for idempotent sketch builds
+    * (register max, q120) where a global distinct would shuffle the
+    * full gram table for nothing.
+    */
+  private[llm] def partitionDistinctGramHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     load(spark, dir, "documents")
       .select($"lang", $"text").as[(String, String)]
@@ -101,8 +107,10 @@ object Sketches {
         import scala.jdk.CollectionConverters._
         seen.iterator().asScala
       }.toDF("lang", "h")
-      .distinct()
   }
+
+  private[llm] def distinctGramHashes(spark: SparkSession, dir: String): DataFrame =
+    partitionDistinctGramHashes(spark, dir).distinct()
 
   /** q58 — HLL-style distinct-count sketch per language over the
     * 8-char grams of `documents` (5–8k distinct per lang at sf0.01,
@@ -237,10 +245,18 @@ object Sketches {
     * SketchSpec ("HLL inclusion–exclusion…"), NOT here: a gram×gram
     * distinct self-join in the shipped query would be exactly the
     * all-pairs shuffle the sketch exists to avoid.
+    *
+    * Registers build from the partition-distinct gram stream (q71's
+    * observation: register max is idempotent, so residual cross-
+    * partition duplicates change nothing) — the map-side HashSet
+    * bounds per-row rho work without the global distinct's full-table
+    * shuffle; shuffle volume is 64 rows per (lang, map task) at any
+    * corpus size. q58 keeps the global distinct because its OUTPUT
+    * includes the exact count; this query's doesn't.
     */
   def q120_hll_set_algebra(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val regs = Caches.tracked(distinctGramHashes(spark, dir).select($"lang",
+    val regs = Caches.tracked(partitionDistinctGramHashes(spark, dir).select($"lang",
         ($"h" % HllRegisters).cast("int").as("j"),
         expr(s"h DIV $HllRegisters").as("w"))
       .withColumn("rho",

@@ -99,6 +99,41 @@ object UpsertSink {
       case vs => Some(spark.read.schema(snapshotDdl).parquet(s"$tableDir/v=${vs.max}"))
     }
 
+  /** Change-data-feed between two committed versions (the Delta
+    * `table_changes` contract, derived rather than stored): diff the
+    * as-of snapshots into (user_id, op, old_*, new_*) rows, op ∈
+    * insert | update | delete. Derivation keeps the write path
+    * untouched (no write amplification, nothing extra to keep
+    * idempotent under epoch replay) and costs ONE co-partitioned
+    * full-outer equi-join of two keyed snapshots — both sides shuffle
+    * once on the key at any table size. Latest-wins merges never drop
+    * keys, so `delete` cannot arise from THIS sink; the op is still
+    * enumerated so the diff is a correct CDF for any snapshot pair.
+    * Bounded by `retainVersions` like [[snapshotAsOf]]: a pruned
+    * endpoint returns None, never a silently-wrong diff.
+    */
+  def changes(spark: SparkSession, tableDir: String,
+              fromVersion: Long, toVersion: Long): Option[DataFrame] =
+    for {
+      a <- snapshotAsOf(spark, tableDir, fromVersion)
+      b <- snapshotAsOf(spark, tableDir, toVersion)
+    } yield {
+      import spark.implicits._
+      val p = a.select($"user_id", struct($"ts_s", $"event_id", $"value_cents").as("pv"))
+      val n = b.select($"user_id", struct($"ts_s", $"event_id", $"value_cents").as("nv"))
+      p.join(n, Seq("user_id"), "full_outer")
+        .withColumn("op",
+          when($"pv".isNull, "insert")
+            .when($"nv".isNull, "delete")
+            .when($"nv" =!= $"pv", "update"))
+        .filter($"op".isNotNull)
+        .select($"user_id", $"op",
+          $"pv.ts_s".as("old_ts_s"), $"pv.event_id".as("old_event_id"),
+          $"pv.value_cents".as("old_value_cents"),
+          $"nv.ts_s".as("new_ts_s"), $"nv.event_id".as("new_event_id"),
+          $"nv.value_cents".as("new_value_cents"))
+    }
+
   /** Fold one epoch into the store (exposed for the spec's replay
     * test). Reading the previous version and overwriting `v=epochId`
     * is idempotent under sink-side replay: max(v < epochId) is the

@@ -105,4 +105,37 @@ class UpsertSinkSpec extends AnyFunSuite {
       eventsDf(Seq((3L, ts(12, 0), 2L, 3.0))), retainVersions = 2)
     assert(UpsertSink.snapshotAsOf(spark, table, 0L).isEmpty)
   }
+
+  test("changes() derives the CDF between versions; no-op keys and stale updates excluded") {
+    val table = TestSpark.tempDir("upsert_cdf")
+    // v0: users 1, 2
+    UpsertSink.commitEpoch(spark, table, 0L,
+      eventsDf(Seq((1L, ts(10, 0), 1L, 1.0), (2L, ts(10, 0), 2L, 2.0))),
+      retainVersions = 10)
+    // v1: user 2 updated, user 3 inserted, user 1 gets only a STALE
+    // event (event-time older than stored) — a no-op in the snapshot,
+    // so it must NOT surface in the change feed
+    UpsertSink.commitEpoch(spark, table, 1L,
+      eventsDf(Seq((3L, ts(11, 0), 2L, 4.0), (4L, ts(11, 0), 3L, 5.0),
+        (5L, ts(9, 0), 1L, 9.0))), retainVersions = 10)
+
+    val cdf = UpsertSink.changes(spark, table, 0L, 1L).get
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(7)) -1L else r.getLong(7))).toSet
+    assert(cdf == Set(
+      (2L, "update", 200L, 400L),
+      (3L, "insert", -1L, 500L)), cdf)
+
+    // identical endpoints -> empty feed; same-version gap semantics
+    // as snapshotAsOf (from=to resolves both sides to one snapshot)
+    assert(UpsertSink.changes(spark, table, 1L, 1L).get.isEmpty)
+    // latest-wins never deletes: no delete op over any retained pair
+    assert(!UpsertSink.changes(spark, table, 0L, 1L).get
+      .collect().exists(_.getString(1) == "delete"))
+    // pruned endpoint -> None, never a silently-wrong diff
+    UpsertSink.commitEpoch(spark, table, 2L,
+      eventsDf(Seq((6L, ts(12, 0), 4L, 6.0))), retainVersions = 2)
+    assert(UpsertSink.changes(spark, table, 0L, 2L).isEmpty)
+  }
 }

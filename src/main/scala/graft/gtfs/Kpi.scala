@@ -83,6 +83,39 @@ object Kpi {
       .agg(avg(col("delay_s")).as("avg_delay_s"), count(lit(1)).as("n_obs"))
       .select(col("w.start").as("bucket_start"), col("avg_delay_s"), col("n_obs"))
 
+  /** Sliding-window variant of [[avgDelayOverTime]] — a 15-minute
+    * average re-evaluated every 5 minutes (the "rolling delay" the
+    * dashboard refresh cadence implies). Each observation lands in
+    * bucket/slide windows; Spark's `window(col, len, slide)` expands
+    * that fan-out BEFORE the aggregate, so the shuffle carries
+    * len/slide rows per observation — fine for small ratios (3 here),
+    * the documented anti-shape for len ≫ slide (use a tumbling
+    * pre-aggregate then a windowed sum instead).
+    */
+  def slidingAvgDelay(spine: DataFrame, bucket: String = "15 minutes",
+                      slide: String = "5 minutes"): DataFrame =
+    spine.groupBy(window(col("obs_ts"), bucket, slide).as("w"))
+      .agg(avg(col("delay_s")).as("avg_delay_s"), count(lit(1)).as("n_obs"))
+      .select(col("w.start").as("bucket_start"), col("avg_delay_s"), col("n_obs"))
+      .orderBy(col("bucket_start"))
+
+  /** Streaming form of [[slidingAvgDelay]] — same watermark regime as
+    * [[streamingAvgDelay]]; a sliding window closes when the
+    * watermark passes its END, so consecutive overlapping windows
+    * emit as the watermark advances slide by slide. State is bounded
+    * by (watermark horizon / slide) windows per key, not the stream.
+    */
+  def streamingSlidingAvgDelay(observedStream: DataFrame, scheduled: DataFrame,
+                               serviceDate: LocalDate,
+                               bucket: String = "15 minutes",
+                               slide: String = "5 minutes",
+                               lateness: String = "30 minutes"): DataFrame =
+    delaySpine(observedStream, scheduled, serviceDate)
+      .withWatermark("obs_ts", lateness)
+      .groupBy(window(col("obs_ts"), bucket, slide).as("w"))
+      .agg(avg(col("delay_s")).as("avg_delay_s"), count(lit(1)).as("n_obs"))
+      .select(col("w.start").as("bucket_start"), col("avg_delay_s"), col("n_obs"))
+
   /** README.md:121 — taux de ponctualité (≤ threshold seconds). */
   def punctualityRate(spine: DataFrame, thresholdS: Long = 300L): DataFrame =
     spine.agg(

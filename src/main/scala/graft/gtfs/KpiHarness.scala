@@ -271,6 +271,14 @@ object KpiHarness {
       .orderBy($"bucket_epoch")
   }
 
+  def q190_kpi_sliding_delay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Kpi.slidingAvgDelay(spine(spark, dir))
+      .select(unix_timestamp($"bucket_start").as("bucket_epoch"),
+        e6($"avg_delay_s").as("avg_delay_e6"), $"n_obs")
+      .orderBy($"bucket_epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_kpi_delay_spine" -> q178_kpi_delay_spine,
     "q179_kpi_avg_delay_time" -> q179_kpi_avg_delay_time,
@@ -283,7 +291,8 @@ object KpiHarness {
     "q186_kpi_stops_state" -> q186_kpi_stops_state,
     "q187_kpi_delay_evolution" -> q187_kpi_delay_evolution,
     "q188_kpi_problem_stops" -> q188_kpi_problem_stops,
-    "q189_kpi_punctuality_time" -> q189_kpi_punctuality_time)
+    "q189_kpi_punctuality_time" -> q189_kpi_punctuality_time,
+    "q190_kpi_sliding_delay" -> q190_kpi_sliding_delay)
 
   /** Shared oracle CTE: the spine, derived with the same integer
     * arithmetic the fixtures use.
@@ -407,5 +416,17 @@ object KpiHarness {
          |  CAST(COUNT(*) AS BIGINT) AS n_obs,
          |  CAST(SUM(CASE WHEN delay_s <= 300 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_on_time
-         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sliding windows replay as a 3-row offset table: the window
+    // starts covering t are the slide multiples in (t-900, t]
+    "q190_kpi_sliding_delay" ->
+      s"""WITH s AS ($SpineSql)
+         |SELECT CAST(FLOOR(obs_epoch / 300) * 300 - o.k * 300 AS BIGINT)
+         |    AS bucket_epoch,
+         |  CAST(ROUND(AVG(CAST(delay_s AS DOUBLE)) * 1e6) AS BIGINT)
+         |    AS avg_delay_e6,
+         |  CAST(COUNT(*) AS BIGINT) AS n_obs
+         |FROM s CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) o
+         |WHERE obs_epoch < FLOOR(obs_epoch / 300) * 300 - o.k * 300 + 900
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -86,6 +86,56 @@ class StreamingKpiSpec extends AnyFunSuite {
       "flushed output must equal the batch KPI over all of run 1")
   }
 
+  test("streaming sliding windows equal the batch sliding KPI on closed windows") {
+    import spark.implicits._
+    val landing = TestSpark.tempDir("sslide_landing")
+    val out = TestSpark.tempDir("sslide_out")
+    val ckpt = TestSpark.tempDir("sslide_ckpt")
+
+    def drain(): Unit = {
+      val q = Kpi.streamingSlidingAvgDelay(
+          spark.readStream.schema(obsSchema).parquet(landing),
+          scheduled, serviceDate)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def streamed(): Set[(Long, Long, Long)] =
+      spark.read.schema("bucket_start TIMESTAMP, avg_delay_s DOUBLE, n_obs BIGINT")
+        .parquet(out)
+        .select(unix_timestamp($"bucket_start"), round($"avg_delay_s" * 1000).cast("long"),
+          $"n_obs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def batch(rows: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      Kpi.slidingAvgDelay(Kpi.delaySpine(observed(rows), scheduled, serviceDate))
+        .select(unix_timestamp($"bucket_start"), round($"avg_delay_s" * 1000).cast("long"),
+          $"n_obs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // each observation lands in THREE overlapping 15-min windows; the
+    // two early observations (09:01, 09:10) share the 09:00 window
+    // but not their outer ones (the overlap structure under test:
+    // 5 distinct windows, one with n_obs=2). The 3600 s driver puts
+    // the watermark at 09:40, closing all five; its own 10:00+
+    // windows stay open.
+    val run1 = Seq((1L, 60L), (2L, 0L), (2L, 3600L))
+    observed(run1).write.mode("overwrite").parquet(landing)
+    drain()
+    assert(streamed() == batch(run1.filter(_._2 < 3600L)),
+      s"closed sliding windows must equal the batch subset; got ${streamed()}")
+    assert(streamed().size == 5, "overlap must fan each obs into 3 windows, 1 shared")
+    assert(streamed().exists(_._3 == 2L), "the shared window aggregates both obs")
+
+    // the far-future row (11:10) moves the watermark to 10:40,
+    // flushing the driver's withheld windows exactly once
+    observed(Seq((2L, 7200L))).write.mode("append").parquet(landing)
+    drain()
+    assert(streamed() == batch(run1),
+      "flushed output must equal the batch sliding KPI over all of run 1")
+  }
+
   test("streaming punctuality equals the batch time series on closed windows") {
     import spark.implicits._
     val landing = TestSpark.tempDir("spct_landing")

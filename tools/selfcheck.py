@@ -12,7 +12,11 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # optional: comma-separated query-name filter (substring match) to
 # spot-check single queries without the slow all-pairs oracles
-only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+only = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] else None
+# optional 4th arg: comma-separated EXCLUDE substrings — for the sf0.1
+# sweep, where the deliberately-O(n²) all-pairs oracles are intractable
+# but everything else should replay
+exclude = sys.argv[4].split(",") if len(sys.argv) > 4 else []
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -30,6 +34,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 fails = 0
 for name in sorted(oracle):
     if only and not any(f in name for f in only):
+        continue
+    if any(e and e in name for e in exclude):
+        print(f"SKIP {name} (excluded)")
         continue
     res_path = f"{out_dir}/{name}"
     if not os.path.isdir(res_path):

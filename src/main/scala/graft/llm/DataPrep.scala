@@ -502,7 +502,55 @@ object DataPrep {
       .orderBy($"source")
   }
 
+  /** q191 — boilerplate-span audit (the C4/RefinedWeb cleaning step):
+    * how much of each source is made of text spans that also appear
+    * in OTHER documents — navigation chrome, license footers, scraped
+    * templates. Documents tile into tumbling 10-word spans (tumbling,
+    * not sliding: the span set is |tokens|/10 per doc, and removal
+    * arithmetic stays non-overlapping); a span is boilerplate when its
+    * hash occurs in ≥ 2 distinct documents. Everything is one
+    * explode → two aggregates — linear in the corpus with one shuffle
+    * on the span hash, the span strings themselves never shuffle
+    * (md5-60-bit hashes do; the same `'0x'||substring(md5…)` device
+    * as q24/q44, so DuckDB replays hashes bit-for-bit). Output is the
+    * bounded per-source audit: span counts, boilerplate mass, and the
+    * docs-affected count that decides "strip spans" vs "drop docs".
+    */
+  def q191_boilerplate_spans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("""CASE WHEN size(split(text, ' ')) >= 10 THEN
+                |  transform(sequence(0, int(size(split(text, ' ')) / 10) - 1),
+                |    i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))
+                |ELSE array() END""".stripMargin).as("tiles"))
+      .select($"doc_id", $"source", explode($"tiles").as("span"))
+      .select($"doc_id", $"source",
+        conv(substring(md5($"span"), 1, 15), 16, 10).cast("long").as("h")))
+      // consumed by the global span-frequency aggregate AND the
+      // per-source flag join — tracked-persist so tiling runs once
+    val freq = spans.groupBy($"h")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h", lit(1L).as("is_boiler"))
+    spans.join(freq, Seq("h"), "left")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_spans").as("n_spans"),
+        sum($"n_boiler").as("n_boiler_spans"),
+        sum(when($"n_boiler" > 0, 1L).otherwise(0L)).as("n_docs_affected"))
+      // integer DIV on both engines — float division then cast would
+      // truncate in Spark but round in DuckDB
+      .withColumn("boiler_bp",
+        expr("10000 * n_boiler_spans DIV greatest(n_spans, 1)"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_boilerplate_spans" -> q191_boilerplate_spans,
     "q144_blocklist_audit" -> q144_blocklist_audit,
     "q139_weighted_median" -> q139_weighted_median,
     "q135_ks_drift" -> q135_ks_drift,
@@ -528,6 +576,30 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q191_boilerplate_spans" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, source,
+        |    array_to_string(ws[(i - 1) * 10 + 1 : (i - 1) * 10 + 10], ' ')
+        |      AS span
+        |  FROM w, UNNEST(generate_series(1, len(ws) // 10)) AS g(i)),
+        |h AS (SELECT doc_id, source,
+        |    CAST('0x' || substring(md5(span), 1, 15) AS BIGINT) AS h
+        |  FROM t),
+        |f AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY 1),
+        |per_doc AS (SELECT h.doc_id, h.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_boiler
+        |  FROM h JOIN f USING (h) GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+        |  CAST(SUM(n_boiler) AS BIGINT) AS n_boiler_spans,
+        |  CAST(SUM(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_affected,
+        |  CAST(10000 * SUM(n_boiler) // GREATEST(SUM(n_spans), 1) AS BIGINT)
+        |    AS boiler_bp
+        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q144_blocklist_audit" ->
       s"""WITH d AS (SELECT source, $blocklistHitsSql AS n_terms_hit
         |  FROM documents)

@@ -549,7 +549,78 @@ object DataPrep {
       .orderBy($"source")
   }
 
+  /** q192 — token-budget water-filling: allocate an epoch's token
+    * budget (80% of the corpus here — high enough that heavy-weight
+    * sources hit their mass caps and the waterline genuinely binds)
+    * across sources proportionally to
+    * declared mixture weights, CAPPED at each source's actual mass —
+    * the "I want 3:2:1 domain mix but src7 only has so many tokens"
+    * allocator every training-mix plan needs. Exact-integer
+    * water-filling: sort sources by mass/weight (the order in which
+    * caps bind), find the binding prefix with cross-multiplied
+    * integer comparisons (no float waterline), then split the
+    * residual budget over uncapped sources by largest remainder
+    * (q147's conservation device) so Σ alloc = budget EXACTLY.
+    *
+    * Scale: the corpus reduces ONCE to the |sources|-bounded
+    * (mass, weight) table; every window after that runs on ≤ dozens
+    * of rows (the single-partition windows are the q83
+    * bounded-aggregate family, PlanLint-excepted). Weights are
+    * declared arithmetic on the source name so both engines derive
+    * them identically.
+    */
+  def q192_budget_waterfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy($"ratio", $"source")
+    val prefix = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+
+    val m = load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(sum(wsToks($"text").cast("long")).as("mass"))
+      .withColumn("w",
+        (expr("CAST(substring(source, 4) AS INT)") % 3 + 1).cast("long"))
+      .withColumn("ratio", $"mass" / $"w")
+      .withColumn("mm", sum($"mass").over(full))
+      .withColumn("ww", sum($"w").over(full))
+      .withColumn("budget", expr("(4 * mm) DIV 5"))
+      // exclusive prefixes in cap-binding order; a source is capped
+      // when its full mass fits under the waterline the REMAINING
+      // budget and weight imply: mass·(W−pw) ≤ w·(B−pm), integers only
+      .withColumn("pm", coalesce(sum($"mass").over(prefix), lit(0L)))
+      .withColumn("pw", coalesce(sum($"w").over(prefix), lit(0L)))
+      .withColumn("flag",
+        when($"mass" * ($"ww" - $"pw") <= $"w" * ($"budget" - $"pm"), 1L)
+          .otherwise(0L))
+      .withColumn("capped", min($"flag").over(upto))
+      .withColumn("bp", $"budget" - sum(when($"capped" === 1L, $"mass")
+        .otherwise(0L)).over(full))
+      .withColumn("wp", greatest(sum(when($"capped" === 0L, $"w")
+        .otherwise(0L)).over(full), lit(1L)))
+    val capped = m.filter($"capped" === 1L)
+      .select($"source", $"mass", $"w", lit(1L).as("is_capped"),
+        $"mass".as("alloc_toks"))
+    val open = m.filter($"capped" === 0L)
+      .withColumn("base", expr("(bp * w) DIV wp"))
+      .withColumn("rem", expr("(bp * w) % wp"))
+      .withColumn("leftover", $"bp" - sum($"base").over(full))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"rem".desc, $"source")))
+      .select($"source", $"mass", $"w", lit(0L).as("is_capped"),
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc_toks"))
+    capped.unionByName(open).orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_budget_waterfill" -> q192_budget_waterfill,
     "q191_boilerplate_spans" -> q191_boilerplate_spans,
     "q144_blocklist_audit" -> q144_blocklist_audit,
     "q139_weighted_median" -> q139_weighted_median,
@@ -576,6 +647,43 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q192_budget_waterfill" ->
+      """WITH m0 AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS mass,
+        |    CAST(CAST(substring(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT *, mass / w AS ratio,
+        |    SUM(mass) OVER () AS mm, SUM(w) OVER () AS ww,
+        |    (4 * SUM(mass) OVER ()) // 5 AS budget,
+        |    COALESCE(SUM(mass) OVER (ORDER BY mass / w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pm,
+        |    COALESCE(SUM(w) OVER (ORDER BY mass / w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pw
+        |  FROM m0),
+        |f AS (SELECT *, CASE WHEN mass * (ww - pw) <= w * (budget - pm)
+        |      THEN 1 ELSE 0 END AS flag FROM m),
+        |c AS (SELECT *, MIN(flag) OVER (ORDER BY ratio, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+        |  FROM f),
+        |s AS (SELECT *,
+        |    budget - SUM(CASE WHEN capped = 1 THEN mass ELSE 0 END) OVER ()
+        |      AS bp,
+        |    GREATEST(SUM(CASE WHEN capped = 0 THEN w ELSE 0 END) OVER (), 1)
+        |      AS wp
+        |  FROM c),
+        |open_alloc AS (SELECT source, mass, w, CAST(0 AS BIGINT) AS is_capped,
+        |    (bp * w) // wp
+        |      + CASE WHEN ROW_NUMBER() OVER (ORDER BY (bp * w) % wp DESC,
+        |          source)
+        |        <= bp - SUM((bp * w) // wp) OVER () THEN 1 ELSE 0 END
+        |      AS alloc_toks
+        |  FROM s WHERE capped = 0),
+        |cap_alloc AS (SELECT source, mass, w, CAST(1 AS BIGINT) AS is_capped,
+        |    mass AS alloc_toks FROM s WHERE capped = 1)
+        |SELECT source, mass, w, is_capped, CAST(alloc_toks AS BIGINT)
+        |    AS alloc_toks
+        |FROM (SELECT * FROM cap_alloc UNION ALL SELECT * FROM open_alloc)
+        |ORDER BY source""".stripMargin,
     "q191_boilerplate_spans" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
         |  FROM documents),

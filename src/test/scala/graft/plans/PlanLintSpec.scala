@@ -78,7 +78,9 @@ class PlanLintSpec extends AnyFunSuite {
       "q129_cumulative_reach" -> Set("single-partition-window"),
       "q133_rfm_segments" -> Set("single-partition-window"),
       "q135_ks_drift" -> Set("single-partition-window"),
-      "q136_survival" -> Set("single-partition-window"))
+      "q136_survival" -> Set("single-partition-window"),
+      // water-filling windows run on the |sources|-bounded aggregate
+      "q192_budget_waterfill" -> Set("single-partition-window"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

@@ -569,7 +569,16 @@ object DataPrep {
     * declared arithmetic on the source name so both engines derive
     * them identically.
     */
-  def q192_budget_waterfill(spark: SparkSession, dir: String): DataFrame = {
+  /** The water-filling solver over a (source, mass, w) table — q192's
+    * reusable core, property-tested in DataPrepPropertySpec. Budget =
+    * budgetNum·Σmass DIV budgetDen. Returns (source, mass, w,
+    * is_capped, alloc_toks) with Σ alloc = budget exactly (provided
+    * budget ≤ Σ mass), alloc ≤ mass everywhere, and uncapped allocs
+    * within 1 token of the residual-proportional share.
+    */
+  private[llm] def waterfill(perSource: DataFrame,
+                             budgetNum: Long, budgetDen: Long): DataFrame = {
+    val spark = perSource.sparkSession
     import spark.implicits._
     val full = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -581,15 +590,11 @@ object DataPrep {
     val upto = ord.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
 
-    val m = load(spark, dir, "documents")
-      .groupBy($"source")
-      .agg(sum(wsToks($"text").cast("long")).as("mass"))
-      .withColumn("w",
-        (expr("CAST(substring(source, 4) AS INT)") % 3 + 1).cast("long"))
+    val m = perSource
       .withColumn("ratio", $"mass" / $"w")
       .withColumn("mm", sum($"mass").over(full))
       .withColumn("ww", sum($"w").over(full))
-      .withColumn("budget", expr("(4 * mm) DIV 5"))
+      .withColumn("budget", expr(s"($budgetNum * mm) DIV $budgetDen"))
       // exclusive prefixes in cap-binding order; a source is capped
       // when its full mass fits under the waterline the REMAINING
       // budget and weight imply: mass·(W−pw) ≤ w·(B−pm), integers only
@@ -617,6 +622,16 @@ object DataPrep {
         ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
           .as("alloc_toks"))
     capped.unionByName(open).orderBy($"source")
+  }
+
+  def q192_budget_waterfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    waterfill(load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(sum(wsToks($"text").cast("long")).as("mass"))
+      .withColumn("w",
+        (expr("CAST(substring(source, 4) AS INT)") % 3 + 1).cast("long")),
+      budgetNum = 4L, budgetDen = 5L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -99,6 +99,7 @@ object Bench {
       else full = false
     }
     println(prefix + entries.mkString(",") + "}}")
+    graft.queries.Graph.releaseEdgeMemo(spark) // session teardown hook
     spark.stop()
   }
 }

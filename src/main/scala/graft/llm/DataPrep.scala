@@ -433,10 +433,12 @@ object DataPrep {
       // runtime guard for the documented Long limit: past ~3e9 docs
       // per source the cross-products would WRAP, not fail — surface
       // it as an error instead of a silently wrong statistic. The
-      // check is exact (n0 > MaxValue/n1), not a negativity test: a
-      // product past 2^64 wraps back to POSITIVE and would sail
-      // through a sign check.
-      .select(when($"n1" =!= 0L && $"n0" > lit(Long.MaxValue) / $"n1",
+      // check is exact (n0 > MaxValue DIV n1, INTEGER division — a
+      // double `/` loses ~10 bits near 2^63 and can pass a product
+      // that just overflows), not a negativity test: a product past
+      // 2^64 wraps back to POSITIVE and would sail through a sign
+      // check.
+      .select(when($"n1" =!= 0L && $"n0" > expr(s"${Long.MaxValue}L DIV n1"),
           raise_error(lit("q135: n0*n1 overflows Long — use decimal(38,0)")))
         .otherwise($"n0").as("n0"), $"n1",
         round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))

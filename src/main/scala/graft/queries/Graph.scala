@@ -84,13 +84,46 @@ object Graph {
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Memoize a persisted frame WITHOUT running the build inside the
+    * ConcurrentHashMap bin lock (computeIfAbsent would hold it across
+    * a full Spark job — any same-bucket memo access from another
+    * thread blocks for the build's duration). Lost races unpersist
+    * their redundant copy and adopt the winner's.
+    */
+  private def memoized(key: String)(build: => DataFrame): DataFrame = {
+    val hit = edgeMemo.get(key)
+    if (hit != null) return hit
+    val df = build
+    val prev = edgeMemo.putIfAbsent(key, df)
+    if (prev != null) { df.unpersist(blocking = false); prev } else df
+  }
+
+  /** Unpersist and drop every memoized edge layout belonging to this
+    * session's app, so long-lived sessions sweeping many data dirs —
+    * and test harnesses cycling SparkSessions — don't accumulate
+    * persisted storage with no eviction path. Deliberately a separate
+    * hook from [[graft.Caches.releaseAll]] (which must NOT evict the
+    * memo between queries): call it at session teardown.
+    */
+  def releaseEdgeMemo(spark: SparkSession): Unit = {
+    val prefix = spark.sparkContext.applicationId + ":"
+    val it = edgeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
   private[queries] def copurchasePackedPairs(spark: SparkSession, dir: String): DataFrame =
-    edgeMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", _ => {
+    memoized(s"${spark.sparkContext.applicationId}:$dir") {
       val df = buildCopurchasePackedPairs(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize: the build is load cost, not query cost
       df
-    })
+    }
 
   /** Both-direction adjacency (u, v) derived from the packed pairs —
     * the second shared layout of the loaded graph: q87 aggregates
@@ -100,10 +133,8 @@ object Graph {
     * packed list for the same once-per-session reason.
     */
   private[queries] def copurchaseDirectedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val packed = copurchasePackedPairs(spark, dir) // resolve BEFORE the
-    // memo lambda below: nested computeIfAbsent on one map can throw
-    // on recursive update
-    edgeMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir:directed", _ => {
+    val packed = copurchasePackedPairs(spark, dir)
+    memoized(s"${spark.sparkContext.applicationId}:$dir:directed") {
       import spark.implicits._
       val df = packed
         .select(explode(array(
@@ -116,7 +147,7 @@ object Graph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
-    })
+    }
   }
 
   /** Pre-build the shared edge layouts; returns build seconds

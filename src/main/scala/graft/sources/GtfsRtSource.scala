@@ -325,7 +325,18 @@ private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
   }
 
   override def initialOffset(): Offset = GtfsRtOffset("")
-  override def deserializeOffset(json: String): Offset = GtfsRtOffset(json)
+  /** Checkpoints written before the key format grew its
+    * `\t<relpath>` suffix store a bare basename; left as-is, the
+    * same file's new key `name\tname` compares GREATER than the
+    * stored `name`, and the already-processed latest snapshot would
+    * be re-read once on restart. Legacy keys could only come from
+    * flat landing dirs (nested subdirs postdate the format change),
+    * where the new key is exactly `name\tname` — so normalizing a
+    * tab-less key to that form makes old checkpoints restart clean.
+    */
+  override def deserializeOffset(json: String): Offset =
+    if (json.nonEmpty && !json.contains('\t')) GtfsRtOffset(s"$json\t$json")
+    else GtfsRtOffset(json)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def commit(end: Offset): Unit = ()

@@ -185,4 +185,21 @@ class DataPrepSpec extends AnyFunSuite {
     assert(self.getLong(2) == 0L,
       s"identical distributions must give KS 0, got ${self.getLong(2)}")
   }
+
+  test("q135 overflow guard is exact at the Long boundary (integer DIV, not double /)") {
+    import spark.implicits._
+    // the guard expression as written in q135_ks_drift
+    def trips(n0: Long, n1: Long): Boolean = {
+      val df = Seq((n0, n1)).toDF("n0", "n1")
+        .select(when($"n1" =!= 0L && $"n0" > expr(s"${Long.MaxValue}L DIV n1"),
+            raise_error(lit("overflow"))).otherwise($"n0").as("n0"))
+      try { df.collect(); false } catch { case _: Throwable => true }
+    }
+    val okN0 = Long.MaxValue / 3 // (MaxValue DIV 3) * 3 = MaxValue - 1: fits
+    assert(!trips(okN0, 3L), "largest non-overflowing n0 must pass")
+    // +1 overflows by exactly 2 — a double-division bound (MaxValue/3
+    // rounds UP to ~2^61.5 + 512) would wave this through
+    assert(trips(okN0 + 1, 3L), "smallest overflowing n0 must raise")
+    assert(!trips(okN0, 0L), "n1=0 must not divide")
+  }
 }

@@ -54,4 +54,21 @@ class CopurchaseEdgesSpec extends AnyFunSuite {
     assert(d1.storageLevel.useMemory || d1.storageLevel.useDisk)
     assert(d1.count() == 2 * a.count(), "directed list is both orientations")
   }
+
+  test("releaseEdgeMemo unpersists and evicts this session's entries") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Graph.copurchasePackedPairs(spark, dir)
+    val d = Graph.copurchaseDirectedEdges(spark, dir)
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk)
+    Graph.releaseEdgeMemo(spark)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release must unpersist the packed-pair memo")
+    assert(d.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release must unpersist the directed-edge memo")
+    // and the memo rebuilds cleanly after eviction (fresh instance)
+    val a2 = Graph.copurchasePackedPairs(spark, dir)
+    assert(!(a2 eq a), "post-release call must rebuild, not return the evicted frame")
+    assert(a2.storageLevel.useMemory || a2.storageLevel.useDisk)
+    assert(a2.count() == a.count())
+  }
 }

@@ -190,4 +190,26 @@ class GtfsRtSourceSpec extends AnyFunSuite {
     val (_, _, clean) = RtDecode.decodeDir(spark, vp)
     assert(df.count() == clean.count()) // decodeDir also skips corrupt
   }
+
+  test("legacy tab-less checkpoint offset restarts clean: processed snapshot not re-planned") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val vp = TestSpark.tempDir("dsv2_legacy_vp")
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_legacy_tu"), vp,
+      stamp = "20250903_1000", feedTs = 1000000L)
+    val schema = GtfsRtSource.schemaFor("vehicle_positions")
+    val s = new GtfsRtMicroBatchStream("vehicle_positions", vp, schema, schema,
+      Array.empty[org.apache.spark.sql.sources.Filter])
+    // a checkpoint written before offset keys grew the \t<relpath>
+    // suffix stores the bare basename; un-migrated, the same file's
+    // new key "name\tname" compares greater and the file re-reads
+    val legacy = s.deserializeOffset("vehicle_positions_20250903_1000.pb")
+    val latest = s.latestOffset(legacy, ReadLimit.allAvailable())
+    assert(s.planInputPartitions(legacy, latest).isEmpty,
+      "already-processed latest snapshot must not be re-read after the offset-format change")
+    // a genuinely newer snapshot still plans from the migrated offset
+    Fixtures.writeRtSnapshots(TestSpark.tempDir("dsv2_legacy_tu2"), vp,
+      stamp = "20250903_1002", feedTs = 1000120L)
+    val latest2 = s.latestOffset(legacy, ReadLimit.allAvailable())
+    assert(s.planInputPartitions(legacy, latest2).length == 1)
+  }
 }

@@ -25,10 +25,20 @@ object Bench {
     // the first measured query (q06 paid ~3s of warm-up in round 1).
     try drive(SparkEntry.queries("q07_topk")(spark, sfDir)) catch { case _: Throwable => () }
 
-    // Optional arg: comma-separated query names for targeted profiling
-    // (e.g. `runMain graft.Bench q52_neardup_clusters,q49_ivf_seeded`).
-    val only: Set[String] =
-      args.headOption.map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    // Args: an optional comma-separated query-name list for targeted
+    // profiling, and `--reps N` for isolated re-measurement (run each
+    // query N times, report the MINIMUM — the min is the least
+    // contaminated by machine contention / GC / codegen-cache misses,
+    // which is exactly what a regression investigation needs).
+    // e.g. `runMain graft.Bench q70_char_diversity,q71_hll_udaf --reps 5`
+    var reps = 1
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i) == "--reps" && i + 1 < args.length) { reps = args(i + 1).toInt; i += 2 }
+      else { names ++= args(i).split(",").map(_.trim).filter(_.nonEmpty); i += 1 }
+    }
+    val only: Set[String] = names.toSet
     val picked =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => only(k) }.toSeq
@@ -55,20 +65,70 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         } else 0.0))
 
-    val results = picked.sortBy(_._1).map { case (name, fn) =>
+    // One timed execution; alongside wall time, harvest scan/shuffle
+    // ACTUALS from the executed plan's SQLMetrics (driver-side, zero
+    // executor overhead — the Observability module's statsOf walks the
+    // final adaptive plan). toRdd.count() bypasses the Dataset-action
+    // listener hook, so harvest directly from the QueryExecution we
+    // already hold: a future wall-time regression is then attributable
+    // to plan change (rows/bytes moved) vs machine noise (same rows,
+    // more seconds) from the bench artifact alone.
+    case class Run(wall: Double, stats: Option[Observability.QueryStats])
+    // Two complementary capture paths, merged per query: the final
+    // frame's executed plan (driven via toRdd, which bypasses the
+    // Dataset-action listener) is read directly with statsOf, while
+    // iterative operators' INTERNAL actions (BFS hops, CC rounds —
+    // jobs that run while the frame is being BUILT) fire the
+    // QueryExecutionListener and are drained per query. Either alone
+    // under-counts: listener-only misses the final drive, plan-only
+    // misses the iteration jobs.
+    val obs = Observability.attach(spark)
+    def merge(name: String, wallNs: Long,
+              parts: Seq[Observability.QueryStats]): Observability.QueryStats =
+      Observability.QueryStats(name, wallNs / 1000000L,
+        parts.map(_.scanRows).sum, parts.map(_.scanFiles).sum,
+        parts.map(_.scanBytes).sum, parts.map(_.shuffles).sum,
+        parts.map(_.shuffleRows).sum, failed = parts.exists(_.failed))
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      obs.drain(spark) // clear events from warm-up / load / prior rep
+      // Time construction + drive together: iterative operators run
+      // their Spark jobs while BUILDING the frame, so a drive-only
+      // timer would exclude the actual work.
       val t0 = System.nanoTime()
-      try drive(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val df = try fn(spark, sfDir) catch { case _: Throwable => null }
+      val ok = df != null && (try { drive(df); true } catch { case _: Throwable => false })
+      val dtNs = System.nanoTime() - t0
       // blocking: eviction must not overlap the next query's timing
       Caches.releaseAll(blocking = true)
-      name -> dt
+      val internal = try obs.drain(spark) catch { case _: Throwable => Seq.empty }
+      val direct = if (ok) {
+        try Seq(Observability.statsOf(name, df.queryExecution, dtNs, failed = false))
+        catch { case _: Throwable => Seq.empty }
+      } else Seq.empty
+      val all = internal ++ direct
+      Run(dtNs / 1e9, if (all.isEmpty) None else Some(merge(name, dtNs, all)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = picked.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to math.max(1, reps)).map(_ => measure(name, fn))
+      name -> runs.minBy(_.wall)
+    }
+    def statJson(r: Run): String = {
+      val s = r.stats
+      s"""{"wall":${r.wall},"shuffle_recs":${s.map(_.shuffleRows).getOrElse(-1L)},""" +
+        s""""scan_bytes":${s.map(_.scanBytes).getOrElse(-1L)},""" +
+        s""""scan_rows":${s.map(_.scanRows).getOrElse(-1L)},""" +
+        s""""shuffles":${s.map(_.shuffles).getOrElse(-1)}}"""
+    }
+    val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.wall }
+      .mkString("{", ",", "}")
+    val st = results.map { case (k, r) => s"\"" + k + "\":" + statJson(r) }
       .mkString("{", ",", "}")
     val ls = loadSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$ls,"sf":"$sfDir"}"""
+    val total = results.map(_._2.wall).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"stats":$st,"load":$ls,"sf":"$sfDir"}"""
     println(json)
     // Side artifact: sbt appends its own "[success]" line after ours,
     // so a last-line parse of stdout misses the JSON. The file copy is
@@ -87,14 +147,14 @@ object Bench {
     val lsC = loadSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries_total":${results.size},"load":$lsC,"sf":"$sfDir",""" +
+      s""""queries_total":${results.size},"reps":$reps,"load":$lsC,"sf":"$sfDir",""" +
       s""""detail":"BENCH_LOCAL.json","queries":{"""
     val budget = 1600 // < 2000-char window minus sbt's "[success]" trailer
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + 2
     var full = true
-    for ((k, v) <- results.sortBy(-_._2) if full) {
-      val e = "\"" + k + "\":" + fmt(v)
+    for ((k, r) <- results.sortBy(-_._2.wall) if full) {
+      val e = "\"" + k + "\":" + fmt(r.wall)
       if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
       else full = false
     }

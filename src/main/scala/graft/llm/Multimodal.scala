@@ -1,93 +1,200 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
-/** One decoded-asset record: the typed metadata a real pipeline would
-  * extract from the media header plus cheap content features.
+/** One decoded-asset record: real dimensions read from the decoded
+  * image plus cheap content features over the decoded pixels.
   */
 case class MediaFeatures(
     img_id: Long, n_bytes: Long, fingerprint: Long,
     width: Long, height: Long, aspect_bp: Long)
 
-/** Multimodal-column plumbing: media as opaque `binary` columns with
+/** Multimodal-column processing: media as opaque `binary` columns with
   * typed metadata, processed by a batched per-partition pipeline.
   *
-  * The container ships no image/audio codecs, so the *decode* step is
-  * a deterministic stand-in (`decodeStub`) — but everything Spark-side
-  * is real and load-bearing: the (id, content: binary, meta: struct)
-  * schema, the mapPartitions batch walk (one codec context per
-  * partition, the shape a JNI/FFI decoder needs), the typed Dataset
-  * encoder, and the downstream relational join-ability of the
-  * features. Swapping `decodeStub` for a real codec changes no
-  * signatures.
+  * The IMAGE path is real end-to-end: deterministic synthetic PNGs are
+  * encoded with `javax.imageio` (ships in every JDK), decoded back
+  * with `ImageIO.read`, and featurized over the decoded pixel raster —
+  * dimensions come from the decoder, not metadata, and the
+  * fingerprint is a digest of every decoded byte. Because the pixel
+  * pattern is an arithmetic function of the image id and PNG is
+  * lossless, DuckDB can reconstruct the DECODED byte stream in SQL and
+  * replay the whole pipeline, so the oracle verifies the decode
+  * itself, not just the plumbing (reference parallel: the RT pipeline
+  * decodes opaque protobuf snapshots the same way,
+  * dags/gtfs_rt_minutely.py:88-133).
   *
-  * The features themselves are engine-independent (md5 fingerprint,
-  * byte length, metadata arithmetic), so the whole pipeline —
-  * including the binary column materialization — is DuckDB-verifiable.
+  * Only the VIDEO path keeps a stand-in ([[sampleFrames]] slices a raw
+  * byte stream as fixed-size frames — a real build links ffmpeg there);
+  * its Spark-side shape (streamed one-asset→N-frames fan-out) is what
+  * the codec would plug into, and [[q161_frame_sample]] drives the
+  * same fan-out over REAL decoded image rasters instead.
   */
 object Multimodal {
 
-  /** Synthesize a media table from `documents`: content = utf-8 bytes
-    * (stands in for an encoded image), metadata derived
-    * deterministically from doc_id. At 100 TB this column would come
-    * from `spark.read.format("binaryFile")` or parquet BYTE_ARRAY —
-    * same schema either way.
+  // ---------------------------------------------------------------
+  // Image codec (real: javax.imageio PNG)
+  // ---------------------------------------------------------------
+
+  // ImageIO defaults to a temp-FILE stream cache per encode/decode;
+  // in-memory is both faster and safe for our small rasters.
+  ImageIO.setUseCache(false)
+
+  /** Raster dimensions for the synthetic image of `id` — small on
+    * purpose (≤ 15×11) so the SQL oracle's per-byte reconstruction
+    * stays tractable at every test scale factor.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    load(spark, dir, "documents")
-      .select(
-        $"doc_id".as("img_id"),
-        encode($"text", "UTF-8").as("content"),
-        struct(
-          ($"doc_id" % 320 + 16).as("width"),
-          ($"doc_id" % 200 + 16).as("height"),
-          lit("fake/rgb8").as("format")).as("meta"))
+  private[llm] def dimsOf(id: Long): (Int, Int) =
+    ((id % 12 + 4).toInt, (id % 8 + 4).toInt)
+
+  /** Channel value at flat offset `i` of image `id`: the whole raster
+    * is `(id*31 + i) mod 256` in row-major RGB order — arithmetic, so
+    * an SQL engine can rebuild the decoded bytes without a codec.
+    */
+  @inline private[llm] def channel(id: Long, i: Int): Int =
+    ((id * 31 + i) % 256).toInt
+
+  /** Deterministic synthetic PNG for id: a REAL encoded image (PNG
+    * signature, IHDR, zlib-compressed scanlines), not a byte-tagged
+    * fake — `ImageIO.read` must do real work to get the raster back.
+    */
+  private[llm] def syntheticPng(id: Long): Array[Byte] = {
+    val (w, h) = dimsOf(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (channel(id, i) << 16) | (channel(id, i + 1) << 8) | channel(id, i + 2))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB — a real build links an image codec here (libjpeg/ffmpeg via
-    * FFI). Deterministic fake: "decode" yields the byte array itself;
-    * real per-byte work (md5) keeps the CPU profile honest.
+  /** A decoded image in canonical form: row-major RGB bytes. */
+  private[llm] case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL decode via `ImageIO.read`. Pixels are extracted through
+    * `getRGB` into canonical row-major RGB order, so the result is
+    * independent of the reader's internal raster layout (PNG decoders
+    * variously return TYPE_3BYTE_BGR / TYPE_INT_RGB); PNG is lossless
+    * so the values are exact.
     */
-  private def decodeStub(content: Array[Byte]): Array[Byte] = content
+  private[llm] def decodeImage(content: Array[Byte]): DecodedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(content))
+    if (img == null) throw new java.io.IOException("undecodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y)
+        px(i) = ((v >> 16) & 0xff).toByte
+        px(i + 1) = ((v >> 8) & 0xff).toByte
+        px(i + 2) = (v & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, px)
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lower-case ASCII hex of a byte array (the fingerprint domain:
+    * DuckDB's md5 is VARCHAR-only, so both engines digest the hex
+    * STRING of the decoded pixels — still a function of every decoded
+    * byte).
+    */
+  private[llm] def hexOf(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(HexDigits(b >> 4)).append(HexDigits(b & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** First 15 hex digits of md5 over the pixel hex string, as a Long
+    * (15 stays under Long.MaxValue; 16 would not).
+    */
+  private def fingerprintOf(md: java.security.MessageDigest, pixels: Array[Byte]): Long = {
+    md.reset()
+    val digest = md.digest(hexOf(pixels).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    java.lang.Long.parseLong(hexOf(digest).substring(0, 15), 16)
+  }
+
+  /** Synthesize the image table from `documents`: one real PNG per
+    * doc_id, metadata struct alongside. At 100 TB this column would
+    * come from `spark.read.format("binaryFile")` or parquet
+    * BYTE_ARRAY — same (id, content: binary, meta: struct) schema
+    * either way; the encode runs inside mapPartitions on executors,
+    * never on the driver.
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = dimsOf(id)
+        (id, syntheticPng(id), w.toLong, h.toLong)
+      })
+      .toDF("img_id", "content", "w", "h")
+      .select($"img_id", $"content",
+        struct($"w".as("width"), $"h".as("height"),
+          lit("image/png").as("format")).as("meta"))
+  }
 
   /** The batched per-partition feature extractor: one MessageDigest
     * ("codec context") per partition, reused across rows — the
-    * mapPartitions shape that amortizes codec init at scale.
+    * mapPartitions shape that amortizes codec init at scale. Width,
+    * height, and byte count are read from the DECODED image, not the
+    * metadata struct — the features prove the decode ran.
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
+  def extractFeatures(images: DataFrame): Dataset[MediaFeatures] = {
+    val spark = images.sparkSession
     import spark.implicits._
-    media.select($"img_id".cast("long"), $"content",
-        $"meta.width".cast("long"), $"meta.height".cast("long"))
-      .as[(Long, Array[Byte], Long, Long)]
+    images.select($"img_id".cast("long"), $"content")
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, content, w, h) =>
-          val pixels = decodeStub(content)
-          md.reset()
-          val hex = md.digest(pixels).map("%02x".format(_)).mkString
-          val fp = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        rows.map { case (id, content) =>
+          val d = decodeImage(content)
           MediaFeatures(
             img_id = id,
-            n_bytes = pixels.length.toLong,
-            fingerprint = fp,
-            width = w,
-            height = h,
-            aspect_bp = math.round(10000.0 * w / h))
+            n_bytes = d.pixels.length.toLong,
+            fingerprint = fingerprintOf(md, d.pixels),
+            width = d.width.toLong,
+            height = d.height.toLong,
+            aspect_bp = math.round(10000.0 * d.width / d.height))
         }
       }
   }
 
-  /** Feature extraction over the synthesized media table, aggregated
-    * per width bucket — exercises binary materialization, the typed
-    * mapPartitions pipeline, and a downstream relational agg.
+  /** Feature extraction over real decoded PNGs, aggregated per width
+    * bucket — exercises binary materialization, the typed
+    * mapPartitions decode pipeline, and a downstream relational agg.
     */
   def q28_multimodal_features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    extractFeatures(mediaTable(spark, dir)).toDF()
+    extractFeatures(imageTable(spark, dir)).toDF()
       .groupBy(($"width" % 10).as("wbucket"))
       .agg(
         count(lit(1)).as("n"),
@@ -98,65 +205,94 @@ object Multimodal {
       .orderBy($"wbucket")
   }
 
-  /** STUB resize — a real build calls the codec's scaler. The
-    * deterministic fake keeps every k-th byte so output size tracks
-    * the target dimensions; the Spark-side shape (binary in → binary
-    * out, metadata recomputed) is what a real scaler needs.
+  /** REAL image resize: decode, nearest-neighbor resample (explicit
+    * source-index arithmetic — deterministic on every JVM, unlike
+    * interpolating scalers), re-encode PNG. Binary in → binary out
+    * with refreshed metadata, one codec pass per row.
     */
-  private[llm] def resizeStub(pixels: Array[Byte], targetBytes: Int): Array[Byte] = {
-    if (pixels.isEmpty || targetBytes <= 0) return Array.emptyByteArray
-    if (pixels.length <= targetBytes) return pixels
-    val stride = pixels.length.toDouble / targetBytes
-    Array.tabulate(targetBytes)(i => pixels((i * stride).toInt))
+  private[llm] def resizeImage(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(content))
+    if (src == null) throw new java.io.IOException("undecodable image")
+    val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < targetH) {
+      val sy = y * src.getHeight / targetH
+      var x = 0
+      while (x < targetW) {
+        out.setRGB(x, y, src.getRGB(x * src.getWidth / targetW, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
-  /** Batched resize over the media table: binary → smaller binary +
-    * refreshed metadata, one codec context per partition.
+  /** Batched resize over the image table: PNG → smaller PNG +
+    * refreshed metadata.
     */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[(Long, Array[Byte], Long, Long)] = {
-    val spark = media.sparkSession
+  def resize(images: DataFrame, targetW: Int, targetH: Int): Dataset[(Long, Array[Byte], Long, Long)] = {
+    val spark = images.sparkSession
     import spark.implicits._
-    media.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
+    images.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, content) =>
-        val out = resizeStub(decodeStub(content), targetW * targetH)
-        (id, out, targetW.toLong, targetH.toLong)
+        (id, resizeImage(content, targetW, targetH), targetW.toLong, targetH.toLong)
       })
   }
 
-  /** STUB frame sampling — the video-pipeline UDTF shape: one input
-    * asset explodes to one row per sampled frame. The fake treats the
-    * byte stream as fixed-size frames and keeps every `stride`-th.
+  /** VIDEO-codec stand-in — the one remaining stub: a real build links
+    * ffmpeg (or similar) here to demux+decode true video containers;
+    * this slices the raw byte stream as fixed-size frames instead.
+    * The Spark-side shape is the load-bearing part: a STREAMED
+    * one-asset → N-frames flatMap (no per-asset frame array ever
+    * materializes in one row), which is exactly where a demuxer's
+    * frame iterator plugs in.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[(Long, Long, Array[Byte])] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
       .flatMap { case (id, content) =>
-        val frames = decodeStub(content).grouped(frameBytes).toSeq
-        frames.zipWithIndex.collect {
+        content.grouped(frameBytes).zipWithIndex.collect {
           case (f, idx) if idx % stride == 0 => (id, idx.toLong, f)
         }
       }
   }
 
-  /** q161 — frame-sampling end-to-end: the video-pipeline UDTF shape
-    * ([[sampleFrames]]: one asset → N sampled frame rows) driven
-    * through fingerprinting and a bounded per-bucket aggregate. The
-    * fan-out is a streamed flatMap (no per-asset frame array ever
-    * materializes in one row), the per-frame md5 fingerprint is
-    * engine-independent, and because the stub "decode" is byte
-    * slicing over ASCII payloads, DuckDB replays the ENTIRE pipeline
-    * — sampling stride included — not just the aggregate.
+  /** Frame fan-out over REAL decoded rasters: decode each PNG, slice
+    * the decoded pixel stream into fixed-size frames, keep every
+    * `stride`-th — the video-pipeline UDTF shape driven through a
+    * real image decode.
+    */
+  def sampleDecodedFrames(images: DataFrame, frameBytes: Int, stride: Int): Dataset[(Long, Long, Array[Byte])] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
+      .flatMap { case (id, content) =>
+        decodeImage(content).pixels.grouped(frameBytes).zipWithIndex.collect {
+          case (f, idx) if idx % stride == 0 => (id, idx.toLong, f)
+        }
+      }
+  }
+
+  /** q161 — frame-sampling end-to-end over real decodes: each PNG's
+    * DECODED raster fans out to sampled frame rows
+    * ([[sampleDecodedFrames]]), each frame fingerprints via md5 over
+    * its hex (the VARCHAR-md5 domain DuckDB shares), then a bounded
+    * per-bucket aggregate. DuckDB replays the ENTIRE pipeline —
+    * decode (by arithmetic reconstruction), frame slicing, stride,
+    * digest — not just the aggregate.
     */
   final val FrameBytes = 64
   final val FrameStride = 2
 
   def q161_frame_sample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    sampleFrames(mediaTable(spark, dir), FrameBytes, FrameStride)
+    sampleDecodedFrames(imageTable(spark, dir), FrameBytes, FrameStride)
       .toDF("img_id", "frame_idx", "frame")
       .select($"img_id",
-        conv(substring(md5($"frame"), 1, 15), 16, 10).cast("long").as("fp"),
+        conv(substring(md5(lower(hex($"frame"))), 1, 15), 16, 10).cast("long").as("fp"),
         length($"frame").cast("long").as("n_bytes"))
       .groupBy(($"img_id" % 16).as("bucket"))
       .agg(count(lit(1)).as("n_frames"),
@@ -169,33 +305,45 @@ object Multimodal {
     "q28_multimodal_features" -> q28_multimodal_features,
     "q161_frame_sample" -> q161_frame_sample)
 
+  /** Both oracles rebuild the DECODED pixel bytes arithmetically
+    * (raster value = (doc_id*31 + i) mod 256 — what ImageIO must
+    * produce after the PNG round-trip) as a hex string, then replay
+    * the same digests/aggregates. A decoder that returned wrong
+    * pixels, dimensions, or byte order hash-mismatches here.
+    */
+  private def pixelCte =
+    """dims AS (SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 8 + 4 AS h
+      |    FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |    unnest(generate_series(0, CAST(w*h*3 - 1 AS BIGINT))) AS i
+      |  FROM dims),
+      |img AS (SELECT doc_id, w, h,
+      |    -- DuckDB to_hex is UPPERCASE; the engine digests lowercase
+      |    lower(string_agg(lpad(to_hex((doc_id*31 + i) % 256), 2, '0'), '' ORDER BY i)) AS hex
+      |  FROM px GROUP BY doc_id, w, h)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // DuckDB md5 over the text's utf-8 bytes == Spark md5 over
-    // encode(text,'UTF-8') == the mapPartitions MessageDigest — the
-    // fingerprint is engine-independent by construction.
+    "q28_multimodal_features" ->
+      s"""WITH $pixelCte,
+         |f AS (SELECT w % 10 AS wbucket, CAST(w*h*3 AS BIGINT) AS n_bytes,
+         |    CAST('0x' || substring(md5(hex), 1, 15) AS BIGINT) AS fingerprint,
+         |    CAST(ROUND(10000.0 * w / h) AS BIGINT) AS aspect_bp
+         |  FROM img)
+         |SELECT wbucket, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+         |  MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp,
+         |  CAST(ROUND(AVG(aspect_bp)) AS BIGINT) AS avg_aspect_bp
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q161_frame_sample" ->
-      s"""WITH fr AS (SELECT doc_id AS img_id, text,
-         |    unnest(generate_series(0,
-         |      CAST((length(text) - 1) // $FrameBytes AS BIGINT))) AS idx
-         |  FROM documents WHERE length(text) > 0),
-         |s AS (SELECT img_id,
-         |    substring(text, idx * $FrameBytes + 1, $FrameBytes) AS frame
+      s"""WITH $pixelCte,
+         |fr AS (SELECT doc_id AS img_id, hex,
+         |    unnest(generate_series(0, CAST((w*h*3 - 1) // $FrameBytes AS BIGINT))) AS idx
+         |  FROM img),
+         |s AS (SELECT img_id, idx,
+         |    substring(hex, CAST(idx * ${2 * FrameBytes} + 1 AS INT), ${2 * FrameBytes}) AS fhex
          |  FROM fr WHERE idx % $FrameStride = 0)
          |SELECT img_id % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_frames,
-         |  CAST(SUM(length(frame)) AS BIGINT) AS sum_bytes,
-         |  MIN(CAST('0x' || substring(md5(frame), 1, 15) AS BIGINT)) AS min_fp,
-         |  MAX(CAST('0x' || substring(md5(frame), 1, 15) AS BIGINT)) AS max_fp
-         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q28_multimodal_features" ->
-      """WITH f AS (SELECT
-        |    doc_id % 320 + 16 AS width,
-        |    doc_id % 200 + 16 AS height,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fingerprint,
-        |    CAST(ROUND(10000.0 * (doc_id % 320 + 16) / (doc_id % 200 + 16)) AS BIGINT) AS aspect_bp
-        |  FROM documents)
-        |SELECT width % 10 AS wbucket, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-        |  MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp,
-        |  CAST(ROUND(AVG(aspect_bp)) AS BIGINT) AS avg_aspect_bp
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+         |  CAST(SUM(length(fhex) // 2) AS BIGINT) AS sum_bytes,
+         |  MIN(CAST('0x' || substring(md5(fhex), 1, 15) AS BIGINT)) AS min_fp,
+         |  MAX(CAST('0x' || substring(md5(fhex), 1, 15) AS BIGINT)) AS max_fp
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -149,18 +149,41 @@ class LlmSpec extends AnyFunSuite {
       }
   }
 
-  test("multimodal feature extraction: fingerprint, bytes, aspect on a known row") {
+  test("image decode round-trip: ImageIO gets the exact raster back for many ids") {
+    // The honesty check for the real codec path: encode the arithmetic
+    // raster as a true PNG, decode with ImageIO, and require every
+    // byte, plus the dimensions, to match the formula — wrong byte
+    // order, color conversion, or lossy handling fails here.
+    for (id <- Seq(0L, 1L, 7L, 42L, 255L, 256L, 9999L, 123456L)) {
+      val (w, h) = Multimodal.dimsOf(id)
+      val d = Multimodal.decodeImage(Multimodal.syntheticPng(id))
+      assert(d.width == w && d.height == h, s"id=$id dims")
+      val expected = Array.tabulate(w * h * 3)(i => Multimodal.channel(id, i).toByte)
+      assert(java.util.Arrays.equals(d.pixels, expected),
+        s"id=$id decoded pixels must equal the encoded raster byte-for-byte")
+    }
+    // a PNG really was produced (magic bytes), not a tagged fake
+    val png = Multimodal.syntheticPng(7L)
+    assert((png(0) & 0xff) == 0x89 && new String(png.slice(1, 4)) == "PNG")
+  }
+
+  test("multimodal feature extraction: real decoded dims + pixel fingerprint on a known row") {
     import spark.implicits._
-    val media = Seq((7L, "hello", 100L, 50L))
-      .toDF("img_id", "text", "w", "h")
-      .select($"img_id", encode($"text", "UTF-8").as("content"),
-        struct($"w".as("width"), $"h".as("height"), lit("fake/rgb8").as("format")).as("meta"))
-    val f = Multimodal.extractFeatures(media).collect().head
-    assert(f.img_id == 7L)
-    assert(f.n_bytes == 5L)
-    // md5("hello") = 5d41402abc4b2a76..., first 15 hex digits
-    assert(f.fingerprint == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
-    assert(f.aspect_bp == 20000L)
+    val id = 7L
+    val (w, h) = Multimodal.dimsOf(id) // (11, 11)
+    val images = Seq((id, Multimodal.syntheticPng(id))).toDF("img_id", "content")
+    val f = Multimodal.extractFeatures(images).collect().head
+    assert(f.img_id == id)
+    assert(f.width == w && f.height == h, "dims must come from the DECODER")
+    assert(f.n_bytes == w.toLong * h * 3, "n_bytes counts decoded pixels, not PNG bytes")
+    // fingerprint = first 15 hex of md5 over the pixel hex string,
+    // recomputed here from the FORMULA (independent of the decoder)
+    val hex = Array.tabulate(w * h * 3)(i => Multimodal.channel(id, i))
+      .map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(f.fingerprint == java.lang.Long.parseLong(exp.substring(0, 15), 16))
+    assert(f.aspect_bp == 10000L) // 11×11 is square
   }
 
   test("IVF ANN recall@10 beats its probe fraction against the exact answer") {
@@ -197,21 +220,47 @@ class LlmSpec extends AnyFunSuite {
       s"planted duplicates must surface, got $found")
   }
 
-  test("multimodal resize and frame sampling keep the batched binary shape") {
+  test("real image resize: nearest-neighbor pixels, re-encoded PNG, exact values") {
     import spark.implicits._
+    val id = 5L
+    val (sw, sh) = Multimodal.dimsOf(id) // (9, 9)
+    val images = Seq((id, Multimodal.syntheticPng(id))).toDF("img_id", "content")
+    val (tw, th) = (4, 3)
+    val resized = Multimodal.resize(images, tw, th).collect().head
+    assert((resized._3, resized._4) == (tw.toLong, th.toLong))
+    val d = Multimodal.decodeImage(resized._2)
+    assert(d.width == tw && d.height == th, "output PNG must decode to the target dims")
+    // every output pixel equals the SOURCE pixel at the NN-mapped
+    // coordinate, per the formula — interpolation-free and exact
+    for (y <- 0 until th; x <- 0 until tw; c <- 0 until 3) {
+      val srcI = ((y * sh / th) * sw + (x * sw / tw)) * 3 + c
+      assert(d.pixels((y * tw + x) * 3 + c) == Multimodal.channel(id, srcI).toByte,
+        s"pixel ($x,$y) channel $c")
+    }
+  }
+
+  test("frame sampling: video-stub byte stream and real decoded-raster fan-out") {
+    import spark.implicits._
+    // video stub path: raw byte-stream slicing (where ffmpeg would go)
     val media = Seq((1L, "abcdefghijklmnopqrstuvwxyz"))
       .toDF("img_id", "text")
-      .select($"img_id", encode($"text", "UTF-8").as("content"),
-        struct(lit(10L).as("width"), lit(10L).as("height"), lit("fake/rgb8").as("format")).as("meta"))
-    val resized = Multimodal.resize(media, 2, 3).collect().head
-    assert(resized._2.length == 6) // 2×3 target bytes
-    assert(resized._2(0) == 'a'.toByte)
-
+      .select($"img_id", encode($"text", "UTF-8").as("content"))
     val frames = Multimodal.sampleFrames(media, frameBytes = 5, stride = 2).collect()
     // 26 bytes → 6 frames (5,5,5,5,5,1); stride 2 keeps frames 0,2,4
     assert(frames.map(_._2).toSeq == Seq(0L, 2L, 4L))
     assert(new String(frames.head._3, "UTF-8") == "abcde")
     assert(new String(frames(1)._3, "UTF-8") == "klmno")
+
+    // real image path: frames slice the DECODED raster
+    val id = 9L
+    val (w, h) = Multimodal.dimsOf(id)
+    val images = Seq((id, Multimodal.syntheticPng(id))).toDF("img_id", "content")
+    val dec = Multimodal.sampleDecodedFrames(images, frameBytes = 64, stride = 2).collect()
+    val n = w * h * 3
+    val expFrames = (0 until (n + 63) / 64).filter(_ % 2 == 0)
+    assert(dec.map(_._2).toSeq == expFrames.map(_.toLong))
+    val first = Array.tabulate(math.min(64, n))(i => Multimodal.channel(id, i).toByte)
+    assert(java.util.Arrays.equals(dec.head._3, first))
   }
 
   test("sketch primitives: degenerate inputs never throw") {

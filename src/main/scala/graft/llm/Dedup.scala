@@ -311,7 +311,22 @@ object Dedup {
     */
   def q73_prefix_jaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = graft.Caches.tracked(load(spark, dir, "documents")
+    prefixJaccardPairs(load(spark, dir, "documents").select($"doc_id", $"text"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The reusable deterministic core of q73 over any (doc_id, text)
+    * frame: every J ≥ 0.5 pair, guaranteed (no-miss spec-pinned) —
+    * the candidate generator to reach for when a consumer needs
+    * recall-INDEPENDENT semantics (q165's calibration uses it so its
+    * oracle agrees by construction on any corpus; banded-LSH
+    * [[minhashPairs]] stays the scale path where probabilistic recall
+    * is acceptable and is itself exact-verified per candidate).
+    */
+  def prefixJaccardPairs(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val docs = graft.Caches.tracked(input
       .select($"doc_id".cast("long"), $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, 3)) })
       .toDF("doc_id", "sh")
@@ -351,7 +366,6 @@ object Dedup {
         if (2L * i >= u) Some((a, b, math.round(10000.0 * i / u))) else None
       }
       .toDF("doc_a", "doc_b", "j_bp")
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Connected components over a near-dup pair list: every document in

@@ -167,26 +167,25 @@ object TextAnalysis {
 
   /** q165 — score calibration against NEAR-duplication: per quality-
     * score bucket (q21's formula, 1000-bp-wide bins), what fraction
-    * of docs participate in a MinHash near-dup pair (J ≥ 0.5, q23's
-    * verified core) — the "is my quality score informative" readout a
-    * filter-threshold decision needs. (Exact duplication is the
-    * obvious flag but this corpus has none — near-dup membership is
-    * the signal that actually exists.) The flagged-id set is tiny and
-    * broadcasts; the calibration table is bounded at 11 buckets;
-    * rates all-integer.
+    * of docs participate in a near-dup pair (J ≥ 0.5) — the "is my
+    * quality score informative" readout a filter-threshold decision
+    * needs. (Exact duplication is the obvious flag but this corpus
+    * has none — near-dup membership is the signal that actually
+    * exists.) The flagged-id set is tiny and broadcasts; the
+    * calibration table is bounded at 11 buckets; rates all-integer.
     *
-    * Oracle caveat (inherited from q23): the Spark side flags docs via
-    * LSH candidates (16 bands × 4 rows) while the DuckDB oracle
-    * computes exact all-pairs Jaccard, so the hash match is
-    * DATA-DEPENDENT — a true pair with J just above 0.5 shares a band
-    * with only ~64% probability. It holds on the harness corpus
-    * (q23's "LSH must find the same pairs" check pins that), but if a
-    * corpus change ever breaks this query, diagnose RECALL first, not
-    * a regression.
+    * Pair generation is the DETERMINISTIC prefix-filter join (q73's
+    * no-miss core), not banded LSH: a calibration readout feeding a
+    * threshold decision must not wobble with LSH recall, and the
+    * DuckDB oracle (exact all-pairs Jaccard) therefore agrees BY
+    * CONSTRUCTION on any corpus — the hash match is no longer
+    * data-dependent. Same 100 TB story as q73: candidates come from
+    * an inverted-index equi-join on rare-prefix shingles, never
+    * all-pairs.
     */
   def q165_score_calibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dupIds = Dedup.minhashPairs(
+    val dupIds = Dedup.prefixJaccardPairs(
         load(spark, dir, "documents").select($"doc_id", $"text"))
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
       .distinct()

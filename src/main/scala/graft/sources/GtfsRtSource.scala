@@ -113,13 +113,19 @@ object GtfsRtSource {
 }
 
 private[sources] class GtfsRtTable(kind: String, path: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"gtfsrt.$kind($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GtfsRtScanBuilder(kind, path, schema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GtfsRtWriteBuilder(kind, path, info)
 }
 
 private[sources] class GtfsRtScanBuilder(kind: String, path: String,
@@ -363,7 +369,8 @@ private[sources] case class GtfsRtOffset(lastName: String) extends Offset {
 }
 
 private[sources] object GtfsRtScan {
-  val StampRe = """(\d{8}_\d{4})\.pb$""".r
+  // optional _pNN suffix: multi-partition sink commits stay prunable
+  val StampRe = """(\d{8}_\d{4})(?:_p\d+)?\.pb$""".r
   val StampFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmm")
 }
 

@@ -351,28 +351,56 @@ object DataPrep {
 
   /** q122 — deterministic negative sampling for contrastive training:
     * for each anchor document (a hash-strided 10% of the corpus), k=3
-    * "negatives" drawn from OTHER sources by smallest salted pair
-    * hash — uniform in distribution, yet reproducible across runs,
-    * retries, partitionings and engines (RNG-based sampling is none
-    * of those). The anchor set broadcasts; the per-anchor ranking is
-    * the row_number≤k idiom RankLimitRewrite plans as bounded TopK
-    * heaps, so per-anchor state is k rows against any corpus size.
+    * stratified "negatives" from OTHER sources — hash-reproducible
+    * across runs, retries, partitionings and engines (RNG-based
+    * sampling is none of those). Negative j of an anchor is picked by
+    * RANK INDEXING: a salted hash chooses one of the other sources,
+    * a second hash chooses a 0-based position inside that source's
+    * doc_id ordering, and an equi-join on (source, position) resolves
+    * the document. Total work is O(|docs| + k·|anchors|) — the
+    * previous formulation ranked a salted hash over every
+    * (anchor, other-source doc) PAIR, whose generate-then-discard
+    * compute is O(|docs|·|anchors|): invisible in shuffle volume
+    * (TopK heaps pruned it map-side) but quadratic in corpus size,
+    * exactly the kind of cost a 100× scale-up turns fatal. Stratified
+    * (source-uniform, then uniform within source) is the standard
+    * choice for contrastive negatives — it stops a majority source
+    * from dominating the negative pool.
+    *
+    * The per-source position rank is a source-partitioned window; at
+    * warehouse scale swap in the q134 two-phase range-partition
+    * cumsum (same output, no per-source funnel) — the join and hash
+    * arithmetic are scale-free either way.
     */
   def q122_negative_sampling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = load(spark, dir, "documents").select($"doc_id", $"source")
+    val docs = load(spark, dir, "documents")
+      .select($"doc_id".cast("long").as("doc_id"), $"source")
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val ranked = docs.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")).cast("long") - 1)
     val anchors = docs.filter($"doc_id" % 10 === 0)
       .select($"doc_id".as("anchor_id"), $"source".as("a_src"))
-    val pairKey = hash60(concat(lit("ns:"), $"anchor_id".cast("string"),
-      lit(":"), $"doc_id".cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"anchor_id").orderBy($"hk", $"doc_id")
-    docs.crossJoin(broadcast(anchors))
-      .filter($"source" =!= $"a_src")
-      .withColumn("hk", pairKey)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
-      .select($"anchor_id", $"rank", $"doc_id".as("neg_id"))
+    // per-anchor directory of the OTHER sources (deterministic order
+    // by name): S-1 tiny rows per anchor via a broadcast of the
+    // S-row size table
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy($"anchor_id")
+    val others = anchors.join(broadcast(sizes), $"source" =!= $"a_src")
+      .withColumn("os_idx", row_number().over(
+        wA.orderBy($"source")).cast("long") - 1)
+      .withColumn("n_others", count(lit(1)).over(wA))
+    def salted(tag: String) = hash60(concat(lit(tag), $"anchor_id".cast("string"),
+      lit(":"), $"rank".cast("string")))
+    val picks = others
+      .withColumn("rank", explode(array(lit(1L), lit(2L), lit(3L))))
+      .filter($"os_idx" === pmod(salted("nsrc:"), $"n_others"))
+      .select($"anchor_id", $"rank", $"source".as("o_src"),
+        pmod(salted("nidx:"), $"n_src").as("idx"))
+    val negSide = ranked.select($"source".as("neg_src"), $"r".as("neg_r"),
+      $"doc_id".as("neg_id"))
+    picks.join(negSide, $"o_src" === $"neg_src" && $"idx" === $"neg_r")
+      .select($"anchor_id", $"rank", $"neg_id")
       .orderBy($"anchor_id", $"rank")
   }
 
@@ -777,18 +805,28 @@ object DataPrep {
         |  lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_toks
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q122_negative_sampling" ->
-      """WITH anchors AS (SELECT doc_id AS anchor_id, source AS a_src
+      """WITH sz AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |rk AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r
+        |  FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, source AS a_src
         |  FROM documents WHERE doc_id % 10 = 0),
-        |cand AS (SELECT a.anchor_id, d.doc_id,
-        |    CAST('0x' || substring(md5('ns:' || CAST(a.anchor_id AS VARCHAR)
-        |      || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
-        |  FROM documents d CROSS JOIN anchors a
-        |  WHERE d.source <> a.a_src),
-        |r AS (SELECT anchor_id, doc_id, ROW_NUMBER() OVER
-        |        (PARTITION BY anchor_id ORDER BY hk, doc_id) AS rank
-        |      FROM cand)
-        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, doc_id AS neg_id
-        |FROM r WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+        |o AS (SELECT a.anchor_id, s.source AS o_src, s.n_src,
+        |    ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY s.source) - 1 AS os_idx,
+        |    COUNT(*) OVER (PARTITION BY a.anchor_id) AS n_others
+        |  FROM a JOIN sz s ON s.source <> a.a_src),
+        |jx AS (SELECT o.*, j.rank FROM o
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS rank) j),
+        |p AS (SELECT * FROM jx WHERE os_idx =
+        |    CAST('0x' || substring(md5('nsrc:' || CAST(anchor_id AS VARCHAR)
+        |      || ':' || CAST(rank AS VARCHAR)), 1, 15) AS BIGINT) % n_others),
+        |n AS (SELECT anchor_id, rank, o_src,
+        |    CAST('0x' || substring(md5('nidx:' || CAST(anchor_id AS VARCHAR)
+        |      || ':' || CAST(rank AS VARCHAR)), 1, 15) AS BIGINT) % n_src AS idx
+        |  FROM p)
+        |SELECT n.anchor_id, CAST(n.rank AS BIGINT) AS rank, rk.doc_id AS neg_id
+        |FROM n JOIN rk ON rk.source = n.o_src AND rk.r = n.idx
+        |ORDER BY anchor_id, rank""".stripMargin,
     "q74_importance_sample" ->
       s"""WITH q AS (SELECT doc_id, lang,
         |    ${TextAnalysis.QualityBpSql} AS quality_bp,

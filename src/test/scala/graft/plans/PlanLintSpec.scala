@@ -68,8 +68,9 @@ class PlanLintSpec extends AnyFunSuite {
       "q42_mixture_rates" -> Set("cartesian-product"),
       // la < lb over two ≤|langs| register tables — a bounded grid
       "q120_hll_set_algebra" -> Set("cartesian-product"),
-      // corpus × broadcast anchors with the cross-source exclusion
-      // pushed into the BNLJ condition — the documented bounded form
+      // anchors × the broadcast |sources|-row size table (S tiny by
+      // construction) with the ≠-source exclusion in the BNLJ
+      // condition — the rank-indexed sampler's only non-equi join
       "q122_negative_sampling" -> Set("cartesian-product"),
       "q83_ntile_dist" -> Set("single-partition-window"),
       // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table

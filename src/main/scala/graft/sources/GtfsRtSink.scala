@@ -48,6 +48,8 @@ private[sources] class GtfsRtWrite(kind: String, path: String,
                                    schema: StructType,
                                    options: CaseInsensitiveStringMap)
     extends Write {
+  private def feedTs = Option(options.get("feedTs")).map(_.toLong).getOrElse(0L)
+
   override def toBatch: BatchWrite = {
     val stamp = Option(options.get("stamp")).getOrElse {
       // production default: now in the writer zone (the reference
@@ -58,9 +60,67 @@ private[sources] class GtfsRtWrite(kind: String, path: String,
     }
     require(stamp.matches("""\d{8}_\d{4}"""),
       s"gtfsrt: stamp '$stamp' must be yyyyMMdd_HHmm")
-    val feedTs = Option(options.get("feedTs")).map(_.toLong).getOrElse(0L)
     new GtfsRtBatchWrite(kind, path, schema, stamp, feedTs)
   }
+
+  /** Streaming form: each epoch lands one snapshot set stamped
+    * `stampBase + epochId × stampStepMinutes` (step defaults to 2 —
+    * the reference's poll cadence, gtfs_rt_minutely.py:262), so a
+    * continuous query emits exactly the minute-stamped landing-dir
+    * layout the read side consumes. Epoch retries are idempotent: a
+    * commit that finds its own stamp already landed treats the
+    * previous attempt as the winner and discards its temps (restart
+    * recovery re-runs the last epoch; refusing it would wedge the
+    * query, double-landing would duplicate rows downstream).
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val base = Option(options.get("stampBase"))
+      .orElse(Option(options.get("stamp"))).getOrElse {
+        val zone = options.getOrDefault("fileStampZone", "Europe/Paris")
+        java.time.LocalDateTime.now(java.time.ZoneId.of(zone))
+          .format(GtfsRtScan.StampFmt)
+      }
+    require(base.matches("""\d{8}_\d{4}"""),
+      s"gtfsrt: stampBase '$base' must be yyyyMMdd_HHmm")
+    val step = Option(options.get("stampStepMinutes")).map(_.toLong).getOrElse(2L)
+    new GtfsRtStreamingWrite(kind, path, schema, base, step, feedTs)
+  }
+}
+
+private[sources] class GtfsRtStreamingWrite(kind: String, path: String,
+                                            schema: StructType,
+                                            stampBase: String, stepMinutes: Long,
+                                            feedTs: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stampFor(epochId: Long): String =
+    java.time.LocalDateTime.parse(stampBase, GtfsRtScan.StampFmt)
+      .plusMinutes(epochId * stepMinutes).format(GtfsRtScan.StampFmt)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GtfsRtStreamingWriterFactory(kind, path, schema, feedTs)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stamp = stampFor(epochId)
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val dup = {
+      // epoch retry: the stamp this epoch owns is already landed
+      val it = fs.listFiles(new Path(path), true)
+      var found = false
+      while (it.hasNext && !found) {
+        val st = it.next()
+        found = st.isFile && st.getPath.getName.startsWith(s"${kind}_$stamp") &&
+          st.getPath.getName.endsWith(".pb")
+      }
+      found
+    }
+    if (dup) new GtfsRtBatchWrite(kind, path, schema, stamp, feedTs).abort(messages)
+    else new GtfsRtBatchWrite(kind, path, schema, stamp, feedTs).commit(messages)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    new GtfsRtBatchWrite(kind, path, schema, stampFor(epochId), feedTs).abort(messages)
 }
 
 private[sources] case class GtfsRtCommitMessage(tmpPath: String, rows: Long)
@@ -128,6 +188,14 @@ private[sources] class GtfsRtWriterFactory(kind: String, path: String,
                                            schema: StructType, feedTs: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GtfsRtDataWriter(kind, path, schema, feedTs)
+}
+
+private[sources] case class GtfsRtStreamingWriterFactory(
+    kind: String, path: String, schema: StructType, feedTs: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
     new GtfsRtDataWriter(kind, path, schema, feedTs)
 }
 

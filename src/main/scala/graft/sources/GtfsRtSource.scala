@@ -119,7 +119,7 @@ private[sources] class GtfsRtTable(kind: String, path: String, schema: StructTyp
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GtfsRtScanBuilder(kind, path, schema, options)
   override def newWriteBuilder(

@@ -146,4 +146,56 @@ class GtfsRtSinkSpec extends AnyFunSuite {
     assert(drain() == 2L, "only the new sink-written snapshot appends")
     assert(drain() == 2L, "no-op when the sink landed nothing new")
   }
+
+  test("streaming write: connector-to-connector relay lands stepped-stamp snapshots") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = TestSpark.tempDir("ssink_src")
+    val dst = TestSpark.tempDir("ssink_dst")
+    val ckpt = TestSpark.tempDir("ssink_ckpt")
+    // two source snapshots through the BATCH sink
+    def land(stamp: String, trip: String): Unit = {
+      import spark.implicits._
+      Seq((trip, Some("R1"), "v1", Some(43.5d), Some(7.25d), Some(10L), Some("S1"), 1000000L))
+        .toDF("trip_id", "route_id", "vehicle_id", "latitude",
+          "longitude", "bearing", "stop_id", "timestamp_epoch")
+        .repartition(1).write.format("gtfsrt")
+        .option("kind", "vehicle_positions").option("stamp", stamp)
+        .mode("append").save(src)
+    }
+    // read the landing dir as a stream, WRITE through the streaming
+    // sink into a second landing dir — the connector loop both ways
+    land("20250903_1000", "T1")
+    val q1 = spark.readStream.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(src)
+      .repartition(1)
+      .writeStream.format("gtfsrt")
+      .option("kind", "vehicle_positions")
+      .option("stampBase", "20250910_0800")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q1.awaitTermination()
+    val names1 = new java.io.File(dst).list().toSeq.filter(_.endsWith(".pb")).sorted
+    assert(names1 == Seq("vehicle_positions_20250910_0800.pb"), names1.mkString(","))
+
+    // a second source snapshot → the next epoch lands base + 2 min
+    land("20250903_1002", "T2")
+    val q2 = spark.readStream.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(src)
+      .repartition(1)
+      .writeStream.format("gtfsrt")
+      .option("kind", "vehicle_positions")
+      .option("stampBase", "20250910_0800")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q2.awaitTermination()
+    val names2 = new java.io.File(dst).list().toSeq.filter(_.endsWith(".pb")).sorted
+    assert(names2 == Seq("vehicle_positions_20250910_0800.pb",
+      "vehicle_positions_20250910_0802.pb"), names2.mkString(","))
+
+    // the relayed landing dir reads back to the full source content
+    val out = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(dst)
+      .collect().map(_.getAs[String]("trip_id")).sorted.toSeq
+    assert(out == Seq("T1", "T2"))
+  }
 }

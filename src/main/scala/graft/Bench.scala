@@ -73,7 +73,9 @@ object Bench {
     // already hold: a future wall-time regression is then attributable
     // to plan change (rows/bytes moved) vs machine noise (same rows,
     // more seconds) from the bench artifact alone.
-    case class Run(wall: Double, stats: Option[Observability.QueryStats])
+    case class Run(wall: Double, stats: Option[Observability.QueryStats],
+                   stageInRecs: Long = -1, stageInBytes: Long = -1,
+                   stageShWrite: Long = -1)
     // Two complementary capture paths, merged per query: the final
     // frame's executed plan (driven via toRdd, which bypasses the
     // Dataset-action listener) is read directly with statsOf, while
@@ -83,6 +85,10 @@ object Bench {
     // under-counts: listener-only misses the final drive, plan-only
     // misses the iteration jobs.
     val obs = Observability.attach(spark)
+    // Third capture path: stage-level SparkListener totals see every
+    // job including raw-RDD drives (two-phase range operators), which
+    // both plan walks miss — stats stop being a lower bound.
+    val stages = Observability.attachStages(spark)
     def merge(name: String, wallNs: Long,
               parts: Seq[Observability.QueryStats]): Observability.QueryStats =
       Observability.QueryStats(name, wallNs / 1000000L,
@@ -91,6 +97,7 @@ object Bench {
         parts.map(_.shuffleRows).sum, failed = parts.exists(_.failed))
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       obs.drain(spark) // clear events from warm-up / load / prior rep
+      stages.drainTotals(spark)
       // Time construction + drive together: iterative operators run
       // their Spark jobs while BUILDING the frame, so a drive-only
       // timer would exclude the actual work.
@@ -106,7 +113,10 @@ object Bench {
         catch { case _: Throwable => Seq.empty }
       } else Seq.empty
       val all = internal ++ direct
-      Run(dtNs / 1e9, if (all.isEmpty) None else Some(merge(name, dtNs, all)))
+      val (sInR, sInB, sShW) =
+        try stages.drainTotals(spark) catch { case _: Throwable => (-1L, -1L, -1L) }
+      Run(dtNs / 1e9, if (all.isEmpty) None else Some(merge(name, dtNs, all)),
+        sInR, sInB, sShW)
     }
 
     val results = picked.sortBy(_._1).map { case (name, fn) =>
@@ -118,7 +128,9 @@ object Bench {
       s"""{"wall":${r.wall},"shuffle_recs":${s.map(_.shuffleRows).getOrElse(-1L)},""" +
         s""""scan_bytes":${s.map(_.scanBytes).getOrElse(-1L)},""" +
         s""""scan_rows":${s.map(_.scanRows).getOrElse(-1L)},""" +
-        s""""shuffles":${s.map(_.shuffles).getOrElse(-1)}}"""
+        s""""shuffles":${s.map(_.shuffles).getOrElse(-1)},""" +
+        s""""stage_in_recs":${r.stageInRecs},"stage_in_bytes":${r.stageInBytes},""" +
+        s""""stage_shw_recs":${r.stageShWrite}}"""
     }
     val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.wall }
       .mkString("{", ",", "}")

@@ -92,4 +92,41 @@ object Observability {
 
   def remove(spark: SparkSession, l: StatsListener): Unit =
     spark.listenerManager.unregister(l)
+
+  /** Stage-level actuals via a plain SparkListener: sees EVERY job —
+    * Dataset actions, `toRdd` drives, and raw RDD jobs — closing the
+    * blind spot of the plan-walk paths (RDD-driven work has no
+    * QueryExecution to walk; e.g. the two-phase range-partition
+    * operators read as zero there). Metrics are Spark's own
+    * task-aggregated stage totals; `drainTotals` is the sync point.
+    */
+  final class StageStatsListener extends org.apache.spark.scheduler.SparkListener {
+    private val inRecs = new java.util.concurrent.atomic.AtomicLong
+    private val inBytes = new java.util.concurrent.atomic.AtomicLong
+    private val shWrite = new java.util.concurrent.atomic.AtomicLong
+
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        inRecs.addAndGet(m.inputMetrics.recordsRead)
+        inBytes.addAndGet(m.inputMetrics.bytesRead)
+        shWrite.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+
+    /** (inputRecords, inputBytes, shuffleRecordsWritten) since the
+      * last drain; flushes the bus first, then resets.
+      */
+    def drainTotals(spark: SparkSession): (Long, Long, Long) = {
+      org.apache.spark.sql.graftglue.ColumnGlue.flushListenerBus(spark)
+      (inRecs.getAndSet(0L), inBytes.getAndSet(0L), shWrite.getAndSet(0L))
+    }
+  }
+
+  def attachStages(spark: SparkSession): StageStatsListener = {
+    val l = new StageStatsListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
 }

@@ -50,4 +50,22 @@ class ObservabilitySpec extends AnyFunSuite {
       assert(s.scanFiles >= 1 && s.shuffles == 0)
     } finally Observability.remove(spark, l)
   }
+
+  test("stage-level listener sees raw-RDD jobs the plan walks cannot") {
+    import spark.implicits._
+    val l = Observability.attachStages(spark)
+    try {
+      l.drainTotals(spark) // reset
+      // a pure RDD job: no Dataset action fires, no QueryExecution to
+      // walk — only the stage listener can account for it
+      val n = spark.sparkContext.parallelize(1 to 1000, 4)
+        .map(x => (x % 7, 1L)).reduceByKey(_ + _).count()
+      assert(n == 7)
+      val (_, _, shw) = l.drainTotals(spark)
+      assert(shw > 0, "reduceByKey's shuffle write must be visible in stage totals")
+      // and the totals reset on drain
+      val (r2, b2, w2) = l.drainTotals(spark)
+      assert(r2 == 0 && b2 == 0 && w2 == 0)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

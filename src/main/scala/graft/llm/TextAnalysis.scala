@@ -202,6 +202,51 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  /** q193 — corpus-trained bigram-LM surprisal: the perplexity-style
+    * quality filter (the canonical corpus-curation step the heuristic
+    * q21 score approximates). The corpus is its own LM: unigram and
+    * bigram counts are two aggregates; a document's surprisal is
+    * Σ over its bigrams of −log₂ P(w2|w1) = Σ log₂(c1(w1)/c2(w1,w2)),
+    * computed in EXACT integer arithmetic — ⌊log₂(c1/c2)⌋ =
+    * length(bin(c1 DIV c2)) − 1, no floating log whose last-ULP
+    * differences between engines would wobble the hash (c1 ≥ c2 by
+    * construction: a bigram occurrence IS an occurrence of its left
+    * token). Output: the 30 most surprising documents (highest
+    * bits-per-bigram) — the drop candidates.
+    *
+    * Scale: this is the map-reduce LM pipeline — bigram fan-out is
+    * one explode (linear in tokens), both count tables are
+    * vocabulary-bounded, scoring is two equi-joins on (w1,w2)/(w1)
+    * with map-side partial aggregation on the doc_id rollup; AQE
+    * skew-split handles head-word join skew. Nothing is quadratic
+    * and nothing driver-side.
+    */
+  def q193_lm_surprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    // bigram stream, reused by the count build AND the scoring join —
+    // tracked-persist so tokenization runs once (see q73's sketches)
+    val bigrams = graft.Caches.tracked(docs
+      .select($"doc_id", wsTokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2"))
+    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select($"doc_id", (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .withColumn("bpb_milli",
+        round(lit(1000.0) * $"total_bits" / $"n_bigrams").cast("long"))
+      .orderBy($"bpb_milli".desc, $"doc_id")
+      .limit(30)
+  }
+
   /** (lang, predicted, n) confusion counts — q22's core, reused by
     * the q164 metric derivation.
     */
@@ -755,6 +800,7 @@ object TextAnalysis {
     "q22_lang_id" -> q22_lang_id,
     "q164_classifier_metrics" -> q164_classifier_metrics,
     "q165_score_calibration" -> q165_score_calibration,
+    "q193_lm_surprisal" -> q193_lm_surprisal,
     "q171_bm25_lite" -> q171_bm25_lite,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
@@ -762,6 +808,24 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q193_lm_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |sc AS (SELECT bg.doc_id, length(bin(c1.c1 // c2.c2)) - 1 AS bits
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(bits) AS BIGINT) AS total_bits FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, total_bits,
+        |  CAST(ROUND(1000.0 * total_bits / n_bigrams) AS BIGINT) AS bpb_milli
+        |FROM d ORDER BY bpb_milli DESC, doc_id LIMIT 30""".stripMargin,
     "q116_source_overlap" ->
       """WITH st AS (SELECT DISTINCT source, tok FROM (
         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

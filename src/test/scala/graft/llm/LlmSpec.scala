@@ -304,4 +304,38 @@ class LlmSpec extends AnyFunSuite {
     val out = TextAnalysis.q63_normalize(spark, dir)
     assert(out.filter($"fp".isNull).count() == 0)
   }
+
+  test("LM surprisal: planted gibberish outranks natural docs; repeated text scores near zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    // surprisal is log2(c1(w1)/c2(w1,w2)): maximal only for a COMMON
+    // left token taking a never-seen continuation, so the plant is
+    // the single bigram (most-frequent corpus word, fresh nonsense) —
+    // its bits-per-bigram is floor(log2 c1max), the achievable
+    // ceiling, which no natural doc can EXCEED (every bigram's bits
+    // are ≤ log2 of its own left count ≤ log2 c1max). All-hapax
+    // gibberish would score 0 (c1 = c2 = 1).
+    val topWord = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count().orderBy($"count".desc, $"w").head().getString(0)
+    val gibberish = s"$topWord zqxv1"
+    // degenerate repetition: one bigram repeated — its c2 is huge,
+    // surprisal per bigram collapses toward log2(c1/c2) ≈ 0
+    val repeated = Seq.fill(60)("lorem ipsum").mkString(" ")
+    val tmp = TestSpark.tempDir("lm_spr")
+    docs.unionByName(Seq((900001L, gibberish), (900002L, repeated))
+        .toDF("doc_id", "text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = TextAnalysis.q193_lm_surprisal(spark, tmp).collect()
+    val plantBpb = top.find(_.getLong(0) == 900001L)
+      .map(_.getLong(3)).getOrElse(-1L)
+    assert(plantBpb == top.head.getLong(3),
+      s"the planted common-word→novel-continuation doc must hit the max surprisal, " +
+        s"got plant=$plantBpb vs top=${top.head}")
+    assert(!top.map(_.getLong(0)).contains(900002L),
+      "a doc of one repeated bigram must not rank among the most surprising")
+  }
 }

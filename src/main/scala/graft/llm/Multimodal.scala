@@ -30,6 +30,12 @@ case class MediaFeatures(
   * decodes opaque protobuf snapshots the same way,
   * dags/gtfs_rt_minutely.py:88-133).
   *
+  * The AUDIO path is real the same way: deterministic 8-bit PCM mono
+  * clips round-trip through the JDK's `javax.sound.sampled` RIFF/WAVE
+  * writer and reader, features (frame count, parsed sample rate,
+  * duration, energy, per-byte fingerprint) come from the DECODED
+  * stream, and the oracle rebuilds the PCM bytes arithmetically.
+  *
   * Only the VIDEO path keeps a stand-in ([[sampleFrames]] slices a raw
   * byte stream as fixed-size frames — a real build links ffmpeg there);
   * its Spark-side shape (streamed one-asset→N-frames fan-out) is what
@@ -241,6 +247,136 @@ object Multimodal {
       })
   }
 
+  // ---------------------------------------------------------------
+  // Audio codec (real: javax.sound.sampled WAV/PCM)
+  // ---------------------------------------------------------------
+
+  /** Sample count / sample rate for the synthetic clip of `id` — small
+    * on purpose (≤ 69 samples) so the SQL oracle's per-byte
+    * reconstruction stays tractable, and three distinct rates so the
+    * decoder's format parsing is actually exercised per clip.
+    */
+  private[llm] def samplesOf(id: Long): Int = (id % 50 + 20).toInt
+  private[llm] def rateOf(id: Long): Int = (8000 + (id % 3) * 4000).toInt
+
+  /** Deterministic synthetic WAV for id: a REAL RIFF/WAVE container
+    * (RIFF header, fmt chunk, PCM data chunk) written by the JDK's
+    * `AudioSystem` WAVE writer — 8-bit unsigned PCM mono, sample i =
+    * `channel(id, i)` (the same arithmetic the image raster uses, so
+    * an SQL engine can rebuild the decoded stream without a codec).
+    */
+  private[llm] def syntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = samplesOf(id)
+    val data = Array.tabulate[Byte](n)(i => channel(id, i).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      rateOf(id).toFloat, 8, 1, 1, rateOf(id).toFloat, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A decoded audio clip in canonical form: the PCM sample bytes plus
+    * the format fields the DECODER parsed out of the fmt chunk.
+    */
+  private[llm] case class DecodedAudio(sampleRate: Int, samples: Array[Byte])
+
+  /** REAL decode via `AudioSystem.getAudioInputStream`: parses the
+    * RIFF chunk structure and fmt header, then streams the PCM frames.
+    * Only the layout this pipeline produces (8-bit mono PCM) is
+    * accepted — anything else is an honest codec-boundary error, not
+    * silently misinterpreted bytes.
+    */
+  private[llm] def decodeAudio(content: Array[Byte]): DecodedAudio = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
+      throw new java.io.IOException(
+        s"unsupported PCM layout: ${fmt.getSampleSizeInBits}-bit ${fmt.getChannels}ch")
+    DecodedAudio(math.round(fmt.getSampleRate), ais.readAllBytes())
+  }
+
+  /** One decoded-clip record: format fields and content features all
+    * derived from the DECODED stream (sample count from the frames
+    * actually read, rate from the parsed fmt chunk), never from the
+    * metadata struct.
+    */
+  case class AudioFeatures(
+      clip_id: Long, n_samples: Long, sample_rate: Long,
+      duration_us: Long, energy: Long, fingerprint: Long)
+
+  /** Synthesize the audio table from `documents`: one real WAV per
+    * doc_id. Same 100 TB story as [[imageTable]]: the binary column
+    * would come from `binaryFile`/parquet in production; the encode
+    * runs inside mapPartitions on executors.
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id), rateOf(id).toLong, samplesOf(id).toLong)))
+      .toDF("clip_id", "content", "rate", "n")
+      .select($"clip_id", $"content",
+        struct($"rate".as("sample_rate"), $"n".as("n_samples"),
+          lit("audio/wav").as("format")).as("meta"))
+  }
+
+  /** Batched per-partition audio featurizer — the audio twin of
+    * [[extractFeatures]]: one MessageDigest per partition, every
+    * feature a function of the decoded PCM stream. `energy` is the
+    * integer mean-deviation proxy Σ|s − 128| (8-bit PCM is unsigned
+    * around a 128 midline); `duration_us` is exact integer microseconds
+    * from decoded frame count and parsed rate.
+    */
+  def extractAudioFeatures(audio: DataFrame): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select($"clip_id".cast("long"), $"content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, content) =>
+          val d = decodeAudio(content)
+          var energy = 0L
+          var i = 0
+          while (i < d.samples.length) {
+            energy += math.abs((d.samples(i) & 0xff) - 128); i += 1
+          }
+          AudioFeatures(
+            clip_id = id,
+            n_samples = d.samples.length.toLong,
+            sample_rate = d.sampleRate.toLong,
+            duration_us = 1000000L * d.samples.length / d.sampleRate,
+            energy = energy,
+            fingerprint = fingerprintOf(md, d.samples))
+        }
+      }
+  }
+
+  /** q194 — audio feature extraction over real WAV decodes, aggregated
+    * per parsed sample rate: exercises the RIFF/PCM codec round-trip,
+    * the batched mapPartitions decode pipeline, and a bounded
+    * relational agg. The DuckDB oracle rebuilds the decoded PCM bytes
+    * arithmetically (sample i of clip id = (id*31 + i) mod 256) — a
+    * decoder returning wrong samples, rate, or frame count
+    * hash-mismatches.
+    */
+  def q194_audio_features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractAudioFeatures(audioTable(spark, dir)).toDF()
+      .groupBy($"sample_rate")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum($"n_samples").as("sum_samples"),
+        sum($"duration_us").as("sum_duration_us"),
+        sum($"energy").as("sum_energy"),
+        min($"fingerprint").as("min_fp"),
+        max($"fingerprint").as("max_fp"))
+      .orderBy($"sample_rate")
+  }
+
   /** VIDEO-codec stand-in — the one remaining stub: a real build links
     * ffmpeg (or similar) here to demux+decode true video containers;
     * this slices the raw byte stream as fixed-size frames instead.
@@ -303,7 +439,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_multimodal_features" -> q28_multimodal_features,
-    "q161_frame_sample" -> q161_frame_sample)
+    "q161_frame_sample" -> q161_frame_sample,
+    "q194_audio_features" -> q194_audio_features)
 
   /** Both oracles rebuild the DECODED pixel bytes arithmetically
     * (raster value = (doc_id*31 + i) mod 256 — what ImageIO must
@@ -333,6 +470,24 @@ object Multimodal {
          |  MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp,
          |  CAST(ROUND(AVG(aspect_bp)) AS BIGINT) AS avg_aspect_bp
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q194_audio_features" ->
+      """WITH dims AS (SELECT doc_id, doc_id % 50 + 20 AS n,
+        |    8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+        |px AS (SELECT doc_id, n, rate,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        |  FROM dims),
+        |clip AS (SELECT doc_id, n, rate,
+        |    lower(string_agg(lpad(to_hex((doc_id*31 + i) % 256), 2, '0'), '' ORDER BY i)) AS hex,
+        |    SUM(ABS((doc_id*31 + i) % 256 - 128)) AS energy
+        |  FROM px GROUP BY doc_id, n, rate)
+        |SELECT CAST(rate AS BIGINT) AS sample_rate,
+        |  COUNT(*) AS n_clips,
+        |  CAST(SUM(n) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(1000000 * n // rate) AS BIGINT) AS sum_duration_us,
+        |  CAST(SUM(energy) AS BIGINT) AS sum_energy,
+        |  MIN(CAST('0x' || substring(md5(hex), 1, 15) AS BIGINT)) AS min_fp,
+        |  MAX(CAST('0x' || substring(md5(hex), 1, 15) AS BIGINT)) AS max_fp
+        |FROM clip GROUP BY 1 ORDER BY 1""".stripMargin,
     "q161_frame_sample" ->
       s"""WITH $pixelCte,
          |fr AS (SELECT doc_id AS img_id, hex,

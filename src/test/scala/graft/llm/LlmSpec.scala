@@ -186,6 +186,45 @@ class LlmSpec extends AnyFunSuite {
     assert(f.aspect_bp == 10000L) // 11×11 is square
   }
 
+  test("audio decode round-trip: AudioSystem gets exact PCM samples + rate back for many ids") {
+    // The honesty check for the real audio codec: encode the arithmetic
+    // sample stream as a true RIFF/WAVE file, decode with AudioSystem,
+    // and require every PCM byte plus the parsed sample rate to match
+    // the formula — wrong chunk parsing, sign convention, or frame
+    // count fails here.
+    for (id <- Seq(0L, 1L, 2L, 7L, 42L, 255L, 9999L, 123456L)) {
+      val d = Multimodal.decodeAudio(Multimodal.syntheticWav(id))
+      assert(d.sampleRate == Multimodal.rateOf(id), s"id=$id rate from the fmt chunk")
+      val expected = Array.tabulate(Multimodal.samplesOf(id))(i => Multimodal.channel(id, i).toByte)
+      assert(java.util.Arrays.equals(d.samples, expected),
+        s"id=$id decoded PCM must equal the encoded samples byte-for-byte")
+    }
+    // a WAV really was produced (RIFF/WAVE magic), not a tagged fake
+    val wav = Multimodal.syntheticWav(7L)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+  }
+
+  test("audio features: decoded frame count, rate, duration, energy on a known clip") {
+    import spark.implicits._
+    val id = 7L // n = 27 samples, rate = 12000 Hz
+    val n = Multimodal.samplesOf(id)
+    val audio = Seq((id, Multimodal.syntheticWav(id))).toDF("clip_id", "content")
+    val f = Multimodal.extractAudioFeatures(audio).collect().head
+    assert(f.clip_id == id)
+    assert(f.n_samples == n.toLong, "n_samples counts DECODED frames, not WAV bytes")
+    assert(f.sample_rate == Multimodal.rateOf(id).toLong)
+    assert(f.duration_us == 1000000L * n / Multimodal.rateOf(id))
+    // energy and fingerprint recomputed from the FORMULA, independent
+    // of the decoder
+    val samples = Array.tabulate(n)(i => Multimodal.channel(id, i))
+    assert(f.energy == samples.map(v => math.abs(v - 128).toLong).sum)
+    val hex = samples.map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(f.fingerprint == java.lang.Long.parseLong(exp.substring(0, 15), 16))
+  }
+
   test("IVF ANN recall@10 beats its probe fraction against the exact answer") {
     val exact = Similarity.q26_ann_topk(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap

@@ -387,12 +387,87 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  final val SemDedupThresholdMicro = 950000L // cosine ≥ 0.95
+
+  /** q195 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then look for
+    * near-duplicate pairs ONLY within a cluster — the design that
+    * makes semantic dedup tractable at corpus scale, because the
+    * all-pairs work is confined to cluster-sized blocks while
+    * cross-cluster pairs (which can't be semantic dups) are never
+    * generated. Clustering here is the seeded quantizer q49 already
+    * oracle-verifies; production swaps in trained KMeans exactly as
+    * q34 does, with k scaled ∝ corpus so cluster size stays bounded —
+    * candidate generation remains one equi-join on the centroid id.
+    *
+    * Drop rule (deterministic, recursion-free): a member is dropped
+    * iff SOME lower-id member of its cluster is within cosine ≥ 0.95
+    * — "keep the first, drop later copies", the same first-wins
+    * convention as q18/q20.
+    *
+    * Output is the per-cluster audit (members, candidate pairs, max
+    * similarity, drops): the hash verifies the full assignment + pair
+    * arithmetic even on a corpus with nothing to drop (this synthetic
+    * embedding space tops out near cos 0.53, exactly like q30's
+    * empty-at-0.99 contract), and the planted-duplicate spec proves
+    * the drop rule fires.
+    */
+  def q195_semantic_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+
+    // Seeded quantizer assignment — q49's corpus-side argmin, reused
+    // verbatim (unrolled codegen'd dots; micro-rounded distances with
+    // centroid-id tie-breaks keep the partition engine-independent).
+    val seeds = emb.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"v")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val vv = dot($"v", $"v")
+    val assigned = emb
+      .withColumn("centroid", array_min(array(seeds.map { case (cid, c) =>
+          struct(round((vv - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))
+            + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
+            lit(cid).as("cid"))
+        }.toSeq: _*)).getField("cid"))
+      .select($"vec_id", $"v", $"nrm", $"centroid")
+
+    val members = assigned.groupBy($"centroid")
+      .agg(count(lit(1)).as("n_members"))
+
+    // Within-cluster pairs only: the self-join key IS the centroid —
+    // the shuffle carries each member once per side, never a global
+    // cartesian. a < b orients each pair once.
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        $"a.centroid" === $"b.centroid" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.centroid".as("centroid"), $"a.vec_id".as("keep_id"),
+        $"b.vec_id".as("drop_id"),
+        round(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm") * 1e6).cast("long")
+          .as("sim_micro"))
+
+    val audit = pairs.groupBy($"centroid")
+      .agg(count(lit(1)).as("n_pairs"),
+        max($"sim_micro").as("max_sim_micro"),
+        countDistinct(when($"sim_micro" >= SemDedupThresholdMicro, $"drop_id"))
+          .as("n_dropped"))
+
+    members.join(audit, Seq("centroid"), "left")
+      .select($"centroid".cast("long").as("centroid"), $"n_members",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"max_sim_micro", lit(-1000000L)).as("max_sim_micro"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+      .orderBy($"centroid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> q26_ann_topk,
     "q27_ann_lsh" -> q27_ann_lsh,
     "q30_embedding_neardup" -> q30_embedding_neardup,
     "q34_ann_ivf" -> q34_ann_ivf,
-    "q49_ivf_seeded" -> q49_ivf_seeded)
+    "q49_ivf_seeded" -> q49_ivf_seeded,
+    "q195_semantic_dedup" -> q195_semantic_dedup)
 
   val oracle: Map[String, String] = Map(
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
@@ -419,6 +494,30 @@ object Similarity {
         |  FROM cand)
         |SELECT q_id, rank, neighbor_id, sim_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q195_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |m AS (SELECT centroid, COUNT(*) AS n_members FROM asg GROUP BY 1),
+        |p AS (SELECT a.centroid, b.vec_id AS drop_id,
+        |    CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS sim_micro
+        |  FROM asg a JOIN asg b ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+        |au AS (SELECT centroid, COUNT(*) AS n_pairs, MAX(sim_micro) AS max_sim_micro,
+        |    COUNT(DISTINCT CASE WHEN sim_micro >= $SemDedupThresholdMicro
+        |                        THEN drop_id END) AS n_dropped
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(m.centroid AS BIGINT) AS centroid, m.n_members,
+        |  COALESCE(au.n_pairs, 0) AS n_pairs,
+        |  COALESCE(au.max_sim_micro, -1000000) AS max_sim_micro,
+        |  COALESCE(au.n_dropped, 0) AS n_dropped
+        |FROM m LEFT JOIN au ON m.centroid = au.centroid
+        |ORDER BY centroid""".stripMargin,
     "q27_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (

@@ -259,6 +259,33 @@ class LlmSpec extends AnyFunSuite {
       s"planted duplicates must surface, got $found")
   }
 
+  test("semantic dedup: clean corpus drops nothing; planted cluster-dups are dropped") {
+    import spark.implicits._
+    // clean corpus: the audit covers all 16 clusters, and nothing
+    // clears the 0.95 semantic threshold (this space tops out ~0.53)
+    val clean = Similarity.q195_semantic_dedup(spark, dir).collect()
+    assert(clean.length == Similarity.IvfCentroids)
+    assert(clean.map(_.getLong(1)).sum > 0)
+    assert(clean.forall(_.getLong(4) == 0L), "clean corpus must drop nothing")
+    assert(clean.forall(_.getLong(3) < Similarity.SemDedupThresholdMicro))
+
+    // plant 3 exact duplicates: identical vectors land in the same
+    // cluster by construction, cos = 1.0 >= 0.95, and the higher-id
+    // copy is the drop (first-wins)
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map(i => i.toLong -> Array.fill(64)(rnd.nextFloat() - 0.5f))
+    val planted = base ++ Seq(100L -> base(3)._2, 101L -> base(17)._2, 102L -> base(29)._2)
+    val tmp = TestSpark.tempDir("semdedup")
+    planted.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val audit = Similarity.q195_semantic_dedup(spark, tmp).collect()
+    assert(audit.map(_.getLong(4)).sum == 3L,
+      s"exactly the 3 planted copies must be dropped, got ${audit.map(_.getLong(4)).sum}")
+    assert(audit.map(_.getLong(3)).max == 1000000L,
+      "an exact duplicate pair must surface as cos 1.0")
+  }
+
   test("real image resize: nearest-neighbor pixels, re-encoded PNG, exact values") {
     import spark.implicits._
     val id = 5L

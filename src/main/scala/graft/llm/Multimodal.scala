@@ -289,12 +289,17 @@ object Multimodal {
     * silently misinterpreted bytes.
     */
   private[llm] def decodeAudio(content: Array[Byte]): DecodedAudio = {
-    import javax.sound.sampled.AudioSystem
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
     val fmt = ais.getFormat
-    if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
+    // Encoding is part of the guard: an 8-bit mono ALAW/ULAW (or
+    // signed PCM) WAV has the same size/channel shape but different
+    // byte semantics — it must fail here, not decode to garbage.
+    if (fmt.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED ||
+        fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
       throw new java.io.IOException(
-        s"unsupported PCM layout: ${fmt.getSampleSizeInBits}-bit ${fmt.getChannels}ch")
+        s"unsupported PCM layout: ${fmt.getEncoding} " +
+          s"${fmt.getSampleSizeInBits}-bit ${fmt.getChannels}ch")
     DecodedAudio(math.round(fmt.getSampleRate), ais.readAllBytes())
   }
 

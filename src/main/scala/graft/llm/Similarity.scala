@@ -323,6 +323,41 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The shared seeded-quantizer stage (q49 + q195): collect the
+    * IvfCentroids seed vectors (a bounded tiny driver table — the
+    * quantizer, same shape as shipping KMeans centers), then assign
+    * every corpus row to its nearest seed. Both queries' oracles
+    * replay the SAME assignment CTE, so the two call sites must stay
+    * bit-identical — hence one helper, not two copies. The argmin is
+    * UNROLLED to one top-level codegen'd VectorDot per centroid: a
+    * `transform(centArr, …)` lambda evaluates interpreted per element
+    * (HigherOrderFunction is CodegenFallback — the measured 170x
+    * pitfall). Micro-rounded distances with centroid-id tie-breaks
+    * keep the partition engine-independent.
+    *
+    * Input must carry (vec_id, v, nrm); returns the collected seeds
+    * and the corpus frame with a `centroid` column appended.
+    */
+  private def seededAssignment(emb: DataFrame): (Array[(Int, Array[Double])], DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seeds = emb.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"v")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // cc precomputed as the same left-to-right Σx² the dot fold uses,
+    // so values match the oracle's list_inner_product bit-for-bit.
+    val vv = dot($"v", $"v")
+    val assigned = emb
+      .withColumn("centroid", array_min(array(seeds.map { case (cid, c) =>
+          struct(round((vv - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))
+            + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
+            lit(cid).as("cid"))
+        }.toSeq: _*)).getField("cid"))
+      .select($"vec_id", $"v", $"nrm", $"centroid")
+    (seeds, assigned)
+  }
+
   /** IVF with deterministic seed centroids (the first IvfCentroids
     * vectors act as the coarse quantizer) — q34's exact plumbing
     * (argmin assignment → multi-probe → exact rerank) minus the
@@ -339,33 +374,13 @@ object Similarity {
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
 
-    // 16 seed vectors to the driver — a bounded tiny collect (the
-    // quantizer table), same shape as shipping KMeans centers.
-    val seeds = emb.filter($"vec_id" < IvfCentroids)
-      .select($"vec_id".cast("int").as("cid"), $"v")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val (seeds, assigned) = seededAssignment(emb)
     val centArr = array(seeds.map { case (cid, c) =>
       struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
     }.toSeq: _*)
 
     def dist2Micro(v: Column, cv: Column): Column =
       round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
-
-    // Corpus-side assignment UNROLLED to one top-level codegen'd
-    // VectorDot per centroid: a `transform(centArr, …)` lambda
-    // evaluates interpreted per element (HigherOrderFunction is
-    // CodegenFallback — the measured 170x pitfall), which made this
-    // the hottest loop in the whole bench. Same values bit-for-bit:
-    // cc precomputed as the same left-to-right Σx² the dot fold uses.
-    val vv = dot($"v", $"v")
-    val assigned = emb
-      .withColumn("centroid", array_min(array(seeds.map { case (cid, c) =>
-          struct(round((vv - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))
-            + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
-            lit(cid).as("cid"))
-        }.toSeq: _*)).getField("cid"))
-      .select($"vec_id", $"v", $"nrm", $"centroid")
 
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), explode(centArr).as("c"))
@@ -418,21 +433,9 @@ object Similarity {
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
 
-    // Seeded quantizer assignment — q49's corpus-side argmin, reused
-    // verbatim (unrolled codegen'd dots; micro-rounded distances with
-    // centroid-id tie-breaks keep the partition engine-independent).
-    val seeds = emb.filter($"vec_id" < IvfCentroids)
-      .select($"vec_id".cast("int").as("cid"), $"v")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val vv = dot($"v", $"v")
-    val assigned = emb
-      .withColumn("centroid", array_min(array(seeds.map { case (cid, c) =>
-          struct(round((vv - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))
-            + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
-            lit(cid).as("cid"))
-        }.toSeq: _*)).getField("cid"))
-      .select($"vec_id", $"v", $"nrm", $"centroid")
+    // Seeded quantizer assignment — the SAME helper q49 uses, so the
+    // two queries can never drift from the shared oracle CTE.
+    val (_, assigned) = seededAssignment(emb)
 
     val members = assigned.groupBy($"centroid")
       .agg(count(lit(1)).as("n_members"))
@@ -442,8 +445,7 @@ object Similarity {
     // cartesian. a < b orients each pair once.
     val pairs = assigned.as("a").join(assigned.as("b"),
         $"a.centroid" === $"b.centroid" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.centroid".as("centroid"), $"a.vec_id".as("keep_id"),
-        $"b.vec_id".as("drop_id"),
+      .select($"a.centroid".as("centroid"), $"b.vec_id".as("drop_id"),
         round(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm") * 1e6).cast("long")
           .as("sim_micro"))
 

@@ -205,6 +205,22 @@ class LlmSpec extends AnyFunSuite {
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 
+  test("audio decode rejects non-PCM_UNSIGNED encodings at the codec boundary") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // 8-bit mono ULAW has the same size/channel shape as our PCM
+    // clips but entirely different byte semantics — the guard must
+    // raise, not silently misread the companded bytes as linear PCM.
+    val data = Array.tabulate[Byte](32)(i => i.toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(data), fmt, data.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val ex = intercept[java.io.IOException](Multimodal.decodeAudio(bos.toByteArray))
+    assert(ex.getMessage.contains("unsupported PCM layout"))
+  }
+
   test("audio features: decoded frame count, rate, duration, energy on a known clip") {
     import spark.implicits._
     val id = 7L // n = 27 samples, rate = 12000 Hz
@@ -264,8 +280,13 @@ class LlmSpec extends AnyFunSuite {
     // clean corpus: the audit covers all 16 clusters, and nothing
     // clears the 0.95 semantic threshold (this space tops out ~0.53)
     val clean = Similarity.q195_semantic_dedup(spark, dir).collect()
-    assert(clean.length == Similarity.IvfCentroids)
-    assert(clean.map(_.getLong(1)).sum > 0)
+    // one audit row per NONEMPTY cluster (≤ IvfCentroids — whether all
+    // 16 fill is a property of the SF, not of q195) and every corpus
+    // member accounted for exactly once across them
+    assert(clean.length <= Similarity.IvfCentroids && clean.nonEmpty)
+    val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(clean.map(_.getLong(1)).sum == corpusN,
+      "cluster member counts must partition the corpus")
     assert(clean.forall(_.getLong(4) == 0L), "clean corpus must drop nothing")
     assert(clean.forall(_.getLong(3) < Similarity.SemDedupThresholdMicro))
 

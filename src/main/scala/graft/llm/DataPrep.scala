@@ -20,8 +20,10 @@ import graft.Tables.load
   *    (|sources| rows) and broadcast back — the corpus never shuffles;
   *  - contamination joins on n-gram hashes (equi-join), never
   *    doc × doc;
-  *  - shard packing computes prefix sums inside (lang) partitions —
-  *    no global ordering, so the window parallelizes across groups.
+  *  - grouped running folds (shard packing's per-lang prefix sum,
+  *    negative sampling's per-source rank) run the two-phase
+  *    range-partition scan ([[groupedPrefixSum]]) — low-cardinality
+  *    group keys never become per-group window funnels.
   */
 object DataPrep {
 
@@ -249,22 +251,77 @@ object DataPrep {
 
   final val ShardTokenBudget = 2000L
 
+  /** Two-phase per-GROUP exclusive prefix sum — the q76/q134
+    * distributed-total-order pattern generalized to grouped running
+    * folds, for the case where the group key is LOW-cardinality
+    * (lang, source): a `Window.partitionBy(group)` would serialize
+    * each group's full row set through one task — survivable at
+    * sf0.1, a funnel at 100 TB, and exactly what PlanLint's
+    * `low-cardinality-partition-window` rule flags. Instead:
+    * range-repartition on (group, id) — each group SPANS partitions,
+    * so parallelism is data-sized, not group-sized — sort within
+    * partitions, ship one (group → weight subtotal) map per partition
+    * to the driver (O(partitions × groups-per-partition) longs, never
+    * rows; a partition holds a contiguous (group, id) range so it
+    * touches few groups), prefix-fold those into per-partition seed
+    * offsets, and run an independent seeded scan per partition.
+    * Deterministic for any sampled range boundaries because
+    * (group, id) is a unique total order.
+    *
+    * The single `.rdd` instance is load-bearing (q134): both jobs
+    * must see the SAME RangePartitioner sample, or the offsets would
+    * not line up with the partitions.
+    *
+    * Returns (group, id, weight, cum0) with cum0 = Σ weight over
+    * rows of the same group strictly before id.
+    */
+  private[llm] def groupedPrefixSum(rows: DataFrame, group: String, id: String,
+                                    weight: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val sorted = rows
+      .select(col(group).cast("string"), col(id).cast("long"), col(weight).cast("long"))
+      .as[(String, Long, Long)]
+      .repartitionByRange(32, col(group), col(id))
+      .sortWithinPartitions(col(group), col(id))
+    val rdd = sorted.rdd
+    val perPart: Array[Map[String, Long]] = rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (g, _, w) => m.update(g, m.getOrElse(g, 0L) + w) }
+      Iterator(m.toMap)
+    }.collect()
+    val offsets: Array[Map[String, Long]] = perPart
+      .scanLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (g, w)) => a.updated(g, a.getOrElse(g, 0L) + w) }
+      }
+      .dropRight(1)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      val cum = scala.collection.mutable.HashMap.empty[String, Long]
+      offsets(i).foreach { case (g, w) => cum(g) = w }
+      it.map { case (g, rowId, w) =>
+        val before = cum.getOrElse(g, 0L)
+        cum(g) = before + w
+        (g, rowId, w, before)
+      }
+    }.toDF(group, id, weight, "cum0")
+  }
+
   /** Core of q45, factored for specs: assign docs to token-budget
-    * shards by exclusive prefix sum inside each lang partition —
-    * shard = floor(tokens_before_this_doc / budget). The window
-    * partitions on lang (and at real scale on (lang, day) or finer),
-    * so no global sort and no single-partition window exists in the
-    * plan. Deterministic: doc order is doc_id.
+    * shards by exclusive prefix sum of tokens in (lang, doc_id) order —
+    * shard = floor(tokens_before_this_doc / budget). The prefix sum is
+    * the [[groupedPrefixSum]] two-phase range-partition scan, NOT a
+    * lang-partitioned window: langs are few, so a per-lang window
+    * funnels each language's whole corpus through one task at scale.
+    * Deterministic: doc order is doc_id.
     */
   def shardAssignments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select($"doc_id", $"lang", wsToks($"text").cast("long").as("toks"))
-      .withColumn("cum0", coalesce(sum($"toks").over(w), lit(0L)))
-      .withColumn("shard", floor($"cum0" / ShardTokenBudget).cast("long"))
+    groupedPrefixSum(
+        docs.select($"doc_id", $"lang", wsToks($"text").cast("long").as("toks")),
+        group = "lang", id = "doc_id", weight = "toks")
+      .select($"doc_id", $"lang", $"toks", $"cum0",
+        floor($"cum0" / ShardTokenBudget).cast("long").as("shard"))
   }
 
   def q45_shard_pack(spark: SparkSession, dir: String): DataFrame = {
@@ -367,19 +424,20 @@ object DataPrep {
     * choice for contrastive negatives — it stops a majority source
     * from dominating the negative pool.
     *
-    * The per-source position rank is a source-partitioned window; at
-    * warehouse scale swap in the q134 two-phase range-partition
-    * cumsum (same output, no per-source funnel) — the join and hash
-    * arithmetic are scale-free either way.
+    * The per-source position rank is the [[groupedPrefixSum]]
+    * two-phase range-partition scan with unit weights (cum0 of a
+    * 1-weight IS the 0-based rank) — not a source-partitioned window,
+    * which would funnel each source's full document set through one
+    * task at scale. The join and hash arithmetic are scale-free.
     */
   def q122_negative_sampling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
       .select($"doc_id".cast("long").as("doc_id"), $"source")
     val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
-    val ranked = docs.withColumn("r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")).cast("long") - 1)
+    val ranked = groupedPrefixSum(docs.withColumn("one", lit(1L)),
+        group = "source", id = "doc_id", weight = "one")
+      .select($"source", $"doc_id", $"cum0".as("r"))
     val anchors = docs.filter($"doc_id" % 10 === 0)
       .select($"doc_id".as("anchor_id"), $"source".as("a_src"))
     // per-anchor directory of the OTHER sources (deterministic order

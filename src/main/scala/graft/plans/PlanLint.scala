@@ -1,7 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, struct}
+import org.apache.spark.sql.graftglue.ColumnGlue
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -81,5 +84,47 @@ object PlanLint {
             s"${df.schema.size}-col result")
     }
     cartesian ++ globalWindow ++ wideScan
+  }
+
+  /** Data-aware rule: `low-cardinality-partition-window` — a window
+    * partitioned by a key with too few distinct values to spread the
+    * data (lang, source, …). Unlike the single-partition funnel this
+    * is invisible in the plan shape — `Window.partitionBy($"lang")`
+    * hash-partitions like any other window and runs fine at sf0.1 —
+    * but each group serializes its FULL row set through one task, so
+    * at 100× the group, not the cluster, is the unit of parallelism.
+    * The fix is the two-phase range-partition scan
+    * (`llm.DataPrep.groupedPrefixSum`, q76/q134): range-partition on
+    * (group, id) so groups span partitions, seed per-partition scans
+    * with driver-folded offsets.
+    *
+    * Cardinality is a property of the data, not the plan, so this
+    * rule RUNS one bounded aggregate job per window node (approx
+    * distinct of the partition key + row count over the window's
+    * child) — call it from CI/specs, not from hot paths. A window is
+    * flagged when the key has fewer than `minGroups` groups AND the
+    * mean group is at least `minRowsPerGroup` rows — windows over
+    * pre-bounded aggregates (tiny inputs) pass untouched.
+    */
+  def lintGroupedWindows(df: DataFrame, minGroups: Long = 64,
+                         minRowsPerGroup: Long = 512): Seq[Finding] = {
+    val spark = df.sparkSession
+    val windows = df.queryExecution.analyzed.collect {
+      case w: logical.Window if w.partitionSpec.nonEmpty => w
+    }
+    windows.flatMap { w =>
+      val child = ColumnGlue.ofRows(spark, w.child)
+      val keys = w.partitionSpec.map(ColumnGlue.column)
+      val r = child
+        .select(approx_count_distinct(struct(keys: _*)).as("g"),
+          count(lit(1)).as("n"))
+        .head()
+      val (g, n) = (r.getLong(0), r.getLong(1))
+      if (g > 0 && g < minGroups && n / g >= minRowsPerGroup)
+        Some(Finding("low-cardinality-partition-window",
+          s"Window partitioned by [${w.partitionSpec.map(_.sql).mkString(", ")}]: " +
+            s"~$g groups over $n rows (~${n / g} rows funnel through each group's task)"))
+      else None
+    }
   }
 }

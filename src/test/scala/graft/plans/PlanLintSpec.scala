@@ -39,6 +39,30 @@ class PlanLintSpec extends AnyFunSuite {
     assert(findings.exists(_.rule == "unpruned-wide-scan"), findings)
   }
 
+  test("flags a window partitioned by a low-cardinality key; tolerates bounded inputs and the two-phase rewrite") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    // the OLD q45 form: per-lang prefix-sum window — a handful of
+    // langs each funneling their full doc set through one task
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val funnel = docs
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("toks"))
+      .withColumn("cum0", coalesce(sum($"toks").over(w), lit(0L)))
+    val findings = PlanLint.lintGroupedWindows(funnel, minRowsPerGroup = 50)
+    assert(findings.exists(_.rule == "low-cardinality-partition-window"), findings)
+    // a window over a PRE-BOUNDED aggregate (tiny input) is fine
+    val bounded = docs.groupBy($"lang").agg(sum(length($"text")).as("x"))
+      .withColumn("rk", row_number().over(Window.partitionBy($"lang").orderBy($"x")))
+    assert(PlanLint.lintGroupedWindows(bounded, minRowsPerGroup = 50).isEmpty)
+    // the shipped two-phase rewrite has no grouped window at all
+    assert(PlanLint.lintGroupedWindows(
+      graft.llm.DataPrep.shardAssignments(docs), minRowsPerGroup = 50).isEmpty)
+    assert(PlanLint.lintGroupedWindows(
+      graft.llm.DataPrep.q122_negative_sampling(spark, "/root/testdata/sf0.01"),
+      minRowsPerGroup = 50).isEmpty)
+  }
+
   test("shipped queries lint clean (representative sample)") {
     val clean = Seq(
       graft.queries.Relational.q03_join_broadcast(spark, dir),

@@ -36,11 +36,16 @@ case class MediaFeatures(
   * duration, energy, per-byte fingerprint) come from the DECODED
   * stream, and the oracle rebuilds the PCM bytes arithmetically.
   *
-  * Only the VIDEO path keeps a stand-in ([[sampleFrames]] slices a raw
-  * byte stream as fixed-size frames — a real build links ffmpeg there);
-  * its Spark-side shape (streamed one-asset→N-frames fan-out) is what
-  * the codec would plug into, and [[q161_frame_sample]] drives the
-  * same fan-out over REAL decoded image rasters instead.
+  * The VIDEO path is real too: [[graft.llm.Avi]] writes true minimal
+  * AVI containers (RIFF hdrl/movi/idx1, MJPEG `00dc` chunks) and
+  * demuxes them with an honest chunk walker; each frame payload
+  * JPEG-decodes through the same `ImageIO` codec. Constant-per-8×8-
+  * block grayscale at quality 1.0 makes the JPEG round-trip
+  * bit-exact (DC-only blocks, all-ones quant table), so the oracle
+  * rebuilds the decoded frames arithmetically AND replays the
+  * container geometry (fixed-size chunks → arithmetic offsets).
+  * [[q161_frame_sample]] additionally drives the one-asset→N-frames
+  * fan-out over decoded PNG rasters.
   */
 object Multimodal {
 
@@ -382,21 +387,66 @@ object Multimodal {
       .orderBy($"sample_rate")
   }
 
-  /** VIDEO-codec stand-in — the one remaining stub: a real build links
-    * ffmpeg (or similar) here to demux+decode true video containers;
-    * this slices the raw byte stream as fixed-size frames instead.
-    * The Spark-side shape is the load-bearing part: a STREAMED
-    * one-asset → N-frames flatMap (no per-asset frame array ever
-    * materializes in one row), which is exactly where a demuxer's
-    * frame iterator plugs in.
+  // ---------------------------------------------------------------
+  // Video codec (real: graft.llm.Avi RIFF demux + javax.imageio MJPEG)
+  // ---------------------------------------------------------------
+
+  /** Synthesize the video table from `documents` (every 5th doc
+    * carries a clip — multimodal corpora are sparse in video): one
+    * REAL minimal AVI per id ([[Avi.syntheticAvi]] — RIFF hdrl/movi/
+    * idx1 with MJPEG `00dc` chunks). Same 100 TB story as
+    * [[imageTable]]: binary column from `binaryFile`/parquet in
+    * production, encode inside mapPartitions on executors.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[(Long, Long, Array[Byte])] = {
-    val spark = media.sparkSession
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    media.select($"img_id".cast("long"), $"content").as[(Long, Array[Byte])]
-      .flatMap { case (id, content) =>
-        content.grouped(frameBytes).zipWithIndex.collect {
-          case (f, idx) if idx % stride == 0 => (id, idx.toLong, f)
+    load(spark, dir, "documents")
+      .select($"doc_id".cast("long")).as[Long]
+      .filter(_ % 5 == 0)
+      .mapPartitions(_.map(id => (id, Avi.syntheticAvi(id), Avi.framesOf(id).toLong)))
+      .toDF("vid_id", "content", "nf")
+      .select($"vid_id", $"content",
+        struct($"nf".as("n_frames"), lit(Avi.FrameW.toLong).as("width"),
+          lit(Avi.FrameH.toLong).as("height"),
+          lit("video/x-msvideo").as("format")).as("meta"))
+  }
+
+  /** One demuxed+decoded frame record: container geometry from the
+    * CHUNK WALK (the offset each frame was FOUND at, the declared
+    * header frame count) and content features from the DECODED
+    * raster — never from the metadata struct.
+    */
+  case class VideoFrame(
+      vid_id: Long, frame_idx: Long, n_frames_declared: Long,
+      chunk_offset: Long, width: Long, height: Long, fingerprint: Long)
+
+  /** REAL video frame fan-out: parse each AVI's header, walk its
+    * `movi` LIST, JPEG-decode every frame chunk, featurize the
+    * decoded raster. The STREAMED one-asset → N-frames flatMap shape
+    * (no per-asset frame array materializes in one row) is unchanged
+    * from the former stand-in — [[Avi.demuxFrames]]'s iterator is
+    * exactly what plugged into it.
+    */
+  def sampleVideoFrames(videos: DataFrame): Dataset[VideoFrame] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select($"vid_id".cast("long"), $"content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, avi) =>
+          val info = Avi.parseHeader(avi)
+          Avi.demuxFrames(avi).map { fr =>
+            val (w, h, px) = Avi.decodeGrayFrame(fr.payload)
+            VideoFrame(
+              vid_id = id,
+              frame_idx = fr.frameIdx.toLong,
+              n_frames_declared = info.declaredFrames.toLong,
+              chunk_offset = fr.payloadOffset,
+              width = w.toLong,
+              height = h.toLong,
+              fingerprint = fingerprintOf(md, px))
+          }
         }
       }
   }
@@ -442,10 +492,30 @@ object Multimodal {
       .orderBy($"bucket")
   }
 
+  /** q196 — video demux + decode end-to-end: every clip's AVI is
+    * chunk-walked, every MJPEG frame JPEG-decoded, and the output is
+    * the per-frame record of container geometry (found payload
+    * offset, header-declared frame count) plus decoded-raster
+    * features. The DuckDB oracle replays BOTH halves arithmetically:
+    * offsets from the fixed-chunk layout (a walker that misreads a
+    * LIST size lands on wrong offsets) and fingerprints from the
+    * block formula (a decoder returning wrong pixels mismatches).
+    * One ORDER BY at the end; the demux/decode itself is a pure
+    * streamed flatMap — no shuffle before the sort.
+    */
+  def q196_video_frames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleVideoFrames(videoTable(spark, dir)).toDF()
+      .select($"vid_id", $"frame_idx", $"n_frames_declared",
+        $"chunk_offset", $"width", $"height", $"fingerprint")
+      .orderBy($"vid_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_multimodal_features" -> q28_multimodal_features,
     "q161_frame_sample" -> q161_frame_sample,
-    "q194_audio_features" -> q194_audio_features)
+    "q194_audio_features" -> q194_audio_features,
+    "q196_video_frames" -> q196_video_frames)
 
   /** Both oracles rebuild the DECODED pixel bytes arithmetically
     * (raster value = (doc_id*31 + i) mod 256 — what ImageIO must
@@ -493,6 +563,28 @@ object Multimodal {
         |  MIN(CAST('0x' || substring(md5(hex), 1, 15) AS BIGINT)) AS min_fp,
         |  MAX(CAST('0x' || substring(md5(hex), 1, 15) AS BIGINT)) AS max_fp
         |FROM clip GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q196_video_frames" ->
+      s"""WITH vids AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+        |    WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, nf,
+        |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+        |  FROM vids),
+        |px AS (SELECT doc_id, nf, f,
+        |    unnest(generate_series(0, ${Avi.FrameW * Avi.FrameH - 1})) AS i
+        |  FROM fr),
+        |img AS (SELECT doc_id, nf, f,
+        |    lower(string_agg(lpad(to_hex(
+        |      (doc_id*31 + f*17 + ((i // ${Avi.FrameW}) // 8 * ${Avi.FrameW / 8}
+        |        + (i % ${Avi.FrameW}) // 8) * 11) % 256), 2, '0'), '' ORDER BY i)) AS hex
+        |  FROM px GROUP BY doc_id, nf, f)
+        |SELECT doc_id AS vid_id, f AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames_declared,
+        |  CAST(${Avi.firstPayloadOffset} + f * ${8 + Avi.FrameChunkBytes} AS BIGINT)
+        |    AS chunk_offset,
+        |  CAST(${Avi.FrameW} AS BIGINT) AS width,
+        |  CAST(${Avi.FrameH} AS BIGINT) AS height,
+        |  CAST('0x' || substring(md5(hex), 1, 15) AS BIGINT) AS fingerprint
+        |FROM img ORDER BY vid_id, frame_idx""".stripMargin,
     "q161_frame_sample" ->
       s"""WITH $pixelCte,
          |fr AS (SELECT doc_id AS img_id, hex,

@@ -326,17 +326,18 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling: video-stub byte stream and real decoded-raster fan-out") {
+  test("frame sampling: real AVI demux fan-out and real decoded-raster fan-out") {
     import spark.implicits._
-    // video stub path: raw byte-stream slicing (where ffmpeg would go)
-    val media = Seq((1L, "abcdefghijklmnopqrstuvwxyz"))
-      .toDF("img_id", "text")
-      .select($"img_id", encode($"text", "UTF-8").as("content"))
-    val frames = Multimodal.sampleFrames(media, frameBytes = 5, stride = 2).collect()
-    // 26 bytes → 6 frames (5,5,5,5,5,1); stride 2 keeps frames 0,2,4
-    assert(frames.map(_._2).toSeq == Seq(0L, 2L, 4L))
-    assert(new String(frames.head._3, "UTF-8") == "abcde")
-    assert(new String(frames(1)._3, "UTF-8") == "klmno")
+    // real video path: demux a true AVI container, decode each MJPEG
+    // frame, one row per frame with the offset the walker FOUND it at
+    val vid = 10L // 10 % 4 + 2 = 4 frames
+    val videos = Seq((vid, Avi.syntheticAvi(vid))).toDF("vid_id", "content")
+    val vf = Multimodal.sampleVideoFrames(videos).collect().sortBy(_.frame_idx)
+    assert(vf.length == Avi.framesOf(vid))
+    assert(vf.forall(_.n_frames_declared == Avi.framesOf(vid).toLong))
+    assert(vf.forall(f => f.width == Avi.FrameW.toLong && f.height == Avi.FrameH.toLong))
+    assert(vf.map(_.chunk_offset).toSeq ==
+      (0 until Avi.framesOf(vid)).map(Avi.payloadOffset))
 
     // real image path: frames slice the DECODED raster
     val id = 9L

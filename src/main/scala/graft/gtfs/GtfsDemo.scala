@@ -71,6 +71,24 @@ object GtfsDemo {
       rows.take(5).foreach(r => println(s"   $r"))
       if (rows.isEmpty) { failures += 1; println(s"   !! EMPTY") }
     }
+
+    // connector relay end-to-end: the gtfsrt SOURCE tails the demo's
+    // vehicle-positions landing dir, the streaming SINK republishes
+    // monotonic-stamped snapshots, and the batch connector reads the
+    // relayed dir back — the reference poller's landing loop as one
+    // streaming query (production cadence: RtStream.rtTrigger).
+    val relayed = RtStream.startRelay(spark, "vehicle_positions",
+      s"$root/rt/vp", s"$root/rt/vp_relay", s"$root/ckpt/vp_relay",
+      stampBase = "20250903_0934")
+    relayed.awaitTermination()
+    val relayNames = new java.io.File(s"$root/rt/vp_relay")
+      .list().toSeq.filter(_.endsWith(".pb")).sorted
+    val relayRows = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(s"$root/rt/vp_relay").count()
+    println(s"== connector relay (${relayNames.size} snapshots, $relayRows rows): " +
+      relayNames.mkString(", "))
+    if (relayRows == 0) { failures += 1; println(s"   !! EMPTY") }
+
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -134,6 +134,29 @@ object RtStream {
       .start()
   }
 
+  /** Connector-to-connector relay — the reference poller's
+    * republish pattern (fetch a feed, land a minute-stamped snapshot,
+    * gtfs_rt_minutely.py:111-127,164-176) as ONE streaming query
+    * wiring both halves of the gtfsrt connector: the SOURCE tails the
+    * upstream landing dir (exactly-once file handling, stamp-pruned
+    * scans) and the streaming SINK lands monotonic-stamped snapshots
+    * downstream (one `.pb` per committed epoch, stamp stepped by the
+    * 2-minute cadence). Production runs it on [[rtTrigger]]; demos
+    * and tests drain with AvailableNow. The relayed dir is itself a
+    * valid connector landing dir — relays compose.
+    */
+  def startRelay(spark: SparkSession, kind: String, srcDir: String, dstDir: String,
+                 checkpointDir: String, stampBase: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.format("gtfsrt").option("kind", kind).load(srcDir)
+      .repartition(1) // one snapshot file per epoch, like the poller
+      .writeStream.format("gtfsrt")
+      .option("kind", kind)
+      .option("stampBase", stampBase)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start(dstDir)
+
   /** Late-data-tolerant per-snapshot dedup (T8, README.md:137-138):
     * event-time watermark + dropDuplicatesWithinWatermark on the trip
     * key — the streaming-native form of the reference's per-snapshot

@@ -147,6 +147,27 @@ class GtfsRtSinkSpec extends AnyFunSuite {
     assert(drain() == 2L, "no-op when the sink landed nothing new")
   }
 
+  test("RtStream.startRelay: the one-call pipeline relay composes and preserves content") {
+    val src = TestSpark.tempDir("relay_src")
+    val dst = TestSpark.tempDir("relay_dst")
+    val dst2 = TestSpark.tempDir("relay_dst2")
+    vpDf.repartition(1).write.format("gtfsrt")
+      .option("kind", "vehicle_positions").option("stamp", "20250903_1000")
+      .mode("append").save(src)
+
+    graft.gtfs.RtStream.startRelay(spark, "vehicle_positions", src, dst,
+      TestSpark.tempDir("relay_ckpt"), stampBase = "20250910_0800").awaitTermination()
+    assert(new java.io.File(dst).list().toSeq.filter(_.endsWith(".pb"))
+      == Seq("vehicle_positions_20250910_0800.pb"))
+    // the relayed dir is itself a valid landing dir: relay it again
+    graft.gtfs.RtStream.startRelay(spark, "vehicle_positions", dst, dst2,
+      TestSpark.tempDir("relay_ckpt2"), stampBase = "20250910_0900").awaitTermination()
+    val back = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(dst2)
+      .collect().map(_.getAs[String]("trip_id")).sorted.toSeq
+    assert(back == Seq("T1", "T2", "T3"), "content survives two relay hops")
+  }
+
   test("streaming write: connector-to-connector relay lands stepped-stamp snapshots") {
     import org.apache.spark.sql.streaming.Trigger
     val src = TestSpark.tempDir("ssink_src")

@@ -43,11 +43,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("watermark subquery side pushes its filters to the parquet scan") {
-    // the harness events table reads ns-as-long + converts, so the
-    // outer > predicate can't push there (derived column); the
-    // subquery's equality filters must still reach parquet
+    // assert membership, not exact-list equality: the harness testdata
+    // has shipped `ts` both as nanos-as-long (where the > predicate
+    // can't push — derived column) and as native timestamp_ntz (where
+    // Spark ALSO pushes the ts range). Extra pushdown is a win, so the
+    // check is: each required filter appears in SOME scan's
+    // PushedFilters, order-free.
     val p = plan("q12_incremental_watermark")
-    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(ts), EqualTo(event_type,signup)]"))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters: [")).toSeq
+    for (f <- Seq("IsNotNull(event_type)", "IsNotNull(ts)", "EqualTo(event_type,signup)"))
+      assert(scans.exists(_.contains(f)),
+        s"$f missing from every scan's PushedFilters:\n${scans.mkString("\n")}")
   }
 
   test("containment and tfidf candidate generation never plan a cartesian product") {
@@ -104,12 +110,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("shard packing windows partition on lang — no single-partition window") {
-    val p = plan("q45_shard_pack")
-    assert(p.contains("hashpartitioning(lang"),
-      "prefix-sum window must partition by lang")
+  test("shard packing rides the two-phase range scan — no per-lang window funnel") {
+    // q45's prefix sum is groupedPrefixSum (DataPrep.scala): range-
+    // partition on (lang, doc_id) so languages SPAN partitions, fold
+    // per-partition subtotals on the driver, seed a second scan. The
+    // SQL plan therefore shows the materialized RDD scan feeding the
+    // final aggregate — and, critically, NO Window node at all: the
+    // superseded per-lang window would serialize each language's whole
+    // corpus through one task at 100 TB.
+    val df = SparkEntry.queries("q45_shard_pack")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"no window may appear — the per-lang window funnel is the superseded plan:\n${p.take(1200)}")
+    assert(p.contains("SerializeFromObject") && p.contains("Scan[obj"),
+      s"prefix sum must surface as the two-phase RDD object scan:\n${p.take(1200)}")
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
-      "no global-ordering window may appear in the plan")
+      "no global-ordering exchange may appear in the plan")
+    // and the data-aware lint agrees: nothing in the shard-assignment
+    // lineage windows over a low-cardinality key
+    val assign = graft.llm.DataPrep.shardAssignments(
+      graft.Tables.load(spark, dir, "documents"))
+    assert(graft.plans.PlanLint.lintGroupedWindows(assign).isEmpty)
   }
 
   test("GTFS silver incremental filter pushes insert_date to the bronze scan") {

@@ -17,6 +17,11 @@ only = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] else None
 # sweep, where the deliberately-O(n²) all-pairs oracles are intractable
 # but everything else should replay
 exclude = sys.argv[4].split(",") if len(sys.argv) > 4 else []
+# optional SELFCHECK_ORACLE_TIMEOUT env (seconds): interrupt any single
+# oracle replay that exceeds it and record a SKIP instead of hanging
+# the sweep — this is how the sf0.1 sweep self-derives its intractable
+# set instead of trusting a hand-maintained exclude list.
+timeout_s = float(os.environ.get("SELFCHECK_ORACLE_TIMEOUT", "0") or 0)
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -25,6 +30,34 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+
+class OracleTimeout(Exception):
+    pass
+
+
+def run_sql(sql: str) -> pd.DataFrame:
+    """Execute on the shared connection; if timeout_s is set, interrupt
+    the query past the deadline and raise OracleTimeout."""
+    if timeout_s <= 0:
+        return con.execute(sql).df()
+    import threading
+    done, fired = threading.Event(), threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            fired.set()
+            con.interrupt()
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        return con.execute(sql).df()
+    except duckdb.Error:
+        if fired.is_set():
+            raise OracleTimeout(f"oracle exceeded {timeout_s:.0f}s")
+        raise
+    finally:
+        done.set()
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # Normalize timestamp-ish dtypes to ns for fair compare
@@ -32,6 +65,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails = 0
+skips = 0
+oks = 0
 for name in sorted(oracle):
     if only and not any(f in name for f in only):
         continue
@@ -43,7 +78,9 @@ for name in sorted(oracle):
         print(f"FAIL {name}: no result parquet"); fails += 1; continue
     try:
         got = canon(con.execute(f"SELECT * FROM '{res_path}/*.parquet'").df())
-        want = canon(con.execute(oracle[name]).df())
+        want = canon(run_sql(oracle[name]))
+    except OracleTimeout as e:
+        print(f"SKIP {name} ({e})"); skips += 1; continue
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if list(got.columns) != list(want.columns):
@@ -60,7 +97,7 @@ for name in sorted(oracle):
               f"(CAST the oracle aggregate AS BIGINT)"); fails += 1; continue
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-        print(f"OK   {name} ({len(got)} rows)")
+        print(f"OK   {name} ({len(got)} rows)"); oks += 1
     except AssertionError as e:
         print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); fails += 1
 
@@ -71,5 +108,6 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
         print(f"ROWS {name}: {n} rows (no oracle)")
 
-print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+print(f"\n{oks} OK, {skips} skipped (timeout/excluded), "
+      f"{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)

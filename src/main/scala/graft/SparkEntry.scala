@@ -48,6 +48,7 @@ object SparkEntry {
       graft.llm.Sketches.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
+      graft.llm.Chunking.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
       graft.llm.CorpusPipeline.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.llm.Sketches.oracle ++
       graft.llm.TextAnalysis.oracle ++
       graft.llm.Dedup.oracle ++
+      graft.llm.Chunking.oracle ++
       graft.llm.Similarity.oracle ++
       graft.llm.Multimodal.oracle ++
       graft.llm.CorpusPipeline.oracle ++

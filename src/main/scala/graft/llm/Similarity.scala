@@ -463,8 +463,81 @@ object Similarity {
       .orderBy($"centroid")
   }
 
+  final val PqSubspaces = 8
+  final val PqSubDim = Dim / PqSubspaces // 8
+
+  /** q198 — product quantization (Jégou et al. 2011, TPAMI "Product
+    * Quantization for Nearest Neighbor Search"): split each 64-dim
+    * vector into 8 contiguous 8-dim subvectors and quantize each
+    * against a 16-codeword subspace codebook → an 8-byte code per
+    * vector, a 32× memory compression. PQ is the memory-scale path
+    * for ANN at 100 TB: IVF (q34/q49) bounds WHICH vectors a query
+    * scans, PQ bounds the BYTES each scanned vector costs — shipping
+    * systems (FAISS IVFPQ) compose exactly these two stages.
+    *
+    * Codebook: the subvectors of the same `vec_id < IvfCentroids`
+    * seed rows the quantizer family uses (deterministic, bounded
+    * driver collect; production swaps in per-subspace KMeans exactly
+    * as q34 swaps the coarse quantizer — the assignment plumbing
+    * below is unchanged). Distances are micro-rounded with codeword-id
+    * tie-breaks so the argmin is engine-independent, and the oracle
+    * replays slice → expand-identity distance → argmin bit-for-bit.
+    *
+    * Output is the bounded per-(subspace, codeword) audit: member
+    * count and EXACT integer sum of micro-distances (long sums are
+    * summation-order-independent, so the hash verifies every one of
+    * the N×8 assignments and quantization errors without emitting
+    * N rows).
+    *
+    * Scale design: the codebook is 16×64 doubles in the PLAN
+    * (constant-folded literals — no join, no broadcast var); the
+    * whole assignment is one map-side projection over the corpus
+    * scan; the only exchange carries ≤ 8×16 partially-aggregated
+    * keys. Nothing here is corpus-quadratic and nothing shuffles the
+    * corpus.
+    */
+  def q198_product_quantization(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val seeds = emb.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"v")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+    // Per-subspace slices materialize once per row; each argmin is
+    // UNROLLED over 16 codeword literals on the codegen'd VectorDot
+    // path (the q49 lesson: a transform(...) lambda here would run
+    // interpreted per element).
+    val withSubs = emb.select(($"vec_id" +: (0 until PqSubspaces).map(m =>
+      slice($"v", m * PqSubDim + 1, PqSubDim).as(s"s$m"))): _*)
+    val assigned = withSubs.select(($"vec_id" +: (0 until PqSubspaces).map { m =>
+      val s = col(s"s$m")
+      val ss = dot(s, s)
+      array_min(array(seeds.map { case (cid, c) =>
+        val sub = java.util.Arrays.copyOfRange(c, m * PqSubDim, (m + 1) * PqSubDim)
+        struct(round((ss - lit(2.0) * dot(s, array(sub.map(lit).toSeq: _*))
+            + lit(sub.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
+          lit(cid).as("cid"))
+      }.toSeq: _*)).as(s"a$m")
+    }): _*)
+
+    val stacked = assigned.select($"vec_id",
+        explode(array((0 until PqSubspaces).map(m =>
+          struct(lit(m).cast("long").as("subspace"),
+            col(s"a$m").getField("cid").cast("long").as("code"),
+            col(s"a$m").getField("d").as("dmicro"))): _*)).as("x"))
+      .select($"x.subspace".as("subspace"), $"x.code".as("code"),
+        $"x.dmicro".as("dmicro"))
+
+    stacked.groupBy($"subspace", $"code")
+      .agg(count(lit(1)).as("n_vecs"), sum($"dmicro").as("sum_dmicro"))
+      .orderBy($"subspace", $"code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> q26_ann_topk,
+    "q198_product_quantization" -> q198_product_quantization,
     "q27_ann_lsh" -> q27_ann_lsh,
     "q30_embedding_neardup" -> q30_embedding_neardup,
     "q34_ann_ivf" -> q34_ann_ivf,
@@ -475,6 +548,26 @@ object Similarity {
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
     // recall assertions against the exact q26 result. q49 replays the
     // same inverted-list machinery with SQL-reproducible seeds.
+    "q198_product_quantization" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |sub AS (
+        |  SELECT e.vec_id, m.m, s.cid,
+        |    CAST(ROUND((
+        |      list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                         e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      - 2.0 * list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                                 s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      + list_inner_product(s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                           s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
+        |      AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN s),
+        |asg AS (SELECT vec_id, m, cid AS code, dmicro FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+        |    FROM sub) WHERE rn = 1)
+        |SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(dmicro) AS BIGINT) AS sum_dmicro
+        |FROM asg GROUP BY m, code ORDER BY subspace, code""".stripMargin,
     "q49_ivf_seeded" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),

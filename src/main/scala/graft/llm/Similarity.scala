@@ -496,31 +496,56 @@ object Similarity {
     * keys. Nothing here is corpus-quadratic and nothing shuffles the
     * corpus.
     */
+  /** Subvector of codeword `cid` in subspace `m`. */
+  private def pqSubvec(c: Array[Double], m: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(c, m * PqSubDim, (m + 1) * PqSubDim)
+
+  /** Micro-rounded squared distance from a subspace slice column to a
+    * codeword literal, via the expand identity the whole quantizer
+    * family shares (`ss` is the precomputed Σx² of the slice — pass it
+    * in so it's computed once per row, not once per codeword).
+    */
+  private def pqDistMicro(ss: Column, s: Column, sub: Array[Double]): Column =
+    round((ss - lit(2.0) * dot(s, array(sub.map(lit).toSeq: _*))
+      + lit(sub.map(x => x * x).sum)) * 1e6).cast("long")
+
+  /** Shared PQ assignment stage (q198 + q199): per row, the 8 argmin
+    * structs a0..a7 = (dmicro, cid) — one map-side projection, codebook
+    * constant-folded into the plan. Each argmin is UNROLLED over 16
+    * codeword literals on the codegen'd VectorDot path (the q49
+    * lesson: a transform(...) lambda here would run interpreted per
+    * element).
+    */
+  private def pqAssigned(emb: DataFrame,
+                         seeds: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withSubs = emb.select(($"vec_id" +: (0 until PqSubspaces).map(m =>
+      slice($"v", m * PqSubDim + 1, PqSubDim).as(s"s$m"))): _*)
+    withSubs.select(($"vec_id" +: (0 until PqSubspaces).map { m =>
+      val s = col(s"s$m")
+      val ss = dot(s, s)
+      array_min(array(seeds.map { case (cid, c) =>
+        struct(pqDistMicro(ss, s, pqSubvec(c, m)).as("d"), lit(cid).as("cid"))
+      }.toSeq: _*)).as(s"a$m")
+    }): _*)
+  }
+
+  private def pqSeeds(emb: DataFrame): Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"v")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+  }
+
   def q198_product_quantization(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
-    val seeds = emb.filter($"vec_id" < IvfCentroids)
-      .select($"vec_id".cast("int").as("cid"), $"v")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-
-    // Per-subspace slices materialize once per row; each argmin is
-    // UNROLLED over 16 codeword literals on the codegen'd VectorDot
-    // path (the q49 lesson: a transform(...) lambda here would run
-    // interpreted per element).
-    val withSubs = emb.select(($"vec_id" +: (0 until PqSubspaces).map(m =>
-      slice($"v", m * PqSubDim + 1, PqSubDim).as(s"s$m"))): _*)
-    val assigned = withSubs.select(($"vec_id" +: (0 until PqSubspaces).map { m =>
-      val s = col(s"s$m")
-      val ss = dot(s, s)
-      array_min(array(seeds.map { case (cid, c) =>
-        val sub = java.util.Arrays.copyOfRange(c, m * PqSubDim, (m + 1) * PqSubDim)
-        struct(round((ss - lit(2.0) * dot(s, array(sub.map(lit).toSeq: _*))
-            + lit(sub.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
-          lit(cid).as("cid"))
-      }.toSeq: _*)).as(s"a$m")
-    }): _*)
+    val seeds = pqSeeds(emb)
+    val assigned = pqAssigned(emb, seeds)
 
     val stacked = assigned.select($"vec_id",
         explode(array((0 until PqSubspaces).map(m =>
@@ -535,9 +560,77 @@ object Similarity {
       .orderBy($"subspace", $"code")
   }
 
+  /** q199 — PQ asymmetric-distance top-k (the ADC search of Jégou et
+    * al. 2011, §IV): approximate each query→vector distance as
+    * Σ_m LUT_q[m][code_m(x)], where LUT_q holds the query's EXACT
+    * micro-distance to every codeword (8×16 entries, built once per
+    * query) and the corpus contributes only its 8-byte PQ code. This
+    * is the query-time half of IVFPQ: q49 bounds WHICH vectors a
+    * query visits, q198 compresses WHAT each visited vector stores,
+    * and this operator is the distance arithmetic that runs on the
+    * compressed codes — per candidate, 8 array lookups + an exact
+    * long sum instead of a 64-dim float scan.
+    *
+    * Determinism: LUT entries are the SAME micro-rounded expand-
+    * identity distances as q198's assignment, and the ADC total is a
+    * sum of 8 longs — order-independent, bit-identical in DuckDB's
+    * replay (codes → LUT join → integer sum → rank with neighbor-id
+    * tie-breaks).
+    *
+    * Scale design: the corpus side carries (vec_id, 8 codes) — the
+    * 32×-compressed representation — and never reshuffles; the query
+    * batch rides in as ONE broadcast with LUTs attached (|queries| ×
+    * 128 longs); per-query top-k is a ranking window partitioned by
+    * q_id exactly like q26/q27/q49, so parallelism scales with the
+    * query load. Nothing corpus-quadratic, no cartesian: the
+    * broadcast nested loop is the query-batch attach, the same
+    * bounded-build-side shape as q26's baseline.
+    */
+  def q199_pq_adc_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val seeds = pqSeeds(emb)
+
+    // corpus: PQ codes only (the compressed index)
+    val codes = pqAssigned(emb, seeds).select($"vec_id",
+      array((0 until PqSubspaces).map(m => col(s"a$m").getField("cid")): _*)
+        .as("codes"))
+
+    // query batch: per query, the 8×16 LUT of exact micro-distances
+    // to every codeword — computed once here, looked up per candidate
+    val lut = array((0 until PqSubspaces).map { m =>
+      val s = slice($"qv", m * PqSubDim + 1, PqSubDim)
+      // the Σx² term repeats per codeword; the query batch is ~N/50
+      // rows, so codegen CSE handles it — no hoist needed
+      array(seeds.map { case (_, c) =>
+        pqDistMicro(dot(s, s), s, pqSubvec(c, m))
+      }.toSeq: _*)
+    }: _*)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("lut", lut)
+      .select($"q_id", $"lut")
+
+    val adc = (0 until PqSubspaces).map(m =>
+        element_at(element_at($"lut", m + 1),
+          element_at($"codes", m + 1) + lit(1)))
+      .reduce(_ + _)
+    val cands = codes.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc_micro"))
+
+    val w = Window.partitionBy($"q_id").orderBy($"adc_micro", $"neighbor_id")
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"adc_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_ann_topk" -> q26_ann_topk,
     "q198_product_quantization" -> q198_product_quantization,
+    "q199_pq_adc_topk" -> q199_pq_adc_topk,
     "q27_ann_lsh" -> q27_ann_lsh,
     "q30_embedding_neardup" -> q30_embedding_neardup,
     "q34_ann_ivf" -> q34_ann_ivf,
@@ -568,6 +661,39 @@ object Similarity {
         |SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
         |  CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(dmicro) AS BIGINT) AS sum_dmicro
         |FROM asg GROUP BY m, code ORDER BY subspace, code""".stripMargin,
+    // q199 reuses q198's `sub` CTE twice: restricted to rn=1 it is the
+    // corpus code book, restricted to query ids it IS the per-query
+    // LUT (the distance to every codeword) — the ADC total is then an
+    // exact integer sum over the 8 matched entries.
+    "q199_pq_adc_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |sub AS (
+        |  SELECT e.vec_id, m.m, s.cid,
+        |    CAST(ROUND((
+        |      list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                         e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      - 2.0 * list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                                 s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      + list_inner_product(s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                           s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
+        |      AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN s),
+        |asg AS (SELECT vec_id, m, cid AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+        |    FROM sub) WHERE rn = 1),
+        |lutv AS (SELECT vec_id AS q_id, m, cid, dmicro FROM sub WHERE vec_id % 50 = 0),
+        |pair AS (
+        |  SELECT l.q_id, a.vec_id AS neighbor_id,
+        |    CAST(SUM(l.dmicro) AS BIGINT) AS adc_micro
+        |  FROM asg a JOIN lutv l ON l.m = a.m AND l.cid = a.code
+        |  WHERE a.vec_id <> l.q_id
+        |  GROUP BY l.q_id, a.vec_id),
+        |r AS (SELECT q_id, neighbor_id, adc_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_micro, neighbor_id) AS rank
+        |  FROM pair)
+        |SELECT q_id, rank, neighbor_id, adc_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q49_ivf_seeded" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),

@@ -36,10 +36,11 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   * `children` — walked explicitly (same traversal as Observability).
   *
   * Findings are advisory triage, not a hard gate: three shipped
-  * queries flag BY DESIGN and document why — q26 (brute-force cosine
-  * baseline: broadcast query batch × corpus with the self-exclusion
-  * predicate as the join condition; the LSH/IVF variants are the
-  * scale paths it calibrates), q42 (broadcast per-source stats with
+  * queries flag BY DESIGN and document why — q26/q199 (broadcast
+  * query batch × corpus with the self-exclusion predicate as the
+  * join condition; the LSH/IVF variants are the scale paths q26
+  * calibrates, and q199's corpus side is the 32×-compressed PQ
+  * codes), q42 (broadcast per-source stats with
   * an exclusion predicate), and the global-window-over-a-pre-bounded-
   * aggregate family (q83 deciles, q126 weekly backlog — inputs are
   * hundreds of rows by construction; q76 is the documented escape

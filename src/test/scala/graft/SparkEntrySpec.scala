@@ -22,6 +22,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "Sketches" -> graft.llm.Sketches.queries,
     "TextAnalysis" -> graft.llm.TextAnalysis.queries,
     "Dedup" -> graft.llm.Dedup.queries,
+    "Chunking" -> graft.llm.Chunking.queries,
     "Similarity" -> graft.llm.Similarity.queries,
     "Multimodal" -> graft.llm.Multimodal.queries,
     "CorpusPipeline" -> graft.llm.CorpusPipeline.queries,

@@ -149,6 +149,48 @@ class LlmSpec extends AnyFunSuite {
       }
   }
 
+  test("PQ-ADC recall@10 against the exact brute-force answer") {
+    // unit-norm corpus ⇒ dist² = 2 − 2·cos, so q26's cosine ranking is
+    // the ground truth for q199's distance ranking
+    val exact = Similarity.q26_ann_topk(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = Similarity.q199_pq_adc_topk(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(approx.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15,
+      s"8×16 PQ codes over 64 dims should beat 15% recall@10, got $mean")
+  }
+
+  test("PQ-ADC planted codebook: exact codes make ADC distances exact") {
+    import spark.implicits._
+    // seeds are constant vectors (value k+1) → every vector's code is
+    // itself, so ADC(q0, x) is the TRUE distance; v16 duplicates seed 5
+    // and must tie it exactly (tie broken by neighbor id)
+    val tmp = TestSpark.tempDir("adc_plant")
+    val rows = (0 until 16).map(k =>
+        (k.toLong, Array.fill(Similarity.Dim)((k + 1).toFloat), s"l$k")) :+
+      (16L, Array.fill(Similarity.Dim)(6.0f), "dup")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val res = Similarity.q199_pq_adc_topk(spark, tmp).collect()
+    val q0 = res.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+    assert(q0.nonEmpty)
+    // nearest neighbor of the all-1.0 query is the all-2.0 seed
+    assert(q0.head.getLong(2) == 1L)
+    // the duplicate pair (5, 16) carries identical ADC distance
+    val d5 = q0.find(_.getLong(2) == 5L).map(_.getLong(3))
+    val d16 = q0.find(_.getLong(2) == 16L).map(_.getLong(3))
+    assert(d5.isDefined && d5 == d16,
+      s"duplicate of seed 5 must tie it exactly: $d5 vs $d16")
+    // ADC distances are monotone in |k| for constant vectors
+    val adcs = q0.map(_.getLong(3))
+    assert(adcs.sameElements(adcs.sorted))
+  }
+
   test("image decode round-trip: ImageIO gets the exact raster back for many ids") {
     // The honesty check for the real codec path: encode the arithmetic
     // raster as a true PNG, decode with ImageIO, and require every

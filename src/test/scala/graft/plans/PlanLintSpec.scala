@@ -89,6 +89,9 @@ class PlanLintSpec extends AnyFunSuite {
   test("ALL shipped queries lint clean of scale anti-patterns (documented exceptions only)") {
     val allowed: Map[String, Set[String]] = Map(
       "q26_ann_topk" -> Set("cartesian-product"),
+      // q199 is q26's query-batch-attach shape over the 32×-compressed
+      // PQ codes (self-exclusion predicate in the BNLJ condition)
+      "q199_pq_adc_topk" -> Set("cartesian-product"),
       "q42_mixture_rates" -> Set("cartesian-product"),
       // la < lb over two ≤|langs| register tables — a bounded grid
       "q120_hll_set_algebra" -> Set("cartesian-product"),

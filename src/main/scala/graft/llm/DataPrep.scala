@@ -92,6 +92,49 @@ object DataPrep {
       .orderBy($"doc_id")
   }
 
+  final val WrsPerLang = 10
+
+  /** q201 — weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir",
+    * A-ES): per language, keep the `WrsPerLang` documents with the
+    * largest priority u^(1/w), where u is a per-doc uniform and
+    * w the token weight — the one-pass distributed primitive for
+    * "sample k docs ∝ token mass, no repeats" that q41 (fixed strata
+    * rates) and q74 (with-replacement importance weights) don't
+    * cover: heavy docs are favored, a doc can't be drawn twice, and
+    * exactly k survive per group regardless of weight skew.
+    *
+    * Determinism across engines: u = (h+1)/2^60 from the repo's
+    * md5-60-bit uniform, ranking on the monotone-equivalent
+    * round(1e6·ln(u)/w) (largest first) with doc-id tie-breaks — the
+    * log is the one transcendental, micro-rounded like every cosine
+    * in the ANN family so a last-ulp libm difference can't flip the
+    * hash.
+    *
+    * Scale design: the priority key is computed map-side from doc_id
+    * and the token count (no joins, no state); the per-lang top-k
+    * rank-filter is the exact pattern `RankLimitRewrite` turns into
+    * bounded partial/final heaps — per-partition O(k) memory with a
+    * k-row-per-group exchange, so few-language corpora do NOT funnel
+    * a language through one task's full sort (the low-cardinality
+    * window trap lintGroupedWindows exists for).
+    */
+  def q201_weighted_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = load(spark, dir, "documents")
+      .select($"doc_id", $"lang", wsToks($"text").cast("long").as("toks"))
+      .filter($"toks" > 0)
+      .withColumn("u",
+        (hash60(concat(lit("graft_wrs_"), $"doc_id".cast("string"))) + lit(1L))
+          .cast("double") / lit(1152921504606846976.0)) // 2^60
+      .withColumn("key_micro", round(log($"u") / $"toks" * 1e6).cast("long"))
+    val w = Window.partitionBy($"lang").orderBy($"key_micro".desc, $"doc_id")
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= WrsPerLang)
+      .select($"lang", $"rank", $"doc_id", $"toks", $"key_micro")
+      .orderBy($"lang", $"rank")
+  }
+
   // ---------------------------------------------------------------
   // q42 — mixture balancing
   // ---------------------------------------------------------------
@@ -732,6 +775,7 @@ object DataPrep {
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
     "q74_importance_sample" -> q74_importance_sample,
+    "q201_weighted_sample" -> q201_weighted_sample,
     "q42_mixture_rates" -> q42_mixture_rates,
     "q43_pii_redact" -> q43_pii_redact,
     "q44_contamination" -> q44_contamination,
@@ -894,6 +938,22 @@ object DataPrep {
         |SELECT doc_id, lang, CAST(quality_bp AS BIGINT) AS quality_bp,
         |  CAST(100000000 // quality_bp AS BIGINT) AS w_x4
         |FROM q WHERE h_bp < quality_bp ORDER BY doc_id""".stripMargin,
+    "q201_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |k AS (SELECT doc_id, lang, toks,
+        |    CAST(ROUND(ln(
+        |      (CAST('0x' || substring(md5('graft_wrs_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) + 1) / 1152921504606846976.0)
+        |      / toks * 1e6) AS BIGINT) AS key_micro
+        |  FROM d),
+        |r AS (SELECT lang, doc_id, toks, key_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY key_micro DESC, doc_id) AS rank
+        |  FROM k)
+        |SELECT lang, rank, doc_id, toks, key_micro FROM r
+        |WHERE rank <= $WrsPerLang ORDER BY lang, rank""".stripMargin,
     "q41_stratified_sample" ->
       s"""SELECT doc_id, lang,
         |  CAST('0x' || substring(md5('graft_sample_' || doc_id), 1, 15) AS BIGINT) % 10000 AS h_bp,

@@ -165,6 +165,59 @@ object TextAnalysis {
       .limit(50)
   }
 
+  final val RrfK = 60L    // the standard reciprocal-rank-fusion damping
+  final val RrfDepth = 50 // fuse the top-50 of each input ranking
+  final val RrfTopN = 20
+
+  /** q200 — reciprocal-rank fusion (Cormack et al. 2009, the hybrid-
+    * retrieval combiner in Elasticsearch/Vespa/OpenSearch): merge two
+    * rankings of the same corpus by summing 1/(K + rank) per list, so
+    * agreement near the top dominates and either list alone can
+    * surface a document. Here the fused lists are the two shipped
+    * retrieval signals over `documents`: the BM25 relevance ranking
+    * (q171) and the quality-score prior (q21) — the relevance ×
+    * quality blend every production search stack runs.
+    *
+    * Determinism: ranks are integers with doc-id tie-breaks; the RRF
+    * contribution is round(1e6/(K + rank)) as a long (K + rank ≤ 110
+    * never lands the division on an exact .5, so half-even vs
+    * half-away can't diverge), and the fused score is a sum of two
+    * longs — exact, order-independent, bit-identical in the oracle.
+    *
+    * Scale design: BOTH inputs reduce to bounded top-RrfDepth lists
+    * BEFORE any ranking window runs — q171 is already a top-50
+    * (TakeOrdered), and the quality side goes through orderBy+limit
+    * (TakeOrderedAndProject: per-partition heaps, one bounded merge)
+    * so the global row_number only ever sees RrfDepth rows. The fuse
+    * itself is a full-outer join of two 50-row frames. Nothing here
+    * scans more than the q171/q21 inputs or shuffles anything
+    * unbounded.
+    */
+  def q200_rrf_fusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bm = q171_bm25_lite(spark, dir)
+      .withColumn("bm25_rank", row_number()
+        .over(Window.orderBy($"score_milli".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"bm25_rank")
+    val qual = q21_quality_score(spark, dir)
+      .select($"doc_id", $"quality_bp")
+      .orderBy($"quality_bp".desc, $"doc_id").limit(RrfDepth)
+      .withColumn("quality_rank", row_number()
+        .over(Window.orderBy($"quality_bp".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"quality_rank")
+    def contrib(rank: Column): Column =
+      when(rank.isNotNull, round(lit(1e6) / (lit(RrfK) + rank)).cast("long"))
+        .otherwise(lit(0L))
+    bm.join(qual, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"bm25_rank", lit(0L)).as("bm25_rank"),
+        coalesce($"quality_rank", lit(0L)).as("quality_rank"),
+        (contrib($"bm25_rank") + contrib($"quality_rank")).as("rrf_micro"))
+      .orderBy($"rrf_micro".desc, $"doc_id")
+      .limit(RrfTopN)
+  }
+
   /** q165 — score calibration against NEAR-duplication: per quality-
     * score bucket (q21's formula, 1000-bp-wide bins), what fraction
     * of docs participate in a near-dup pair (J ≥ 0.5) — the "is my
@@ -802,6 +855,7 @@ object TextAnalysis {
     "q165_score_calibration" -> q165_score_calibration,
     "q193_lm_surprisal" -> q193_lm_surprisal,
     "q171_bm25_lite" -> q171_bm25_lite,
+    "q200_rrf_fusion" -> q200_rrf_fusion,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
     "q53_tfidf_keywords" -> q53_tfidf_keywords,
@@ -1021,6 +1075,69 @@ object TextAnalysis {
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
         |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q200 replays q171's BM25 CTEs and q21's quality formula, ranks
+    // each top-50 with the same tie-breaks, and fuses with the exact
+    // integer RRF contributions.
+    "q200_rrf_fusion" ->
+      s"""WITH tf AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
+        |      AS BIGINT) AS tf_join,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
+        |      AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
+        |      AS BIGINT) AS tf_data
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(dl) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_join,
+        |    CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_vector,
+        |    CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_data
+        |  FROM tf),
+        |sc AS (SELECT doc_id, dl,
+        |    CAST(ROUND((
+        |      (n_docs - df_join + 0.5) / (df_join + 0.5)
+        |        * (CAST(tf_join AS DOUBLE) * 2.2)
+        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + (n_docs - df_vector + 0.5) / (df_vector + 0.5)
+        |        * (CAST(tf_vector AS DOUBLE) * 2.2)
+        |        / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + (n_docs - df_data + 0.5) / (df_data + 0.5)
+        |        * (CAST(tf_data AS DOUBLE) * 2.2)
+        |        / (CAST(tf_data AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    ) * 1000) AS BIGINT) AS score_milli
+        |  FROM tf, st),
+        |bm AS (SELECT doc_id, score_milli FROM sc
+        |  ORDER BY score_milli DESC, doc_id LIMIT $RrfDepth),
+        |bmr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS bm25_rank
+        |  FROM bm),
+        |qs AS (SELECT doc_id, LEAST(10000, GREATEST(0,
+        |    5000 + len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('the','a','of','and','to','in','is'))) * 120
+        |         - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
+        |         + LEAST(len(string_split(text, ' ')), 100) * 10)) AS quality_bp
+        |  FROM documents),
+        |qtop AS (SELECT doc_id, quality_bp FROM qs
+        |  ORDER BY quality_bp DESC, doc_id LIMIT $RrfDepth),
+        |qr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY quality_bp DESC, doc_id) AS quality_rank
+        |  FROM qtop),
+        |f AS (SELECT COALESCE(bmr.doc_id, qr.doc_id) AS doc_id,
+        |    COALESCE(bmr.bm25_rank, 0) AS bm25_rank,
+        |    COALESCE(qr.quality_rank, 0) AS quality_rank,
+        |    (CASE WHEN bmr.bm25_rank IS NOT NULL
+        |          THEN CAST(ROUND(1e6 / ($RrfK + bmr.bm25_rank)) AS BIGINT)
+        |          ELSE 0 END
+        |     + CASE WHEN qr.quality_rank IS NOT NULL
+        |          THEN CAST(ROUND(1e6 / ($RrfK + qr.quality_rank)) AS BIGINT)
+        |          ELSE 0 END) AS rrf_micro
+        |  FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id)
+        |SELECT doc_id, bm25_rank, quality_rank, rrf_micro
+        |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTopN""".stripMargin,
     "q21_quality_score" ->
       """SELECT doc_id, lang, length(text) AS chars,
         |  len(string_split(text, ' ')) AS n_toks,

@@ -202,4 +202,80 @@ class DataPrepSpec extends AnyFunSuite {
     assert(trips(okN0 + 1, 3L), "smallest overflowing n0 must raise")
     assert(!trips(okN0, 0L), "n1=0 must not divide")
   }
+
+  test("q201 weighted sample: exactly k per lang, no repeats, partition-invariant") {
+    import spark.implicits._
+    val res = DataPrep.q201_weighted_sample(spark, dir)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // no doc sampled twice (without-replacement)
+    val ids = rows.map(_.getLong(2))
+    assert(ids.distinct.length == ids.length)
+    // per lang: min(k, group size) rows, ranks densely 1..n
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val perLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val expect = math.min(DataPrep.WrsPerLang.toLong, perLang(lang))
+      assert(rs.length.toLong == expect, s"$lang: ${rs.length} vs $expect")
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to expect))
+    }
+    // determinism under repartitioning
+    val tmp = graft.TestSpark.tempDir("wrs_part")
+    docs.repartition(13).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val again = DataPrep.q201_weighted_sample(spark, tmp).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("q201 A-ES invariant: raising a doc's weight never worsens its rank") {
+    import spark.implicits._
+    // same doc_ids (so the same uniforms) with doc 7's token weight
+    // boosted 50x in the second corpus: its priority u^(1/w) rises
+    // monotonically in w, so its within-lang rank must improve or hold
+    def corpus(boost: Int): String = {
+      val tmp = graft.TestSpark.tempDir(s"wrs_w$boost")
+      (0L until 40L).map { id =>
+        val words = if (id == 7L) 4 * boost else 4
+        (id, Seq.fill(words)("tok").mkString(" "), "en", "s", words.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    def rankOf7(dir: String): Option[Long] =
+      DataPrep.q201_weighted_sample(spark, dir).collect()
+        .find(_.getLong(2) == 7L).map(_.getLong(1))
+    val base = rankOf7(corpus(1))
+    val boosted = rankOf7(corpus(50))
+    assert(boosted.isDefined, "a 50x-weight doc among 40 must make a k=10 sample")
+    assert(base.forall(b => boosted.get <= b),
+      s"rank must improve with weight: $base -> $boosted")
+  }
+
+  test("q201 plan: rank-filter rewrites to bounded TopK heaps, no window funnel") {
+    val p = DataPrep.q201_weighted_sample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopK"), s"RankLimitRewrite must fire:\n${p.take(800)}")
+    assert(!p.contains("Window"), "no WindowExec may survive the rewrite")
+  }
+
+  test("q200 RRF: fused score is exactly the sum of the two contributions") {
+    import spark.implicits._
+    val res = TextAnalysis.q200_rrf_fusion(spark, dir).collect()
+    assert(res.nonEmpty && res.length <= TextAnalysis.RrfTopN)
+    def contrib(rank: Long): Long =
+      if (rank == 0L) 0L else math.round(1e6 / (TextAnalysis.RrfK + rank))
+    res.foreach { r =>
+      assert(r.getLong(3) == contrib(r.getLong(1)) + contrib(r.getLong(2)),
+        s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // ordering is fused-score desc with doc-id tie-break
+    val scores = res.map(r => (-r.getLong(3), r.getLong(0)))
+    assert(scores.sameElements(scores.sorted))
+    // a doc at the top of BOTH lists dominates any single-list doc
+    val both = res.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+    val single = res.filter(r => r.getLong(1) == 0 || r.getLong(2) == 0)
+    for (b <- both.headOption; s <- single.headOption)
+      assert(b.getLong(3) > s.getLong(3) - 2 * contrib(1L),
+        "sanity: contributions are bounded by the rank-1 value")
+  }
 }

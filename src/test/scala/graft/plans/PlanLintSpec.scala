@@ -108,7 +108,11 @@ class PlanLintSpec extends AnyFunSuite {
       "q135_ks_drift" -> Set("single-partition-window"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
-      "q192_budget_waterfill" -> Set("single-partition-window"))
+      "q192_budget_waterfill" -> Set("single-partition-window"),
+      // RRF ranks two RrfDepth(=50)-row lists — both inputs go through
+      // TakeOrdered limits BEFORE the rank windows, so the global
+      // window only ever sees a bounded frame
+      "q200_rrf_fusion" -> Set("single-partition-window"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

@@ -120,12 +120,17 @@ object LlmScaleBench {
       "contamination" -> (() => drive(q("q44_contamination"))),
       "mixture_rates" -> (() => drive(q("q42_mixture_rates"))),
       "stratified_sample" -> (() => drive(q("q41_stratified_sample"))),
+      "weighted_sample" -> (() => drive(q("q201_weighted_sample"))),
       "shard_pack" -> (() => drive(q("q45_shard_pack"))),
+      "cdc_chunks" -> (() => drive(q("q197_cdc_chunks"))),
+      "rrf_fusion" -> (() => drive(q("q200_rrf_fusion"))),
       "vocab_coverage" -> (() => drive(q("q89_vocab_coverage"))),
       "bpe_merges" -> (() => drive(q("q111_bpe_merges"))),
       "rare_bigram_rate" -> (() => drive(q("q112_rare_bigram_rate"))),
       "ann_exact" -> (() => drive(q("q26_ann_topk"))),
       "ann_lsh" -> (() => drive(q("q27_ann_lsh"))),
+      "product_quantization" -> (() => drive(q("q198_product_quantization"))),
+      "pq_adc_topk" -> (() => drive(q("q199_pq_adc_topk"))),
       "embedding_neardup" -> (() => drive(q("q30_embedding_neardup"))),
       "embedding_outliers" -> (() => drive(q("q46_embedding_outliers"))))
 
@@ -136,6 +141,13 @@ object LlmScaleBench {
     // contamination must catch planted pairs straddling the eval split
     val contamRows = timed.find(_._1 == "contamination").get._2
     require(contamRows > 0, "planted near-dups crossing the eval split must be flagged")
+    // each planted near-dup pair shares most of its ~12 CDC chunks
+    // verbatim (random 6-word windows from a 500-word vocab don't
+    // collide), so the cross-doc repeated-chunk report must carry at
+    // least one repeated chunk per planted pair
+    val cdcRows = timed.find(_._1 == "cdc_chunks").get._2
+    require(cdcRows >= nPlanted,
+      s"CDC must surface ≥ $nPlanted repeated chunks from planted dups, got $cdcRows")
 
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
       ("minhash_pairs", mhPairs, tMinhash),

@@ -755,6 +755,49 @@ object DataPrep {
     capped.unionByName(open).orderBy($"source")
   }
 
+  final val CurriculumPrefix = 150
+
+  /** q202 — deterministic curriculum interleave (stride scheduling,
+    * Waldspurger & Weihl 1995, applied to training-mixture ordering):
+    * assign every document a global training position such that each
+    * source appears in proportion to its declared weight in EVERY
+    * prefix of the stream, not just in expectation — the property a
+    * training run needs when it may stop early or checkpoint-resume
+    * mid-epoch (a global shuffle only balances the mixture on
+    * average; a stride interleave balances every window). The i-th
+    * document of source s (0-based, within-source doc_id order) lands
+    * at stride key (2i+1)/(2·w_s), materialized as the EXACT integer
+    * key_nano = ((2i+1)·10⁹) div (2·w_s) with (source, doc_id)
+    * tie-breaks, so both engines order identically — no floats
+    * anywhere. Weights reuse q192's declared derivation (source
+    * number % 3 + 1).
+    *
+    * Scale design: the within-source rank comes from
+    * [[groupedPrefixSum]] (unit weights) — the two-phase range scan,
+    * NOT a per-source window, so few-source corpora don't funnel one
+    * source through one task; the key is then map-side arithmetic;
+    * the bounded CurriculumPrefix head plans as TakeOrdered
+    * (per-partition heaps); only that bounded head sees the final
+    * position-numbering window.
+    */
+  def q202_training_order(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = groupedPrefixSum(
+        load(spark, dir, "documents")
+          .select($"source", $"doc_id", lit(1L).as("one")),
+        group = "source", id = "doc_id", weight = "one")
+      .select($"source", $"doc_id", $"cum0".as("i"))
+    val keyed = ranked
+      .withColumn("w",
+        (expr("CAST(substring(source, 4) AS INT)") % 3 + 1).cast("long"))
+      .withColumn("key_nano", expr("((2 * i + 1) * 1000000000) DIV (2 * w)"))
+    keyed.orderBy($"key_nano", $"source", $"doc_id").limit(CurriculumPrefix)
+      .withColumn("pos", row_number().over(Window.orderBy(
+        $"key_nano", $"source", $"doc_id")).cast("long"))
+      .select($"pos", $"source", $"doc_id", $"key_nano")
+      .orderBy($"pos")
+  }
+
   def q192_budget_waterfill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     waterfill(load(spark, dir, "documents")
@@ -776,6 +819,7 @@ object DataPrep {
     "q41_stratified_sample" -> q41_stratified_sample,
     "q74_importance_sample" -> q74_importance_sample,
     "q201_weighted_sample" -> q201_weighted_sample,
+    "q202_training_order" -> q202_training_order,
     "q42_mixture_rates" -> q42_mixture_rates,
     "q43_pii_redact" -> q43_pii_redact,
     "q44_contamination" -> q44_contamination,
@@ -938,6 +982,19 @@ object DataPrep {
         |SELECT doc_id, lang, CAST(quality_bp AS BIGINT) AS quality_bp,
         |  CAST(100000000 // quality_bp AS BIGINT) AS w_x4
         |FROM q WHERE h_bp < quality_bp ORDER BY doc_id""".stripMargin,
+    "q202_training_order" ->
+      s"""WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS i
+        |  FROM documents),
+        |k AS (SELECT doc_id, source,
+        |    ((2 * i + 1) * 1000000000)
+        |      // (2 * (CAST(substring(source, 4) AS INT) % 3 + 1)) AS key_nano
+        |  FROM r),
+        |h AS (SELECT * FROM k
+        |  ORDER BY key_nano, source, doc_id LIMIT $CurriculumPrefix)
+        |SELECT ROW_NUMBER() OVER (ORDER BY key_nano, source, doc_id) AS pos,
+        |  source, doc_id, CAST(key_nano AS BIGINT) AS key_nano
+        |FROM h ORDER BY pos""".stripMargin,
     "q201_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks

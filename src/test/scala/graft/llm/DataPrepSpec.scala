@@ -258,6 +258,50 @@ class DataPrepSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no WindowExec may survive the rewrite")
   }
 
+  test("q202 curriculum interleave: every prefix carries the declared mixture") {
+    import spark.implicits._
+    val res = DataPrep.q202_training_order(spark, dir).collect()
+    assert(res.length == DataPrep.CurriculumPrefix ||
+      res.length == graft.Tables.load(spark, dir, "documents").count().toInt)
+    // positions are dense 1..n in key order
+    assert(res.map(_.getLong(0)).sameElements(1L to res.length.toLong))
+    // stride property: in the FULL emitted prefix, each source's count
+    // stays within ~1 slot of its proportional share — the guarantee a
+    // global shuffle does not give
+    val w = res.map(_.getString(1)).distinct
+      .map(s => s -> (s.drop(3).toInt % 3 + 1).toLong).toMap
+    val totalW = {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select($"source").distinct().as[String].collect()
+      docs.map(s => (s.drop(3).toInt % 3 + 1).toLong).sum
+    }
+    val n = res.length
+    res.map(_.getString(1)).groupBy(identity).foreach { case (s, rs) =>
+      val ideal = n.toDouble * w(s) / totalW
+      assert(math.abs(rs.length - ideal) <= 2.0,
+        s"$s: ${rs.length} vs ideal $ideal in a $n-prefix")
+    }
+    // determinism under repartitioning
+    val tmp = graft.TestSpark.tempDir("curr_part")
+    graft.Tables.load(spark, dir, "documents").repartition(11)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val again = DataPrep.q202_training_order(spark, tmp).collect()
+    assert(res.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q202 plan: prefix head is TakeOrdered; no per-source window funnel") {
+    val df = DataPrep.q202_training_order(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bounded head must plan as TakeOrdered:\n${p.take(800)}")
+    // the only Window is the position numbering over the bounded head;
+    // the per-source rank must NOT appear as a window (it rides the
+    // two-phase range scan)
+    assert(!p.contains("hashpartitioning(source"),
+      "per-source rank must not hash-partition on the low-cardinality source key")
+    assert(graft.plans.PlanLint.lintGroupedWindows(df).isEmpty)
+  }
+
   test("q200 RRF: fused score is exactly the sum of the two contributions") {
     import spark.implicits._
     val res = TextAnalysis.q200_rrf_fusion(spark, dir).collect()

@@ -121,6 +121,7 @@ object LlmScaleBench {
       "mixture_rates" -> (() => drive(q("q42_mixture_rates"))),
       "stratified_sample" -> (() => drive(q("q41_stratified_sample"))),
       "weighted_sample" -> (() => drive(q("q201_weighted_sample"))),
+      "training_order" -> (() => drive(q("q202_training_order"))),
       "shard_pack" -> (() => drive(q("q45_shard_pack"))),
       "cdc_chunks" -> (() => drive(q("q197_cdc_chunks"))),
       "rrf_fusion" -> (() => drive(q("q200_rrf_fusion"))),

@@ -199,6 +199,60 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Cross-corpus MinHash-LSH near-dup pairs: every (batch, index)
+    * pair with word-3-gram Jaccard ≥ minJBp. Unlike [[minhashPairs]]
+    * this NEVER pairs the index with itself — band buckets equi-join
+    * ACROSS the two frames only — which is what makes continuous
+    * ingestion tractable: the O(|index|²) term is gone, the join
+    * output is bounded by the batch's bucket fan-out, and in
+    * production the index side's signatures are the persisted
+    * artifact of previous ingests (recompute here only because the
+    * harness has no state between queries).
+    */
+  def incrementalMinhashPairs(batch: DataFrame, index: DataFrame,
+                              minJBp: Long = 5000L): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val skB = sketches(batch)
+    val skI = sketches(index)
+    def bandsOf(sk: DataFrame): DataFrame = sk.selectExpr("doc_id",
+        s"explode(transform(sequence(0, ${NumBands - 1}), b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) as band_key))) as bk")
+      .select($"doc_id", $"bk.band_idx", $"bk.band_key")
+    val cand = bandsOf(skB).as("a").join(bandsOf(skI).as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key")
+      .select($"a.doc_id".as("batch_doc"), $"b.doc_id".as("index_doc"))
+      .distinct()
+    cand
+      .join(skB.select($"doc_id".as("batch_doc"), $"sh".as("sh_a")), "batch_doc")
+      .join(skI.select($"doc_id".as("index_doc"), $"sh".as("sh_b")), "index_doc")
+      .select($"batch_doc", $"index_doc", $"sh_a", $"sh_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) => (a, b, jBp(sa, sb)) }
+      .toDF("batch_doc", "index_doc", "j_bp")
+      .filter($"j_bp" >= minJBp)
+  }
+
+  /** q203 — incremental dedup against a persisted corpus (the
+    * daily-crawl shape): the arriving batch (odd doc_ids here) is
+    * checked for near-duplicates of the ALREADY-INGESTED index (even
+    * doc_ids) without ever re-pairing the index with itself — the
+    * operational dedup every continuously-fed training pipeline runs,
+    * where |index| ≫ |batch| and an index self-join would dominate
+    * the cost at 100 TB. Candidate generation is the banded-LSH
+    * bucket equi-join across the two frames; exact Jaccard verifies
+    * candidates only; the oracle replays the full batch×index exact
+    * comparison (tractable at sf0.01 — deliberately quadratic, so it
+    * joins the sf0.1 timeout set).
+    */
+  def q203_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    incrementalMinhashPairs(
+        batch = docs.filter($"doc_id" % 2 === 1),
+        index = docs.filter($"doc_id" % 2 === 0))
+      .orderBy($"batch_doc", $"index_doc")
+  }
+
   final val SimHashBits = 60
   final val SimChunks = 4
   final val ChunkBits = 15
@@ -491,6 +545,7 @@ object Dedup {
     "q106_canonical_docs" -> q106_canonical_docs,
     "q86_edit_distance" -> q86_edit_distance,
     "q23_minhash_dedup" -> q23_minhash_dedup,
+    "q203_incremental_dedup" -> q203_incremental_dedup,
     "q24_simhash_dedup" -> q24_simhash_dedup,
     "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked,
     "q52_neardup_clusters" -> q52_neardup_clusters,
@@ -549,6 +604,16 @@ object Dedup {
         |  AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(a.pre, b.pre) <= 30
         |ORDER BY a_id, b_id""".stripMargin,
+    "q203_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)
+        |SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
+        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j_bp
+        |FROM d2 a JOIN d2 b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |            / len(list_distinct(a.sh || b.sh))) >= 5000
+        |ORDER BY batch_doc, index_doc""".stripMargin,
     "q23_minhash_dedup" ->
       s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
         |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)

@@ -104,6 +104,14 @@ object LlmScaleBench {
       s"clustering must keep ≥95% of $nPlanted planted components, got $ccClusters")
     graft.Caches.releaseAll()
 
+    // incremental (batch-vs-index) dedup: every planted pair is
+    // (odd mutant, even seed), so the cross-parity join must find the
+    // same ≥95% the self-join does — while never pairing index×index
+    val (incPairs, tInc) = t(drive(q("q203_incremental_dedup")))
+    require(incPairs >= (nPlanted * 95) / 100,
+      s"incremental dedup must find ≥95% of $nPlanted cross-split pairs, got $incPairs")
+    graft.Caches.releaseAll()
+
     // the DETERMINISTIC dedup path: prefix filtering is exact, so it
     // must find every planted pair (J ≈ 0.9 ≥ 0.5), not 95% of them
     val (ppPairs, tPrefix) = t(drive(q("q73_prefix_jaccard")))
@@ -153,6 +161,7 @@ object LlmScaleBench {
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
       ("minhash_pairs", mhPairs, tMinhash),
       ("neardup_clusters", ccClusters, tCluster),
+      ("incremental_dedup_pairs", incPairs, tInc),
       ("prefix_jaccard_pairs", ppPairs, tPrefix)) ++ timed)
       .map { case (k, rows, sec) =>
         s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""

@@ -14,8 +14,8 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
   test("LSH dedup and near-dup candidate generation never plan a cartesian product") {
-    for (q <- Seq("q23_minhash_dedup", "q24_simhash_dedup", "q30_embedding_neardup",
-        "q73_prefix_jaccard", "q80_spatial_join")) {
+    for (q <- Seq("q23_minhash_dedup", "q203_incremental_dedup", "q24_simhash_dedup",
+        "q30_embedding_neardup", "q73_prefix_jaccard", "q80_spatial_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -19,6 +19,22 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.forall(_.getLong(2) >= 5000))
   }
 
+  test("incremental dedup equals the cross-parity slice of the full dedup") {
+    // same signatures, same banding ⇒ the batch×index join must find
+    // EXACTLY the full self-join's pairs that straddle the split —
+    // nothing extra (no index self-pairs) and nothing missed
+    val crossFull = Dedup.q23_minhash_dedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect { case (a, b, j) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j)
+      }.toSet
+    val inc = Dedup.q203_incremental_dedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc.nonEmpty, "planted mutation pairs straddle the parity split")
+    assert(inc == crossFull)
+    assert(inc.forall { case (b, i, _) => b % 2 == 1 && i % 2 == 0 })
+  }
+
   test("minhash dedup is idempotent: dropping the dup partners leaves no pairs") {
     import spark.implicits._
     val pairs = Dedup.q23_minhash_dedup(spark, dir)

@@ -249,6 +249,33 @@ object DataPrep {
     out
   }
 
+  /** Positional variant of [[gramHashes]] for span detection (q204):
+    * every gram start keeps its 1-based word index, nothing deduped —
+    * the same md5-60-bit hash convention as the oracle's
+    * `CAST('0x' || substring(md5(gram),1,15) AS BIGINT)`.
+    */
+  private[llm] def gramHashesWithPos(md: java.security.MessageDigest, text: String,
+                                     n: Int): Array[(Long, Long)] = {
+    if (text == null) return Array.empty
+    val words = text.split(" ", -1)
+    if (words.length < n) return Array.empty
+    val out = new Array[(Long, Long)](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = (i + 1L, v >>> 4)
+      i += 1
+    }
+    out
+  }
+
   /** Core of q44, factored for fixture-driven specs: flag (corpus,
     * eval) doc pairs sharing >= ContamMinShared distinct word
     * 5-grams. Grams are md5-hashed 60-bit longs (engine-independent);

@@ -541,8 +541,77 @@ object Dedup {
       .orderBy($"cluster_id", $"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q204 — exact substring-span dedup
+  // ---------------------------------------------------------------
+
+  /** Word n-gram width for q204 repeated-span detection. */
+  final val SpanGramWords = 8
+
+  /** q204 — exact repeated-substring spans, the substring-level exact
+    * dedup of Lee et al. ("Deduplicating Training Data Makes Language
+    * Models Better"): instead of dropping whole near-duplicate
+    * documents, find the maximal word spans that are repeated ACROSS
+    * documents (boilerplate headers, license blocks, templated
+    * paragraphs) so the pipeline can cut just the spans. Published
+    * systems build a corpus-wide suffix array; the Spark-native
+    * equivalent is shingle-based: hash every word 8-gram with its
+    * position, keep grams seen in ≥ 2 distinct docs (one partial+final
+    * aggregate on the 60-bit gram hash — the dup-gram table is tiny
+    * relative to the corpus), equi-join back on the hash, and merge
+    * adjacent duplicated gram starts into maximal spans with a
+    * gaps-and-islands window per doc. Every shuffle is keyed on the
+    * gram hash or doc_id (both high-cardinality — no funnel); the
+    * islands window partitions by doc_id so its input is bounded by
+    * document length. At 100 TB a boilerplate gram repeated in
+    * millions of docs is a hot KEY but not a hot REDUCER: the
+    * distinct-doc count is a two-phase aggregate and the join back
+    * fans out to the docs' own partitions.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) — 1-based word
+    * indexes, span_end inclusive, n_grams = duplicated 8-gram starts
+    * merged into the span.
+    */
+  /** Core of q204, factored for fixture-driven specs: maximal word
+    * spans of `docs` (doc_id, text) whose every n-gram start is
+    * duplicated in ≥ 2 distinct docs.
+    */
+  def substringSpans(docs: DataFrame, n: Int = SpanGramWords): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = graft.Caches.tracked(
+      docs.select($"doc_id".cast("long"), $"text")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            DataPrep.gramHashesWithPos(md, text, n)
+              .map { case (pos, g) => (id, pos, g) }
+          }
+        }
+        .toDF("doc_id", "pos", "g"))
+    val dup = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    grams.join(dup, "g")
+      .withColumn("isl", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + n - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start", $"span_end", $"n_grams")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  def q204_substring_spans(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_canonical_docs" -> q106_canonical_docs,
+    "q204_substring_spans" -> q204_substring_spans,
     "q86_edit_distance" -> q86_edit_distance,
     "q23_minhash_dedup" -> q23_minhash_dedup,
     "q203_incremental_dedup" -> q203_incremental_dedup,
@@ -569,6 +638,22 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q204_substring_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(ws) - ${SpanGramWords - 1}, 0))) AS pos,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${SpanGramWords - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(ws[i:i+${SpanGramWords - 1}], ' ')), 1, 15) AS BIGINT))) AS g
+        |  FROM w),
+        |d AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |p AS (SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM g JOIN d USING (g))
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + ${SpanGramWords - 1} AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM p GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     "q106_canonical_docs" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
         |d2 AS (SELECT * FROM d WHERE len(sh) > 0),

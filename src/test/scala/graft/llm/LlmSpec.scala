@@ -70,6 +70,29 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "corpus plants near-dups; the property must bite")
   }
 
+  test("substring spans: a planted shared sentence yields the exact maximal span in both docs") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta"),
+      (2L, s"one two three four $shared five six seven eight nine"),
+      (3L, "nothing here repeats at all across any of the documents present today truly")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12 shared words, n=8 ⇒ 5 duplicated gram starts merging into ONE
+    // maximal span of exactly the shared sentence's word range
+    assert(spans.toSet === Set((1L, 3L, 14L, 5L), (2L, 5L, 16L, 5L)))
+  }
+
+  test("substring spans: in-doc repetition alone (one doc) produces no spans") {
+    import spark.implicits._
+    val rep = (1 to 10).map(_ => "loop word cycle again repeat").mkString(" ")
+    val docs = Seq((9L, rep)).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs, n = 8).isEmpty,
+      "cross-doc dedup must ignore within-doc repeats (q51 covers those)")
+  }
+
   test("connected components close pair transitivity (chain A-B, B-C clusters as one)") {
     import spark.implicits._
     // a chain where A~B and B~C are edges but A~C is not: min-label

@@ -69,6 +69,59 @@ object DataPrep {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q205 — DSIR-style target-affinity data selection
+  // ---------------------------------------------------------------
+
+  /** The "curated target" slice q205 selects toward. */
+  final val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+  final val DsirTopK = 50
+
+  /** Core of q205, factored for fixture-driven specs: rank the
+    * non-target docs by how much their unigram distribution resembles
+    * the target slice's. Per word w the affinity is
+    * round(1e6 · c_target(w) / c_total(w)) — an INTEGER micro-ratio,
+    * so the per-doc score is an exact integer sum (no float
+    * accumulation order anywhere; the only division is the final
+    * per-doc average, a ratio of two longs both engines round
+    * identically). This is the hashed-n-gram importance-weighting
+    * shape of DSIR (Xie et al. 2023) with unigram features and a
+    * ratio score in place of the log-likelihood ratio — monotone in
+    * the same per-word evidence, and exactly SQL-replayable.
+    *
+    * Scale: one explode pass, one partial+final aggregate keyed on
+    * the word, one equi-join back on the word (Zipf-hot words are
+    * skewed JOIN keys — AQE skew-join splits them; the downstream
+    * agg is per-doc), one partial+final per-doc aggregate, and a
+    * TakeOrdered global top-k — no windows, no driver data.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int = DsirTopK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.Caches.tracked(
+      docs.select($"doc_id".cast("long").as("doc_id"), isTarget.as("tgt"),
+        explode(split($"text", " ")).as("w")))
+    val aff = toks.groupBy($"w")
+      .agg(round(lit(1000000.0) * sum(when($"tgt", 1L).otherwise(0L)) / count(lit(1)))
+        .cast("long").as("aff_micro"))
+    toks.filter(!$"tgt").join(aff, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"aff_micro").as("aff_sum"))
+      .withColumn("aff_avg_micro", round(lit(1.0) * $"aff_sum" / $"n_toks").cast("long"))
+      .select($"doc_id", $"n_toks", $"aff_sum", $"aff_avg_micro")
+      .orderBy($"aff_avg_micro".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** q205 — data selection for a target domain: score every
+    * non-curated doc by target-unigram affinity, keep the top 50.
+    */
+  def q205_dsir_select(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dsirSelect(load(spark, dir, "documents"),
+      $"source".isin(DsirTargetSources.map(x => x: Any): _*))
+  }
+
   /** q74 — importance (weighted) sampling: each doc's inclusion
     * probability IS its quality score (p = quality_bp / 10000), so
     * high-quality docs are kept preferentially while every kept row
@@ -400,6 +453,58 @@ object DataPrep {
       .groupBy($"lang", $"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"))
       .orderBy($"lang", $"shard")
+  }
+
+  // ---------------------------------------------------------------
+  // q206 — concat-and-chunk sequence packing
+  // ---------------------------------------------------------------
+
+  /** Fixed training context length for q206 (tokens per window). */
+  final val PackWindowTokens = 256L
+
+  /** Core of q206, factored for specs: GPT-style sequence packing —
+    * concatenate the corpus in doc_id order into one token stream and
+    * cut it every [[PackWindowTokens]] tokens; emit one row per
+    * (window, document segment) with the segment's offset inside the
+    * window. This is the step that turns curated documents into
+    * fixed-length training rows with attention-segment boundaries —
+    * distinct from q45 (whole-doc shard assignment: nothing splits)
+    * and q54 (per-doc overlapping chunks: no cross-doc stream).
+    *
+    * The global token offset is [[groupedPrefixSum]] with a single
+    * constant group — the same two-phase range-partition scan, so the
+    * concatenation order is a distributed total order, never a
+    * single-partition window. The window fan-out is a narrow per-row
+    * flatMap (a doc spans ⌈toks/W⌉ windows); everything downstream
+    * keys on (window_id, doc_id) — both data-sized.
+    */
+  def packAssignments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val W = PackWindowTokens
+    groupedPrefixSum(
+        docs.select($"doc_id", lit("_all").as("g"), wsToks($"text").cast("long").as("toks")),
+        group = "g", id = "doc_id", weight = "toks")
+      .as[(String, Long, Long, Long)]
+      .flatMap { case (_, docId, toks, cum0) =>
+        if (toks <= 0) Iterator.empty
+        else {
+          val w0 = cum0 / W
+          val w1 = (cum0 + toks - 1) / W
+          (w0 to w1).iterator.map { w =>
+            val segStart = math.max(cum0, w * W)
+            val segEnd = math.min(cum0 + toks, (w + 1) * W)
+            (w, docId, segStart - w * W, segEnd - segStart)
+          }
+        }
+      }
+      .toDF("window_id", "doc_id", "tok_start", "n_toks")
+  }
+
+  def q206_pack_windows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packAssignments(load(spark, dir, "documents"))
+      .orderBy($"window_id", $"doc_id")
   }
 
   // ---------------------------------------------------------------
@@ -845,6 +950,8 @@ object DataPrep {
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
     "q74_importance_sample" -> q74_importance_sample,
+    "q205_dsir_select" -> q205_dsir_select,
+    "q206_pack_windows" -> q206_pack_windows,
     "q201_weighted_sample" -> q201_weighted_sample,
     "q202_training_order" -> q202_training_order,
     "q42_mixture_rates" -> q42_mixture_rates,
@@ -1000,6 +1107,37 @@ object DataPrep {
         |SELECT n.anchor_id, CAST(n.rank AS BIGINT) AS rank, rk.doc_id AS neg_id
         |FROM n JOIN rk ON rk.source = n.o_src AND rk.r = n.idx
         |ORDER BY anchor_id, rank""".stripMargin,
+    "q205_dsir_select" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    source IN (${DsirTargetSources.map("'" + _ + "'").mkString(", ")}) AS tgt,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w,
+        |    CAST(ROUND(1000000.0 * SUM(CASE WHEN tgt THEN 1 ELSE 0 END)
+        |      / COUNT(*)) AS BIGINT) AS aff_micro
+        |  FROM d GROUP BY w),
+        |s AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    CAST(SUM(c.aff_micro) AS BIGINT) AS aff_sum
+        |  FROM d JOIN c USING (w) WHERE NOT d.tgt GROUP BY d.doc_id)
+        |SELECT doc_id, n_toks, aff_sum,
+        |  CAST(ROUND(1.0 * aff_sum / n_toks) AS BIGINT) AS aff_avg_micro
+        |FROM s ORDER BY aff_avg_micro DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+    "q206_pack_windows" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |a AS (SELECT doc_id, toks,
+        |    CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |  FROM d),
+        |e AS (SELECT doc_id, toks, cum0,
+        |    unnest(generate_series(cum0 // $PackWindowTokens,
+        |      (cum0 + toks - 1) // $PackWindowTokens)) AS window_id
+        |  FROM a WHERE toks > 0)
+        |SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+        |  CAST(GREATEST(cum0, window_id * $PackWindowTokens)
+        |    - window_id * $PackWindowTokens AS BIGINT) AS tok_start,
+        |  CAST(LEAST(cum0 + toks, (window_id + 1) * $PackWindowTokens)
+        |    - GREATEST(cum0, window_id * $PackWindowTokens) AS BIGINT) AS n_toks
+        |FROM e ORDER BY window_id, doc_id""".stripMargin,
     "q74_importance_sample" ->
       s"""WITH q AS (SELECT doc_id, lang,
         |    ${TextAnalysis.QualityBpSql} AS quality_bp,

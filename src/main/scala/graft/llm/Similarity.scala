@@ -463,6 +463,41 @@ object Similarity {
       .orderBy($"centroid")
   }
 
+  final val ClusterSampleCap = 20L
+
+  /** q207 — cluster-capped (density-balanced) sampling: cap every
+    * embedding cluster's contribution to the training mix at
+    * [[ClusterSampleCap]] members — the DataComp/SemDeDup-era recipe
+    * for keeping dense semantic regions (boilerplate-heavy modes)
+    * from dominating the corpus while sparse regions survive intact.
+    * Clustering is the SAME seeded quantizer q49/q195 oracle-verify;
+    * the survivor rule is first-wins by vec_id, so the output is a
+    * pure function of the corpus.
+    *
+    * The within-cluster rank deliberately does NOT use a
+    * `Window.partitionBy(centroid)`: k is small (16 here, and even
+    * production k ≪ corpus), so a per-cluster window would funnel
+    * each cluster's full membership through one task — exactly what
+    * PlanLint's low-cardinality-partition-window rule flags. The rank
+    * rides [[DataPrep.groupedPrefixSum]]'s two-phase range-partition
+    * scan instead (rank = exclusive count of lower-id members + 1),
+    * keeping parallelism data-sized at any k.
+    */
+  def q207_cluster_capped_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (_, assigned) = seededAssignment(emb)
+    DataPrep.groupedPrefixSum(
+        assigned.select($"centroid", $"vec_id", lit(1L).as("one")),
+        group = "centroid", id = "vec_id", weight = "one")
+      .select(col("centroid").cast("long").as("centroid"), col("vec_id"),
+        (col("cum0") + 1L).as("crank"))
+      .filter(col("crank") <= ClusterSampleCap)
+      .orderBy(col("centroid"), col("vec_id"))
+  }
+
   final val PqSubspaces = 8
   final val PqSubDim = Dim / PqSubspaces // 8
 
@@ -635,6 +670,7 @@ object Similarity {
     "q30_embedding_neardup" -> q30_embedding_neardup,
     "q34_ann_ivf" -> q34_ann_ivf,
     "q49_ivf_seeded" -> q49_ivf_seeded,
+    "q207_cluster_capped_sample" -> q207_cluster_capped_sample,
     "q195_semantic_dedup" -> q195_semantic_dedup)
 
   val oracle: Map[String, String] = Map(
@@ -694,6 +730,21 @@ object Similarity {
         |  FROM pair)
         |SELECT q_id, rank, neighbor_id, adc_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q207_cluster_capped_sample" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |ad AS (SELECT e.vec_id, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |r AS (SELECT CAST(centroid AS BIGINT) AS centroid, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY centroid ORDER BY vec_id) AS crank
+        |  FROM asg)
+        |SELECT centroid, vec_id, CAST(crank AS BIGINT) AS crank FROM r
+        |WHERE crank <= $ClusterSampleCap ORDER BY centroid, vec_id""".stripMargin,
     "q49_ivf_seeded" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),

@@ -168,6 +168,73 @@ class DataPrepSpec extends AnyFunSuite {
       == out2.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
+  test("q205 DSIR selection: target-mimicking raw doc outranks raw-only doc; target docs never selected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tgt", "alpha beta gamma delta alpha beta"),
+      (2L, "tgt", "alpha gamma epsilon beta delta gamma"),
+      (10L, "raw", "alpha beta gamma delta epsilon alpha"), // pure target vocabulary
+      (11L, "raw", "alpha noise chatter filler padding junk"), // one target word
+      (12L, "raw", "noise chatter filler padding junk static") // no target vocabulary
+    ).toDF("doc_id", "source", "text")
+    val sel = DataPrep.dsirSelect(docs, col("source") === "tgt", k = 5).collect()
+    val ids = sel.map(_.getLong(0)).toList
+    assert(!ids.contains(1L) && !ids.contains(2L), "target slice is never re-selected")
+    val score = sel.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(score(10L) > score(11L) && score(11L) > score(12L),
+      s"affinity must be monotone in target-vocabulary share: $score")
+    // raw-only vocabulary has zero target occurrences -> affinity 0
+    assert(score(12L) === 0L)
+  }
+
+  test("q205 DSIR selection is partition-invariant (integer micro-sums, no float order)") {
+    import spark.implicits._
+    val base = graft.Tables.load(spark, dir, "documents")
+    val a = DataPrep.dsirSelect(base, col("source").isin("src0", "src1"), k = 20)
+      .collect().map(_.toSeq).toSeq
+    val b = DataPrep.dsirSelect(base.repartition(17, col("lang")),
+      col("source").isin("src0", "src1"), k = 20).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("q206 packing: windows are gapless, full except the last, and conserve every token") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val totalToks = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val segs = DataPrep.packAssignments(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val W = DataPrep.PackWindowTokens
+    assert(segs.map(_._4).sum === totalToks, "every token lands in exactly one window")
+    val byWindow = segs.groupBy(_._1)
+    val lastWindow = byWindow.keys.max
+    byWindow.foreach { case (w, ss) =>
+      val sorted = ss.sortBy(_._3)
+      // segments tile the window: start at 0, back-to-back, no overlap
+      assert(sorted.head._3 === 0L, s"window $w starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 === b._3, s"window $w segments abut")
+        case _ =>
+      }
+      val filled = sorted.map(_._4).sum
+      if (w < lastWindow) assert(filled === W, s"window $w holds exactly $W tokens")
+      else assert(filled <= W)
+      // concat order: segment offsets within a window follow doc_id order
+      assert(sorted.map(_._2).toSeq === sorted.map(_._2).toSeq.sorted)
+    }
+  }
+
+  test("q206 packing: a doc segment count is exactly its window span") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 300).map(_ => "w").mkString(" ")), // 300 toks: spans 2 windows
+      (2L, (1 to 600).map(_ => "w").mkString(" ")), // 600 toks at offset 300: windows 1..3
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val segs = DataPrep.packAssignments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perDoc = segs.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perDoc(1L) === 2 && perDoc(2L) === 3 && perDoc(3L) === 1)
+    assert(segs.filter(_._2 == 2L).map(_._4).sum === 600L)
+  }
+
   test("ks drift: statistic bounded in [0, 10000] and zero for identical distributions") {
     import spark.implicits._
     val r = DataPrep.q135_ks_drift(spark, dir).collect()

@@ -432,6 +432,24 @@ class LlmSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(dec.head._3, first))
   }
 
+  test("q207 cluster-capped sample: caps bind, survivors are the lowest ids, plan has no cluster window") {
+    val df = Similarity.q207_cluster_capped_sample(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.length <= Similarity.ClusterSampleCap, s"cluster $c over cap")
+      // first-wins: ranks are 1..n in vec_id order
+      val sorted = ms.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq === (1L to sorted.length).toSeq,
+        s"cluster $c ranks must be dense in vec_id order")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(centroid"),
+      "within-cluster rank must not hash-partition on the low-cardinality centroid key")
+    assert(graft.plans.PlanLint.lintGroupedWindows(df).isEmpty)
+  }
+
   test("sketch primitives: degenerate inputs never throw") {
     val md = java.security.MessageDigest.getInstance("MD5")
     assert(Dedup.shingleHashes(null, 3).isEmpty)

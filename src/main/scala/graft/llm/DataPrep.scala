@@ -940,7 +940,213 @@ object DataPrep {
       budgetNum = 4L, budgetDen = 5L)
   }
 
+  /** q209 — k-anonymity / l-diversity audit over a released join: the
+    * privacy gate a data pipeline runs before publishing derived
+    * tables. Quasi-identifier = (nation, market segment); sensitive
+    * attribute = order priority. Emits every equivalence class with
+    * its size (k), its distinct-sensitive-value count (l), and the
+    * pass flags (k ≥ 5, l ≥ 3) the release policy would enforce.
+    * One equi-join (customer side broadcast-eligible) and one
+    * aggregation with an exact count-distinct; the class-key shuffle
+    * is |nations|×|segments| bounded regardless of fact size.
+    */
+  def q209_k_anonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey".as("nation"),
+        $"c_mktsegment".as("segment"))
+      .join(load(spark, dir, "orders")
+        .select($"o_custkey", $"o_orderpriority".as("sensitive")),
+        $"c_custkey" === $"o_custkey")
+      .groupBy($"nation", $"segment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"sensitive").as("l_diversity"))
+      .select($"nation", $"segment", $"class_size", $"l_diversity",
+        ($"class_size" >= 5).cast("int").as("k_ok"),
+        ($"l_diversity" >= 3).cast("int").as("l_ok"))
+      .orderBy($"nation", $"segment")
+  }
+
+  /** q210 — differentially-private release counts via the discrete
+    * Laplace (two-sided geometric) mechanism with α = ½ (ε = ln 2).
+    * The noise draw is exact integer arithmetic end-to-end: the
+    * md5-60-bit uniform h is scaled to w = 3h ∈ [0, 3·2⁶⁰); the
+    * central third is k = 0 (mass (1−α)/(1+α) = ⅓) and each dyadic
+    * interval outward is one more noise step (mass ⅓·2⁻ⁱᵏᵢ), so k
+    * falls out of the BIT LENGTH of w — no transcendentals, no
+    * engine-dependent float, and the DuckDB oracle replays the draw
+    * bit-for-bit. (A real release would drop n_true and fix the seed
+    * per release epoch; the demo emits both sides for auditability.)
+    * Map-side only until the dimension-bounded (source, lang) count.
+    */
+  def q210_dp_noisy_counts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val third = 1L << 60
+    val counts = load(spark, dir, "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n_true"))
+    val w = hash60(concat(lit("graft_dp_"), $"source", lit("_"), $"lang")) * 3
+    counts
+      .withColumn("noise",
+        when(w >= third && w < 2 * third, lit(0))
+          .when(w < third,
+            greatest(length(bin(greatest(w, lit(1)))) - 61, lit(-40)))
+          .otherwise(
+            least(lit(61) - length(bin(greatest(lit(3 * third - 1) - w, lit(1)))),
+              lit(40)))
+          .cast("long"))
+      .select($"source", $"lang", $"n_true", $"noise",
+        greatest($"n_true" + $"noise", lit(0L)).as("n_noisy"),
+        lit(693L).as("epsilon_milli"))
+      .orderBy($"source", $"lang")
+  }
+
+  /** q213 — sequential quality-filter funnel (the CCNet/Dolma-style
+    * gate report): four per-document gates applied in order — length
+    * in [100, 500] chars, within-document distinct-token ratio ≥ 30 %,
+    * mean word length in [2, 9], digit share ≤ 20 % — with per-source
+    * survivor counts after each stage, so the report shows WHICH gate
+    * eats a slice, not just the final rate. Every gate is a scalar
+    * expression over the row (distinct-ratio via array_distinct, no
+    * per-doc aggregation), so the whole funnel is one codegen'd scan
+    * plus a source-bounded final aggregate — embarrassingly parallel
+    * at any corpus size.
+    */
+  def q213_filter_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_toks", size($"toks").cast("long"))
+      .withColumn("nsp", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("g1", $"n_chars".between(100, 500))
+      .withColumn("g2",
+        size(array_distinct($"toks")).cast("long") * 10 >= $"n_toks" * 3)
+      .withColumn("g3",
+        $"nsp" * 10 >= $"n_toks" * 20 && $"nsp" * 10 <= $"n_toks" * 90)
+      .withColumn("g4",
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long") * 5 <= $"n_chars")
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"g1".cast("long")).as("pass_len"),
+        sum(($"g1" && $"g2").cast("long")).as("pass_distinct"),
+        sum(($"g1" && $"g2" && $"g3").cast("long")).as("pass_wordlen"),
+        sum(($"g1" && $"g2" && $"g3" && $"g4").cast("long")).as("pass_digit"))
+      .withColumn("keep_bp",
+        round(lit(10000.0) * $"pass_digit" / $"n_docs").cast("long"))
+      .orderBy($"source")
+  }
+
+  /** q215 — data-constrained epoch allocator (the "repeat good data
+    * up to E epochs" budgeting step of data-constrained scaling):
+    * rank sources by a quality proxy (mean document length), then
+    * greedily grant each source up to 4 epochs of its unique tokens
+    * until a budget of 2× the corpus's unique tokens is exhausted —
+    * the partially-funded boundary source gets the integer remainder.
+    * The scan aggregates to |sources| rows FIRST; the prefix-sum
+    * window then runs on that dimension-sized frame (bounded by
+    * construction, same rationale as q192's waterfill), so no
+    * corpus-sized data ever crosses a single-partition boundary.
+    */
+  def q215_repeat_epochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(sum(wsToks($"text").cast("long")).as("u_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"))
+      .withColumn("quality_milli",
+        round(lit(1000.0) * $"sum_chars" / $"n_docs").cast("long"))
+    val tot = src.agg(sum($"u_tokens").as("corpus_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"quality_milli".desc, $"source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    src.crossJoin(broadcast(tot))
+      .withColumn("pre", coalesce(sum($"u_tokens" * 4).over(w), lit(0L)))
+      .withColumn("grant_tokens",
+        greatest(least(lit(2) * $"corpus_tokens" - $"pre", $"u_tokens" * 4), lit(0L)))
+      .select($"source", $"u_tokens", $"quality_milli", $"grant_tokens",
+        round(lit(1000.0) * $"grant_tokens" / $"u_tokens").cast("long")
+          .as("epochs_milli"))
+      .orderBy($"quality_milli".desc, $"source")
+  }
+
+  /** q218 — n-gram novelty audit: for each candidate document (the
+    * src0 slice, standing in for a synthetic/generated batch), the
+    * share of its distinct word 4-grams NEVER seen in the reference
+    * corpus (everything else) — the inverse of q44's contamination
+    * check, used to answer "is this generated data new text or a
+    * paraphrase mosaic?" before admitting it to training. The
+    * reference gram set is a distinct aggregate; membership is one
+    * equi-join on the gram string (left join + null flag, so the
+    * unseen count needs no anti-join pass); per-candidate aggregate
+    * closes it. All shuffle keys are vocab-bounded.
+    */
+  def q218_ngram_novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams4(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"source", split($"text", " ").as("sp"))
+      .filter(size($"sp") >= 4)
+      .select($"doc_id", $"source", explode(array_distinct(expr(
+        "transform(sequence(0, size(sp) - 4), i -> concat(sp[i], ' ', sp[i+1], ' ', sp[i+2], ' ', sp[i+3]))")))
+        .as("g"))
+    val docs = graft.Caches.tracked(grams4(load(spark, dir, "documents")))
+    val cand = docs.filter($"source" === "src0")
+    val ref = docs.filter($"source" =!= "src0")
+      .select($"g").distinct().withColumn("seen", lit(1))
+    cand.join(ref, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        round(lit(10000.0) * $"n_novel" / $"n_grams").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** q219 — embedding distribution drift: per label, compare the
+    * centroid of the even-id half of the corpus against the odd-id
+    * half (standing in for "last ingest" vs "this ingest") via L2
+    * shift and centroid cosine — the embedding-space analog of q135's
+    * scalar KS drift, the canary that an encoder change or a crawl
+    * shift moved a slice's semantic mass. Per-(label, half, dim)
+    * means are one partial+final aggregate (64·|labels|·2 cells, no
+    * row ever leaves its partition before partial agg); the distance
+    * fold runs on that bounded cell table. Micro-rounding absorbs
+    * engine summation-order ulps, as across the ANN layer.
+    */
+  def q219_embedding_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = load(spark, dir, "embeddings")
+      .select($"label", ($"vec_id" % 2).as("half"),
+        posexplode(graft.llm.Similarity.toDouble($"embedding")))
+      .toDF("label", "half", "i", "x")
+    val cent = graft.Caches.tracked(
+      e.groupBy($"label", $"half", $"i").agg(avg($"x").as("m")))
+    val a = cent.filter($"half" === 0).select($"label", $"i", $"m".as("ma"))
+    val b = cent.filter($"half" === 1).select($"label", $"i", $"m".as("mb"))
+    val d = a.join(b, Seq("label", "i"))
+      .groupBy($"label")
+      .agg(sum(($"ma" - $"mb") * ($"ma" - $"mb")).as("d2"),
+        sum($"ma" * $"mb").as("dt"),
+        sum($"ma" * $"ma").as("na2"),
+        sum($"mb" * $"mb").as("nb2"))
+    val cnt = load(spark, dir, "embeddings")
+      .groupBy($"label")
+      .agg(sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"vec_id" % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    d.join(broadcast(cnt), "label")
+      .select($"label", $"n_a", $"n_b",
+        round(sqrt($"d2") * 1e6).cast("long").as("l2_micro"),
+        round($"dt" / (sqrt($"na2") * sqrt($"nb2")) * 1e6).cast("long")
+          .as("cos_micro"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_ngram_novelty" -> q218_ngram_novelty,
+    "q219_embedding_drift" -> q219_embedding_drift,
+    "q209_k_anonymity" -> q209_k_anonymity,
+    "q210_dp_noisy_counts" -> q210_dp_noisy_counts,
+    "q213_filter_funnel" -> q213_filter_funnel,
+    "q215_repeat_epochs" -> q215_repeat_epochs,
     "q192_budget_waterfill" -> q192_budget_waterfill,
     "q191_boilerplate_spans" -> q191_boilerplate_spans,
     "q144_blocklist_audit" -> q144_blocklist_audit,
@@ -972,6 +1178,108 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q218_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 3),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |           || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]))
+        |      AS gs
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (SELECT doc_id, source, unnest(gs) AS g FROM d),
+        |ref AS (SELECT DISTINCT g FROM g WHERE source <> 'src0'),
+        |c AS (SELECT g.doc_id, g.g, ref.g IS NOT NULL AS seen
+        |      FROM g LEFT JOIN ref USING (g) WHERE g.source = 'src0')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN seen THEN 0 ELSE 1 END) / COUNT(*))
+        |    AS BIGINT) AS novelty_bp
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q219_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, vec_id % 2 AS half, r.range + 1 AS i,
+        |        AVG(v[r.range + 1]) AS m
+        |      FROM e, range(64) r GROUP BY 1, 2, 3),
+        |a AS (SELECT label, i, m FROM u WHERE half = 0),
+        |b AS (SELECT label, i, m FROM u WHERE half = 1),
+        |d AS (SELECT a.label, SUM((a.m - b.m) * (a.m - b.m)) AS d2,
+        |        SUM(a.m * b.m) AS dt, SUM(a.m * a.m) AS na2, SUM(b.m * b.m) AS nb2
+        |      FROM a JOIN b ON a.label = b.label AND a.i = b.i GROUP BY 1),
+        |c AS (SELECT label,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM e GROUP BY 1)
+        |SELECT d.label AS label, c.n_a, c.n_b,
+        |  CAST(ROUND(SQRT(d2) * 1e6) AS BIGINT) AS l2_micro,
+        |  CAST(ROUND(dt / (SQRT(na2) * SQRT(nb2)) * 1e6) AS BIGINT) AS cos_micro
+        |FROM d JOIN c ON d.label = c.label ORDER BY 1""".stripMargin,
+    "q209_k_anonymity" ->
+      """SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size,
+        |  CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_diversity,
+        |  CAST(COUNT(*) >= 5 AS INT) AS k_ok,
+        |  CAST(COUNT(DISTINCT o.o_orderpriority) >= 3 AS INT) AS l_ok
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q210_dp_noisy_counts" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
+        |           FROM documents GROUP BY 1, 2),
+        |h AS (SELECT source, lang, n_true,
+        |        3 * CAST(('0x' || substring(md5('graft_dp_' || source || '_' || lang),
+        |                  1, 15)) AS BIGINT) AS w FROM c),
+        |k AS (SELECT source, lang, n_true,
+        |        CASE WHEN w >= 1152921504606846976 AND w < 2305843009213693952 THEN 0
+        |             WHEN w < 1152921504606846976
+        |               THEN greatest(length(bin(greatest(w, 1))) - 61, -40)
+        |             ELSE least(61 - length(bin(greatest(3458764513820540927 - w, 1))), 40)
+        |        END AS noise FROM h)
+        |SELECT source, lang, n_true, CAST(noise AS BIGINT) AS noise,
+        |  CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noisy,
+        |  CAST(693 AS BIGINT) AS epsilon_milli
+        |FROM k ORDER BY source, lang""".stripMargin,
+    "q213_filter_funnel" ->
+      """WITH d AS (SELECT source, n_chars, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS d_toks,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dig
+        |  FROM documents),
+        |g AS (SELECT source,
+        |    (n_chars BETWEEN 100 AND 500) AS g1,
+        |    (d_toks * 10 >= n_toks * 3) AS g2,
+        |    (nsp * 10 >= n_toks * 20 AND nsp * 10 <= n_toks * 90) AS g3,
+        |    (dig * 5 <= n_chars) AS g4
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        |  CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_distinct,
+        |  CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pass_wordlen,
+        |  CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pass_digit,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+        |       / COUNT(*)) AS BIGINT) AS keep_bp
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q215_repeat_epochs" ->
+      """WITH s AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT source, u_tokens,
+        |    CAST(ROUND(1000.0 * sum_chars / n_docs) AS BIGINT) AS quality_milli
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(u_tokens) AS BIGINT) AS corpus_tokens FROM q),
+        |p AS (SELECT q.*, t.corpus_tokens,
+        |    COALESCE(SUM(u_tokens * 4) OVER (ORDER BY quality_milli DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM q CROSS JOIN t)
+        |SELECT source, u_tokens, quality_milli,
+        |  CAST(greatest(least(2 * corpus_tokens - pre, u_tokens * 4), 0) AS BIGINT)
+        |    AS grant_tokens,
+        |  CAST(ROUND(1000.0 * greatest(least(2 * corpus_tokens - pre, u_tokens * 4), 0)
+        |       / u_tokens) AS BIGINT) AS epochs_milli
+        |FROM p ORDER BY quality_milli DESC, source""".stripMargin,
     "q192_budget_waterfill" ->
       """WITH m0 AS (SELECT source,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS mass,

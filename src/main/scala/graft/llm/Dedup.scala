@@ -609,7 +609,77 @@ object Dedup {
   def q204_substring_spans(spark: SparkSession, dir: String): DataFrame =
     substringSpans(load(spark, dir, "documents"))
 
+  /** q214 — soft dedup by n-gram commonness (the SoftDeDup idea:
+    * down-WEIGHT common content instead of dropping it, so the
+    * training loss keeps the document but repeated boilerplate stops
+    * dominating the gradient). Per document: the mean document
+    * frequency of its distinct 3-gram shingles ("commonness") and the
+    * inverse reweighting factor in basis points. Unlike q20/q23 this
+    * emits a weight for EVERY doc — the pipeline multiplies sampling
+    * probability by weight instead of filtering.
+    *
+    * Plan shape: one shingle explode → df count keyed on the gram
+    * string (vocab-bounded shuffle), equi-join back on the gram, one
+    * per-doc aggregate. No pair join at all — commonness is a
+    * first-order statistic, which is exactly why it scales better
+    * than pairwise dedup at 100 TB (linear in corpus size).
+    */
+  def q214_soft_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("sp"))
+      .filter(size($"sp") >= 3)
+      .select($"doc_id", $"source", explode(array_distinct(expr(
+        "transform(sequence(0, size(sp) - 3), i -> concat(sp[i], ' ', sp[i+1], ' ', sp[i+2]))")))
+        .as("g")))
+    val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_grams"), sum($"df").as("sum_df"))
+      .select($"doc_id", $"source", $"n_grams", $"sum_df",
+        round(lit(1000.0) * $"sum_df" / $"n_grams").cast("long")
+          .as("commonness_milli"),
+        round(lit(10000.0) * $"n_grams" / $"sum_df").cast("long")
+          .as("weight_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** q217 — per-document memorization rate: the share of a doc's
+    * positional 8-gram hashes (q204's substring machinery) that occur
+    * verbatim in at least one OTHER document — the doc-granular
+    * summary of L69's span view ("how much of this page is copied
+    * boilerplate?"), the score a curation pipeline thresholds where
+    * span surgery (q204) is too aggressive. Count-distinct per gram
+    * hash, equi-join back, per-doc aggregate — same linear scale
+    * shape as q214, hot grams are hot KEYS never hot reducers.
+    */
+  def q217_memorization_rate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = graft.Caches.tracked(
+      load(spark, dir, "documents")
+        .select($"doc_id".cast("long"), $"text")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            DataPrep.gramHashesWithPos(md, text, SpanGramWords)
+              .map { case (pos, g) => (id, pos, g) }
+          }
+        }
+        .toDF("doc_id", "pos", "g"))
+    val df = grams.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+    grams.join(df, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_memorized"))
+      .withColumn("mem_bp",
+        round(lit(10000.0) * $"n_memorized" / $"n_grams").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_memorization_rate" -> q217_memorization_rate,
+    "q214_soft_dedup" -> q214_soft_dedup,
     "q106_canonical_docs" -> q106_canonical_docs,
     "q204_substring_spans" -> q204_substring_spans,
     "q86_edit_distance" -> q86_edit_distance,
@@ -638,6 +708,30 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q217_memorization_rate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${SpanGramWords - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(ws[i:i+${SpanGramWords - 1}], ' ')), 1, 15) AS BIGINT))) AS g
+        |  FROM w),
+        |d AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+        |       / COUNT(*)) AS BIGINT) AS mem_bp
+        |FROM g JOIN d USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q214_soft_dedup" ->
+      s"""WITH g AS (SELECT doc_id, source, unnest($Shingle3Sql) AS g
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1),
+        |a AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(df) AS BIGINT) AS sum_df
+        |      FROM g JOIN f USING (g) GROUP BY 1, 2)
+        |SELECT doc_id, source, n_grams, sum_df,
+        |  CAST(ROUND(1000.0 * sum_df / n_grams) AS BIGINT) AS commonness_milli,
+        |  CAST(ROUND(10000.0 * n_grams / sum_df) AS BIGINT) AS weight_bp
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q204_substring_spans" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,

@@ -75,7 +75,10 @@ object LlmScaleBench {
           v(j) = ((h >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
           j += 1
         }
-        (id, v, "lab" + (id % 5))
+        // label decorrelated from vec_id mod 5 (testdata parity: int
+        // labels, 10 of them) so q211's %5 query-pool filter crosses
+        // every label — id%5-aligned labels would empty one side
+        (id, v, ((id / 7) % 10).toInt)
       }).toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
@@ -136,6 +139,13 @@ object LlmScaleBench {
       "vocab_coverage" -> (() => drive(q("q89_vocab_coverage"))),
       "bpe_merges" -> (() => drive(q("q111_bpe_merges"))),
       "rare_bigram_rate" -> (() => drive(q("q112_rare_bigram_rate"))),
+      "source_divergence" -> (() => drive(q("q208_source_divergence"))),
+      "dp_noisy_counts" -> (() => drive(q("q210_dp_noisy_counts"))),
+      "distinct_ngrams" -> (() => drive(q("q212_distinct_ngrams"))),
+      "filter_funnel" -> (() => drive(q("q213_filter_funnel"))),
+      "repeat_epochs" -> (() => drive(q("q215_repeat_epochs"))),
+      "tokenizer_fertility" -> (() => drive(q("q216_tokenizer_fertility"))),
+      "bitext_margin" -> (() => drive(q("q211_bitext_margin"))),
       "ann_exact" -> (() => drive(q("q26_ann_topk"))),
       "ann_lsh" -> (() => drive(q("q27_ann_lsh"))),
       "product_quantization" -> (() => drive(q("q198_product_quantization"))),
@@ -158,11 +168,22 @@ object LlmScaleBench {
     require(cdcRows >= nPlanted,
       s"CDC must surface ≥ $nPlanted repeated chunks from planted dups, got $cdcRows")
 
+    // soft dedup: both members of a planted pair share ~90% of their
+    // 3-grams (df ≥ 2), so their commonness must clear 1.5× while the
+    // untouched 80% of the corpus stays near 1.0 — the weighting
+    // actually separates duplicated content at 20× scale
+    val (softHigh, tSoft) = t(q("q214_soft_dedup")
+      .filter($"commonness_milli" >= 1500).count())
+    require(softHigh >= nPlanted * 18 / 10,
+      s"soft dedup must upweight both members of ≥90% of $nPlanted planted pairs, got $softHigh")
+    graft.Caches.releaseAll()
+
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
       ("minhash_pairs", mhPairs, tMinhash),
       ("neardup_clusters", ccClusters, tCluster),
       ("incremental_dedup_pairs", incPairs, tInc),
-      ("prefix_jaccard_pairs", ppPairs, tPrefix)) ++ timed)
+      ("prefix_jaccard_pairs", ppPairs, tPrefix),
+      ("soft_dedup_upweighted", softHigh, tSoft)) ++ timed)
       .map { case (k, rows, sec) =>
         s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
       }

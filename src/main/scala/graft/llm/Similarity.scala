@@ -662,7 +662,60 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** q211 — margin-based bitext mining (Artetxe & Schwenk, ACL'19):
+    * the parallel-corpus mining step of a multilingual pipeline.
+    * Two embedding pools (label 0 = "source side", label 1 = "target
+    * side"); a raw cosine threshold over-selects hubs — vectors close
+    * to EVERYTHING — so each pair is scored by its margin: cosine
+    * normalized by the mean of both endpoints' k-NN cosines
+    * (k = 4; ratio margin). Emits each source vector's best target
+    * with the margin in milli-units.
+    *
+    * Determinism: margins are computed FROM the rounded sim_micro
+    * integers (margin = 8000·sim/(Σk_x + Σk_y) since both sides use
+    * k = 4), so no float path diverges between engines. Scale: the
+    * demo scores the exact pair grid of two bounded pools; at corpus
+    * scale the pair generator is the ANN layer (q27 LSH buckets /
+    * q34 IVF probes) feeding the same margin rerank — the k-NN sums
+    * and the rerank are per-query-bounded windows either way.
+    */
+  def q211_bitext_margin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id", toDouble($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+    val xs = emb.filter($"label" === 0)
+      .select($"vec_id".as("x_id"), $"v".as("xv"), $"nrm".as("xn"))
+    val ys = emb.filter($"label" === 1)
+      .select($"vec_id".as("y_id"), $"v".as("yv"), $"nrm".as("yn"))
+    val pairs = graft.Caches.tracked(xs.crossJoin(broadcast(ys))
+      .select($"x_id", $"y_id",
+        round(dot($"xv", $"yv") / ($"xn" * $"yn") * 1e6).cast("long")
+          .as("sim_micro")))
+    val kx = pairs
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"x_id").orderBy($"sim_micro".desc, $"y_id")))
+      .filter($"r" <= 4)
+      .groupBy($"x_id").agg(sum($"sim_micro").as("sumk_x"))
+    val ky = pairs
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"y_id").orderBy($"sim_micro".desc, $"x_id")))
+      .filter($"r" <= 4)
+      .groupBy($"y_id").agg(sum($"sim_micro").as("sumk_y"))
+    pairs.join(broadcast(kx), "x_id").join(broadcast(ky), "y_id")
+      .withColumn("margin_milli",
+        when($"sumk_x" + $"sumk_y" === 0, lit(0L)).otherwise(
+          round(lit(8000.0) * $"sim_micro" / ($"sumk_x" + $"sumk_y")).cast("long")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"x_id").orderBy($"margin_milli".desc, $"y_id")))
+      .filter($"rank" === 1)
+      .select($"x_id", $"y_id", $"sim_micro", $"margin_milli")
+      .orderBy($"x_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_bitext_margin" -> q211_bitext_margin,
     "q26_ann_topk" -> q26_ann_topk,
     "q198_product_quantization" -> q198_product_quantization,
     "q199_pq_adc_topk" -> q199_pq_adc_topk,
@@ -677,6 +730,30 @@ object Similarity {
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
     // recall assertions against the exact q26 result. q49 replays the
     // same inverted-list machinery with SQL-reproducible seeds.
+    "q211_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |x AS (SELECT vec_id AS x_id, v FROM e WHERE label = 0),
+        |y AS (SELECT vec_id AS y_id, v FROM e WHERE label = 1),
+        |p AS (SELECT x_id, y_id,
+        |        CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT)
+        |          AS sim_micro
+        |      FROM x CROSS JOIN y),
+        |kx AS (SELECT x_id, CAST(SUM(sim_micro) AS BIGINT) AS sx FROM (
+        |    SELECT x_id, sim_micro, ROW_NUMBER() OVER (PARTITION BY x_id
+        |      ORDER BY sim_micro DESC, y_id) AS r FROM p) WHERE r <= 4 GROUP BY 1),
+        |ky AS (SELECT y_id, CAST(SUM(sim_micro) AS BIGINT) AS sy FROM (
+        |    SELECT y_id, sim_micro, ROW_NUMBER() OVER (PARTITION BY y_id
+        |      ORDER BY sim_micro DESC, x_id) AS r FROM p) WHERE r <= 4 GROUP BY 1),
+        |m AS (SELECT p.x_id, p.y_id, p.sim_micro,
+        |        CASE WHEN kx.sx + ky.sy = 0 THEN 0
+        |             ELSE CAST(ROUND(8000.0 * p.sim_micro / (kx.sx + ky.sy)) AS BIGINT)
+        |        END AS margin_milli
+        |      FROM p JOIN kx USING (x_id) JOIN ky USING (y_id)),
+        |r AS (SELECT m.*, ROW_NUMBER() OVER (PARTITION BY x_id
+        |        ORDER BY margin_milli DESC, y_id) AS rk FROM m)
+        |SELECT x_id, y_id, sim_micro, margin_milli FROM r
+        |WHERE rk = 1 ORDER BY x_id""".stripMargin,
     "q198_product_quantization" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),

@@ -836,7 +836,118 @@ object TextAnalysis {
       .orderBy($"sa", $"sb")
   }
 
+  /** q208 — per-source distribution drift: exact total-variation
+    * distance between each source's unigram distribution and the
+    * corpus-wide distribution — the mixture-monitoring statistic
+    * ("which crawl slice no longer looks like the corpus?") that
+    * data-mixing pipelines recompute per ingest batch. TV is chosen
+    * over KL deliberately: TV(p,q) = ½·Σ|pᵢ−qᵢ| stays in integer
+    * arithmetic end-to-end (|c·N − C·n_s| over the common denominator
+    * n_s·N), so there is no engine-dependent transcendental in the
+    * hot path and the DuckDB oracle replays it bit-for-bit. Words the
+    * source never emits contribute their whole corpus mass — handled
+    * in closed form as (N − ΣC_seen)·n_s, no anti-join needed.
+    *
+    * Plan shape: one token explode → (source,word) partial+final
+    * count; corpus counts derive from that same aggregate (keyed by
+    * word, a second bounded shuffle); the per-source totals and the
+    * grand total are dimension-sized broadcasts. No all-pairs
+    * anywhere; every shuffle key is vocab- or source-bounded. At
+    * 100 TB the c·N products exceed int64 — promote the two product
+    * columns to decimal(38,0); everything else is unchanged.
+    */
+  def q208_source_divergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sw = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"source", explode(wsTokens($"text")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c")))
+    val cw = sw.groupBy($"tok").agg(sum($"c").as("cc"))
+    val ns = sw.groupBy($"source")
+      .agg(sum($"c").as("n_s"), count(lit(1)).as("vocab"))
+    val tot = sw.agg(sum($"c").as("n"))
+
+    sw.join(cw, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy($"source")
+      .agg(
+        max($"n_s").as("n_tokens"),
+        max($"vocab").as("vocab"),
+        max($"n").as("n"),
+        sum(abs($"c" * $"n" - $"cc" * $"n_s")).as("a"),
+        sum($"cc").as("sc"))
+      .select($"source", $"n_tokens", $"vocab",
+        round(lit(5000.0) * ($"a" + ($"n" - $"sc") * $"n_tokens")
+          / ($"n_tokens" * $"n")).cast("long").as("tv_bp"))
+      .orderBy($"source")
+  }
+
+  /** q212 — distinct-n diversity: per-source type-token ratios at the
+    * unigram and bigram level (the distinct-n / self-repetition
+    * corpus health metric — a collapsed or templated slice shows a
+    * cratered bigram TTR long before eyeballing does). Two exact
+    * count-distinct aggregates over the exploded n-gram streams; all
+    * integer until the final basis-point division. The distinct
+    * aggregation is the operator's cost by definition (it IS the
+    * statistic); both shuffles key on (source, gram) and scale with
+    * corpus vocab, not corpus size.
+    */
+  def q212_distinct_ngrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"source", wsTokens($"text").as("sp")))
+    val uni = docs.select($"source", explode($"sp").as("g"))
+      .filter(length($"g") > 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_unigrams"),
+        countDistinct($"g").as("d_unigrams"))
+    val bi = docs.filter(size($"sp") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i+1]))"))
+        .as("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct($"g").as("d_bigrams"))
+    uni.join(bi, "source")
+      .select($"source", $"n_unigrams", $"d_unigrams",
+        round(lit(10000.0) * $"d_unigrams" / $"n_unigrams").cast("long").as("uni_ttr_bp"),
+        $"n_bigrams", $"d_bigrams",
+        round(lit(10000.0) * $"d_bigrams" / $"n_bigrams").cast("long").as("bi_ttr_bp"))
+      .orderBy($"source")
+  }
+
+  /** q216 — tokenizer fertility report: per language, whitespace-word
+    * count, BPE-ish subword count (the q19 lexer), fertility
+    * (subwords per word, milli) and compression (chars per subword,
+    * milli) — the "how expensive is this language under the
+    * tokenizer" table that drives per-language token budgeting.
+    * Single narrow scan, one partial+final aggregation, no joins.
+    */
+  def q216_tokenizer_fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"lang",
+        length($"text").as("chars"),
+        size(wsTokens($"text")).as("ws"),
+        size(regexp_extract_all($"text", lit(TokenPattern), lit(0))).as("bpe"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws").as("sum_words"),
+        sum($"bpe").as("sum_subwords"),
+        sum($"chars").as("sum_chars"))
+      .select($"lang", $"n_docs", $"sum_words", $"sum_subwords",
+        round(lit(1000.0) * $"sum_subwords" / $"sum_words").cast("long")
+          .as("fertility_milli"),
+        round(lit(1000.0) * $"sum_chars" / $"sum_subwords").cast("long")
+          .as("chars_per_subword_milli"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_source_divergence" -> q208_source_divergence,
+    "q212_distinct_ngrams" -> q212_distinct_ngrams,
+    "q216_tokenizer_fertility" -> q216_tokenizer_fertility,
     "q116_source_overlap" -> q116_source_overlap,
     "q112_rare_bigram_rate" -> q112_rare_bigram_rate,
     "q111_bpe_merges" -> q111_bpe_merges,
@@ -862,6 +973,53 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q208_source_divergence" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sw AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+        |cw AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |         CAST(COUNT(*) AS BIGINT) AS vocab FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sw),
+        |agg AS (SELECT sw.source,
+        |          CAST(SUM(ABS(sw.c * tot.n - cw.cc * ns.n_s)) AS BIGINT) AS a,
+        |          CAST(SUM(cw.cc) AS BIGINT) AS sc
+        |        FROM sw JOIN cw USING (tok)
+        |        JOIN ns ON sw.source = ns.source CROSS JOIN tot GROUP BY 1)
+        |SELECT ns.source AS source, ns.n_s AS n_tokens, ns.vocab,
+        |  CAST(ROUND(5000.0 * (agg.a + (tot.n - agg.sc) * ns.n_s)
+        |       / (ns.n_s * tot.n)) AS BIGINT) AS tv_bp
+        |FROM agg JOIN ns ON agg.source = ns.source CROSS JOIN tot
+        |ORDER BY 1""".stripMargin,
+    "q212_distinct_ngrams" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS sp FROM documents),
+        |u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+        |        CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+        |      FROM (SELECT source, unnest(sp) AS g FROM d)
+        |      WHERE len(g) > 0 GROUP BY 1),
+        |b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n2,
+        |        CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+        |      FROM (SELECT source, sp[i] || ' ' || sp[i + 1] AS g
+        |            FROM (SELECT source, sp,
+        |                    unnest(generate_series(1, len(sp) - 1)) AS i
+        |                  FROM d WHERE len(sp) >= 2))
+        |      GROUP BY 1)
+        |SELECT u.source, u.n1 AS n_unigrams, u.d1 AS d_unigrams,
+        |  CAST(ROUND(10000.0 * u.d1 / u.n1) AS BIGINT) AS uni_ttr_bp,
+        |  b.n2 AS n_bigrams, b.d2 AS d_bigrams,
+        |  CAST(ROUND(10000.0 * b.d2 / b.n2) AS BIGINT) AS bi_ttr_bp
+        |FROM u JOIN b ON u.source = b.source ORDER BY u.source""".stripMargin,
+    "q216_tokenizer_fertility" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(SUM(len(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT)
+        |    AS sum_subwords,
+        |  CAST(ROUND(1000.0 * SUM(len(regexp_extract_all(text, '$TokenPattern')))
+        |       / SUM(len(string_split(text, ' ')))) AS BIGINT) AS fertility_milli,
+        |  CAST(ROUND(1000.0 * SUM(length(text))
+        |       / SUM(len(regexp_extract_all(text, '$TokenPattern')))) AS BIGINT)
+        |    AS chars_per_subword_milli
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q193_lm_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |    WHERE len(string_split(text, ' ')) >= 2),

@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Invariants of the round-10 curation operators (q208–q216) beyond
+  * the DuckDB oracle's value equality: distribution identities on
+  * fabricated fixtures, budget conservation, funnel monotonicity,
+  * DP-noise shape, and planted-pair detection for the bitext miner.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("source divergence: TV is zero when every source shares one distribution, bounded by 10000 always") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("tv_zero")
+    val txt = "alpha beta gamma alpha"
+    (0 until 40).map(i => (i.toLong, txt, "en", s"src${i % 2}", txt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val zero = TextAnalysis.q208_source_divergence(spark, tmp).collect()
+    assert(zero.length == 2)
+    assert(zero.forall(_.getLong(3) == 0L),
+      "identical per-source distributions must have TV = 0")
+
+    val real = TextAnalysis.q208_source_divergence(spark, dir).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 10000L))
+  }
+
+  test("k-anonymity audit: class sizes partition the joined fact and flags match thresholds") {
+    val rows = DataPrep.q209_k_anonymity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalOrders = graft.Tables.load(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(2)).sum == totalOrders,
+      "equivalence classes must partition the released join")
+    assert(rows.forall { r =>
+      (r.getInt(4) == 1) == (r.getLong(2) >= 5) &&
+        (r.getInt(5) == 1) == (r.getLong(3) >= 3)
+    })
+  }
+
+  test("DP noisy counts: noise is bounded, deterministic, and roughly a third of draws are zero") {
+    val a = DataPrep.q210_dp_noisy_counts(spark, dir).collect()
+    val b = DataPrep.q210_dp_noisy_counts(spark, dir).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toSeq) === b.map(_.toSeq), "seeded noise must be replayable")
+    assert(a.forall(r => math.abs(r.getLong(3)) <= 40L))
+    assert(a.forall(r => r.getLong(4) >= 0L), "released counts are clamped at zero")
+    // central mass of the two-sided geometric with alpha=1/2 is 1/3
+    val zeroShare = a.count(_.getLong(3) == 0L).toDouble / a.length
+    assert(zeroShare > 0.15 && zeroShare < 0.55, s"P(noise=0) ~ 1/3, got $zeroShare")
+  }
+
+  test("bitext margin: a planted identical target is its source's best match") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("bitext")
+    def basis(i: Int): Seq[Float] =
+      (0 until 8).map(d => if (d == i) 1.0f else 0.0f)
+    val vecs = Seq(
+      (0L, basis(0), 0), (5L, basis(1), 0), (10L, basis(2), 0),
+      (15L, basis(0), 1), (20L, basis(3), 1), (25L, basis(4), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.q211_bitext_margin(spark, tmp).collect()
+    assert(rows.length == 3, "one best match per source vector")
+    val best = rows.find(_.getLong(0) == 0L).get
+    assert(best.getLong(1) == 15L, "planted copy must win the margin rerank")
+    assert(best.getLong(2) == 1000000L, "identical vectors have cosine 1")
+  }
+
+  test("distinct-ngram diversity: ratios are bounded and a degenerate source craters") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("ttr")
+    val rep = Array.fill(50)("spam").mkString(" ")
+    val varied = (0 until 50).map(i => s"w$i").mkString(" ")
+    Seq((0L, rep, "en", "dull", rep.length.toLong),
+      (1L, varied, "en", "rich", varied.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.q212_distinct_ngrams(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("dull").getLong(3) < 500L, "all-repeat source has near-zero TTR")
+    assert(rows("rich").getLong(3) == 10000L, "all-distinct source has TTR 1")
+    val real = TextAnalysis.q212_distinct_ngrams(spark, dir).collect()
+    assert(real.forall(r => r.getLong(2) <= r.getLong(1) &&
+      r.getLong(5) <= r.getLong(4) && r.getLong(3) <= 10000L && r.getLong(6) <= 10000L))
+  }
+
+  test("filter funnel: stage survivors are monotonically non-increasing") {
+    val rows = DataPrep.q213_filter_funnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, p1, p2, p3, p4) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      n >= p1 && p1 >= p2 && p2 >= p3 && p3 >= p4 && p4 >= 0
+    })
+  }
+
+  test("soft dedup: duplicated content scores more common than unique content; weights bounded") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("softdedup")
+    val dup = "one two three four five six"
+    val docs = Seq(
+      (0L, dup, "en", "a", dup.length.toLong),
+      (1L, dup, "en", "a", dup.length.toLong)) ++
+      (2 until 6).map { i =>
+        val t = s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+        (i.toLong, t, "en", "a", t.length.toLong)
+      }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.q214_soft_dedup(spark, tmp).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(4) == 2000L, "all grams shared twice => commonness 2.0")
+    assert(byId(0L).getLong(5) == 5000L, "=> weight 0.5")
+    assert(byId(2L).getLong(4) == 1000L, "unique doc => commonness 1.0")
+    assert(rows.forall(r => r.getLong(5) <= 10000L),
+      "df >= 1 everywhere, so weights never exceed 1.0")
+  }
+
+  test("repeat-epochs allocator: grants conserve the budget exactly and respect the 4-epoch cap") {
+    val rows = DataPrep.q215_repeat_epochs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val corpus = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(3)).sum == 2 * corpus,
+      "budget 2x corpus is strictly less than the 4x cap sum, so grants must exhaust it")
+    assert(rows.forall(r => r.getLong(3) <= 4 * r.getLong(1)))
+    assert(rows.forall(r => r.getLong(4) <= 4000L))
+    // greedy order: once one source is partially funded, the rest get zero
+    val grants = rows.map(r => (r.getLong(3), r.getLong(1)))
+    val firstPartial = grants.indexWhere { case (g, u) => g < 4 * u }
+    assert(grants.drop(firstPartial + 1).forall(_._1 == 0L),
+      "allocation is a prefix of the quality ranking")
+  }
+
+  test("tokenizer fertility: subwords never undercount words and all languages report") {
+    val rows = TextAnalysis.q216_tokenizer_fertility(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getLong(4) >= 1000L),
+      "the lexer splits every word into at least one subword")
+    assert(rows.forall(r => r.getLong(5) > 0L))
+  }
+
+  test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
+    for (df <- Seq(
+        TextAnalysis.q208_source_divergence(spark, dir),
+        DataPrep.q210_dp_noisy_counts(spark, dir),
+        DataPrep.q213_filter_funnel(spark, dir),
+        Dedup.q214_soft_dedup(spark, dir)))
+      assert(graft.plans.PlanLint.lint(df).isEmpty)
+  }
+}

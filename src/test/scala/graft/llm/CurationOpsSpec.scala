@@ -144,12 +144,72 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(5) > 0L))
   }
 
+  test("memorization rate: a fully-copied doc scores 10000, unique docs score 0") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("memrate")
+    val copied = (0 until 12).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, copied, "en", "a", copied.length.toLong),
+      (1L, copied, "en", "b", copied.length.toLong)) ++
+      (2 until 5).map { i =>
+        val t = (0 until 12).map(j => s"u${i}_$j").mkString(" ")
+        (i.toLong, t, "en", "a", t.length.toLong)
+      }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byId = Dedup.q217_memorization_rate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(0L) == 10000L && byId(1L) == 10000L,
+      "every 8-gram of a verbatim copy is shared")
+    assert(byId(2L) == 0L, "unique docs share no 8-grams")
+  }
+
+  test("ngram novelty: a copied candidate is 0-novel, a fresh candidate is fully novel") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("novelty")
+    val refText = (0 until 10).map(i => s"r$i").mkString(" ")
+    val fresh = (0 until 10).map(i => s"f$i").mkString(" ")
+    Seq(
+      (0L, refText, "en", "src0", refText.length.toLong), // copied from reference
+      (1L, fresh, "en", "src0", fresh.length.toLong),     // nothing shared
+      (2L, refText, "en", "src1", refText.length.toLong)) // the reference corpus
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byId = DataPrep.q218_ngram_novelty(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(0L) == 0L, "verbatim reference copy has zero novelty")
+    assert(byId(1L) == 10000L, "disjoint-vocab candidate is fully novel")
+    assert(!byId.contains(2L), "reference docs are not scored")
+  }
+
+  test("embedding drift: identical halves drift zero at cosine one; disjoint halves drift") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("embdrift")
+    def vec(i: Int): Seq[Float] = (0 until 8).map(d => if (d == i) 1.0f else 0.0f)
+    // label 0: even and odd ids identical => zero drift;
+    // label 1: halves on different axes => nonzero L2, cosine 0
+    val vecs = Seq(
+      (0L, vec(0), 0), (1L, vec(0), 0), (2L, vec(0), 0), (3L, vec(0), 0),
+      (10L, vec(1), 1), (11L, vec(2), 1), (12L, vec(1), 1), (13L, vec(2), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = DataPrep.q219_embedding_drift(spark, tmp).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows(0).getLong(3) == 0L, "identical halves: zero centroid shift")
+    assert(rows(0).getLong(4) == 1000000L, "identical halves: cosine 1")
+    assert(rows(1).getLong(3) > 0L, "disjoint halves must show L2 drift")
+    assert(rows(1).getLong(4) == 0L, "orthogonal centroids: cosine 0")
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),
         DataPrep.q210_dp_noisy_counts(spark, dir),
         DataPrep.q213_filter_funnel(spark, dir),
-        Dedup.q214_soft_dedup(spark, dir)))
+        Dedup.q214_soft_dedup(spark, dir),
+        Dedup.q217_memorization_rate(spark, dir),
+        DataPrep.q218_ngram_novelty(spark, dir),
+        DataPrep.q219_embedding_drift(spark, dir)))
       assert(graft.plans.PlanLint.lint(df).isEmpty)
   }
 }

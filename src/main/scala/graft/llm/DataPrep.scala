@@ -979,21 +979,30 @@ object DataPrep {
     * per release epoch; the demo emits both sides for auditability.)
     * Map-side only until the dimension-bounded (source, lang) count.
     */
+  /** Discrete-Laplace (two-sided geometric, α = ½, ε = ln 2) noise
+    * from a seed string — exact integer arithmetic only (see q210's
+    * derivation): md5-60-bit uniform → w = 3h; central third is 0,
+    * each dyadic interval outward one more step, so the draw is the
+    * BIT LENGTH of w. Shared by q210 (group counts) and q224 (top-k).
+    */
+  private def geometricNoise(seed: Column): Column = {
+    val third = 1L << 60
+    val w = hash60(seed) * 3
+    when(w >= third && w < 2 * third, lit(0))
+      .when(w < third,
+        greatest(length(bin(greatest(w, lit(1)))) - 61, lit(-40)))
+      .otherwise(
+        least(lit(61) - length(bin(greatest(lit(3 * third - 1) - w, lit(1)))),
+          lit(40)))
+      .cast("long")
+  }
+
   def q210_dp_noisy_counts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val third = 1L << 60
-    val counts = load(spark, dir, "documents")
+    load(spark, dir, "documents")
       .groupBy($"source", $"lang").agg(count(lit(1)).as("n_true"))
-    val w = hash60(concat(lit("graft_dp_"), $"source", lit("_"), $"lang")) * 3
-    counts
       .withColumn("noise",
-        when(w >= third && w < 2 * third, lit(0))
-          .when(w < third,
-            greatest(length(bin(greatest(w, lit(1)))) - 61, lit(-40)))
-          .otherwise(
-            least(lit(61) - length(bin(greatest(lit(3 * third - 1) - w, lit(1)))),
-              lit(40)))
-          .cast("long"))
+        geometricNoise(concat(lit("graft_dp_"), $"source", lit("_"), $"lang")))
       .select($"source", $"lang", $"n_true", $"noise",
         greatest($"n_true" + $"noise", lit(0L)).as("n_noisy"),
         lit(693L).as("epsilon_milli"))
@@ -1140,7 +1149,85 @@ object DataPrep {
       .orderBy($"label")
   }
 
+  /** q221 — temperature-scaled language mixture (the mC4/XLM-R
+    * α-sampling rule): sampling shares p_l ∝ mass_l^α with α = 0.3
+    * flatten the language distribution so low-resource languages
+    * aren't drowned — emitted next to the raw proportional shares
+    * with the per-language boost factor. The only transcendental is
+    * pow (micro-rounded like every ANN cosine; the ratio of ~0.2-
+    * scale doubles puts engine ulps 10 orders below the rounding
+    * grain). One aggregation to |langs| rows, a 1-row broadcast of
+    * the two normalizers, map-side arithmetic after that.
+    */
+  def q221_temperature_mixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = load(spark, dir, "documents")
+      .groupBy($"lang").agg(sum(wsToks($"text").cast("long")).as("mass"))
+    val tot = m.agg(sum($"mass").as("tot"), sum(pow($"mass", 0.3)).as("tot_t"))
+    m.crossJoin(broadcast(tot))
+      .select($"lang", $"mass",
+        round(lit(1000000.0) * $"mass" / $"tot").cast("long").as("raw_micro"),
+        round(lit(1000000.0) * pow($"mass", 0.3) / $"tot_t").cast("long")
+          .as("temp_micro"))
+      .withColumn("boost_milli",
+        round(lit(1000.0) * $"temp_micro" / $"raw_micro").cast("long"))
+      .orderBy($"lang")
+  }
+
+  /** q223 — context-window truncation loss: per source, the token
+    * mass and document count lost if every document is cut at a
+    * 48-token window (sized to this corpus's ~55-token mean; a
+    * production run sets the model context length) — the report that
+    * decides between truncation and q206-style packing for a slice.
+    * Single narrow scan + one aggregation; trivially parallel.
+    */
+  def q223_truncation_loss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = 48L
+    load(spark, dir, "documents")
+      .select($"source", wsToks($"text").cast("long").as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("total_tokens"),
+        sum(greatest($"n_toks" - win, lit(0L))).as("tokens_cut"),
+        sum(when($"n_toks" > win, 1L).otherwise(0L)).as("docs_cut"))
+      .withColumn("loss_bp",
+        round(lit(10000.0) * $"tokens_cut" / $"total_tokens").cast("long"))
+      .orderBy($"source")
+  }
+
+  /** q224 — differentially-private top-k release: the most frequent
+    * tokens per language with geometric noise (q210's exact integer
+    * draw, seeded per (lang, token)) added BEFORE ranking, so the
+    * released list and its counts are both noisy — the
+    * noisy-top-k/"report noisy max" composition privacy releases
+    * use for vocabulary statistics. True counts never leave the
+    * plan. The per-lang rank-filter rewrites to the bounded TopK
+    * heaps (RankLimitRewrite), so few-language corpora don't funnel
+    * the vocab-sized count table through single-partition windows.
+    */
+  def q224_dp_noisy_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = load(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+      .withColumn("n_noisy",
+        greatest($"n" + geometricNoise(
+          concat(lit("graft_dptk_"), $"lang", lit("_"), $"w")), lit(0L)))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"n_noisy".desc, $"w")).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"w".as("token"), $"n_noisy")
+      .orderBy($"lang", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_temperature_mixture" -> q221_temperature_mixture,
+    "q223_truncation_loss" -> q223_truncation_loss,
+    "q224_dp_noisy_topk" -> q224_dp_noisy_topk,
     "q218_ngram_novelty" -> q218_ngram_novelty,
     "q219_embedding_drift" -> q219_embedding_drift,
     "q209_k_anonymity" -> q209_k_anonymity,
@@ -1178,6 +1265,45 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q221_temperature_mixture" ->
+      """WITH m AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |             AS mass FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot, SUM(POW(mass, 0.3)) AS tot_t
+        |      FROM m)
+        |SELECT lang, mass,
+        |  CAST(ROUND(1000000.0 * mass / tot) AS BIGINT) AS raw_micro,
+        |  CAST(ROUND(1000000.0 * POW(mass, 0.3) / tot_t) AS BIGINT) AS temp_micro,
+        |  CAST(ROUND(1000.0 * ROUND(1000000.0 * POW(mass, 0.3) / tot_t)
+        |       / ROUND(1000000.0 * mass / tot)) AS BIGINT) AS boost_milli
+        |FROM m CROSS JOIN t ORDER BY lang""".stripMargin,
+    "q223_truncation_loss" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(greatest(len(string_split(text, ' ')) - 48, 0)) AS BIGINT)
+        |    AS tokens_cut,
+        |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) > 48 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_cut,
+        |  CAST(ROUND(10000.0 * SUM(greatest(len(string_split(text, ' ')) - 48, 0))
+        |       / SUM(len(string_split(text, ' ')))) AS BIGINT) AS loss_bp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q224_dp_noisy_topk" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE len(w) > 0 GROUP BY 1, 2),
+        |h AS (SELECT lang, w, n,
+        |        3 * CAST(('0x' || substring(md5('graft_dptk_' || lang || '_' || w),
+        |                  1, 15)) AS BIGINT) AS wd FROM c),
+        |k AS (SELECT lang, w, n,
+        |        CASE WHEN wd >= 1152921504606846976 AND wd < 2305843009213693952 THEN 0
+        |             WHEN wd < 1152921504606846976
+        |               THEN greatest(length(bin(greatest(wd, 1))) - 61, -40)
+        |             ELSE least(61 - length(bin(greatest(3458764513820540927 - wd, 1))), 40)
+        |        END AS noise FROM h),
+        |r AS (SELECT lang, w AS token, CAST(greatest(n + noise, 0) AS BIGINT) AS n_noisy,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY greatest(n + noise, 0) DESC, w) AS rank FROM k)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, token, n_noisy FROM r
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q218_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, source,
         |    list_distinct(list_transform(

@@ -677,7 +677,34 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q220 — cross-source duplication matrix: near-dup pair counts and
+    * mean similarity per (source, source) cell — "which crawl
+    * duplicates which" at dataset granularity, the report that drives
+    * source-level dedup ordering (drop the mirror, keep the origin).
+    * Built on the EXACT prefix-filter pairs (q73) so the matrix has
+    * no probabilistic misses; sources attach via two equi-joins on
+    * doc id (the pair list is ≪ corpus — never broadcast the
+    * corpus-sized doc→source map), cells normalize to unordered
+    * (least, greatest) so A→B and B→A land together.
+    */
+  def q220_source_dedup_matrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val pairs = prefixJaccardPairs(docs.select($"doc_id", $"text"))
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"j_bp")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"j_bp")).cast("long").as("mean_j_bp"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_source_dedup_matrix" -> q220_source_dedup_matrix,
     "q217_memorization_rate" -> q217_memorization_rate,
     "q214_soft_dedup" -> q214_soft_dedup,
     "q106_canonical_docs" -> q106_canonical_docs,
@@ -708,6 +735,20 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q220_source_dedup_matrix" ->
+      s"""WITH d AS (SELECT doc_id, source, $Shingle3Sql AS sh FROM documents),
+        |d2 AS (SELECT doc_id, source, sh FROM d WHERE len(sh) > 0),
+        |p AS (SELECT a.source AS sa, b.source AS sb,
+        |        CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        |          AS BIGINT) AS j_bp
+        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |      WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(ROUND(AVG(j_bp)) AS BIGINT) AS mean_j_bp
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q217_memorization_rate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,

@@ -714,7 +714,27 @@ object Similarity {
       .orderBy($"x_id")
   }
 
+  /** q222 — ANN hubness audit: how often each corpus vector appears
+    * in the query batch's exact top-k lists (hubness — the
+    * high-dimensional pathology where a few vectors are everyone's
+    * neighbor, which silently skews retrieval dedup and k-NN
+    * features). Derived from q26's exact broadcast top-k by one
+    * bounded re-aggregation on the neighbor id (output ≤ \|queries\|·k
+    * rows, so the shuffle is query-batch-sized regardless of corpus
+    * size); emits vectors reached from ≥2 queries with their best
+    * rank.
+    */
+  def q222_ann_hubness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q26_ann_topk(spark, dir)
+      .groupBy($"neighbor_id")
+      .agg(count(lit(1)).as("hub_count"), min($"rank").as("best_rank"))
+      .filter($"hub_count" >= 2)
+      .orderBy($"hub_count".desc, $"neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_ann_hubness" -> q222_ann_hubness,
     "q211_bitext_margin" -> q211_bitext_margin,
     "q26_ann_topk" -> q26_ann_topk,
     "q198_product_quantization" -> q198_product_quantization,
@@ -901,16 +921,24 @@ object Similarity {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v) * 1e6) >= $NearDupThresholdMicro
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "q26_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |  q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-        |  s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
-        |          CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
-        |        FROM q JOIN e ON e.vec_id <> q.q_id),
-        |  r AS (SELECT q_id, neighbor_id, sim_micro,
-        |          ROW_NUMBER() OVER (PARTITION BY q_id
-        |                             ORDER BY sim_micro DESC, neighbor_id) AS rank
-        |        FROM s)
-        |SELECT q_id, rank, neighbor_id, sim_micro FROM r
-        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+    "q26_ann_topk" -> Q26Sql,
+    "q222_ann_hubness" ->
+      s"""WITH base AS ($Q26Sql)
+        |SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS hub_count,
+        |  CAST(MIN(rank) AS BIGINT) AS best_rank
+        |FROM base GROUP BY neighbor_id HAVING COUNT(*) >= 2
+        |ORDER BY hub_count DESC, neighbor_id""".stripMargin)
+
+  private lazy val Q26Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |  s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+      |          CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
+      |        FROM q JOIN e ON e.vec_id <> q.q_id),
+      |  r AS (SELECT q_id, neighbor_id, sim_micro,
+      |          ROW_NUMBER() OVER (PARTITION BY q_id
+      |                             ORDER BY sim_micro DESC, neighbor_id) AS rank
+      |        FROM s)
+      |SELECT q_id, rank, neighbor_id, sim_micro FROM r
+      |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 }

@@ -201,6 +201,65 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(1).getLong(4) == 0L, "orthogonal centroids: cosine 0")
   }
 
+  test("source dedup matrix: a planted cross-source duplicate lands in its normalized cell") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("srcmatrix")
+    val dup = (0 until 12).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (0L, dup, "en", "zzz_mirror", dup.length.toLong),
+      (1L, dup, "en", "aaa_origin", dup.length.toLong)) ++
+      (2 until 6).map { i =>
+        val t = (0 until 12).map(j => s"u${i}_$j").mkString(" ")
+        (i.toLong, t, "en", "aaa_origin", t.length.toLong)
+      }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.q220_source_dedup_matrix(spark, tmp).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "aaa_origin" && rows(0).getString(1) == "zzz_mirror",
+      "cells normalize to (least, greatest) source order")
+    assert(rows(0).getLong(2) == 1L && rows(0).getLong(3) == 10000L)
+  }
+
+  test("temperature mixture: alpha < 1 boosts small languages, shares renormalize") {
+    val rows = DataPrep.q221_temperature_mixture(spark, dir).collect()
+    assert(rows.length == 5)
+    val smallest = rows.minBy(_.getLong(1))
+    val largest = rows.maxBy(_.getLong(1))
+    assert(smallest.getLong(4) >= 1000L, "smallest language must be upsampled")
+    assert(largest.getLong(4) <= 1000L, "largest language must be downsampled")
+    assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) <= 5L,
+      "temperature shares renormalize to 1")
+  }
+
+  test("ann hubness: aggregates are consistent with the exact top-k lists") {
+    val topk = Similarity.q26_ann_topk(spark, dir).collect()
+      .groupBy(_.getLong(2)).map { case (n, rs) => n -> rs.length }
+    val hubs = Similarity.q222_ann_hubness(spark, dir).collect()
+    assert(hubs.forall(r => r.getLong(1) >= 2L))
+    assert(hubs.forall(r => topk(r.getLong(0)) == r.getLong(1)),
+      "hub counts must match the q26 lists exactly")
+    assert(topk.count(_._2 >= 2) == hubs.length)
+  }
+
+  test("truncation loss: cut mass and cut docs are bounded by their totals") {
+    val rows = DataPrep.q223_truncation_loss(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(1) &&
+        r.getLong(5) <= 10000L
+    })
+    assert(rows.map(_.getLong(3)).sum > 0L, "the ~55-token mean corpus must overflow a 48-token window")
+  }
+
+  test("dp noisy top-k: exactly k per language, replayable, never releases negatives") {
+    val a = DataPrep.q224_dp_noisy_topk(spark, dir).collect()
+    val b = DataPrep.q224_dp_noisy_topk(spark, dir).collect()
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+    assert(a.groupBy(_.getString(0)).forall(_._2.length == 5))
+    assert(a.forall(_.getLong(3) >= 0L))
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),
@@ -209,7 +268,10 @@ class CurationOpsSpec extends AnyFunSuite {
         Dedup.q214_soft_dedup(spark, dir),
         Dedup.q217_memorization_rate(spark, dir),
         DataPrep.q218_ngram_novelty(spark, dir),
-        DataPrep.q219_embedding_drift(spark, dir)))
+        DataPrep.q219_embedding_drift(spark, dir),
+        Dedup.q220_source_dedup_matrix(spark, dir),
+        DataPrep.q223_truncation_loss(spark, dir),
+        DataPrep.q224_dp_noisy_topk(spark, dir)))
       assert(graft.plans.PlanLint.lint(df).isEmpty)
   }
 }

@@ -703,7 +703,89 @@ object Dedup {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** q225 — dedup threshold sensitivity sweep: pair and affected-doc
+    * counts at Jaccard ≥ 0.5 / 0.7 / 0.9 from ONE exact pair pass —
+    * the tuning table for "where do we set the near-dup threshold?"
+    * (too low eats paraphrases, too high leaves mirrors). The sweep
+    * is free above the prefix-filter's 0.5 floor: higher-threshold
+    * sets are subsets, so the pairs compute once (tracked-persist)
+    * and the thresholds fan out as a 3-literal explode. Left joins
+    * from the threshold spine keep zero-count rows visible.
+    */
+  def q225_dedup_threshold_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.Caches.tracked(
+      prefixJaccardPairs(load(spark, dir, "documents").select($"doc_id", $"text")))
+    val t = pairs
+      .select($"doc_a", $"doc_b", $"j_bp",
+        explode(array(lit(5000L), lit(7000L), lit(9000L))).as("threshold_bp"))
+      .filter($"j_bp" >= $"threshold_bp")
+    val nPairs = t.groupBy($"threshold_bp").agg(count(lit(1)).as("np"))
+    val nDocs = t.select($"threshold_bp",
+        explode(array($"doc_a", $"doc_b")).as("d")).distinct()
+      .groupBy($"threshold_bp").agg(count(lit(1)).as("nd"))
+    Seq(5000L, 7000L, 9000L).toDF("threshold_bp")
+      .join(nPairs, Seq("threshold_bp"), "left")
+      .join(nDocs, Seq("threshold_bp"), "left")
+      .select($"threshold_bp",
+        coalesce($"np", lit(0L)).as("n_pairs"),
+        coalesce($"nd", lit(0L)).as("n_docs"))
+      .orderBy($"threshold_bp")
+  }
+
+  final val WinnowWindow = 4
+
+  /** q226 — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): per document, slide a
+    * 4-gram-hash window over the positional 5-gram hashes and keep
+    * each window's minimum — the classic copy-detection selection
+    * whose guarantee is that any shared run of ≥ w+n−1 words yields
+    * at least one shared fingerprint. Emits per-doc fingerprint
+    * counts and selection density. Both windows (running min, per-doc
+    * gram count) partition on doc_id — bounded by document length,
+    * embarrassingly parallel across docs at any corpus size.
+    */
+  /** The winnowing selection stream: one row per full window with its
+    * minimum gram hash. Factored so the guarantee spec can check
+    * fingerprint INTERSECTIONS (any shared ≥ w+n−1-word run yields a
+    * shared fingerprint), not just the q226 counts.
+    */
+  private[llm] def winnowStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          DataPrep.gramHashesWithPos(md, text, 5)
+            .map { case (pos, g) => (id, pos, g) }
+        }
+      }
+      .toDF("doc_id", "pos", "g")
+    grams
+      .withColumn("n", count(lit(1)).over(w.partitionBy($"doc_id")))
+      .withColumn("wmin", min($"g").over(
+        w.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, WinnowWindow - 1)))
+      .filter($"pos" <= $"n" - WinnowWindow + 1)
+  }
+
+  def q226_winnowing_fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winnowStream(load(spark, dir, "documents"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct($"wmin").as("n_fingerprints"))
+      .withColumn("density_bp",
+        round(lit(10000.0) * $"n_fingerprints" / $"n_windows").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_dedup_threshold_sweep" -> q225_dedup_threshold_sweep,
+    "q226_winnowing_fingerprints" -> q226_winnowing_fingerprints,
     "q220_source_dedup_matrix" -> q220_source_dedup_matrix,
     "q217_memorization_rate" -> q217_memorization_rate,
     "q214_soft_dedup" -> q214_soft_dedup,
@@ -735,6 +817,47 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q225_dedup_threshold_sweep" ->
+      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        |          AS BIGINT) AS j_bp
+        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |      WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |t AS (SELECT CAST(v.t AS BIGINT) AS threshold_bp
+        |      FROM (VALUES (5000), (7000), (9000)) v(t)),
+        |f AS (SELECT t.threshold_bp, p.doc_a, p.doc_b FROM t
+        |      JOIN p ON p.j_bp >= t.threshold_bp),
+        |np AS (SELECT threshold_bp, CAST(COUNT(*) AS BIGINT) AS np FROM f GROUP BY 1),
+        |nd AS (SELECT threshold_bp, CAST(COUNT(DISTINCT d) AS BIGINT) AS nd FROM (
+        |        SELECT threshold_bp, doc_a AS d FROM f
+        |        UNION SELECT threshold_bp, doc_b FROM f) GROUP BY 1)
+        |SELECT t.threshold_bp, COALESCE(np.np, 0) AS n_pairs,
+        |  COALESCE(nd.nd, 0) AS n_docs
+        |FROM t LEFT JOIN np USING (threshold_bp) LEFT JOIN nd USING (threshold_bp)
+        |ORDER BY threshold_bp""".stripMargin,
+    "q226_winnowing_fingerprints" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT))) AS g
+        |  FROM w),
+        |m AS (SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+        |    MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS wmin
+        |  FROM g)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+        |  CAST(ROUND(10000.0 * COUNT(DISTINCT wmin) / COUNT(*)) AS BIGINT)
+        |    AS density_bp
+        |FROM m WHERE pos <= n - $WinnowWindow + 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q220_source_dedup_matrix" ->
       s"""WITH d AS (SELECT doc_id, source, $Shingle3Sql AS sh FROM documents),
         |d2 AS (SELECT doc_id, source, sh FROM d WHERE len(sh) > 0),

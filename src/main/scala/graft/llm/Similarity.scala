@@ -733,7 +733,39 @@ object Similarity {
       .orderBy($"hub_count".desc, $"neighbor_id")
   }
 
+  /** q227 — cluster purity audit: the clustering-quality gate for the
+    * operators that TRUST the quantizer (q195 semantic dedup, q207
+    * capped sampling) — per cluster, the majority label, its share
+    * (purity), and the label spread, against the embeddings' own
+    * labels as ground truth. Assignment is the same seeded quantizer
+    * q49/q195 oracle-verify; the per-(cluster, label) table is
+    * k·|labels| bounded, so every window and join after the one
+    * corpus-wide assignment scan runs on dimension-sized frames.
+    */
+  def q227_cluster_purity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (_, assigned) = seededAssignment(emb)
+    val cl = assigned
+      .join(load(spark, dir, "embeddings").select($"vec_id", $"label"), "vec_id")
+      .groupBy($"centroid", $"label").agg(count(lit(1)).as("n"))
+    val top = cl.withColumn("r", row_number().over(
+        Window.partitionBy($"centroid").orderBy($"n".desc, $"label")))
+      .filter($"r" === 1)
+      .select($"centroid", $"label".as("top_label"), $"n".as("top_n"))
+    cl.groupBy($"centroid")
+      .agg(sum($"n").as("n_members"), count(lit(1)).as("n_labels"))
+      .join(top, "centroid")
+      .select($"centroid".cast("long").as("centroid"), $"n_members", $"n_labels",
+        $"top_label".cast("long").as("top_label"), $"top_n",
+        round(lit(10000.0) * $"top_n" / $"n_members").cast("long").as("purity_bp"))
+      .orderBy($"centroid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_cluster_purity" -> q227_cluster_purity,
     "q222_ann_hubness" -> q222_ann_hubness,
     "q211_bitext_margin" -> q211_bitext_margin,
     "q26_ann_topk" -> q26_ann_topk,
@@ -750,6 +782,28 @@ object Similarity {
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
     // recall assertions against the exact q26 result. q49 replays the
     // same inverted-list machinery with SQL-reproducible seeds.
+    "q227_cluster_purity" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |ad AS (SELECT e.vec_id, e.label, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, label, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |cl AS (SELECT centroid, label, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM asg GROUP BY 1, 2),
+        |top AS (SELECT centroid, label AS top_label, n AS top_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid
+        |      ORDER BY n DESC, label) AS r FROM cl) WHERE r = 1),
+        |sz AS (SELECT centroid, CAST(SUM(n) AS BIGINT) AS n_members,
+        |         CAST(COUNT(*) AS BIGINT) AS n_labels FROM cl GROUP BY 1)
+        |SELECT CAST(sz.centroid AS BIGINT) AS centroid, sz.n_members, sz.n_labels,
+        |  CAST(top.top_label AS BIGINT) AS top_label, top.top_n,
+        |  CAST(ROUND(10000.0 * top.top_n / sz.n_members) AS BIGINT) AS purity_bp
+        |FROM sz JOIN top ON sz.centroid = top.centroid
+        |ORDER BY 1""".stripMargin,
     "q211_bitext_margin" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |           FROM embeddings WHERE vec_id % 5 = 0),

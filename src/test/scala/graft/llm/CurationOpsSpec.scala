@@ -260,6 +260,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.forall(_.getLong(3) >= 0L))
   }
 
+  test("dedup threshold sweep: tighter thresholds never add pairs and all three rows survive") {
+    val rows = Dedup.q225_dedup_threshold_sweep(spark, dir).collect()
+    assert(rows.length == 3, "zero-count thresholds must stay visible")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5000L, 7000L, 9000L))
+    assert(rows(0).getLong(1) >= rows(1).getLong(1) &&
+      rows(1).getLong(1) >= rows(2).getLong(1), "pair counts are monotone in the threshold")
+    assert(rows(0).getLong(2) >= rows(1).getLong(2) &&
+      rows(1).getLong(2) >= rows(2).getLong(2), "doc counts are monotone in the threshold")
+  }
+
+  test("winnowing: docs sharing a w+n-1-word run share a fingerprint; disjoint docs share none") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("winnow")
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ") // w+n-1 = 4+5-1 = 8
+    val a = s"a0 a1 a2 a3 a4 a5 a6 a7 $shared"
+    val b = s"$shared b0 b1 b2 b3 b4 b5 b6 b7"
+    val c = (0 until 16).map(i => s"c$i").mkString(" ")
+    Seq((0L, a, "en", "x", a.length.toLong), (1L, b, "en", "x", b.length.toLong),
+      (2L, c, "en", "x", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = Dedup.winnowStream(
+        graft.Tables.load(spark, tmp, "documents").select($"doc_id", $"text"))
+      .select($"doc_id", $"wmin").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "the winnowing guarantee: a shared 8-word run must yield a shared fingerprint")
+    assert((fps(0L) & fps(2L)).isEmpty, "no shared 5-grams => no shared fingerprints")
+  }
+
+  test("cluster purity: members partition the corpus and purity is consistent") {
+    val rows = Similarity.q227_cluster_purity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "cluster members must partition the embedding corpus")
+    assert(rows.forall { r =>
+      r.getLong(4) <= r.getLong(1) && r.getLong(2) >= 1L &&
+        r.getLong(5) >= 1L && r.getLong(5) <= 10000L &&
+        r.getLong(5) == math.round(10000.0 * r.getLong(4) / r.getLong(1))
+    })
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),
@@ -271,7 +314,10 @@ class CurationOpsSpec extends AnyFunSuite {
         DataPrep.q219_embedding_drift(spark, dir),
         Dedup.q220_source_dedup_matrix(spark, dir),
         DataPrep.q223_truncation_loss(spark, dir),
-        DataPrep.q224_dp_noisy_topk(spark, dir)))
+        DataPrep.q224_dp_noisy_topk(spark, dir),
+        Dedup.q225_dedup_threshold_sweep(spark, dir),
+        Dedup.q226_winnowing_fingerprints(spark, dir),
+        Similarity.q227_cluster_purity(spark, dir)))
       assert(graft.plans.PlanLint.lint(df).isEmpty)
   }
 }

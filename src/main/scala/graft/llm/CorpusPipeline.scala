@@ -44,10 +44,68 @@ object CorpusPipeline {
       .orderBy($"doc_id")
   }
 
+  /** q229 — the dataset card: the one-row release summary a corpus
+    * ships with (docs, exact token/char mass, language and source
+    * spread, exact-duplicate mass, post-curation survivor count) —
+    * every number the card quotes is the SAME statistic its
+    * dedicated operator verifies (q19 masses, q20 dup rule, q39
+    * survivors), composed here the way a release pipeline stamps its
+    * manifest. Two corpus scans (raw stats + the curation chain),
+    * both already linear; everything else is 1-row arithmetic.
+    */
+  def q229_dataset_card(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = load(spark, dir, "documents")
+      .select($"lang", $"source", $"n_chars",
+        size(split($"text", " ")).cast("long").as("toks"), md5($"text").as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("n_tokens"),
+        sum($"n_chars").as("n_chars"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"h").as("n_unique"))
+    val kept = q39_corpus_curation(spark, dir).agg(count(lit(1)).as("n_curated"))
+    base.crossJoin(kept)
+      .select($"n_docs", $"n_tokens", $"n_chars", $"n_langs", $"n_sources",
+        ($"n_docs" - $"n_unique").as("n_exact_dups"),
+        round(lit(10000.0) * ($"n_docs" - $"n_unique") / $"n_docs").cast("long")
+          .as("dup_bp"),
+        $"n_curated",
+        round(lit(10000.0) * $"n_curated" / $"n_docs").cast("long").as("kept_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_dataset_card" -> q229_dataset_card,
     "q39_corpus_curation" -> q39_corpus_curation)
 
   val oracle: Map[String, String] = Map(
+    "q229_dataset_card" ->
+      s"""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, ${TextAnalysis.QualityBpSql} AS quality_bp
+        |      FROM documents),
+        |s AS (SELECT * FROM q WHERE quality_bp >= $QualityThresholdBp),
+        |e AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM s),
+        |ek AS (SELECT * FROM e WHERE doc_id = keep_id),
+        |d AS (SELECT doc_id, ${Dedup.Shingle3Sql} AS sh FROM ek),
+        |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+        |p AS (SELECT DISTINCT b.doc_id AS doc_b
+        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |      WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |                  / len(list_distinct(a.sh || b.sh))) >= 5000),
+        |kept AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_curated FROM ek
+        |         WHERE doc_id NOT IN (SELECT doc_b FROM p))
+        |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+        |  n_docs - n_unique AS n_exact_dups,
+        |  CAST(ROUND(10000.0 * (n_docs - n_unique) / n_docs) AS BIGINT) AS dup_bp,
+        |  kept.n_curated,
+        |  CAST(ROUND(10000.0 * kept.n_curated / n_docs) AS BIGINT) AS kept_bp
+        |FROM base CROSS JOIN kept""".stripMargin,
     "q39_corpus_curation" ->
       s"""WITH q AS (SELECT doc_id, text, lang, source,
         |    ${TextAnalysis.QualityBpSql} AS quality_bp FROM documents),

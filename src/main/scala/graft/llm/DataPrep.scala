@@ -1055,7 +1055,10 @@ object DataPrep {
     * construction, same rationale as q192's waterfill), so no
     * corpus-sized data ever crosses a single-partition boundary.
     */
-  def q215_repeat_epochs(spark: SparkSession, dir: String): DataFrame = {
+  /** The q215 allocation frame, factored so q230 can expand the same
+    * grants into an epoch-by-epoch schedule without re-deriving them.
+    */
+  private def repeatGrants(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = load(spark, dir, "documents")
       .groupBy($"source")
@@ -1072,10 +1075,38 @@ object DataPrep {
       .withColumn("pre", coalesce(sum($"u_tokens" * 4).over(w), lit(0L)))
       .withColumn("grant_tokens",
         greatest(least(lit(2) * $"corpus_tokens" - $"pre", $"u_tokens" * 4), lit(0L)))
+  }
+
+  def q215_repeat_epochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repeatGrants(spark, dir)
       .select($"source", $"u_tokens", $"quality_milli", $"grant_tokens",
         round(lit(1000.0) * $"grant_tokens" / $"u_tokens").cast("long")
           .as("epochs_milli"))
       .orderBy($"quality_milli".desc, $"source")
+  }
+
+  /** q230 — epoch-by-epoch consumption schedule: expand q215's grants
+    * into the concrete plan the trainer executes — one row per
+    * (source, epoch) with that epoch's token draw; full epochs carry
+    * the source's whole unique mass, the boundary epoch carries the
+    * integer remainder. Fan-out is a sequence explode bounded by the
+    * 4-epoch cap on the \|sources\|-row frame — nothing corpus-sized
+    * moves.
+    */
+  def q230_epoch_schedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repeatGrants(spark, dir)
+      .filter($"grant_tokens" > 0)
+      .select($"source", $"u_tokens", $"grant_tokens",
+        explode(expr(
+          "sequence(1, CAST((grant_tokens + u_tokens - 1) DIV u_tokens AS INT))"))
+          .as("epoch"))
+      .withColumn("epoch_tokens",
+        when($"epoch" * $"u_tokens" <= $"grant_tokens", $"u_tokens")
+          .otherwise($"grant_tokens" - ($"epoch" - 1) * $"u_tokens"))
+      .select($"source", $"epoch".cast("long").as("epoch"), $"epoch_tokens")
+      .orderBy($"source", $"epoch")
   }
 
   /** q218 — n-gram novelty audit: for each candidate document (the
@@ -1225,6 +1256,7 @@ object DataPrep {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_epoch_schedule" -> q230_epoch_schedule,
     "q221_temperature_mixture" -> q221_temperature_mixture,
     "q223_truncation_loss" -> q223_truncation_loss,
     "q224_dp_noisy_topk" -> q224_dp_noisy_topk,
@@ -1265,6 +1297,32 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q230_epoch_schedule" ->
+      """WITH s AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT source, u_tokens,
+        |    CAST(ROUND(1000.0 * sum_chars / n_docs) AS BIGINT) AS quality_milli
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(u_tokens) AS BIGINT) AS corpus_tokens FROM q),
+        |p AS (SELECT q.*, t.corpus_tokens,
+        |    COALESCE(SUM(u_tokens * 4) OVER (ORDER BY quality_milli DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM q CROSS JOIN t),
+        |g AS (SELECT source, u_tokens,
+        |    CAST(greatest(least(2 * corpus_tokens - pre, u_tokens * 4), 0) AS BIGINT)
+        |      AS grant_tokens
+        |  FROM p)
+        |SELECT source, CAST(e AS BIGINT) AS epoch,
+        |  CAST(CASE WHEN e * u_tokens <= grant_tokens THEN u_tokens
+        |       ELSE grant_tokens - (e - 1) * u_tokens END AS BIGINT) AS epoch_tokens
+        |FROM (SELECT source, u_tokens, grant_tokens,
+        |        unnest(generate_series(1,
+        |          CAST((grant_tokens + u_tokens - 1) // u_tokens AS INT))) AS e
+        |      FROM g WHERE grant_tokens > 0)
+        |ORDER BY source, epoch""".stripMargin,
     "q221_temperature_mixture" ->
       """WITH m AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |             AS mass FROM documents GROUP BY 1),

@@ -783,7 +783,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q228 — winnowing candidate pairs (the MOSS pipeline's join half,
+    * completing q226's selection half): invert the winnowing
+    * fingerprints into an index and emit document pairs sharing ≥ 2
+    * selected fingerprints — copy-detection candidates from an index
+    * that stores only ~2/(w+1) of the grams q73's prefix filter
+    * would, with the winnowing guarantee (no shared ≥ w+n−1-word run
+    * escapes) in place of q23's probabilistic banding. Equi-join on
+    * the fingerprint hash, never cartesian; hot boilerplate
+    * fingerprints are hot keys with bounded per-key fan-out in the
+    * pair count they produce.
+    */
+  def q228_winnow_candidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = graft.Caches.tracked(
+      winnowStream(load(spark, dir, "documents").select($"doc_id", $"text"))
+        .select($"doc_id", $"wmin").distinct())
+    fps.as("a").join(fps.as("b"),
+        $"a.wmin" === $"b.wmin" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter($"n_shared_fps" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_winnow_candidates" -> q228_winnow_candidates,
     "q225_dedup_threshold_sweep" -> q225_dedup_threshold_sweep,
     "q226_winnowing_fingerprints" -> q226_winnowing_fingerprints,
     "q220_source_dedup_matrix" -> q220_source_dedup_matrix,
@@ -817,6 +842,24 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q228_winnow_candidates" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT))) AS g
+        |  FROM w),
+        |m AS (SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+        |    MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS wmin
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, wmin FROM m WHERE pos <= n - $WinnowWindow + 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        |FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
     "q225_dedup_threshold_sweep" ->
       s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),

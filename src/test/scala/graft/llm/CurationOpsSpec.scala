@@ -303,6 +303,47 @@ class CurationOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("winnow candidates: a long shared run surfaces the pair, disjoint docs never pair") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("winnowcand")
+    val shared = (0 until 16).map(i => s"s$i").mkString(" ")
+    val a = s"a0 a1 a2 a3 $shared"
+    val b = s"$shared b0 b1 b2 b3"
+    val c = (0 until 24).map(i => s"c$i").mkString(" ")
+    Seq((0L, a, "en", "x", a.length.toLong), (1L, b, "en", "x", b.length.toLong),
+      (2L, c, "en", "x", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.q228_winnow_candidates(spark, tmp).collect()
+    assert(rows.length == 1, "only the shared-run pair is a candidate")
+    assert(rows(0).getLong(0) == 0L && rows(0).getLong(1) == 1L)
+    assert(rows(0).getLong(2) >= 2L)
+  }
+
+  test("dataset card: every card number matches its dedicated operator") {
+    val card = CorpusPipeline.q229_dataset_card(spark, dir).collect()(0)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(card.getLong(0) == docs.count())
+    assert(card.getLong(5) ==
+      TextAnalysis.q20_exact_dedup(spark, dir).filter("is_dup = 1").count(),
+      "exact-dup mass must match q20's keeper rule")
+    assert(card.getLong(7) == CorpusPipeline.q39_corpus_curation(spark, dir).count(),
+      "survivor count must match the curation chain")
+    assert(card.getLong(8) <= 10000L && card.getLong(6) <= 10000L)
+  }
+
+  test("epoch schedule: per-source expansion conserves the q215 grants exactly") {
+    val grants = DataPrep.q215_repeat_epochs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val sched = DataPrep.q230_epoch_schedule(spark, dir).collect()
+    val bySrc = sched.groupBy(_.getString(0))
+    assert(bySrc.forall { case (s, rows) => rows.map(_.getLong(2)).sum == grants(s) },
+      "epoch draws must sum to the granted tokens")
+    assert(sched.forall(_.getLong(1) <= 4L), "the 4-epoch cap bounds the fan-out")
+    assert(grants.filter(_._2 > 0).keySet == bySrc.keySet,
+      "every funded source appears; unfunded sources do not")
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),
@@ -317,7 +358,12 @@ class CurationOpsSpec extends AnyFunSuite {
         DataPrep.q224_dp_noisy_topk(spark, dir),
         Dedup.q225_dedup_threshold_sweep(spark, dir),
         Dedup.q226_winnowing_fingerprints(spark, dir),
-        Similarity.q227_cluster_purity(spark, dir)))
+        Similarity.q227_cluster_purity(spark, dir),
+        Dedup.q228_winnow_candidates(spark, dir),
+        CorpusPipeline.q229_dataset_card(spark, dir)))
+      // q215/q230 are excluded by design: their prefix-sum window runs
+      // on the |sources|-row aggregate (the documented
+      // bounded-by-construction escape, same family as q192/q83)
       assert(graft.plans.PlanLint.lint(df).isEmpty)
   }
 }

@@ -944,7 +944,102 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** q231 — Heaps' law fit: vocabulary growth V(N) ≈ K·N^β measured
+    * at ten corpus-prefix checkpoints with the least-squares slope β
+    * in log-log space — the statistic that predicts how much NEW
+    * vocabulary another 10× of crawl will bring (β ≈ 0.5 for natural
+    * text; a β near 0 screams closed-vocabulary/templated data).
+    * Scale shape: tokens and first-occurrence docs aggregate to ten
+    * checkpoint buckets map-side (never a theta-join against the
+    * spine); the cumulative sums and the regression run on the
+    * 10-row frame. ln is micro-rounded like every ANN cosine.
+    */
+  def q231_heaps_law(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val words = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", explode(wsTokens($"text")).as("w"))
+      .filter(length($"w") > 0))
+    val maxDoc = words.agg(max($"doc_id").as("mx"))
+    // checkpoint bucket of a doc: floor(doc_id * 10 / (mx + 1)), 0..9
+    val tokPerBucket = words.crossJoin(broadcast(maxDoc))
+      .groupBy(expr("doc_id * 10 DIV (mx + 1)").as("b"))
+      .agg(count(lit(1)).as("toks"))
+    val vocPerBucket = words.groupBy($"w").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(maxDoc))
+      .groupBy(expr("fd * 10 DIV (mx + 1)").as("b"))
+      .agg(count(lit(1)).as("voc"))
+    val ck = tokPerBucket.join(vocPerBucket, Seq("b"), "full")
+      .select($"b", coalesce($"toks", lit(0L)).as("toks"),
+        coalesce($"voc", lit(0L)).as("voc"))
+      .withColumn("n_tokens", sum($"toks").over(w.orderBy($"b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("vocab", sum($"voc").over(w.orderBy($"b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select($"b".cast("long").as("checkpoint"), $"n_tokens", $"vocab",
+        log($"n_tokens".cast("double")).as("x"),
+        log($"vocab".cast("double")).as("y"))
+    val fit = ck.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(round(lit(1000.0) * ($"n" * $"sxy" - $"sx" * $"sy")
+        / ($"n" * $"sxx" - $"sx" * $"sx")).cast("long").as("beta_milli"))
+    ck.crossJoin(broadcast(fit))
+      .select($"checkpoint", $"n_tokens", $"vocab", $"beta_milli")
+      .orderBy($"checkpoint")
+  }
+
+  /** q232 — Zipf fit: the log-log slope of frequency vs rank over the
+    * top-100 words (natural text ≈ −1; this synthetic near-uniform
+    * vocabulary sits near 0 — exactly the anomaly the statistic is
+    * for), with r² as the fit quality. The top-100 reduce is a
+    * bounded TakeOrdered; the regression runs on 100 rows.
+    */
+  def q232_zipf_fit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val top = load(spark, dir, "documents")
+      .select(explode(wsTokens($"text")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(100)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"w")))
+      .select(log($"rank".cast("double")).as("x"), log($"n".cast("double")).as("y"))
+    top.agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"k".as("n_words_fit"),
+        round(lit(1000.0) * ($"k" * $"sxy" - $"sx" * $"sy")
+          / ($"k" * $"sxx" - $"sx" * $"sx")).cast("long").as("zipf_slope_milli"),
+        round(lit(1000.0) * ($"k" * $"sxy" - $"sx" * $"sy")
+          * ($"k" * $"sxy" - $"sx" * $"sy")
+          / (($"k" * $"sxx" - $"sx" * $"sx") * ($"k" * $"syy" - $"sy" * $"sy")))
+          .cast("long").as("r2_milli"))
+  }
+
+  /** q233 — term burstiness: words whose collection frequency far
+    * exceeds their document frequency (cf/df) — terms that CLUMP
+    * (boilerplate runs, topical jargon) versus spread evenly; the
+    * dispersion diagnostic TF-IDF misses because it never compares
+    * cf to df. One aggregate keyed on the word, bounded top-20
+    * reduce; the ≥20-occurrence floor keeps rare-word noise out.
+    */
+  def q233_term_burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id", explode(wsTokens($"text")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w")
+      .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
+      .filter($"cf" >= 20)
+      .select($"w".as("token"), $"cf", $"df",
+        round(lit(1000.0) * $"cf" / $"df").cast("long").as("burst_milli"))
+      .orderBy($"burst_milli".desc, $"token").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_heaps_law" -> q231_heaps_law,
+    "q232_zipf_fit" -> q232_zipf_fit,
+    "q233_term_burstiness" -> q233_term_burstiness,
     "q208_source_divergence" -> q208_source_divergence,
     "q212_distinct_ngrams" -> q212_distinct_ngrams,
     "q216_tokenizer_fertility" -> q216_tokenizer_fertility,
@@ -973,6 +1068,55 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q231_heaps_law" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wz AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM wz),
+        |tb AS (SELECT doc_id * 10 // (mx + 1) AS b, CAST(COUNT(*) AS BIGINT) AS toks
+        |       FROM wz CROSS JOIN mx GROUP BY 1),
+        |vb AS (SELECT fd * 10 // (mx + 1) AS b, CAST(COUNT(*) AS BIGINT) AS voc
+        |       FROM (SELECT w, MIN(doc_id) AS fd FROM wz GROUP BY 1)
+        |       CROSS JOIN mx GROUP BY 1),
+        |ck AS (SELECT COALESCE(tb.b, vb.b) AS b, COALESCE(toks, 0) AS toks,
+        |         COALESCE(voc, 0) AS voc
+        |       FROM tb FULL JOIN vb ON tb.b = vb.b),
+        |cm AS (SELECT b, SUM(toks) OVER (ORDER BY b) AS n_tokens,
+        |         SUM(voc) OVER (ORDER BY b) AS vocab FROM ck),
+        |xy AS (SELECT b, n_tokens, vocab, ln(CAST(n_tokens AS DOUBLE)) AS x,
+        |         ln(CAST(vocab AS DOUBLE)) AS y FROM cm),
+        |f AS (SELECT CAST(ROUND(1000.0 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+        |        / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) AS BIGINT) AS beta_milli
+        |      FROM xy)
+        |SELECT CAST(b AS BIGINT) AS checkpoint, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab, f.beta_milli
+        |FROM xy CROSS JOIN f ORDER BY 1""".stripMargin,
+    "q232_zipf_fit" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM t
+        |      WHERE len(w) > 0 GROUP BY 1),
+        |top AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+        |        FROM c ORDER BY n DESC, w LIMIT 100),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        |       FROM top)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_words_fit,
+        |  CAST(ROUND(1000.0 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+        |       / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) AS BIGINT)
+        |    AS zipf_slope_milli,
+        |  CAST(ROUND(1000.0 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+        |       * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+        |       / ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+        |          * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)))) AS BIGINT)
+        |    AS r2_milli
+        |FROM xy""".stripMargin,
+    "q233_term_burstiness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf,
+        |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |      FROM t WHERE len(w) > 0 GROUP BY 1)
+        |SELECT w AS token, cf, df,
+        |  CAST(ROUND(1000.0 * cf / df) AS BIGINT) AS burst_milli
+        |FROM c WHERE cf >= 20
+        |ORDER BY burst_milli DESC, token LIMIT 20""".stripMargin,
     "q208_source_divergence" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
         |sw AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c

@@ -344,6 +344,32 @@ class CurationOpsSpec extends AnyFunSuite {
       "every funded source appears; unfunded sources do not")
   }
 
+  test("heaps law: cumulative curves are monotone, vocab never exceeds tokens, beta in [0,1]") {
+    val rows = TextAnalysis.q231_heaps_law(spark, dir).collect()
+    assert(rows.length == 10, "ten corpus-prefix checkpoints")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) <= b.getLong(1) && a.getLong(2) <= b.getLong(2),
+        "token and vocab curves are cumulative")
+    }
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    val beta = rows(0).getLong(3)
+    assert(beta >= 0L && beta <= 1000L, s"Heaps beta must land in [0,1], got $beta")
+  }
+
+  test("zipf fit: slope of a rank-sorted frequency curve is non-positive, r2 bounded") {
+    val row = TextAnalysis.q232_zipf_fit(spark, dir).collect()(0)
+    assert(row.getLong(0) >= 10L)
+    assert(row.getLong(1) <= 0L, "frequency is non-increasing in rank")
+    assert(row.getLong(2) >= 0L && row.getLong(2) <= 1000L)
+  }
+
+  test("term burstiness: cf bounds df and the ratio floor is 1.0") {
+    val rows = TextAnalysis.q233_term_burstiness(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)), "df <= cf")
+    assert(rows.forall(_.getLong(3) >= 1000L), "cf/df >= 1 by construction")
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),

@@ -165,6 +165,32 @@ class PlanSpec extends AnyFunSuite {
       s"sampler filter must sit below the first exchange:\n${plan.take(800)}")
   }
 
+  test("curation reports keep their scale shapes: DP top-k rides bounded heaps, soft dedup and funnel never pair") {
+    // q224's per-lang rank filter must rewrite to the partial/final
+    // TopK heaps — a WindowExec here would serialize the vocab-sized
+    // count table through |langs| tasks at corpus scale
+    val p224 = plan("q224_dp_noisy_topk")
+    assert(p224.contains("PartialTopK") && p224.contains("FinalTopK"),
+      s"q224 must plan the bounded TopK heaps:\n${p224.take(600)}")
+    assert(!p224.contains("Window"), "no rank window may survive the rewrite")
+    // first-order statistics must never plan a pair join: exactly the
+    // equi-joins on the gram/word key and nothing nested-loop (q208's
+    // 1-row grand-total attach is the idiomatic scalar crossJoin —
+    // the same documented exception as q42)
+    for (q <- Seq("q214_soft_dedup", "q217_memorization_rate", "q208_source_divergence")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      if (q != "q208_source_divergence")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+    // the filter funnel is one codegen'd scan + one aggregate: a single
+    // exchange (the source groupBy), no join anywhere
+    val p213 = plan("q213_filter_funnel")
+    assert(!p213.contains("Join"), s"the funnel must not join:\n${p213.take(600)}")
+    assert("Exchange".r.findAllIn(p213).size <= 2,
+      s"one aggregation exchange (+AQE read) at most:\n${p213.take(600)}")
+  }
+
   test("deterministic sampling keeps the same rows under any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

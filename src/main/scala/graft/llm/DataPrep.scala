@@ -1255,7 +1255,44 @@ object DataPrep {
       .orderBy($"lang", $"rank")
   }
 
+  /** q236 — split-leakage audit: for every val/test document under
+    * q130's deterministic split rule, the share of its distinct word
+    * 5-grams that also occur in the TRAIN split — the eval-integrity
+    * check that catches near-duplicates straddling a random split
+    * (the reason real pipelines split by URL/cluster, not by doc
+    * hash). Documents with ≥ 25 % leaked grams are flagged. The train
+    * gram set is a distinct aggregate; membership is one left
+    * equi-join on the gram; everything is vocab-keyed.
+    */
+  def q236_split_leakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+      .withColumn("bucket",
+        hash60(concat(lit("graft_split_"), $"doc_id".cast("string"))) % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val").otherwise("test"))
+      .select($"doc_id", $"split", split($"text", " ").as("sp"))
+      .filter(size($"sp") >= 5)
+    val grams = graft.Caches.tracked(docs
+      .select($"doc_id", $"split", explode(array_distinct(expr(
+        "transform(sequence(0, size(sp) - 5), i -> concat_ws(' ', sp[i], sp[i+1], sp[i+2], sp[i+3], sp[i+4]))")))
+        .as("g")))
+    val train = grams.filter($"split" === "train")
+      .select($"g").distinct().withColumn("seen", lit(1))
+    grams.filter($"split" =!= "train")
+      .join(train, Seq("g"), "left")
+      .groupBy($"split", $"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"seen".isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_bp",
+        round(lit(10000.0) * $"n_leaked" / $"n_grams").cast("long"))
+      .filter($"leak_bp" >= 2500)
+      .orderBy($"split", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_split_leakage" -> q236_split_leakage,
     "q230_epoch_schedule" -> q230_epoch_schedule,
     "q221_temperature_mixture" -> q221_temperature_mixture,
     "q223_truncation_loss" -> q223_truncation_loss,
@@ -1297,6 +1334,29 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q236_split_leakage" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substring(md5('graft_split_' || doc_id), 1, 15))
+        |              AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substring(md5('graft_split_' || doc_id), 1, 15))
+        |              AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+        |    string_split(text, ' ') AS sp
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT DISTINCT doc_id, split,
+        |        sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]
+        |          || ' ' || sp[i+4] AS g
+        |      FROM (SELECT doc_id, split, sp,
+        |              unnest(generate_series(1, len(sp) - 4)) AS i FROM d)),
+        |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+        |ev AS (SELECT g.split, g.doc_id, g.g, tr.g IS NOT NULL AS seen
+        |       FROM g LEFT JOIN tr USING (g) WHERE g.split <> 'train'),
+        |a AS (SELECT split, doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT split, doc_id, n_grams, n_leaked,
+        |  CAST(ROUND(10000.0 * n_leaked / n_grams) AS BIGINT) AS leak_bp
+        |FROM a WHERE ROUND(10000.0 * n_leaked / n_grams) >= 2500
+        |ORDER BY split, doc_id""".stripMargin,
     "q230_epoch_schedule" ->
       """WITH s AS (SELECT source,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u_tokens,

@@ -807,7 +807,27 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q234 — LSH recall calibration curve: every exact near-dup pair
+    * (the q73 prefix-filter ground truth) with the ANALYTIC detection
+    * probability of the q23 banding scheme, p = 1 − (1 − J^r)^b for
+    * r = 4 rows × b = 16 bands — the table that answers "what does
+    * the LSH miss at J = 0.55?" BEFORE production tunes bands. The
+    * curve is a map-side expression over the exact pairs; pow is
+    * milli-rounded over the discrete j_bp grid (engine ulps orders
+    * below the grain).
+    */
+  def q234_lsh_recall_curve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    prefixJaccardPairs(load(spark, dir, "documents").select($"doc_id", $"text"))
+      .select($"doc_a", $"doc_b", $"j_bp",
+        round(lit(1000.0) * (lit(1.0) -
+          pow(lit(1.0) - pow($"j_bp" / 10000.0, RowsPerBand), NumBands)))
+          .cast("long").as("p_detect_milli"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_lsh_recall_curve" -> q234_lsh_recall_curve,
     "q228_winnow_candidates" -> q228_winnow_candidates,
     "q225_dedup_threshold_sweep" -> q225_dedup_threshold_sweep,
     "q226_winnowing_fingerprints" -> q226_winnowing_fingerprints,
@@ -842,6 +862,21 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q234_lsh_recall_curve" ->
+      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        |    AS BIGINT) AS j_bp,
+        |  CAST(ROUND(1000.0 * (1.0 - POW(1.0 -
+        |       POW(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        |           / 10000.0, $RowsPerBand), $NumBands))) AS BIGINT) AS p_detect_milli
+        |FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |      >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q228_winnow_candidates" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,

@@ -764,7 +764,36 @@ object Similarity {
       .orderBy($"centroid")
   }
 
+  /** q237 — kNN probe accuracy: predict each query vector's label by
+    * the majority label of its exact top-10 neighbors (q26) and
+    * score against its own label — the standard embedding-quality
+    * probe ("do nearest neighbors share semantics?") run before an
+    * embedding column is trusted for dedup or retrieval. Majority
+    * vote ties break on higher best-similarity then lower label, so
+    * the prediction is engine-independent. Everything after the q26
+    * rerank operates on the ≤ |queries|·k vote table.
+    */
+  def q237_knn_probe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = load(spark, dir, "embeddings").select($"vec_id", $"label")
+    val votes = q26_ann_topk(spark, dir)
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        "neighbor_id")
+      .groupBy($"q_id", $"n_label")
+      .agg(count(lit(1)).as("votes"), max($"sim_micro").as("best_sim"))
+    votes
+      .withColumn("r", row_number().over(Window.partitionBy($"q_id")
+        .orderBy($"votes".desc, $"best_sim".desc, $"n_label")))
+      .filter($"r" === 1)
+      .join(labels.select($"vec_id".as("q_id"), $"label".as("actual")), "q_id")
+      .select($"q_id", $"actual".cast("long").as("actual"),
+        $"n_label".cast("long").as("predicted"), $"votes",
+        ($"actual" === $"n_label").cast("int").as("correct"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_knn_probe" -> q237_knn_probe,
     "q227_cluster_purity" -> q227_cluster_purity,
     "q222_ann_hubness" -> q222_ann_hubness,
     "q211_bitext_margin" -> q211_bitext_margin,
@@ -782,6 +811,22 @@ object Similarity {
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
     // recall assertions against the exact q26 result. q49 replays the
     // same inverted-list machinery with SQL-reproducible seeds.
+    "q237_knn_probe" ->
+      s"""WITH base AS ($Q26Sql),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |v AS (SELECT base.q_id, lab.label AS n_label,
+        |        CAST(COUNT(*) AS BIGINT) AS votes,
+        |        CAST(MAX(base.sim_micro) AS BIGINT) AS best_sim
+        |      FROM base JOIN lab ON base.neighbor_id = lab.vec_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT q_id, n_label, votes FROM (
+        |    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, best_sim DESC, n_label) AS r FROM v) WHERE r = 1)
+        |SELECT p.q_id, CAST(lab.label AS BIGINT) AS actual,
+        |  CAST(p.n_label AS BIGINT) AS predicted, p.votes,
+        |  CAST(lab.label = p.n_label AS INT) AS correct
+        |FROM p JOIN lab ON p.q_id = lab.vec_id
+        |ORDER BY p.q_id""".stripMargin,
     "q227_cluster_purity" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),

@@ -1036,7 +1036,26 @@ object TextAnalysis {
       .orderBy($"burst_milli".desc, $"token").limit(20)
   }
 
+  /** q235 — duplication profile: the exact-duplicate cluster-size
+    * histogram (how many content hashes occur once, twice, …, and the
+    * document mass in each bin) — the report that sizes the dedup
+    * problem before running it and the before/after evidence once it
+    * runs. Two bounded aggregations (hash groups, then size groups);
+    * the second operates on a frame no larger than the distinct-size
+    * domain.
+    */
+  def q235_dup_profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .groupBy(md5($"text").as("h")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_dup_profile" -> q235_dup_profile,
     "q231_heaps_law" -> q231_heaps_law,
     "q232_zipf_fit" -> q232_zipf_fit,
     "q233_term_burstiness" -> q233_term_burstiness,
@@ -1068,6 +1087,12 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q235_dup_profile" ->
+      """WITH h AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |           FROM documents GROUP BY 1)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM h GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q231_heaps_law" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |wz AS (SELECT doc_id, w FROM t WHERE len(w) > 0),

@@ -370,6 +370,67 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) >= 1000L), "cf/df >= 1 by construction")
   }
 
+  test("lsh recall curve: detection probability is monotone in J and certain at J=1") {
+    val rows = Dedup.q234_lsh_recall_curve(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000L))
+    val sorted = rows.sortBy(_.getLong(2))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3), "p_detect must be monotone in j_bp")
+    }
+    assert(rows.filter(_.getLong(2) == 10000L).forall(_.getLong(3) == 1000L),
+      "identical docs are always detected")
+  }
+
+  test("dup profile: cluster bins conserve the corpus and count planted duplicates") {
+    import spark.implicits._
+    val tmp = TestSpark.tempDir("dupprofile")
+    val docs = Seq.tabulate(6) { i =>
+      val t = if (i < 3) "same text here" else s"unique $i text"
+      (i.toLong, t, "en", "a", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.q235_dup_profile(spark, tmp).collect()
+    val bySize = rows.map(r => r.getLong(0) -> r).toMap
+    assert(bySize(1L).getLong(1) == 3L && bySize(3L).getLong(1) == 1L)
+    assert(rows.map(_.getLong(2)).sum == 6L, "bins must conserve the corpus")
+  }
+
+  test("split leakage: a val doc copied from train is fully leaked") {
+    import spark.implicits._
+    // find one doc id per split under the deterministic rule
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft_split_$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val trainId = (0L to 200L).find(bucket(_) < 80).get
+    val valId = (0L to 200L).find(b => bucket(b) >= 80 && bucket(b) < 90).get
+    val freshId = (0L to 200L).find(b => bucket(b) >= 80 && bucket(b) < 90 && b != valId).get
+    val tmp = TestSpark.tempDir("leak")
+    val shared = (0 until 10).map(i => s"t$i").mkString(" ")
+    val fresh = (0 until 10).map(i => s"f$i").mkString(" ")
+    Seq((trainId, shared, "en", "a", shared.length.toLong),
+      (valId, shared, "en", "a", shared.length.toLong),
+      (freshId, fresh, "en", "a", fresh.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = DataPrep.q236_split_leakage(spark, tmp).collect()
+    assert(rows.length == 1, "only the copied doc is flagged")
+    assert(rows(0).getLong(1) == valId && rows(0).getLong(4) == 10000L)
+  }
+
+  test("knn probe: one prediction per query, consistent with the top-k lists") {
+    val probe = Similarity.q237_knn_probe(spark, dir).collect()
+    val nQueries = Similarity.q26_ann_topk(spark, dir)
+      .select("q_id").distinct().count()
+    assert(probe.length == nQueries)
+    assert(probe.forall(r => r.getInt(4) == (if (r.getLong(1) == r.getLong(2)) 1 else 0)))
+    assert(probe.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 10L))
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),
@@ -386,7 +447,12 @@ class CurationOpsSpec extends AnyFunSuite {
         Dedup.q226_winnowing_fingerprints(spark, dir),
         Similarity.q227_cluster_purity(spark, dir),
         Dedup.q228_winnow_candidates(spark, dir),
-        CorpusPipeline.q229_dataset_card(spark, dir)))
+        CorpusPipeline.q229_dataset_card(spark, dir),
+        Dedup.q234_lsh_recall_curve(spark, dir),
+        TextAnalysis.q235_dup_profile(spark, dir),
+        DataPrep.q236_split_leakage(spark, dir)))
+      // q237 inherits q26's broadcast-with-self-exclusion-predicate
+      // idiom — the documented PlanLint exception for query-batch ANN
       // q215/q230 are excluded by design: their prefix-sum window runs
       // on the |sources|-row aggregate (the documented
       // bounded-by-construction escape, same family as q192/q83)

@@ -1291,7 +1291,57 @@ object DataPrep {
       .orderBy($"split", $"doc_id")
   }
 
+  /** q239 — shard provenance manifest: per packed shard (the q45
+    * assignment), the reproducibility record a release writes next to
+    * the data — document count, token mass, id range, and an
+    * ORDER-INDEPENDENT content checksum (bit-xor of the md5-60-bit
+    * content hashes, so any engine and any partitioning reproduces
+    * the same fingerprint). Verifying a delivered shard is one scan +
+    * compare against this table. The assignment rides the two-phase
+    * range scan (q45); the manifest is one further bounded aggregate.
+    */
+  def q239_shard_manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = load(spark, dir, "documents")
+      .select($"doc_id", hash60($"text").as("h"))
+    shardAssignments(load(spark, dir, "documents"))
+      .join(h, "doc_id")
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_toks"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"),
+        expr("bit_xor(h)").as("content_xor"))
+      .orderBy($"lang", $"shard")
+  }
+
+  /** q240 — rare-token retention list: documents carrying corpus-tail
+    * vocabulary — the protection list aggressive quality filtering
+    * consults so tail knowledge (named entities, rare terminology)
+    * isn't silently purged with the junk. "Rare" is RELATIVE (cf ≤
+    * median cf / 4), so the list is non-degenerate on any frequency
+    * profile — an absolute floor returns nothing on a flat synthetic
+    * vocabulary and everything on a Zipf head-heavy one. One
+    * word-keyed count, a 1-row median broadcast, one equi-join back,
+    * per-doc aggregate.
+    */
+  def q240_rare_token_retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0))
+    val cfs = words.groupBy($"w").agg(count(lit(1)).as("cf"))
+    val med = cfs.agg(expr("percentile(cf, 0.5)").as("med"))
+    val rare = cfs.crossJoin(broadcast(med))
+      .filter($"cf" * 4 <= $"med").select($"w")
+    words.join(rare, "w")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_rare_tokens"),
+        countDistinct($"w").as("n_rare_types"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_shard_manifest" -> q239_shard_manifest,
+    "q240_rare_token_retention" -> q240_rare_token_retention,
     "q236_split_leakage" -> q236_split_leakage,
     "q230_epoch_schedule" -> q230_epoch_schedule,
     "q221_temperature_mixture" -> q221_temperature_mixture,
@@ -1334,6 +1384,30 @@ object DataPrep {
     .mkString("(", " + ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q239_shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |a AS (SELECT doc_id, lang, toks, h,
+        |        CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |      FROM d)
+        |SELECT lang, CAST(FLOOR(cum0 / $ShardTokenBudget) AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_toks,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(bit_xor(h) AS BIGINT) AS content_xor
+        |FROM a GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+    "q240_rare_token_retention" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |tz AS (SELECT doc_id, source, w FROM t WHERE len(w) > 0),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM tz GROUP BY 1),
+        |m AS (SELECT quantile_cont(cf, 0.5) AS med FROM c),
+        |r AS (SELECT w FROM c CROSS JOIN m WHERE cf * 4 <= med)
+        |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_rare_tokens,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_rare_types
+        |FROM tz JOIN r USING (w) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q236_split_leakage" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN CAST(('0x' || substring(md5('graft_split_' || doc_id), 1, 15))

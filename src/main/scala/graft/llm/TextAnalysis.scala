@@ -1054,7 +1054,49 @@ object TextAnalysis {
       .orderBy($"cluster_size")
   }
 
+  /** q238 — excess-loss mixture reweighting (the DoReMi idea, scaled
+    * to the deterministic bigram LM): per source, the mean bigram
+    * surprisal (q193's EXACT integer ⌊log₂(c1/c2)⌋ bits) as the loss
+    * proxy, the excess over the best-scoring source, and a sampling
+    * weight ∝ (excess + floor) — domains the reference model finds
+    * hard get upsampled, with the +100-milli floor keeping every
+    * source alive (as DoReMi's uniform smoothing does). All counts
+    * exact integers; the weights derive from the already-rounded
+    * milli values so both engines agree bit-for-bit.
+    */
+  def q238_excess_loss_weights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val bigrams = graft.Caches.tracked(docs
+      .select($"source", wsTokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"source", $"bg.w1", $"bg.w2"))
+    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val perSource = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select($"source", (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .withColumn("bpb_milli",
+        round(lit(1000.0) * $"total_bits" / $"n_bigrams").cast("long"))
+    val base = perSource.agg(min($"bpb_milli").as("base_milli"))
+    val ex = perSource.crossJoin(broadcast(base))
+      .withColumn("excess_milli", $"bpb_milli" - $"base_milli")
+    val tot = ex.agg(sum($"excess_milli" + 100).as("tot_w"))
+    ex.crossJoin(broadcast(tot))
+      .select($"source", $"n_bigrams", $"bpb_milli", $"excess_milli",
+        round(lit(1000000.0) * ($"excess_milli" + 100) / $"tot_w").cast("long")
+          .as("weight_micro"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_excess_loss_weights" -> q238_excess_loss_weights,
     "q235_dup_profile" -> q235_dup_profile,
     "q231_heaps_law" -> q231_heaps_law,
     "q232_zipf_fit" -> q232_zipf_fit,
@@ -1087,6 +1129,28 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q238_excess_loss_weights" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT source, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT source, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |sc AS (SELECT bg.source, length(bin(c1.c1 // c2.c2)) - 1 AS bits
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(ROUND(1000.0 * SUM(bits) / COUNT(*)) AS BIGINT) AS bpb_milli
+        |  FROM sc GROUP BY 1),
+        |b AS (SELECT MIN(bpb_milli) AS base_milli FROM ps),
+        |ex AS (SELECT ps.*, ps.bpb_milli - b.base_milli AS excess_milli
+        |       FROM ps CROSS JOIN b),
+        |tw AS (SELECT CAST(SUM(excess_milli + 100) AS BIGINT) AS tot_w FROM ex)
+        |SELECT ex.source, ex.n_bigrams, ex.bpb_milli, ex.excess_milli,
+        |  CAST(ROUND(1000000.0 * (ex.excess_milli + 100) / tw.tot_w) AS BIGINT)
+        |    AS weight_micro
+        |FROM ex CROSS JOIN tw ORDER BY ex.source""".stripMargin,
     "q235_dup_profile" ->
       """WITH h AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
         |           FROM documents GROUP BY 1)

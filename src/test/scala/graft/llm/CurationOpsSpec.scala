@@ -431,6 +431,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(probe.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 10L))
   }
 
+  test("excess-loss weights: normalized, floored, and zero-excess for the best source") {
+    val rows = TextAnalysis.q238_excess_loss_weights(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).min == 0L, "the best source defines the baseline")
+    assert(math.abs(rows.map(_.getLong(4)).sum - 1000000L) <= rows.length,
+      "weights renormalize to 1")
+    assert(rows.forall(_.getLong(4) > 0L), "the +100 floor keeps every source alive")
+    val sorted = rows.sortBy(_.getLong(3))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(4), "weights are monotone in excess loss")
+    }
+  }
+
+  test("shard manifest: xor checksum is partition-invariant and bins conserve the corpus") {
+    import spark.implicits._
+    val a = DataPrep.q239_shard_manifest(spark, dir).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.getLong(2)).sum ==
+      graft.Tables.load(spark, dir, "documents").count())
+    assert(a.forall(r => r.getLong(4) <= r.getLong(5)), "id ranges are ordered")
+    // rewrite the corpus under a different partitioning — every
+    // manifest row, including the order-free xor fingerprint, must
+    // reproduce exactly
+    val tmp = TestSpark.tempDir("manifest_det")
+    graft.Tables.load(spark, dir, "documents").repartition(13, $"lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val b = DataPrep.q239_shard_manifest(spark, tmp).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "the manifest is a pure function of the data, not its layout")
+  }
+
+  test("rare-token retention: the relative tail is non-empty and types bound tokens") {
+    val rows = DataPrep.q240_rare_token_retention(spark, dir).collect()
+    assert(rows.nonEmpty, "a relative threshold must find a tail on any profile")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),

@@ -112,7 +112,23 @@ class PlanLintSpec extends AnyFunSuite {
       // RRF ranks two RrfDepth(=50)-row lists — both inputs go through
       // TakeOrdered limits BEFORE the rank windows, so the global
       // window only ever sees a bounded frame
-      "q200_rrf_fusion" -> Set("single-partition-window"))
+      "q200_rrf_fusion" -> Set("single-partition-window"),
+      // the epoch allocator's prefix-sum window runs on the
+      // |sources|-row aggregate (q192's waterfill family), and q230
+      // expands the same bounded frame
+      "q215_repeat_epochs" -> Set("single-partition-window"),
+      "q230_epoch_schedule" -> Set("single-partition-window"),
+      // Heaps' law cumulates over the 10-row checkpoint table
+      "q231_heaps_law" -> Set("single-partition-window"),
+      // q222/q237 are q26-derived (hubness / probe re-aggregations of
+      // the exact top-k): the self-exclusion predicate rides q26's
+      // conditioned broadcast
+      "q222_ann_hubness" -> Set("cartesian-product"),
+      "q237_knn_probe" -> Set("cartesian-product"),
+      // q240 attaches the 1-row median via crossJoin(broadcast) with
+      // the rare-threshold predicate in the BNLJ condition — q42's
+      // scalar-attach exception
+      "q240_rare_token_retention" -> Set("cartesian-product"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

@@ -139,6 +139,27 @@ object LlmScaleBench {
       "vocab_coverage" -> (() => drive(q("q89_vocab_coverage"))),
       "bpe_merges" -> (() => drive(q("q111_bpe_merges"))),
       "rare_bigram_rate" -> (() => drive(q("q112_rare_bigram_rate"))),
+      "ngram_novelty" -> (() => drive(q("q218_ngram_novelty"))),
+      "split_leakage" -> (() => drive(q("q236_split_leakage"))),
+      "source_dedup_matrix" -> (() => drive(q("q220_source_dedup_matrix"))),
+      "threshold_sweep" -> (() => drive(q("q225_dedup_threshold_sweep"))),
+      "lsh_recall_curve" -> (() => drive(q("q234_lsh_recall_curve"))),
+      "dup_profile" -> (() => drive(q("q235_dup_profile"))),
+      "winnow_fingerprints" -> (() => drive(q("q226_winnowing_fingerprints"))),
+      "excess_loss_weights" -> (() => drive(q("q238_excess_loss_weights"))),
+      "shard_manifest" -> (() => drive(q("q239_shard_manifest"))),
+      "rare_token_retention" -> (() => drive(q("q240_rare_token_retention"))),
+      "heaps_law" -> (() => drive(q("q231_heaps_law"))),
+      "zipf_fit" -> (() => drive(q("q232_zipf_fit"))),
+      "term_burstiness" -> (() => drive(q("q233_term_burstiness"))),
+      "epoch_schedule" -> (() => drive(q("q230_epoch_schedule"))),
+      "temperature_mixture" -> (() => drive(q("q221_temperature_mixture"))),
+      "truncation_loss" -> (() => drive(q("q223_truncation_loss"))),
+      "dp_noisy_topk" -> (() => drive(q("q224_dp_noisy_topk"))),
+      "dataset_card" -> (() => drive(q("q229_dataset_card"))),
+      "knn_probe" -> (() => drive(q("q237_knn_probe"))),
+      "cluster_purity" -> (() => drive(q("q227_cluster_purity"))),
+      "embedding_drift" -> (() => drive(q("q219_embedding_drift"))),
       "source_divergence" -> (() => drive(q("q208_source_divergence"))),
       "dp_noisy_counts" -> (() => drive(q("q210_dp_noisy_counts"))),
       "distinct_ngrams" -> (() => drive(q("q212_distinct_ngrams"))),
@@ -178,12 +199,31 @@ object LlmScaleBench {
       s"soft dedup must upweight both members of ≥90% of $nPlanted planted pairs, got $softHigh")
     graft.Caches.releaseAll()
 
+    // winnowing guarantee at 20×: every planted pair shares runs far
+    // longer than w+n-1 = 8 words, so the MOSS candidate join must
+    // surface ≥95% of the planted pairs from its ~2/(w+1)-sparse index
+    val (winnowPairs, tWinnow) = t(q("q228_winnow_candidates")
+      .filter($"doc_a" % 10 === 0 && $"doc_b" === $"doc_a" + 1).count())
+    require(winnowPairs >= (nPlanted * 95) / 100,
+      s"winnowing candidates must surface ≥95% of $nPlanted planted pairs, got $winnowPairs")
+    graft.Caches.releaseAll()
+
+    // memorization: both members of a planted pair are ≥90% covered by
+    // shared 8-grams, so ≥1.9·nPlanted docs must score mem_bp ≥ 5000
+    val (memHigh, tMem) = t(q("q217_memorization_rate")
+      .filter($"mem_bp" >= 5000).count())
+    require(memHigh >= nPlanted * 18 / 10,
+      s"memorization rate must flag both members of ≥90% of planted pairs, got $memHigh")
+    graft.Caches.releaseAll()
+
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
       ("minhash_pairs", mhPairs, tMinhash),
       ("neardup_clusters", ccClusters, tCluster),
       ("incremental_dedup_pairs", incPairs, tInc),
       ("prefix_jaccard_pairs", ppPairs, tPrefix),
-      ("soft_dedup_upweighted", softHigh, tSoft)) ++ timed)
+      ("soft_dedup_upweighted", softHigh, tSoft),
+      ("winnow_planted_pairs", winnowPairs, tWinnow),
+      ("memorization_flagged", memHigh, tMem)) ++ timed)
       .map { case (k, rows, sec) =>
         s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
       }

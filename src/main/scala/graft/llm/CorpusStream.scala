@@ -66,4 +66,43 @@ object CorpusStream {
       .trigger(trigger)
       .start()
   }
+
+  /** Streaming differentially-private release: per micro-batch, the
+    * per-(source, lang) ingest counts with the q210 discrete-Laplace
+    * draw (exact integer arithmetic, ε = ln 2 per release) applied at
+    * emit — the continuous-observation form of the batch DP release.
+    * Each micro-batch is one release epoch: the noise seed includes
+    * the epoch id, so repeated releases draw FRESH noise (a fixed
+    * per-key seed would let an observer average the noise away and
+    * recover the trend; privacy loss composes across epochs, which
+    * the release cadence budgets). True counts never leave the
+    * foreachBatch closure — only the clamped noisy counts land.
+    * State: none beyond the file-source checkpoint; the aggregate is
+    * batch-local, so the operator is exactly-once under replay (same
+    * epoch id ⇒ bit-identical noise ⇒ idempotent overwrite-by-epoch).
+    */
+  def startDpRelease(spark: SparkSession, landingDir: String, releaseDir: String,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.readStream
+      .schema(docSchema)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        batch.groupBy($"source", $"lang").agg(count(lit(1)).as("n_true"))
+          .withColumn("noise", DataPrep.geometricNoise(concat(
+            lit("graft_dpstream_"), lit(epoch), lit("_"), $"source", lit("_"), $"lang")))
+          .select(lit(epoch).as("epoch"), $"source", $"lang",
+            greatest($"n_true" + $"noise", lit(0L)).as("n_noisy"),
+            lit(693L).as("epsilon_milli"))
+          .write.mode("append").parquet(releaseDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

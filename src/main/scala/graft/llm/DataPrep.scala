@@ -985,7 +985,7 @@ object DataPrep {
     * each dyadic interval outward one more step, so the draw is the
     * BIT LENGTH of w. Shared by q210 (group counts) and q224 (top-k).
     */
-  private def geometricNoise(seed: Column): Column = {
+  private[llm] def geometricNoise(seed: Column): Column = {
     val third = 1L << 60
     val w = hash60(seed) * 3
     when(w >= third && w < 2 * third, lit(0))

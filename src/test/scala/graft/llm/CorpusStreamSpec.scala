@@ -50,4 +50,31 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(after2 -- after1 == Set(4L),
       s"only the new unique doc may append on run 2; got ${after2 -- after1}")
   }
+
+  test("streaming DP release: noisy counts only, bounded noise, replay-deterministic") {
+    val root = TestSpark.tempDir("dp_stream")
+    val landing = s"$root/landing"
+    land(landing, (1L to 30L).map(i => (i, s"doc $i words here")))
+
+    def releaseOnce(tag: Int): Array[(Long, String, String, Long)] = {
+      val out = s"$root/release$tag"
+      CorpusStream.startDpRelease(spark, landing, out, s"$root/ckpt$tag")
+        .awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(r.fieldIndex("epoch")), r.getString(r.fieldIndex("source")),
+          r.getString(r.fieldIndex("lang")), r.getLong(r.fieldIndex("n_noisy"))))
+        .sortBy(t => (t._1, t._2, t._3))
+    }
+    val a = releaseOnce(1)
+    assert(a.nonEmpty)
+    // released schema carries NO true count; noise is bounded so the
+    // noisy value stays within ±40 of the real 30 (clamped at 0)
+    assert(!spark.read.parquet(s"$root/release1").columns.contains("n_true"),
+      "true counts must never leave the release closure")
+    assert(a.forall { case (_, _, _, n) => n >= 0L && (n - 30L).abs <= 40L })
+    // a fresh run over the same files draws the SAME epoch ids and the
+    // same seeded noise — the release is replay-deterministic
+    val b = releaseOnce(2)
+    assert(a.toSeq == b.toSeq, "same epoch + same keys must release identical values")
+  }
 }

@@ -826,7 +826,42 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q242 — LSH band planner: for every (rows r × bands b) factoring
+    * of the 64-slot signature, the EXPECTED number of true pairs the
+    * banding would miss on THIS corpus (Σ over the exact q73 pairs of
+    * 1 − p_{r,b}(J)) next to the analytic false-positive area below
+    * the 0.5 threshold (100-point midpoint integral of the S-curve) —
+    * the data-aware tuning table behind q23's 16×4 choice, instead of
+    * folklore defaults. The pair table crossJoins a 7-row broadcast
+    * config spine; the grid is 700 arithmetic rows. Bounded
+    * everything; pow is milli/micro-rounded as across the ANN layer.
+    */
+  def q242_lsh_band_planner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.Caches.tracked(
+      prefixJaccardPairs(load(spark, dir, "documents").select($"doc_id", $"text")))
+    val configs = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1))
+      .toDF("r", "b")
+    val miss = pairs.crossJoin(broadcast(configs))
+      .select($"r", $"b",
+        (lit(1.0) - (lit(1.0) -
+          pow(lit(1.0) - pow($"j_bp" / 10000.0, $"r"), $"b"))).as("pmiss"))
+      .groupBy($"r", $"b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(lit(1000.0) * sum($"pmiss")).cast("long").as("expected_missed_milli"))
+    val grid = configs
+      .select($"r", $"b", explode(expr("sequence(0, 99)")).as("i"))
+      .select($"r", $"b",
+        (lit(1.0) - pow(lit(1.0) -
+          pow((($"i" + 0.5) / 100.0) * 0.5, $"r"), $"b")).as("p"))
+      .groupBy($"r", $"b")
+      .agg(round(sum($"p") / 100.0 * 0.5 * 1000000.0).cast("long")
+        .as("fp_area_micro"))
+    miss.join(grid, Seq("r", "b")).orderBy($"r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_lsh_band_planner" -> q242_lsh_band_planner,
     "q234_lsh_recall_curve" -> q234_lsh_recall_curve,
     "q228_winnow_candidates" -> q228_winnow_candidates,
     "q225_dedup_threshold_sweep" -> q225_dedup_threshold_sweep,
@@ -862,6 +897,29 @@ object Dedup {
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q242_lsh_band_planner" ->
+      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
+        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |p AS (SELECT CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        |        AS BIGINT) AS j_bp
+        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+        |      WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |cfg AS (SELECT CAST(v.r AS INT) AS r, CAST(v.b AS INT) AS b FROM (VALUES
+        |        (1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)) v(r, b)),
+        |m AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(ROUND(1000.0 * SUM(1.0 - (1.0 -
+        |          POW(1.0 - POW(j_bp / 10000.0, r), b)))) AS BIGINT)
+        |          AS expected_missed_milli
+        |      FROM p CROSS JOIN cfg GROUP BY 1, 2),
+        |g AS (SELECT r, b,
+        |        CAST(ROUND(SUM(1.0 - POW(1.0 - POW(((i + 0.5) / 100.0) * 0.5, r), b))
+        |          / 100.0 * 0.5 * 1000000.0) AS BIGINT) AS fp_area_micro
+        |      FROM cfg CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS i)
+        |      GROUP BY 1, 2)
+        |SELECT m.r, m.b, m.n_pairs, m.expected_missed_milli, g.fp_area_micro
+        |FROM m JOIN g ON m.r = g.r AND m.b = g.b ORDER BY m.r""".stripMargin,
     "q234_lsh_recall_curve" ->
       s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
         |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)

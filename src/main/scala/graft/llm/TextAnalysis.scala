@@ -1095,7 +1095,83 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** q241 — CCNet-style perplexity bucketing (Wenzek et al. 2020):
+    * split the corpus into head / middle / tail terciles of LM
+    * surprisal (q193's exact integer bits-per-bigram) — the landmark
+    * web-curation design where "head" (most predictable ≈ most
+    * fluent) trains first and "tail" gets filtered or down-weighted.
+    * Tercile thresholds are two exact interpolated percentiles over
+    * the per-doc score table (a bounded aggregate, broadcast back);
+    * bucketing is then a map-side CASE. Per-bucket report keeps the
+    * demo output bounded.
+    */
+  def q241_perplexity_buckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val bigrams = graft.Caches.tracked(docs
+      .select($"doc_id", wsTokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2"))
+    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val perDoc = graft.Caches.tracked(bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select($"doc_id", (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .withColumn("bpb_milli",
+        round(lit(1000.0) * $"total_bits" / $"n_bigrams").cast("long")))
+    val th = perDoc.agg(
+      expr("percentile(bpb_milli, 0.3333333333333333)").as("t1"),
+      expr("percentile(bpb_milli, 0.6666666666666666)").as("t2"))
+    perDoc.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when($"bpb_milli" <= $"t1", "head")
+          .when($"bpb_milli" <= $"t2", "middle").otherwise("tail"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"bpb_milli").as("min_bpb"), max($"bpb_milli").as("max_bpb"),
+        round(avg($"bpb_milli")).cast("long").as("mean_bpb_milli"))
+      .orderBy($"bucket")
+  }
+
+  /** q243 — quality × duplication cross-tab: the interaction report
+    * ("are the duplicates the junk, or are we deleting good data?")
+    * that decides whether dedup runs before or after the quality
+    * gate. Quality bands are quartiles of the q21 score (exact
+    * interpolated percentiles, bounded aggregate + broadcast);
+    * duplicate status is q20's first-wins keeper rule (window on the
+    * high-cardinality content hash). One corpus scan feeds both.
+    */
+  def q243_quality_dup_crosstab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
+    val scored = graft.Caches.tracked(load(spark, dir, "documents")
+      .withColumn("quality_bp", qualityBp($"text"))
+      .withColumn("is_dup",
+        ($"doc_id" =!= min($"doc_id").over(w)).cast("int")))
+    val th = scored.agg(
+      expr("percentile(quality_bp, 0.25)").as("t1"),
+      expr("percentile(quality_bp, 0.5)").as("t2"),
+      expr("percentile(quality_bp, 0.75)").as("t3"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("band",
+        when($"quality_bp" <= $"t1", "q1_low")
+          .when($"quality_bp" <= $"t2", "q2")
+          .when($"quality_bp" <= $"t3", "q3").otherwise("q4_high"))
+      .groupBy($"band", $"is_dup")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"quality_bp")).cast("long").as("mean_quality_bp"))
+      .orderBy($"band", $"is_dup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_perplexity_buckets" -> q241_perplexity_buckets,
+    "q243_quality_dup_crosstab" -> q243_quality_dup_crosstab,
     "q238_excess_loss_weights" -> q238_excess_loss_weights,
     "q235_dup_profile" -> q235_dup_profile,
     "q231_heaps_law" -> q231_heaps_law,
@@ -1129,6 +1205,43 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q241_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |sc AS (SELECT bg.doc_id, length(bin(c1.c1 // c2.c2)) - 1 AS bits
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON bg.w1 = c1.w),
+        |d AS (SELECT doc_id,
+        |    CAST(ROUND(1000.0 * SUM(bits) / COUNT(*)) AS BIGINT) AS bpb
+        |  FROM sc GROUP BY 1),
+        |th AS (SELECT quantile_cont(bpb, 0.3333333333333333) AS t1,
+        |         quantile_cont(bpb, 0.6666666666666666) AS t2 FROM d)
+        |SELECT CASE WHEN bpb <= t1 THEN 'head' WHEN bpb <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(bpb) AS BIGINT) AS min_bpb, CAST(MAX(bpb) AS BIGINT) AS max_bpb,
+        |  CAST(ROUND(AVG(bpb)) AS BIGINT) AS mean_bpb_milli
+        |FROM d CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q243_quality_dup_crosstab" ->
+      s"""WITH s AS (SELECT doc_id, text, $QualityBpSql AS quality_bp FROM documents),
+        |e AS (SELECT doc_id, quality_bp,
+        |        CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+        |          AS is_dup
+        |      FROM s),
+        |th AS (SELECT quantile_cont(quality_bp, 0.25) AS t1,
+        |         quantile_cont(quality_bp, 0.5) AS t2,
+        |         quantile_cont(quality_bp, 0.75) AS t3 FROM e)
+        |SELECT CASE WHEN quality_bp <= t1 THEN 'q1_low'
+        |       WHEN quality_bp <= t2 THEN 'q2'
+        |       WHEN quality_bp <= t3 THEN 'q3' ELSE 'q4_high' END AS band,
+        |  is_dup, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(ROUND(AVG(quality_bp)) AS BIGINT) AS mean_quality_bp
+        |FROM e CROSS JOIN th GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q238_excess_loss_weights" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -468,6 +468,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
   }
 
+  test("perplexity buckets: terciles partition scored docs with ordered ranges") {
+    val rows = TextAnalysis.q241_perplexity_buckets(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("head", "middle", "tail"))
+    assert(rows("head").getLong(2) <= rows("head").getLong(3))
+    assert(rows("head").getLong(3) <= rows("middle").getLong(2) ||
+      rows("head").getLong(3) <= rows("middle").getLong(3),
+      "head scores sit at or below middle's range")
+    assert(rows("middle").getLong(3) <= rows("tail").getLong(3))
+    val total = rows.values.map(_.getLong(1)).sum
+    assert(total > 0L)
+  }
+
+  test("lsh band planner: stricter bands trade recall for precision monotonically") {
+    val rows = Dedup.q242_lsh_band_planner(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.length == 7)
+    assert(rows.forall(r => r.getInt(0) * r.getInt(1) == 64), "configs factor the 64 slots")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3),
+        "expected misses grow as rows-per-band grows (stricter match)")
+      assert(a.getLong(4) >= b.getLong(4),
+        "false-positive area shrinks as rows-per-band grows")
+    }
+    // the shipped 16x4 scheme must miss (in expectation) under one pair
+    // on this corpus's J>=0.5 ground truth... the planner justifies it
+    val shipped = rows.find(r => r.getInt(0) == 4 && r.getInt(1) == 16).get
+    assert(shipped.getLong(3) <= 1000L, "the shipped 4x16 banding misses <1 expected pair")
+  }
+
+  test("quality-dup crosstab: bands partition the corpus and band means are ordered") {
+    val rows = TextAnalysis.q243_quality_dup_crosstab(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells must partition the corpus")
+    val bandMeans = rows.groupBy(_.getString(0)).map { case (b, rs) =>
+      b -> rs.map(r => r.getLong(3) * r.getLong(2)).sum / rs.map(_.getLong(2)).sum
+    }
+    for (pair <- Seq(("q1_low", "q2"), ("q2", "q3"), ("q3", "q4_high")))
+      if (bandMeans.contains(pair._1) && bandMeans.contains(pair._2))
+        assert(bandMeans(pair._1) <= bandMeans(pair._2),
+          s"band means must be ordered: $bandMeans")
+  }
+
   test("new ops lint clean: no cartesian products or corpus-sized single-partition windows") {
     for (df <- Seq(
         TextAnalysis.q208_source_divergence(spark, dir),

@@ -1169,7 +1169,136 @@ object TextAnalysis {
       .orderBy($"band", $"is_dup")
   }
 
+  /** q244 — Gopher-style quality rule battery (Rae et al. 2021): the
+    * landmark per-rule document filter, reported with PER-RULE failure
+    * attribution (which rule fires, how often, and the any-rule union)
+    * so curation can tune thresholds instead of staring at one opaque
+    * pass rate. Rules, adapted to whitespace corpora: word count in
+    * [50, 100000], mean word length in [3, 10], ≥2 distinct stop
+    * words, and top-word dominance ≤ 20 % (the single-token analog of
+    * Gopher's duplicate-line fraction). Every per-doc statistic is
+    * map-side (the dominance max runs over the ≤|vocab-per-doc| array
+    * in a higher-order function — no explode, no shuffle); the only
+    * exchange is the final single-row aggregate, so the operator
+    * scales as a pure scan.
+    */
+  def q244_gopher_rules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopArr = array(StopWords.map(lit): _*)
+    val perDoc = load(spark, dir, "documents")
+      .select(wsTokens($"text").as("t"))
+      .withColumn("n", size($"t").cast("long"))
+      .withColumn("sw", aggregate(
+        transform($"t", w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("st", size(array_intersect($"t", stopArr)))
+      .withColumn("maxc", array_max(
+        transform(array_distinct($"t"), w => size(filter($"t", x => x === w))))
+        .cast("long"))
+      .withColumn("mwl", round(lit(1000.0) * $"sw" / $"n").cast("long"))
+      .select(
+        when($"n" < 50, 1L).otherwise(0L).as("f_wc_low"),
+        when($"n" > 100000, 1L).otherwise(0L).as("f_wc_high"),
+        when($"mwl" < 3000 || $"mwl" > 10000, 1L).otherwise(0L).as("f_mwl"),
+        when($"st" < 2, 1L).otherwise(0L).as("f_stop"),
+        when(lit(1000L) * $"maxc" > lit(200L) * $"n", 1L).otherwise(0L).as("f_dom"))
+    perDoc
+      .agg(count(lit(1)).as("total"),
+        sum($"f_wc_low").as("wc_low"), sum($"f_wc_high").as("wc_high"),
+        sum($"f_mwl").as("mwl"), sum($"f_stop").as("stop2"), sum($"f_dom").as("dom"),
+        sum(when($"f_wc_low" + $"f_wc_high" + $"f_mwl" + $"f_stop" + $"f_dom" > 0, 1L)
+          .otherwise(0L)).as("any_f"))
+      .selectExpr(
+        "stack(6, 'word_count_low', wc_low, 'word_count_high', wc_high, " +
+          "'mean_word_len', mwl, 'stopword_min2', stop2, " +
+          "'top_word_dominance', dom, 'any_rule', any_f) as (rule, n_fail)",
+        "total")
+      .select($"rule", $"n_fail",
+        round(lit(10000.0) * $"n_fail" / $"total").cast("long").as("fail_bp"))
+      .orderBy($"rule")
+  }
+
+  /** q245 — MATTR lexical diversity (Covington & McFall 2010): the
+    * moving-average type-token ratio with window 25 — the
+    * length-invariant diversity score that replaces raw TTR (which
+    * collapses as documents grow, making cross-length comparison
+    * meaningless). Short docs (n < 25) fall back to plain TTR, the
+    * standard convention. The sliding windows are a per-row
+    * higher-order-function pass (sequence → slice → array_distinct):
+    * zero explode, zero shuffle before the bounded per-lang
+    * aggregate — the whole operator is scan-shaped at 100 TB.
+    */
+  def q245_mattr_diversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 25
+    load(spark, dir, "documents")
+      .select($"lang", wsTokens($"text").as("t"))
+      .withColumn("n", size($"t"))
+      .withColumn("mattr",
+        when($"n" >= W,
+          round(lit(1000.0) * aggregate(
+            transform(sequence(lit(0), $"n" - W),
+              i => size(array_distinct(slice($"t", i + 1, lit(W)))).cast("long")),
+            lit(0L), (a, x) => a + x) / (lit(W) * ($"n" - (W - 1)))).cast("long"))
+          .otherwise(round(lit(1000.0) * size(array_distinct($"t")) / $"n").cast("long")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"mattr")).cast("long").as("mean_mattr_milli"),
+        min($"mattr").as("min_mattr"), max($"mattr").as("max_mattr"))
+      .orderBy($"lang")
+  }
+
+  /** q246 — held-out LM surprisal: the honest eval-set protocol q193's
+    * whole-corpus LM cannot provide — bigram/unigram counts come from
+    * the TRAIN split only (q130's deterministic hash split), and the
+    * val/test splits are scored against them with explicit OOV
+    * accounting (a bigram unseen in train cannot be scored; pretending
+    * otherwise is silent leakage). Reports per held-out split the
+    * bigram count, OOV rate, and mean surprisal over covered bigrams
+    * (q193's exact integer ⌊log₂(c1/c2)⌋ bits). Count tables are
+    * word-keyed equi-joins — high-cardinality keys, no broadcast of
+    * corpus-sized state, shards evenly at 100 TB.
+    */
+  def q246_heldout_surprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = conv(substring(md5(
+      concat(lit("graft_split_"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    val docs = graft.Caches.tracked(load(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"split", wsTokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"split", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"split", $"bg.w1", $"bg.w2")
+    val c2 = bigrams(docs.filter($"split" === "train"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = docs.filter($"split" === "train")
+      .select(explode(wsTokens($"text")).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    bigrams(docs.filter($"split" =!= "train"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("bits",
+        when($"c2".isNotNull, length(expr("bin(c1 DIV c2)")) - 1).cast("long"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"c2".isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when($"c2".isNotNull, 1L).otherwise(0L)).as("n_cov"),
+        sum($"bits").as("sum_bits"))
+      .select($"split", $"n_bigrams", $"n_oov",
+        round(lit(10000.0) * $"n_oov" / $"n_bigrams").cast("long").as("oov_bp"),
+        when($"n_cov" === 0, 0L)
+          .otherwise(round(lit(1000.0) * $"sum_bits" / $"n_cov").cast("long"))
+          .as("mean_bits_milli"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_gopher_rules" -> q244_gopher_rules,
+    "q245_mattr_diversity" -> q245_mattr_diversity,
+    "q246_heldout_surprisal" -> q246_heldout_surprisal,
     "q241_perplexity_buckets" -> q241_perplexity_buckets,
     "q243_quality_dup_crosstab" -> q243_quality_dup_crosstab,
     "q238_excess_loss_weights" -> q238_excess_loss_weights,
@@ -1205,6 +1334,79 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q244_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |f AS (SELECT doc_id, len(t) AS n,
+        |   list_sum(list_transform(t, w -> len(w))) AS sw,
+        |   len(list_intersect(t, ['the','a','of','and','to','in','is'])) AS st,
+        |   list_max(list_transform(list_distinct(t),
+        |     w -> len(list_filter(t, x -> x = w)))) AS maxc
+        |  FROM t),
+        |p AS (SELECT doc_id,
+        |   CASE WHEN n < 50 THEN 1 ELSE 0 END AS f_wc_low,
+        |   CASE WHEN n > 100000 THEN 1 ELSE 0 END AS f_wc_high,
+        |   CASE WHEN ROUND(1000.0 * sw / n) < 3000
+        |     OR ROUND(1000.0 * sw / n) > 10000 THEN 1 ELSE 0 END AS f_mwl,
+        |   CASE WHEN st < 2 THEN 1 ELSE 0 END AS f_stop,
+        |   CASE WHEN 1000 * maxc > 200 * n THEN 1 ELSE 0 END AS f_dom
+        |  FROM f),
+        |a AS (SELECT COUNT(*) AS total, SUM(f_wc_low) AS wc_low,
+        |   SUM(f_wc_high) AS wc_high, SUM(f_mwl) AS mwl, SUM(f_stop) AS stop2,
+        |   SUM(f_dom) AS dom,
+        |   SUM(CASE WHEN f_wc_low + f_wc_high + f_mwl + f_stop + f_dom > 0
+        |       THEN 1 ELSE 0 END) AS any_f FROM p)
+        |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+        |  CAST(ROUND(10000.0 * n_fail / total) AS BIGINT) AS fail_bp
+        |FROM (SELECT 'word_count_low' AS rule, wc_low AS n_fail, total FROM a
+        | UNION ALL SELECT 'word_count_high' AS rule, wc_high, total FROM a
+        | UNION ALL SELECT 'mean_word_len' AS rule, mwl, total FROM a
+        | UNION ALL SELECT 'stopword_min2' AS rule, stop2, total FROM a
+        | UNION ALL SELECT 'top_word_dominance' AS rule, dom, total FROM a
+        | UNION ALL SELECT 'any_rule' AS rule, any_f, total FROM a) u
+        |ORDER BY rule""".stripMargin,
+    "q245_mattr_diversity" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT lang, CASE WHEN len(t) >= 25 THEN
+        |   CAST(ROUND(1000.0 * list_sum(list_transform(generate_series(1, len(t) - 24),
+        |        i -> len(list_distinct(t[i:i+24])))) / (25 * (len(t) - 24))) AS BIGINT)
+        |  ELSE CAST(ROUND(1000.0 * len(list_distinct(t)) / len(t)) AS BIGINT)
+        |  END AS mattr
+        | FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(ROUND(AVG(mattr)) AS BIGINT) AS mean_mattr_milli,
+        |  MIN(mattr) AS min_mattr, MAX(mattr) AS max_mattr
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q246_heldout_surprisal" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |    CASE WHEN CAST('0x' || substring(md5('graft_split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 100 < 80 THEN 'train'
+        |      WHEN CAST('0x' || substring(md5('graft_split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |tb AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT string_split(text, ' ') AS t,
+        |      unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |    FROM sp WHERE split = 'train' AND len(string_split(text, ' ')) >= 2) z),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tb GROUP BY 1, 2),
+        |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM sp
+        |    WHERE split = 'train') z GROUP BY 1),
+        |hb AS (SELECT split, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |    SELECT split, string_split(text, ' ') AS t,
+        |      unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |    FROM sp WHERE split <> 'train' AND len(string_split(text, ' ')) >= 2) z),
+        |j AS (SELECT hb.split, c2.c2, c1.c1
+        |      FROM hb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 ON hb.w1 = c1.w)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) / COUNT(*))
+        |    AS BIGINT) AS oov_bp,
+        |  CAST(COALESCE(ROUND(1000.0 * SUM(CASE WHEN c2 IS NOT NULL
+        |        THEN length(bin(c1 // c2)) - 1 END)
+        |      / NULLIF(SUM(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END), 0)), 0)
+        |    AS BIGINT) AS mean_bits_milli
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q241_perplexity_buckets" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -792,7 +792,178 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** Shared tail of the sketch-search operators (q247/q248): join an
+    * approximate top-k against the exact q26 top-k and report
+    * per-query overlap + recall@10. The exact side is the
+    * oracle-verified q26 plan itself, so the recall denominator is
+    * never a second implementation that could drift.
+    */
+  private def recallVsExact(spark: SparkSession, dir: String,
+      atop: DataFrame): DataFrame = {
+    import spark.implicits._
+    q26_ann_topk(spark, dir).select($"q_id", $"neighbor_id")
+      .join(atop.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_common"))
+      .select($"q_id", $"n_common", ($"n_common" * 1000L).as("recall_bp"))
+      .orderBy($"q_id")
+  }
+
+  /** q247 — SQ8 scalar quantization + asymmetric-distance search (the
+    * FAISS SQ8 design, the PQ sibling of q198/q199): per-dimension
+    * min/max trained over the corpus (a bounded 64-row aggregate,
+    * broadcast back as two arrays), codes q_i = round(255·(x−mn)/Δ),
+    * and search runs the FULL-precision query against the
+    * RECONSTRUCTED corpus vector (asymmetric — the query is never
+    * quantized, which is where ADC gets its accuracy). Report:
+    * per-query recall@10 of ADC ranking vs the exact q26 top-k — at 8
+    * bits/dim the ranking should be near-lossless, and the oracle
+    * replays codes, reconstruction, and ranking exactly. At 100 TB the
+    * quantized corpus is 4× smaller scan volume; training stays one
+    * bounded per-dim aggregate.
+    */
+  def q247_sq8_adc_recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.Caches.tracked(load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v")))
+    val stats = emb
+      .select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .agg(array_sort(collect_list(struct($"pos", $"mn", $"mx"))).as("st"))
+      .select(transform($"st", s => s.getField("mn")).as("mins"),
+        transform($"st", s => s.getField("mx")).as("maxs"))
+    val rec = emb.crossJoin(broadcast(stats))
+      .withColumn("rv", expr(
+        "transform(sequence(0, 63), i -> mins[i] + round(255.0 * (v[i] - mins[i]) " +
+          "/ greatest(maxs[i] - mins[i], 1e-30)) * (maxs[i] - mins[i]) / 255.0)"))
+      .select($"vec_id", $"rv")
+      .withColumn("rnrm", norm($"rv"))
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("qnrm", norm($"qv"))
+    val adc = rec.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"rv") / ($"qnrm" * $"rnrm") * 1e6).cast("long").as("sim_micro"))
+    val wa = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    val atop = adc.withColumn("rk", row_number().over(wa)).filter($"rk" <= TopK)
+      .select($"q_id", $"neighbor_id")
+    recallVsExact(spark, dir, atop)
+  }
+
+  final val SrpCandidates = 50
+
+  /** q248 — sign-random-projection binary sketch + exact rerank: each
+    * vector compresses to 64 Hamming bits (hyperplane signs from a
+    * shared deterministic LCG — both engines derive the identical
+    * plane matrix from pure integer arithmetic, no RNG state), the
+    * scan ranks by Hamming distance, and only the top-50 candidates
+    * get exact cosine rerank. This is the COMPRESSION flavor of
+    * hyperplane LSH — q27 buckets for candidate generation, q248
+    * linear-scans an 8-byte sketch (512× smaller than the raw
+    * doubles) — the standard memory-bound trade at corpus scale. On
+    * this near-orthogonal synthetic space 64 bits cannot separate the
+    * tiny angular gaps, so measured recall is LOW — that honest
+    * number is exactly what the report is for (cf. q222 hubness,
+    * q234 LSH curve), and the planted-near-dup spec proves the sketch
+    * finds true near-duplicates at Hamming ≈ 0.
+    */
+  def q248_srp_rerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bitsExpr = expr(
+      "transform(sequence(0, 63), p -> CASE WHEN aggregate(" +
+        "transform(sequence(1, 64), d -> (CASE WHEN " +
+        "(((CAST(1103515245 AS BIGINT) * (p * 64 + d) + 12345) % 2147483648) DIV 32768) % 2 = 0 " +
+        "THEN 1.0D ELSE -1.0D END) * v[d - 1]), 0.0D, (a, b) -> a + b) >= 0.0D " +
+        "THEN 1 ELSE 0 END)")
+    val emb = graft.Caches.tracked(load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("bits", bitsExpr))
+    val queries = emb
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bits".as("qb"))
+    val ham = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"qv", $"vec_id".as("neighbor_id"), $"v",
+        aggregate(zip_with($"qb", $"bits",
+            (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (a, b) => a + b).as("ham"))
+    val wh = Window.partitionBy($"q_id").orderBy($"ham", $"neighbor_id")
+    val cand = ham.withColumn("hrk", row_number().over(wh))
+      .filter($"hrk" <= SrpCandidates)
+    val wr = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    val atop = cand
+      .select($"q_id", $"neighbor_id",
+        round(dot($"qv", $"v") / (norm($"qv") * norm($"v")) * 1e6).cast("long")
+          .as("sim_micro"))
+      .withColumn("rk", row_number().over(wr)).filter($"rk" <= TopK)
+      .select($"q_id", $"neighbor_id")
+    recallVsExact(spark, dir, atop)
+  }
+
+  final val IvfProbeLevels = Seq(1, 2, 4, 8)
+
+  /** q249 — IVF probe sweep: recall@10 and candidate volume at nprobe
+    * ∈ {1,2,4,8} on q49's oracle-verified seeded inverted lists — the
+    * tuning curve behind every production nprobe choice, measured on
+    * THIS corpus instead of folklore (the IVF member of the tuning
+    * suite: q234 LSH recall curve, q242 band planner). One pass
+    * computes all four levels: probe ranks are a bounded
+    * |queries|×|centroids| window, the level explode multiplies only
+    * the probe table (≤ 8 rows/query), candidates stay one equi-join
+    * on centroid id, and the exact denominator is the q26 plan
+    * itself.
+    */
+  def q249_ivf_probe_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (seeds, assigned) = seededAssignment(emb)
+    val centArr = array(seeds.map { case (cid, c) =>
+      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
+    }.toSeq: _*)
+    def dist2Micro(v: Column, cv: Column): Column =
+      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+    val probes = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        explode(centArr).as("c"))
+      .withColumn("dmicro", dist2Micro($"qv", $"c.cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
+      .filter($"crank" <= IvfProbeLevels.max)
+      .withColumn("nprobe", explode(array(IvfProbeLevels.map(lit): _*)))
+      .filter($"crank" <= $"nprobe")
+      .select($"nprobe", $"q_id", $"qv", $"qnrm", $"c.cid".as("probe_centroid"))
+    val cands = graft.Caches.tracked(assigned.join(broadcast(probes),
+        $"centroid" === $"probe_centroid" && $"vec_id" =!= $"q_id")
+      .select($"nprobe", $"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro")))
+    val nCand = cands.groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("n_cand"))
+    val wi = Window.partitionBy($"nprobe", $"q_id")
+      .orderBy($"sim_micro".desc, $"neighbor_id")
+    val itop = cands.withColumn("rk", row_number().over(wi)).filter($"rk" <= TopK)
+      .select($"nprobe", $"q_id", $"neighbor_id")
+    val lv = IvfProbeLevels.toDF("nprobe")
+    val ov = q26_ann_topk(spark, dir).select($"q_id", $"neighbor_id")
+      .crossJoin(broadcast(lv))
+      .join(itop.withColumn("hit", lit(1)),
+        Seq("nprobe", "q_id", "neighbor_id"), "left")
+      .groupBy($"nprobe", $"q_id")
+      .agg(sum(coalesce($"hit", lit(0))).as("n_common"))
+    ov.join(nCand, Seq("nprobe", "q_id"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        round(lit(10000.0) * sum($"n_common") / (lit(10) * count(lit(1))))
+          .cast("long").as("recall_bp"),
+        round(avg(coalesce($"n_cand", lit(0L)))).cast("long").as("mean_candidates"))
+      .select($"nprobe".cast("long").as("nprobe"), $"n_queries",
+        $"recall_bp", $"mean_candidates")
+      .orderBy($"nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_sq8_adc_recall" -> q247_sq8_adc_recall,
+    "q248_srp_rerank" -> q248_srp_rerank,
+    "q249_ivf_probe_sweep" -> q249_ivf_probe_sweep,
     "q237_knn_probe" -> q237_knn_probe,
     "q227_cluster_purity" -> q227_cluster_purity,
     "q222_ann_hubness" -> q222_ann_hubness,
@@ -811,6 +982,95 @@ object Similarity {
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
     // recall assertions against the exact q26 result. q49 replays the
     // same inverted-list machinery with SQL-reproducible seeds.
+    "q247_sq8_adc_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT g.i AS pos, MIN(v[g.i]) AS mn, MAX(v[g.i]) AS mx
+        |       FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g GROUP BY 1),
+        |sa AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM st),
+        |r AS (SELECT e.vec_id,
+        |   list_transform(generate_series(1, 64), i ->
+        |     mins[i] + ROUND(255.0 * (v[i] - mins[i]) / GREATEST(maxs[i] - mins[i], 1e-30))
+        |       * (maxs[i] - mins[i]) / 255.0) AS rv
+        |  FROM e CROSS JOIN sa),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |adc AS (SELECT q.q_id, r.vec_id AS neighbor_id,
+        |     CAST(ROUND(list_cosine_similarity(q.qv, r.rv) * 1e6) AS BIGINT) AS sim_micro
+        |   FROM q JOIN r ON r.vec_id <> q.q_id),
+        |atop AS (SELECT q_id, neighbor_id FROM (
+        |    SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM adc) z WHERE rk <= $TopK),
+        |etop AS (SELECT q_id, neighbor_id FROM ($Q26Sql) zz)
+        |SELECT e2.q_id, CAST(COUNT(a.q_id) AS BIGINT) AS n_common,
+        |  CAST(COUNT(a.q_id) * 1000 AS BIGINT) AS recall_bp
+        |FROM etop e2 LEFT JOIN atop a ON e2.q_id = a.q_id
+        |  AND e2.neighbor_id = a.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q248_srp_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sk AS (SELECT vec_id, v,
+        |   list_transform(generate_series(0, 63), p ->
+        |     CASE WHEN list_reduce(list_transform(generate_series(1, 64), d ->
+        |       (CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 64 + d) + 12345)
+        |           % 2147483648) // 32768) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) * v[d]), (a, b) -> a + b) >= 0.0
+        |       THEN 1 ELSE 0 END) AS bits
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bits AS qb FROM sk WHERE vec_id % 50 = 0),
+        |h AS (SELECT q.q_id, q.qv, sk.vec_id AS neighbor_id, sk.v,
+        |    list_sum(list_transform(generate_series(1, 64), p ->
+        |      CASE WHEN q.qb[p] <> sk.bits[p] THEN 1 ELSE 0 END)) AS ham
+        |  FROM q JOIN sk ON sk.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, qv, neighbor_id, v FROM (
+        |    SELECT h.*, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY ham, neighbor_id) AS hrk FROM h) z WHERE hrk <= $SrpCandidates),
+        |rr AS (SELECT q_id, neighbor_id,
+        |    CAST(ROUND(list_cosine_similarity(qv, v) * 1e6) AS BIGINT) AS sim_micro
+        |  FROM cand),
+        |atop AS (SELECT q_id, neighbor_id FROM (
+        |    SELECT rr.*, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM rr) z WHERE rk <= $TopK),
+        |etop AS (SELECT q_id, neighbor_id FROM ($Q26Sql) zz)
+        |SELECT e2.q_id, CAST(COUNT(a.q_id) AS BIGINT) AS n_common,
+        |  CAST(COUNT(a.q_id) * 1000 AS BIGINT) AS recall_bp
+        |FROM etop e2 LEFT JOIN atop a ON e2.q_id = a.q_id
+        |  AND e2.neighbor_id = a.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q249_ivf_probe_sweep" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT ad.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS r
+        |    FROM ad) z WHERE r = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |qc AS (SELECT q.q_id, q.qv, ad.cid, ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |         ORDER BY ad.dmicro, ad.cid) AS crank
+        |       FROM q JOIN ad ON ad.vec_id = q.q_id),
+        |lv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        |probe AS (SELECT lv.nprobe, qc.q_id, qc.qv, qc.cid
+        |          FROM qc CROSS JOIN lv WHERE qc.crank <= lv.nprobe),
+        |cand AS (SELECT p.nprobe, p.q_id, a.vec_id AS neighbor_id,
+        |    CAST(ROUND(list_cosine_similarity(p.qv, a.v) * 1e6) AS BIGINT) AS sim_micro
+        |  FROM probe p JOIN asg a ON a.centroid = p.cid AND a.vec_id <> p.q_id),
+        |nc AS (SELECT nprobe, q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+        |       FROM cand GROUP BY 1, 2),
+        |itop AS (SELECT nprobe, q_id, neighbor_id FROM (
+        |    SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM cand) z WHERE rk <= $TopK),
+        |etop AS (SELECT q_id, neighbor_id FROM ($Q26Sql) zz),
+        |ov AS (SELECT lv.nprobe, e2.q_id, CAST(COUNT(i.q_id) AS BIGINT) AS n_common
+        |       FROM etop e2 CROSS JOIN lv
+        |       LEFT JOIN itop i ON i.nprobe = lv.nprobe AND i.q_id = e2.q_id
+        |         AND i.neighbor_id = e2.neighbor_id
+        |       GROUP BY 1, 2)
+        |SELECT CAST(ov.nprobe AS BIGINT) AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(ROUND(10000.0 * SUM(ov.n_common) / (10 * COUNT(*))) AS BIGINT) AS recall_bp,
+        |  CAST(ROUND(AVG(COALESCE(nc.n_cand, 0))) AS BIGINT) AS mean_candidates
+        |FROM ov LEFT JOIN nc ON nc.nprobe = ov.nprobe AND nc.q_id = ov.q_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q237_knn_probe" ->
       s"""WITH base AS ($Q26Sql),
         |lab AS (SELECT vec_id, label FROM embeddings),

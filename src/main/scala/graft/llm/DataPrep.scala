@@ -705,6 +705,43 @@ object DataPrep {
         round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))
   }
 
+  /** q250 — Mann-Whitney U rank-sum test (tie-corrected) between two
+    * sources' quality-score distributions — the NONPARAMETRIC sibling
+    * of q118's z-test (no normality assumption; quality scores are
+    * bounded and skewed, exactly where rank tests earn their keep) and
+    * the location-shift complement of q135's KS shape test. Ranks
+    * never materialize per document: the score domain is bounded
+    * ([0, 10000] basis points), so the corpus reduces to per-distinct-
+    * score counts, average ranks come from one cumulative window over
+    * that bounded table (q135's pattern), and the U statistic, tie
+    * term Σ(t³−t), and normal-approximation z all derive from exact
+    * integer sums — both engines agree bit-for-bit up to the one final
+    * rounded division. U is emitted in ×2 units (average ranks are
+    * half-integers under ties).
+    */
+  def q250_mann_whitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", TextAnalysis.qualityBp($"text").as("s"))
+    val c = d.groupBy($"s").agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("n1"),
+      sum(when($"source" === "src1", 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy($"s").rowsBetween(Window.unboundedPreceding, -1)
+    c.withColumn("t", $"n1" + $"n2")
+      .withColumn("cumb", coalesce(sum($"n1" + $"n2").over(w), lit(0L)))
+      .agg(sum($"n1").as("nn1"), sum($"n2").as("nn2"),
+        sum($"n1" * (lit(2L) * $"cumb" + $"t" + 1)).as("r1x2"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      .select($"nn1".as("n1"), $"nn2".as("n2"),
+        ($"r1x2" - $"nn1" * ($"nn1" + 1)).as("u1_x2"), $"tie_term",
+        round(lit(1000.0) * ($"r1x2" - $"nn1" * ($"nn1" + 1) - $"nn1" * $"nn2")
+          / (lit(2.0) * sqrt($"nn1".cast("double") * $"nn2" / lit(12.0)
+            * (($"nn1" + $"nn2" + 1) - $"tie_term".cast("double")
+              / (($"nn1" + $"nn2").cast("double") * ($"nn1" + $"nn2" - 1))))))
+          .cast("long").as("z_milli"))
+  }
+
   /** q139 — token-weighted median document length per source: the
     * "where is the token mass" diagnostic (an unweighted median
     * over-represents short documents; training cost is per TOKEN).
@@ -1358,6 +1395,7 @@ object DataPrep {
     "q144_blocklist_audit" -> q144_blocklist_audit,
     "q139_weighted_median" -> q139_weighted_median,
     "q135_ks_drift" -> q135_ks_drift,
+    "q250_mann_whitney" -> q250_mann_whitney,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -1700,6 +1738,30 @@ object DataPrep {
         |  CAST(ROUND(10000.0 * MAX(ABS(cum0 * t.n1 - cum1 * t.n0))
         |    / (t.n0 * t.n1)) AS BIGINT) AS ks_bp
         |FROM cum, t GROUP BY t.n0, t.n1""".stripMargin,
+    "q250_mann_whitney" ->
+      s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} AS s
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |c AS (SELECT s,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM d GROUP BY 1),
+         |r AS (SELECT n1, n2, n1 + n2 AS t,
+         |    CAST(COALESCE(SUM(n1 + n2) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+         |  FROM c),
+         |a AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn1,
+         |    CAST(SUM(n2) AS BIGINT) AS nn2,
+         |    CAST(SUM(n1 * (2 * cumb + t + 1)) AS BIGINT) AS r1x2,
+         |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+         |  FROM r)
+         |SELECT nn1 AS n1, nn2 AS n2,
+         |  r1x2 - nn1 * (nn1 + 1) AS u1_x2, tie_term,
+         |  CAST(ROUND(1000.0 * (r1x2 - nn1 * (nn1 + 1) - nn1 * nn2)
+         |    / (2.0 * SQRT(CAST(nn1 AS DOUBLE) * nn2 / 12.0
+         |      * ((nn1 + nn2 + 1) - CAST(tie_term AS DOUBLE)
+         |        / (CAST(nn1 + nn2 AS DOUBLE) * (nn1 + nn2 - 1)))))) AS BIGINT)
+         |    AS z_milli
+         |FROM a""".stripMargin,
     "q130_train_val_test" ->
       """WITH s AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

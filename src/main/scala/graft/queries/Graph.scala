@@ -488,7 +488,59 @@ object Graph {
       .orderBy($"anchor", $"rank")
   }
 
+  /** q251 — label-propagation communities (synchronous LPA, 3
+    * rounds) over the SUPPORT-≥2 co-purchase backbone: one-off
+    * co-purchases are noise edges that glue everything into one
+    * blob (the raw graph collapses to 3 giant components under
+    * LPA); requiring a pair in ≥2 distinct orders leaves the
+    * modular structure the propagation is meant to find. The
+    * backbone reuses q99's streaming run-walk + packed-pair count
+    * (one shuffle on the order key, one on the packed key). Each
+    * round is exactly TWO bounded exchanges: neighbor labels attach
+    * map-side via a broadcast of the |V|-sized label vector (past
+    * broadcast reach: co-partition the label vector with the edge
+    * list on u — q87's documented fallback, same exchange count),
+    * contributions aggregate on (v, label), and the winner is a
+    * max_by on v — deterministic under ties via the (count, −label)
+    * struct order, so both engines elect the same label with no RNG
+    * anywhere. Output is the community-size census (bounded by the
+    * size domain), not the |V|-row membership table.
+    */
+  def q251_label_propagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+      .distinct()
+    val backbone = packedPairFanout(
+        li.repartition($"o").sortWithinPartitions($"o", $"p")
+          .as[(Long, Long)])
+      .toDF("pk")
+      .groupBy($"pk").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+      .select(shiftright($"pk", 32).as("u"),
+        $"pk".bitwiseAND(lit(0xffffffffL)).as("v"))
+    val edges = graft.Caches.tracked(backbone
+      .select(explode(array(struct($"u", $"v"),
+        struct($"v".as("u"), $"u".as("v")))).as("e"))
+      .select($"e.u", $"e.v")
+      .repartition($"v"))
+    var labels = edges.select($"u".as("p")).distinct()
+      .select($"p", $"p".as("lbl"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(broadcast(labels.select($"p".as("u"), $"lbl")), "u")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"v")
+        .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
+        .select($"v".as("p"), $"lbl")
+    }
+    labels.groupBy($"lbl").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_communities"))
+      .orderBy($"sz")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_label_propagation" -> q251_label_propagation,
     "q131_link_prediction" -> q131_link_prediction,
     "q124_degree_distribution" -> q124_degree_distribution,
     "q173_assortativity" -> q173_assortativity,
@@ -499,6 +551,32 @@ object Graph {
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q251_label_propagation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |l0 AS (SELECT DISTINCT u AS p, u AS lbl FROM e),
+        |c1 AS (SELECT e.v, l.lbl, COUNT(*) AS cnt
+        |  FROM e JOIN l0 l ON e.u = l.p GROUP BY 1, 2),
+        |l1 AS (SELECT v AS p, lbl FROM (SELECT v, lbl, ROW_NUMBER()
+        |    OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |c2 AS (SELECT e.v, l.lbl, COUNT(*) AS cnt
+        |  FROM e JOIN l1 l ON e.u = l.p GROUP BY 1, 2),
+        |l2 AS (SELECT v AS p, lbl FROM (SELECT v, lbl, ROW_NUMBER()
+        |    OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |c3 AS (SELECT e.v, l.lbl, COUNT(*) AS cnt
+        |  FROM e JOIN l2 l ON e.u = l.p GROUP BY 1, 2),
+        |l3 AS (SELECT v AS p, lbl FROM (SELECT v, lbl, ROW_NUMBER()
+        |    OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn FROM c3)
+        |  WHERE rn = 1)
+        |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_communities FROM (
+        |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM l3 GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q173_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

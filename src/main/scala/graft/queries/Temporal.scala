@@ -422,7 +422,47 @@ object Temporal {
       .orderBy($"p_brand")
   }
 
+  /** q252 — binary-segmentation changepoint on the daily event-count
+    * series: the single split day that maximizes the between-segment
+    * variance reduction (equivalently minimizes within-segment SSE) —
+    * the level-shift detector a feed-health monitor runs before
+    * alerting on "traffic changed". The event stream reduces ONCE to
+    * the per-day count table (bounded by the calendar, not the event
+    * rate); cumulative left-sums come from one window over that
+    * bounded table, and each candidate boundary's gain
+    * SL²/nL + SR²/nR − S²/n evaluates as a single fixed float tree
+    * over exact integer sums, quantized to milli units BEFORE the
+    * argmax so the winner (tie-break: earliest day) is stable to
+    * summation-order ulps in both engines. At 100 TB nothing after
+    * the first aggregate grows: the candidate table is |days| rows.
+    */
+  def q252_changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"cnt").as("s"))
+    val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("sl", sum($"cnt").over(w))
+      .withColumn("nl", row_number().over(Window.orderBy($"d")).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter($"nl" < $"n")
+      .withColumn("nr", $"n" - $"nl")
+      .withColumn("sr", $"s" - $"sl")
+      .withColumn("gain_milli", round(lit(1000.0) * (
+        $"sl".cast("double") * $"sl" / $"nl"
+          + $"sr".cast("double") * $"sr" / $"nr"
+          - $"s".cast("double") * $"s" / $"n")).cast("long"))
+      .orderBy($"gain_milli".desc, $"d").limit(1)
+      .select($"d".as("split_day"),
+        $"nl".as("n_days_left"), $"nr".as("n_days_right"),
+        round(lit(1000.0) * $"sl" / $"nl").cast("long").as("mean_left_milli"),
+        round(lit(1000.0) * $"sr" / $"nr").cast("long").as("mean_right_milli"),
+        $"gain_milli")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_changepoint" -> q252_changepoint,
     "q170_fifo_match" -> q170_fifo_match,
     "q152_cdc_apply" -> q152_cdc_apply,
     "q148_overlap_audit" -> q148_overlap_audit,
@@ -436,6 +476,28 @@ object Temporal {
     "q69_merge_upsert" -> q69_merge_upsert)
 
   val oracle: Map[String, String] = Map(
+    "q252_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cnt) AS BIGINT) AS s FROM daily),
+        |c AS (SELECT d,
+        |    CAST(SUM(cnt) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS nl
+        |  FROM daily),
+        |g AS (SELECT d, nl, t.n - nl AS nr, sl, t.s - sl AS sr,
+        |    CAST(ROUND(1000.0 * (CAST(sl AS DOUBLE) * sl / nl
+        |      + CAST(t.s - sl AS DOUBLE) * (t.s - sl) / (t.n - nl)
+        |      - CAST(t.s AS DOUBLE) * t.s / t.n)) AS BIGINT) AS gain_milli
+        |  FROM c, t WHERE nl < t.n)
+        |SELECT d AS split_day, nl AS n_days_left, nr AS n_days_right,
+        |  CAST(ROUND(1000.0 * sl / nl) AS BIGINT) AS mean_left_milli,
+        |  CAST(ROUND(1000.0 * sr / nr) AS BIGINT) AS mean_right_milli,
+        |  gain_milli
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gain_milli DESC, d) AS rn
+        |  FROM g) WHERE rn = 1""".stripMargin,
     "q170_fifo_match" ->
       """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag,
         |    CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS t,

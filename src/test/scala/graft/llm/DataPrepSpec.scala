@@ -253,6 +253,45 @@ class DataPrepSpec extends AnyFunSuite {
       s"identical distributions must give KS 0, got ${self.getLong(2)}")
   }
 
+  test("q250 Mann-Whitney: identical distributions give U1 = n1·n2/2 and z = 0") {
+    import spark.implicits._
+    // src1 relabeled as a copy of src0 ⇒ every pairwise comparison is a
+    // tie between mirror images: R1 lands exactly at its null mean, so
+    // u1_x2 (= 2·U1) equals n1·n2 and the z statistic is exactly 0.
+    val src0 = graft.Tables.load(spark, dir, "documents")
+      .filter($"source" === "src0")
+    val same = src0.union(src0.withColumn("source", lit("src1"))
+      .select(src0.columns.map(col): _*))
+    val tmp = TestSpark.tempDir("mw_self")
+    same.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q250_mann_whitney(spark, tmp).collect()(0)
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    assert(n1 == n2)
+    assert(r.getLong(2) == n1 * n2, s"u1_x2=${r.getLong(2)} != n1*n2=${n1 * n2}")
+    assert(r.getLong(4) == 0L, s"self-test z_milli must be 0, got ${r.getLong(4)}")
+  }
+
+  test("q250 Mann-Whitney: stochastically dominated src0 gives U1 = 0 and z < 0") {
+    import spark.implicits._
+    // every src1 doc scores strictly higher than every src0 doc
+    // (stopword-heavy long text vs punctuation-only), so src0 wins no
+    // pairs: U1 = 0 exactly, z strongly negative.
+    val low = (1 to 20).map(i => (i.toLong, "src0", "??? !!! ;;; %%% &&&"))
+    val high = (1 to 20).map(i =>
+      (100L + i, "src1", Seq.fill(30)("the a of and to in is").mkString(" ")))
+    val tmp = TestSpark.tempDir("mw_dom")
+    (low ++ high).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q250_mann_whitney(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 20L && r.getLong(1) == 20L)
+    assert(r.getLong(2) == 0L, s"dominated src0 must have U1=0, got u1_x2=${r.getLong(2)}")
+    // two 20-way tie groups (each source's docs share one text):
+    // Σ(t³−t) = 2·(20³−20)
+    assert(r.getLong(3) == 2L * (20L * 20L * 20L - 20L),
+      s"tie_term=${r.getLong(3)}")
+    assert(r.getLong(4) < 0L, s"z must be negative, got ${r.getLong(4)}")
+  }
+
   test("q135 overflow guard is exact at the Long boundary (integer DIV, not double /)") {
     import spark.implicits._
     // the guard expression as written in q135_ks_drift

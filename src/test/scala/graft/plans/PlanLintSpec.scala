@@ -106,6 +106,10 @@ class PlanLintSpec extends AnyFunSuite {
       "q129_cumulative_reach" -> Set("single-partition-window"),
       "q133_rfm_segments" -> Set("single-partition-window"),
       "q135_ks_drift" -> Set("single-partition-window"),
+      // rank window runs on the ≤10001-row distinct-score table
+      "q250_mann_whitney" -> Set("single-partition-window"),
+      // cumulative/rank windows run on the calendar-bounded daily table
+      "q252_changepoint" -> Set("single-partition-window"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
       "q192_budget_waterfill" -> Set("single-partition-window"),
@@ -125,6 +129,12 @@ class PlanLintSpec extends AnyFunSuite {
       // conditioned broadcast
       "q222_ann_hubness" -> Set("cartesian-product"),
       "q237_knn_probe" -> Set("cartesian-product"),
+      // q247/q248 are q26's broadcast-query-batch exact-scan shape over
+      // the SQ8-reconstructed corpus / 8-byte SRP sketches; q249's
+      // recall denominator IS the q26 plan itself
+      "q247_sq8_adc_recall" -> Set("cartesian-product"),
+      "q248_srp_rerank" -> Set("cartesian-product"),
+      "q249_ivf_probe_sweep" -> Set("cartesian-product"),
       // q240 attaches the 1-row median via crossJoin(broadcast) with
       // the rare-threshold predicate in the BNLJ condition — q42's
       // scalar-attach exception

@@ -28,6 +28,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("q252: planted level shift splits at the exact boundary with exact means and gain") {
+    import spark.implicits._
+    // 10 days at 5 events/day, then 10 days at 50/day ⇒ the SSE-optimal
+    // single split is the rate boundary; gain has a closed form:
+    // 50²/10 + 500²/10 − 550²/20 = 10125.
+    val rows = (for {
+      day <- 0 until 20
+      i <- 0 until (if (day < 10) 5 else 50)
+    } yield (day.toLong * 100 + i,
+      java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:${i % 60}%02d"))).toSeq
+    val tmp = TestSpark.tempDir("cpt_shift")
+    rows.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Temporal.q252_changepoint(spark, tmp).collect()(0)
+    assert(r.getDate(0).toString == "2024-03-10", s"split_day=${r.getDate(0)}")
+    assert(r.getLong(1) == 10L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == 5000L, s"mean_left_milli=${r.getLong(3)}")
+    assert(r.getLong(4) == 50000L, s"mean_right_milli=${r.getLong(4)}")
+    assert(r.getLong(5) == 10125000L, s"gain_milli=${r.getLong(5)}")
+  }
+
   test("interval join broadcasts the exploded incident buckets — fact side unshuffled before the agg") {
     val plan = Temporal.q60_interval_join(spark, dir)
       .queryExecution.executedPlan.toString

@@ -742,6 +742,99 @@ object DataPrep {
           .cast("long").as("z_milli"))
   }
 
+  /** q254 — Poisson bootstrap confidence interval on each source's
+    * mean quality score (B = 100 replicates): the online-bootstrap
+    * construction (Poisson(1) weights per (doc, replicate) instead of
+    * multinomial resampling) that needs NO global coordination — the
+    * standard way to bootstrap a distributed dataset, since each
+    * element draws its replicate weights independently. All
+    * randomness is the shared md5-derived 60-bit hash (q130's
+    * pattern), mapped through the exact Poisson(1) inverse CDF on a
+    * 1e-6 grid, so both engines draw IDENTICAL weights. The 100×
+    * fan-out happens map-side (explode straight into the partial
+    * aggregate on (source, replicate) — the shuffle carries only
+    * |sources|·100 rows); replicate means are exactly-rounded IEEE
+    * divisions of integer sums, ranked per source with a replicate-id
+    * tie-break, and the CI is the 5th/95th order statistic.
+    */
+  def q254_bootstrap_ci(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rep = load(spark, dir, "documents")
+      .select($"source", $"doc_id", TextAnalysis.qualityBp($"text").as("x"))
+      .withColumn("b", explode(sequence(lit(0), lit(99))))
+      .withColumn("u6", hash60(concat(lit("graft_boot_"),
+        $"doc_id".cast("string"), lit("_"), $"b".cast("string"))) % 1000000)
+      .withColumn("wt",
+        when($"u6" < 367879, 0L).when($"u6" < 735759, 1L)
+          .when($"u6" < 919699, 2L).when($"u6" < 981012, 3L)
+          .when($"u6" < 996340, 4L).when($"u6" < 999406, 5L)
+          .when($"u6" < 999917, 6L).otherwise(7L))
+    val m = rep.groupBy($"source", $"b")
+      .agg(sum($"wt" * $"x").as("sw"), sum($"wt").as("w"))
+      .filter($"w" > 0)
+      .select($"source", $"b", ($"sw".cast("double") / $"w").as("mb"))
+    val rk = m
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"mb", $"b")))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy($"source")))
+    rk.groupBy($"source")
+      .agg(max($"nb").as("n_reps"),
+        round(lit(1000.0) * min(when($"rn" === 5, $"mb")))
+          .cast("long").as("lo_milli"),
+        round(lit(1000.0) * min(when($"rn" === 95, $"mb")))
+          .cast("long").as("hi_milli"))
+      .orderBy($"source")
+  }
+
+  /** q255 — split-conformal prediction intervals for per-lang quality
+    * (Vovk's split-conformal recipe, 90 % target): the distribution-
+    * free interval machinery an eval harness wants around any point
+    * predictor. Reuses q130's hash split three ways (train fits the
+    * per-lang mean, calibration supplies the |x−μ| residual ranks,
+    * test measures honest coverage). The conformal width is the
+    * ⌈0.9·(n_cal+1)⌉-th smallest calibration residual (rank windows
+    * run inside lang partitions; tie-break doc_id), and every
+    * residual is |int − exactly-rounded-division| so both engines
+    * rank identical doubles. Output is |langs| rows end-to-end — the
+    * fact stream is touched exactly three times, each reducing
+    * straight into a bounded aggregate.
+    */
+  def q255_conformal_interval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.Caches.tracked(load(spark, dir, "documents")
+      .withColumn("x", TextAnalysis.qualityBp($"text"))
+      .withColumn("bucket",
+        hash60(concat(lit("graft_split_"), $"doc_id".cast("string"))) % 100)
+      .select($"lang", $"doc_id", $"x",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "cal")
+          .otherwise("test").as("split")))
+    val mu = s.filter($"split" === "train").groupBy($"lang")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n_train"))
+      .select($"lang", $"n_train",
+        ($"sx".cast("double") / $"n_train").as("mu"))
+    val calr = s.filter($"split" === "cal")
+      .join(broadcast(mu.select($"lang", $"mu")), "lang")
+      .select($"lang", abs($"x" - $"mu").as("r"), $"doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"r", $"doc_id")).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy($"lang")))
+    val q = calr.groupBy($"lang")
+      .agg(max($"n_cal").as("n_cal"),
+        min(when($"rn" === least($"n_cal",
+          ceil(lit(0.9) * ($"n_cal" + 1)).cast("long")), $"r")).as("width"))
+    val tst = s.filter($"split" === "test")
+      .join(broadcast(mu.select($"lang", $"mu")), "lang")
+      .join(broadcast(q.select($"lang", $"width")), "lang")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs($"x" - $"mu") <= $"width", 1L).otherwise(0L)).as("n_in"))
+    mu.join(q, "lang").join(tst, "lang")
+      .select($"lang", $"n_train", $"n_cal", $"n_test",
+        round(lit(1000.0) * $"width").cast("long").as("width_milli"),
+        round(lit(10000.0) * $"n_in" / $"n_test").cast("long").as("cover_bp"))
+      .orderBy($"lang")
+  }
+
   /** q139 — token-weighted median document length per source: the
     * "where is the token mass" diagnostic (an unweighted median
     * over-represents short documents; training cost is per TOKEN).
@@ -1396,6 +1489,8 @@ object DataPrep {
     "q139_weighted_median" -> q139_weighted_median,
     "q135_ks_drift" -> q135_ks_drift,
     "q250_mann_whitney" -> q250_mann_whitney,
+    "q254_bootstrap_ci" -> q254_bootstrap_ci,
+    "q255_conformal_interval" -> q255_conformal_interval,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -1762,6 +1857,62 @@ object DataPrep {
          |        / (CAST(nn1 + nn2 AS DOUBLE) * (nn1 + nn2 - 1)))))) AS BIGINT)
          |    AS z_milli
          |FROM a""".stripMargin,
+    "q254_bootstrap_ci" ->
+      s"""WITH d AS (SELECT source, doc_id, ${TextAnalysis.QualityBpSql} AS x
+         |  FROM documents),
+         |rep AS (SELECT d.source, d.x, b.range AS b,
+         |    CAST('0x' || substring(md5('graft_boot_' || CAST(d.doc_id AS VARCHAR)
+         |      || '_' || CAST(b.range AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 1000000 AS u6
+         |  FROM d CROSS JOIN range(100) b),
+         |w AS (SELECT source, x, b,
+         |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1
+         |         WHEN u6 < 919699 THEN 2 WHEN u6 < 981012 THEN 3
+         |         WHEN u6 < 996340 THEN 4 WHEN u6 < 999406 THEN 5
+         |         WHEN u6 < 999917 THEN 6 ELSE 7 END AS wt FROM rep),
+         |m AS (SELECT source, b,
+         |    CAST(SUM(wt * x) AS DOUBLE) / SUM(wt) AS mb
+         |  FROM w GROUP BY 1, 2 HAVING SUM(wt) > 0),
+         |rk AS (SELECT source, mb,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY mb, b) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS nb FROM m)
+         |SELECT source, CAST(MAX(nb) AS BIGINT) AS n_reps,
+         |  CAST(ROUND(1000.0 * MIN(CASE WHEN rn = 5 THEN mb END)) AS BIGINT)
+         |    AS lo_milli,
+         |  CAST(ROUND(1000.0 * MIN(CASE WHEN rn = 95 THEN mb END)) AS BIGINT)
+         |    AS hi_milli
+         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q255_conformal_interval" ->
+      s"""WITH s AS (SELECT lang, doc_id, ${TextAnalysis.QualityBpSql} AS x,
+         |    CASE WHEN CAST('0x' || substring(md5('graft_split_'
+         |        || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+         |      THEN 'train'
+         |      WHEN CAST('0x' || substring(md5('graft_split_'
+         |        || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+         |      THEN 'cal' ELSE 'test' END AS split
+         |  FROM documents),
+         |mu AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM s WHERE split = 'train' GROUP BY 1),
+         |calr AS (SELECT s.lang, ABS(s.x - mu.mu) AS r,
+         |    ROW_NUMBER() OVER (PARTITION BY s.lang
+         |      ORDER BY ABS(s.x - mu.mu), s.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY s.lang) AS n_cal
+         |  FROM s JOIN mu ON s.lang = mu.lang WHERE s.split = 'cal'),
+         |q AS (SELECT lang, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         |    MIN(CASE WHEN rn = LEAST(n_cal,
+         |      CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT)) THEN r END) AS width
+         |  FROM calr GROUP BY 1),
+         |tst AS (SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_test,
+         |    CAST(SUM(CASE WHEN ABS(s.x - mu.mu) <= q.width
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+         |  FROM s JOIN mu ON s.lang = mu.lang JOIN q ON s.lang = q.lang
+         |  WHERE s.split = 'test' GROUP BY 1)
+         |SELECT mu.lang, mu.n_train, q.n_cal, tst.n_test,
+         |  CAST(ROUND(1000.0 * q.width) AS BIGINT) AS width_milli,
+         |  CAST(ROUND(10000.0 * tst.n_in / tst.n_test) AS BIGINT) AS cover_bp
+         |FROM mu JOIN q ON mu.lang = q.lang JOIN tst ON mu.lang = tst.lang
+         |ORDER BY mu.lang""".stripMargin,
     "q130_train_val_test" ->
       """WITH s AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

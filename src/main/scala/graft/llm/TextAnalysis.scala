@@ -1295,7 +1295,49 @@ object TextAnalysis {
       .orderBy($"split")
   }
 
+  /** q253 — isotonic calibration of the quality score against the
+    * English-language label (PAVA fit via the min-max formula): the
+    * stopword-based quality score is implicitly an English detector,
+    * and this is the calibration curve that quantifies the coupling —
+    * P(lang=en | quality bin), smoothed to the best NON-DECREASING
+    * fit. The corpus reduces once to ≤51 quality bins (bp div 200);
+    * the isotonic solution is computed closed-form on that bounded
+    * table as iso(i) = max_{j≤i} min_{k≥i} avg(y over bins j..k) —
+    * interval averages come from one cumulative window, the (j,k)
+    * pair grid and the (i,j,k) probe are non-equi joins whose worst
+    * case is 51³ rows, a constant independent of corpus size. Every
+    * interval average is a single exactly-rounded IEEE division of
+    * integer sums, so min/max elect identical values in both engines.
+    */
+  def q253_isotonic_calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .withColumn("q", qualityBp($"text"))
+      .select(expr("q div 200").as("b"),
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+    val bins = d.groupBy($"b").agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = graft.Caches.tracked(bins
+      .withColumn("cn", sum($"n").over(w))
+      .withColumn("cs", sum($"s").over(w)))
+    val pairs = cum.as("j").join(cum.as("k"), $"j.b" <= $"k.b")
+      .select($"j.b".as("jb"), $"k.b".as("kb"),
+        (($"k.cs" - $"j.cs" + $"j.s").cast("double")
+          / ($"k.cn" - $"j.cn" + $"j.n")).as("a"))
+    val tri = cum.select($"b".as("ib"))
+      .join(pairs, $"jb" <= $"ib" && $"kb" >= $"ib")
+      .groupBy($"ib", $"jb").agg(min($"a").as("m"))
+    val iso = tri.groupBy($"ib").agg(max($"m").as("iso_rate"))
+    bins.join(iso, $"b" === $"ib")
+      .select($"b", $"n",
+        round(lit(10000.0) * $"s" / $"n").cast("long").as("raw_bp"),
+        round(lit(10000.0) * $"iso_rate").cast("long").as("iso_bp"))
+      .orderBy($"b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_isotonic_calibration" -> q253_isotonic_calibration,
     "q244_gopher_rules" -> q244_gopher_rules,
     "q245_mattr_diversity" -> q245_mattr_diversity,
     "q246_heldout_surprisal" -> q246_heldout_surprisal,
@@ -1334,6 +1376,28 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q253_isotonic_calibration" ->
+      s"""WITH d AS (SELECT $QualityBpSql // 200 AS b,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |bins AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS s FROM d GROUP BY 1),
+         |cum AS (SELECT b, n, s,
+         |    CAST(SUM(n) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |    CAST(SUM(s) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+         |  FROM bins),
+         |pairs AS (SELECT j.b AS jb, k.b AS kb,
+         |    CAST(k.cs - j.cs + j.s AS DOUBLE) / (k.cn - j.cn + j.n) AS a
+         |  FROM cum j JOIN cum k ON j.b <= k.b),
+         |tri AS (SELECT i.b AS ib, p.jb, MIN(p.a) AS m
+         |  FROM cum i JOIN pairs p ON p.jb <= i.b AND p.kb >= i.b
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT ib AS b, MAX(m) AS iso_rate FROM tri GROUP BY 1)
+         |SELECT bins.b, bins.n,
+         |  CAST(ROUND(10000.0 * bins.s / bins.n) AS BIGINT) AS raw_bp,
+         |  CAST(ROUND(10000.0 * iso_rate) AS BIGINT) AS iso_bp
+         |FROM bins JOIN iso ON bins.b = iso.b ORDER BY bins.b""".stripMargin,
     "q244_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |f AS (SELECT doc_id, len(t) AS n,

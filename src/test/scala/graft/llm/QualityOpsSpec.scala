@@ -83,4 +83,58 @@ class QualityOpsSpec extends AnyFunSuite {
     // covered bigrams: (a,b) c1=3 c2=2 → 0 bits; (b,a) c1=2 c2=2 → 0 bits
     assert(valRow.getLong(4) == 0L)
   }
+
+  test("q253 isotonic: a decreasing two-bin curve pools to the weighted mean") {
+    import spark.implicits._
+    // "x" scores 5010 (bin 25, all English ⇒ raw 10000); ten "the"s
+    // score 6300 (bin 31, all German ⇒ raw 0). The raw curve decreases,
+    // so the non-decreasing isotonic fit pools both bins to 4/8 = 0.5.
+    val rows =
+      (1 to 4).map(i => (i.toLong, "x", "en")) ++
+        (1 to 4).map(i => (10L + i, Seq.fill(10)("the").mkString(" "), "de"))
+    val tmp = TestSpark.tempDir("iso_pool")
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.q253_isotonic_calibration(spark, tmp).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((25L, 4L, 10000L, 5000L), (31L, 4L, 0L, 5000L)), r.mkString(", "))
+  }
+
+  test("q253 isotonic: fit is monotone non-decreasing on real data and preserves the weighted mean") {
+    val r = TextAnalysis.q253_isotonic_calibration(spark, "/root/testdata/sf0.001")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.sliding(2).filter(_.length == 2).forall(p => p(0)._4 <= p(1)._4),
+      r.mkString(", "))
+    // PAVA preserves Σ n·rate (up to the per-bin bp rounding)
+    val rawMass = r.map(x => x._2 * x._3).sum
+    val isoMass = r.map(x => x._2 * x._4).sum
+    assert(math.abs(rawMass - isoMass) <= r.map(_._2).sum,
+      s"raw=$rawMass iso=$isoMass")
+  }
+
+  test("q254 bootstrap: a constant-score corpus gives a zero-width interval at the score") {
+    import spark.implicits._
+    // every doc is "x" (score 5010): each replicate mean is exactly
+    // 5010, so lo = hi = 5010000 and all 100 replicates survive.
+    val rows = (1 to 50).map(i => (i.toLong, "x", "en", "src0"))
+    val tmp = TestSpark.tempDir("boot_const")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q254_bootstrap_ci(spark, tmp).collect()(0)
+    assert(r.getLong(1) == 100L, s"n_reps=${r.getLong(1)}")
+    assert(r.getLong(2) == 5010000L && r.getLong(3) == 5010000L,
+      s"lo=${r.getLong(2)} hi=${r.getLong(3)}")
+  }
+
+  test("q255 conformal: identical docs give zero width and full coverage") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (i.toLong, "x", "en", "src0"))
+    val tmp = TestSpark.tempDir("conf_const")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q255_conformal_interval(spark, tmp).collect()(0)
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == 300L)
+    assert(r.getLong(4) == 0L, s"width_milli=${r.getLong(4)}")
+    assert(r.getLong(5) == 10000L, s"cover_bp=${r.getLong(5)}")
+  }
 }

@@ -108,8 +108,14 @@ class PlanLintSpec extends AnyFunSuite {
       "q135_ks_drift" -> Set("single-partition-window"),
       // rank window runs on the ≤10001-row distinct-score table
       "q250_mann_whitney" -> Set("single-partition-window"),
-      // cumulative/rank windows run on the calendar-bounded daily table
-      "q252_changepoint" -> Set("single-partition-window"),
+      // cumulative/rank windows run on the calendar-bounded daily
+      // table; the BNLJ is the 1-row (n, s) totals broadcast attach
+      "q252_changepoint" ->
+        Set("single-partition-window", "cartesian-product"),
+      // PAVA min-max grid: non-equi joins + cum window over the ≤51-row
+      // quality-bin table — 51³ worst case, constant in corpus size
+      "q253_isotonic_calibration" ->
+        Set("cartesian-product", "single-partition-window"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
       "q192_budget_waterfill" -> Set("single-partition-window"),

@@ -1534,7 +1534,114 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** q256 — dyadic EWMA one-step-ahead forecast error (α = 1/2) per
+    * event type. α is chosen as a POWER OF TWO so the recursive
+    * smoother escapes float-summation order entirely: h_t = S_t/2^t
+    * where S_t = 2·x_1 + Σ_{i≥2} x_i·2^{i−1} is an exact integer
+    * window sum, and the single closing division by a power of two is
+    * exact — every h_t, every residual |x_t − h_{t−1}|, and their sum
+    * are dyadic rationals inside the 53-bit mantissa, so both engines
+    * agree bit-for-bit with NO quantize-before-compare crutch. The
+    * event stream reduces once to the calendar-bounded (type, day)
+    * table; windows run inside type partitions. Exactness bound
+    * (documented, q135-style): S_t needs t + log₂(max daily count)
+    * < 63 — at ~33 days × 10⁹ events/day the sum wants decimal(38,0),
+    * same shape wider type; re-anchor per quarter for longer series.
+    */
+  def q256_ewma_forecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val idx = daily.withColumn("t", row_number().over(wOrd).cast("long"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val h = idx
+      .withColumn("st", sum(when($"t" === 1, $"x" * 2)
+        .otherwise($"x" * expr("shiftleft(1L, CAST(t AS INT) - 1)"))).over(wCum))
+      .withColumn("ht", $"st".cast("double") / expr("shiftleft(1L, CAST(t AS INT))"))
+      .withColumn("hprev", lag($"ht", 1).over(
+        Window.partitionBy($"event_type").orderBy($"t")))
+    val n = h.groupBy($"event_type".as("et")).agg(max($"t").as("n"))
+    h.join(broadcast(n), $"event_type" === $"et")
+      .filter($"hprev".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(lit(1000.0) * sum(abs($"x" - $"hprev")) / count(lit(1)))
+          .cast("long").as("mae_milli"),
+        round(lit(1000.0) * max(when($"t" === $"n", $"ht")))
+          .cast("long").as("last_ewma_milli"))
+      .orderBy($"event_type")
+  }
+
+  /** q257 — autocorrelation function of the global daily event-count
+    * series at lags 1..7 (the weekly-seasonality detector behind
+    * q156's anomaly gate). Exact-integer centering: with n·x_t − S in
+    * place of x_t − x̄ the lag products and the lag-0 denominator are
+    * EXACT BIGINT sums (one engine-identical rounded division at the
+    * end). The series is the calendar-bounded daily table; the lag
+    * pairing is an equi-join on the day index against the 7-row lag
+    * dimension — bounded · bounded, constant in event volume.
+    */
+  def q257_acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("x"))
+    val idx = daily.withColumn("t",
+      row_number().over(Window.orderBy($"d")).cast("long"))
+    val tot = idx.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val c = graft.Caches.tracked(idx.crossJoin(broadcast(tot))
+      .select($"t", ($"n" * $"x" - $"s").as("cx")))
+    val den = c.agg(sum($"cx" * $"cx").as("den"))
+    val lags = spark.range(1, 8).select($"id".as("lag"))
+    c.as("a").crossJoin(broadcast(lags))
+      .join(c.as("b"), $"b.t" === $"a.t" + $"lag")
+      .groupBy($"lag").agg(sum($"a.cx" * $"b.cx").as("num"))
+      .crossJoin(broadcast(den))
+      .select($"lag",
+        round(lit(1000.0) * $"num" / $"den").cast("long").as("acf_milli"))
+      .orderBy($"lag")
+  }
+
+  /** q258 — Theil–Sen robust trend (median of pairwise slopes, with
+    * the median-of-residuals intercept): the outlier-proof trend
+    * estimate ordinary least squares can't give when one bad day
+    * skews the series. The pair grid is |days|² over the
+    * calendar-bounded daily table (435 pairs on a month — constant in
+    * event volume); each slope is ONE exactly-rounded IEEE division
+    * of integer differences, so both engines sort identical doubles
+    * and elect the same middle ranks (even count → mean of the two).
+    */
+  def q258_theil_sen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("x"))
+    val idx = graft.Caches.tracked(daily.withColumn("t",
+      row_number().over(Window.orderBy($"d")).cast("long")))
+    val sl = idx.as("a").join(idx.as("b"), $"a.t" < $"b.t")
+      .select((($"b.x" - $"a.x").cast("double") / ($"b.t" - $"a.t")).as("slope"))
+    def median(df: DataFrame, col: String): DataFrame = df
+      .withColumn("rn", row_number().over(Window.orderBy(org.apache.spark.sql.functions.col(col))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
+      .agg(avg(org.apache.spark.sql.functions.col(col)).as("m"))
+    val slope = median(sl, "slope")
+    val res = idx.crossJoin(broadcast(slope))
+      .select(($"x" - $"m" * $"t").as("r"))
+    val icept = median(res, "r").select($"m".as("i"))
+    val meta = idx.agg(count(lit(1)).as("n_days"))
+      .crossJoin(sl.agg(count(lit(1)).as("n_pairs")))
+    meta.crossJoin(slope).crossJoin(icept)
+      .select($"n_days", $"n_pairs",
+        round(lit(1000.0) * $"m").cast("long").as("slope_milli"),
+        round(lit(1000.0) * $"i").cast("long").as("intercept_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_ewma_forecast" -> q256_ewma_forecast,
+    "q257_acf" -> q257_acf,
+    "q258_theil_sen" -> q258_theil_sen,
     "q153_first_touch" -> q153_first_touch,
     "q154_streaks" -> q154_streaks,
     "q156_seasonal_anomaly" -> q156_seasonal_anomaly,
@@ -1601,6 +1708,67 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q256_ewma_forecast" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, d, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS t FROM daily),
+        |s AS (SELECT event_type, d, x, t,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 2 * x
+        |        ELSE x * (CAST(1 AS BIGINT) << (t - 1)) END)
+        |      OVER (PARTITION BY event_type ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS st
+        |  FROM idx),
+        |h AS (SELECT event_type, x, t,
+        |    CAST(st AS DOUBLE) / (CAST(1 AS BIGINT) << t) AS ht,
+        |    LAG(CAST(st AS DOUBLE) / (CAST(1 AS BIGINT) << t))
+        |      OVER (PARTITION BY event_type ORDER BY t) AS hprev
+        |  FROM s),
+        |mx AS (SELECT event_type AS et, MAX(t) AS n FROM h GROUP BY 1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(ROUND(1000.0 * SUM(ABS(x - hprev)) / COUNT(*)) AS BIGINT)
+        |    AS mae_milli,
+        |  CAST(ROUND(1000.0 * MAX(CASE WHEN t = n THEN ht END)) AS BIGINT)
+        |    AS last_ewma_milli
+        |FROM h JOIN mx ON h.event_type = mx.et
+        |WHERE hprev IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q257_acf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |idx AS (SELECT x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t FROM daily),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s FROM idx),
+        |c AS (SELECT t, n * x - s AS cx FROM idx, tot),
+        |c0 AS (SELECT CAST(SUM(cx * cx) AS BIGINT) AS den FROM c),
+        |l AS (SELECT lg.range AS lag, CAST(SUM(a.cx * b.cx) AS BIGINT) AS num
+        |  FROM range(1, 8) lg JOIN c a ON true JOIN c b ON b.t = a.t + lg.range
+        |  GROUP BY 1)
+        |SELECT lag, CAST(ROUND(1000.0 * num / den) AS BIGINT) AS acf_milli
+        |FROM l, c0 ORDER BY lag""".stripMargin,
+    "q258_theil_sen" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |idx AS (SELECT x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t FROM daily),
+        |sl AS (SELECT CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS slope
+        |  FROM idx a JOIN idx b ON a.t < b.t),
+        |med AS (SELECT AVG(slope) AS m FROM (
+        |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM sl)
+        |  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)),
+        |res AS (SELECT idx.x - med.m * idx.t AS r FROM idx, med),
+        |ic AS (SELECT AVG(r) AS i FROM (
+        |  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM res)
+        |  WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl) AS n_pairs,
+        |  CAST(ROUND(1000.0 * med.m) AS BIGINT) AS slope_milli,
+        |  CAST(ROUND(1000.0 * ic.i) AS BIGINT) AS intercept_milli
+        |FROM med, ic""".stripMargin,
     "q176_max_drawdown" ->
       """WITH d AS (SELECT event_type,
         |    CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,

@@ -116,6 +116,11 @@ class PlanLintSpec extends AnyFunSuite {
       // quality-bin table — 51³ worst case, constant in corpus size
       "q253_isotonic_calibration" ->
         Set("cartesian-product", "single-partition-window"),
+      // global day-index/rank windows + 1-row/7-row broadcast attaches,
+      // all over calendar-bounded daily tables
+      "q257_acf" -> Set("single-partition-window", "cartesian-product"),
+      "q258_theil_sen" ->
+        Set("single-partition-window", "cartesian-product"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
       "q192_budget_waterfill" -> Set("single-partition-window"),

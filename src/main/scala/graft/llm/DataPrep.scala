@@ -835,6 +835,71 @@ object DataPrep {
       .orderBy($"lang")
   }
 
+  /** q259 — fill-in-the-middle (FIM) transform (Bavarian et al. 2022):
+    * the PSM rearrangement an infilling-capable code/text model trains
+    * on. Half the corpus (hash-gated, so the choice is reproducible
+    * shard-by-shard) is split at two hash-derived CHARACTER cuts
+    * confined to the middle 80 % of the doc and re-emitted as
+    * ⟨PRE⟩prefix⟨SUF⟩suffix⟨MID⟩middle; short docs (< 20 chars) and
+    * the other half stay causal. A pure per-row projection — zero
+    * shuffles before the output sort, trivially 100 TB-safe. Both
+    * engines count cut positions in Unicode code points and fingerprint
+    * the transformed text with md5 over its UTF-8 bytes, so the oracle
+    * replays the rearrangement itself, not just the bookkeeping.
+    */
+  def q259_fim_transform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select($"doc_id", $"text", length($"text").cast("long").as("l"),
+        (hash60(concat(lit("graft_fim_g_"), $"doc_id".cast("string"))) % 100).as("g"),
+        hash60(concat(lit("graft_fim_a_"), $"doc_id".cast("string"))).as("ha"),
+        hash60(concat(lit("graft_fim_b_"), $"doc_id".cast("string"))).as("hb"))
+      .withColumn("mode", when($"l" >= 20 && $"g" < 50, "psm").otherwise("causal"))
+      .withColumn("lo", lit(1L) + expr("l div 10"))
+      .withColumn("hi", $"l" - expr("l div 10"))
+      .withColumn("pa", $"lo" + $"ha" % ($"hi" - $"lo" + 1))
+      .withColumn("pb", $"lo" + $"hb" % ($"hi" - $"lo" + 1))
+      .withColumn("c1", least($"pa", $"pb"))
+      .withColumn("c2", greatest($"pa", $"pb"))
+    d.select($"doc_id", $"mode",
+      when($"mode" === "psm", $"c1" - 1).otherwise($"l").as("len_p"),
+      when($"mode" === "psm", $"c2" - $"c1").otherwise(lit(0L)).as("len_m"),
+      when($"mode" === "psm", $"l" - $"c2" + 1).otherwise(lit(0L)).as("len_s"),
+      when($"mode" === "psm", md5(concat(lit("<PRE>"),
+          expr("substring(text, 1, CAST(c1 AS INT) - 1)"),
+          lit("<SUF>"), expr("substring(text, CAST(c2 AS INT), CAST(l - c2 AS INT) + 1)"),
+          lit("<MID>"), expr("substring(text, CAST(c1 AS INT), CAST(c2 - c1 AS INT))"))))
+        .otherwise(md5($"text")).as("fim_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** q260 — preference-pair construction: per (source, lang) slice,
+    * the highest- and lowest-quality documents become a
+    * chosen/rejected pair with its score margin — the bulk
+    * bootstrap for reward-model data when human labels are scarce.
+    * Deliberately NOT a rank window (a (source, lang) slice can be a
+    * double-digit share of a 100 TB corpus — sorting it to read off
+    * two endpoints is the funnel PlanLint exists to catch): both
+    * endpoints are argmax/argmin aggregates under the lexicographic
+    * (quality, ∓doc_id) order — ONE partial+final exchange, and
+    * chosen ≠ rejected on every emitted pair even under total
+    * quality ties because the tie-breaks point in opposite
+    * directions. Slices with one document produce no pair.
+    */
+  def q260_preference_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang", TextAnalysis.qualityBp($"text").as("q"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n"),
+        max_by($"doc_id", struct($"q", -$"doc_id")).as("chosen_id"),
+        min_by($"doc_id", struct($"q", -$"doc_id")).as("rejected_id"),
+        (max($"q") - min($"q")).as("margin_bp"))
+      .filter($"n" >= 2)
+      .select($"source", $"lang", $"chosen_id", $"rejected_id", $"margin_bp")
+      .orderBy($"source", $"lang")
+  }
+
   /** q139 — token-weighted median document length per source: the
     * "where is the token mass" diagnostic (an unweighted median
     * over-represents short documents; training cost is per TOKEN).
@@ -1491,6 +1556,8 @@ object DataPrep {
     "q250_mann_whitney" -> q250_mann_whitney,
     "q254_bootstrap_ci" -> q254_bootstrap_ci,
     "q255_conformal_interval" -> q255_conformal_interval,
+    "q259_fim_transform" -> q259_fim_transform,
+    "q260_preference_pairs" -> q260_preference_pairs,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -1913,6 +1980,42 @@ object DataPrep {
          |  CAST(ROUND(10000.0 * tst.n_in / tst.n_test) AS BIGINT) AS cover_bp
          |FROM mu JOIN q ON mu.lang = q.lang JOIN tst ON mu.lang = tst.lang
          |ORDER BY mu.lang""".stripMargin,
+    "q259_fim_transform" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS l,
+        |    CAST('0x' || substring(md5('graft_fim_g_'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS g,
+        |    CAST('0x' || substring(md5('graft_fim_a_'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ha,
+        |    CAST('0x' || substring(md5('graft_fim_b_'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hb
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, l, ha, hb,
+        |    CASE WHEN l >= 20 AND g < 50 THEN 'psm' ELSE 'causal' END AS mode,
+        |    1 + (l // 10) AS lo, l - (l // 10) AS hi FROM d),
+        |p AS (SELECT doc_id, text, l, mode,
+        |    LEAST(lo + ha % (hi - lo + 1), lo + hb % (hi - lo + 1)) AS c1,
+        |    GREATEST(lo + ha % (hi - lo + 1), lo + hb % (hi - lo + 1)) AS c2
+        |  FROM c)
+        |SELECT doc_id, mode,
+        |  CAST(CASE WHEN mode = 'psm' THEN c1 - 1 ELSE l END AS BIGINT) AS len_p,
+        |  CAST(CASE WHEN mode = 'psm' THEN c2 - c1 ELSE 0 END AS BIGINT) AS len_m,
+        |  CAST(CASE WHEN mode = 'psm' THEN l - c2 + 1 ELSE 0 END AS BIGINT) AS len_s,
+        |  CASE WHEN mode = 'psm' THEN md5('<PRE>' || substring(text, 1, c1 - 1)
+        |    || '<SUF>' || substring(text, c2, l - c2 + 1)
+        |    || '<MID>' || substring(text, c1, c2 - c1))
+        |  ELSE md5(text) END AS fim_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q260_preference_pairs" ->
+      s"""WITH q AS (SELECT doc_id, source, lang, ${TextAnalysis.QualityBpSql} AS q
+         |  FROM documents),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+         |      ORDER BY q DESC, doc_id) AS rd,
+         |    COUNT(*) OVER (PARTITION BY source, lang) AS n FROM q)
+         |SELECT a.source, a.lang, a.doc_id AS chosen_id,
+         |  b.doc_id AS rejected_id, a.q - b.q AS margin_bp
+         |FROM r a JOIN r b ON a.source = b.source AND a.lang = b.lang
+         |WHERE a.rd = 1 AND a.n >= 2 AND b.rd = b.n
+         |ORDER BY 1, 2""".stripMargin,
     "q130_train_val_test" ->
       """WITH s AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

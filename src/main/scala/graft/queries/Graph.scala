@@ -506,7 +506,15 @@ object Graph {
     * anywhere. Output is the community-size census (bounded by the
     * size domain), not the |V|-row membership table.
     */
-  def q251_label_propagation(spark: SparkSession, dir: String): DataFrame = {
+  /** Both-direction (u, v) edges of the SUPPORT-≥2 co-purchase
+    * backbone (pairs co-ordered in ≥2 distinct orders): the noise
+    * one-off co-purchases are stripped, leaving the modular structure
+    * community/core analyses need. Shared by q251 (LPA) and q261
+    * (k-core). One shuffle on the order key (q99's run-walk), one on
+    * the packed pair key, partitioned on v for destination-keyed
+    * aggregates.
+    */
+  private def supportBackboneEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = load(spark, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
@@ -519,11 +527,16 @@ object Graph {
       .filter($"n_ab" >= 2)
       .select(shiftright($"pk", 32).as("u"),
         $"pk".bitwiseAND(lit(0xffffffffL)).as("v"))
-    val edges = graft.Caches.tracked(backbone
+    backbone
       .select(explode(array(struct($"u", $"v"),
         struct($"v".as("u"), $"u".as("v")))).as("e"))
       .select($"e.u", $"e.v")
-      .repartition($"v"))
+      .repartition($"v")
+  }
+
+  def q251_label_propagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = graft.Caches.tracked(supportBackboneEdges(spark, dir))
     var labels = edges.select($"u".as("p")).distinct()
       .select($"p", $"p".as("lbl"))
     for (_ <- 1 to 3) {
@@ -539,7 +552,37 @@ object Graph {
       .orderBy($"sz")
   }
 
+  /** q261 — bounded k-core peeling (k = 3, 4 rounds) on the
+    * support-≥2 co-purchase backbone: the density-core extraction
+    * that separates the catalog's structural heart from its sparse
+    * fringe (recommendation quality concentrates in the core). Each
+    * round is one degree aggregate on the destination-partitioned
+    * edge list plus two semi-join filters on the |V|-bounded survivor
+    * set — the round count is FIXED (a full decomposition's data-
+    * dependent iteration count cannot be promised at 100 TB; four
+    * rounds with the round-by-round census lets the caller read
+    * convergence directly: the core has stabilized iff the last two
+    * rows are equal). Only bounded per-round scalars hit the driver.
+    */
+  def q261_kcore_peel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var e = graft.Caches.tracked(supportBackboneEdges(spark, dir))
+    val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    census += ((0L, e.select($"u").distinct().count(), e.count() / 2))
+    for (r <- 1 to 4) {
+      val keep = e.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= 3).select($"u")
+      e = graft.Caches.tracked(
+        e.join(keep, Seq("u"), "left_semi")
+          .join(keep.select($"u".as("v")), Seq("v"), "left_semi")
+          .select($"u", $"v"))
+      census += ((r.toLong, e.select($"u").distinct().count(), e.count() / 2))
+    }
+    census.toSeq.toDF("round", "n_vertices", "n_edges")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_kcore_peel" -> q261_kcore_peel,
     "q251_label_propagation" -> q251_label_propagation,
     "q131_link_prediction" -> q131_link_prediction,
     "q124_degree_distribution" -> q124_degree_distribution,
@@ -551,6 +594,37 @@ object Graph {
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q261_kcore_peel" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |d1 AS (SELECT u FROM e GROUP BY u HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT e.u, e.v FROM e
+        |  JOIN d1 a ON e.u = a.u JOIN d1 b ON e.v = b.u),
+        |d2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |  JOIN d2 a ON e1.u = a.u JOIN d2 b ON e1.v = b.u),
+        |d3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 3),
+        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |  JOIN d3 a ON e2.u = a.u JOIN d3 b ON e2.v = b.u),
+        |d4 AS (SELECT u FROM e3 GROUP BY u HAVING COUNT(*) >= 3),
+        |e4 AS (SELECT e3.u, e3.v FROM e3
+        |  JOIN d4 a ON e3.u = a.u JOIN d4 b ON e3.v = b.u)
+        |SELECT CAST(0 AS BIGINT) AS round,
+        |  CAST((SELECT COUNT(DISTINCT u) FROM e) AS BIGINT) AS n_vertices,
+        |  CAST((SELECT COUNT(*) FROM e) // 2 AS BIGINT) AS n_edges
+        |UNION ALL SELECT 1, (SELECT COUNT(DISTINCT u) FROM e1),
+        |  (SELECT COUNT(*) FROM e1) // 2
+        |UNION ALL SELECT 2, (SELECT COUNT(DISTINCT u) FROM e2),
+        |  (SELECT COUNT(*) FROM e2) // 2
+        |UNION ALL SELECT 3, (SELECT COUNT(DISTINCT u) FROM e3),
+        |  (SELECT COUNT(*) FROM e3) // 2
+        |UNION ALL SELECT 4, (SELECT COUNT(DISTINCT u) FROM e4),
+        |  (SELECT COUNT(*) FROM e4) // 2
+        |ORDER BY 1""".stripMargin,
     "q251_label_propagation" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

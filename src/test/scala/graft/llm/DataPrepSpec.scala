@@ -292,6 +292,61 @@ class DataPrepSpec extends AnyFunSuite {
     assert(r.getLong(4) < 0L, s"z must be negative, got ${r.getLong(4)}")
   }
 
+  /** Driver-side replay of hash60 (top 60 bits of md5 as a long). */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q259 FIM: psm rearrangement matches an independent JVM replay; short docs stay causal") {
+    import spark.implicits._
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars
+    // find a doc id that the gate sends to psm
+    val id = Iterator.iterate(1L)(_ + 1)
+      .find(i => hash60(s"graft_fim_g_$i") % 100 < 50).get
+    val tmp = TestSpark.tempDir("fim_replay")
+    Seq((id, text), (900L, "short")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = DataPrep.q259_fim_transform(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // JVM replay of the cut arithmetic
+    val l = text.length.toLong
+    val lo = 1 + l / 10; val hi = l - l / 10; val span = hi - lo + 1
+    val pa = lo + hash60(s"graft_fim_a_$id") % span
+    val pb = lo + hash60(s"graft_fim_b_$id") % span
+    val c1 = math.min(pa, pb).toInt; val c2 = math.max(pa, pb).toInt
+    val expect = md5Hex("<PRE>" + text.substring(0, c1 - 1)
+      + "<SUF>" + text.substring(c2 - 1) + "<MID>" + text.substring(c1 - 1, c2 - 1))
+    val psm = rows(id)
+    assert(psm.getString(1) == "psm")
+    assert(psm.getLong(2) == c1 - 1 && psm.getLong(3) == c2 - c1
+      && psm.getLong(4) == l - c2 + 1)
+    assert(psm.getString(5) == expect, s"fim_md5 mismatch")
+    val causal = rows(900L)
+    assert(causal.getString(1) == "causal" && causal.getLong(2) == 5L
+      && causal.getString(5) == md5Hex("short"))
+  }
+
+  test("q260 preference pairs: chosen beats rejected, pairs are distinct docs, singletons drop") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "s0", "en", "x"), // low quality (5010)
+      (2L, "s0", "en", Seq.fill(10)("the").mkString(" ")), // high (6300)
+      (3L, "s1", "en", "only one doc in this slice"))
+    val tmp = TestSpark.tempDir("pref_pairs")
+    rows.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q260_preference_pairs(spark, tmp).collect()
+    assert(r.length == 1, r.mkString(", "))
+    assert(r(0).getLong(2) == 2L && r(0).getLong(3) == 1L)
+    assert(r(0).getLong(4) == 6300L - 5010L)
+  }
+
   test("q135 overflow guard is exact at the Long boundary (integer DIV, not double /)") {
     import spark.implicits._
     // the guard expression as written in q135_ks_drift

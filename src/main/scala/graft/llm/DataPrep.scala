@@ -900,6 +900,76 @@ object DataPrep {
       .orderBy($"source", $"lang")
   }
 
+  /** q262 — t-closeness audit (the third leg of the k-anonymity /
+    * l-diversity / t-closeness privacy battery, completing q209):
+    * per equivalence class, the TOTAL-VARIATION distance between the
+    * class's sensitive-attribute distribution and the global one — a
+    * class can be k-large and l-diverse yet still leak when its
+    * sensitive mix is skewed far from baseline. The distance is
+    * computed in EXACT integer cross-multiplication (q135's trick:
+    * |n_cs·N − N_s·n_c| summed over the class×sensitive grid, ONE
+    * rounded division per class), so both engines agree bit-for-bit.
+    * Everything after the two fact aggregates is bounded:
+    * |classes|·|sensitive-values| grid rows.
+    */
+  def q262_t_closeness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val j = graft.Caches.tracked(load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"))
+      .join(load(spark, dir, "orders")
+        .select($"o_custkey", $"o_orderpriority".as("s")),
+        $"c_custkey" === $"o_custkey")
+      .select($"nation", $"segment", $"s"))
+    val g = j.groupBy($"s").agg(count(lit(1)).as("ns"))
+    val tot = j.agg(count(lit(1)).as("n"))
+    val cls = j.groupBy($"nation", $"segment", $"s")
+      .agg(count(lit(1)).as("ncs"))
+    val csz = cls.groupBy($"nation", $"segment").agg(sum($"ncs").as("nc"))
+    csz.crossJoin(broadcast(g))
+      .join(cls, Seq("nation", "segment", "s"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy($"nation", $"segment", $"nc", $"n")
+      .agg(sum(abs(coalesce($"ncs", lit(0L)) * $"n" - $"ns" * $"nc")).as("num"))
+      .select($"nation", $"segment", $"nc".as("class_size"),
+        round(lit(1000.0) * $"num" / (lit(2.0) * $"nc" * $"n"))
+          .cast("long").as("tv_milli"))
+      .orderBy($"nation", $"segment")
+  }
+
+  /** q263 — population stability index between two sources' quality
+    * distributions over FIXED bins (bp div 1000 — data-driven decile
+    * edges would make bin membership itself float-dependent): the
+    * industry drift gate beside q135's KS (shape) and q250's rank
+    * test (location); PSI weights tail moves by the log-ratio, which
+    * the sup-statistic family under-reports. Laplace +1 smoothing
+    * keeps empty bins defined and deterministic. Counts are exact
+    * integers; the 11-term Σ(p−q)·ln(p/q) is one fixed float tree
+    * micro-rounded at the end (the house ln convention, q232/q46).
+    */
+  def q263_psi_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .withColumn("q", TextAnalysis.qualityBp($"text"))
+      .select(expr("q div 1000").as("b"), $"source")
+    val grid = spark.range(0, 11).select($"id".as("b"))
+    val bins = grid.join(
+        d.groupBy($"b").agg(
+          sum(when($"source" === "src0", 1L).otherwise(0L)).as("r0"),
+          sum(when($"source" === "src1", 1L).otherwise(0L)).as("r1")),
+        Seq("b"), "left")
+      .select($"b", (lit(1L) + coalesce($"r0", lit(0L))).as("c0"),
+        (lit(1L) + coalesce($"r1", lit(0L))).as("c1"))
+    val tot = bins.agg(sum($"c0").as("n0"), sum($"c1").as("n1"))
+    bins.crossJoin(broadcast(tot))
+      .groupBy($"n0", $"n1")
+      .agg(round(lit(1e6) * sum(
+        ($"c0".cast("double") / $"n0" - $"c1".cast("double") / $"n1")
+          * log(($"c0".cast("double") / $"n0") / ($"c1".cast("double") / $"n1"))))
+        .cast("long").as("psi_micro"))
+  }
+
   /** q139 — token-weighted median document length per source: the
     * "where is the token mass" diagnostic (an unweighted median
     * over-represents short documents; training cost is per TOKEN).
@@ -1558,6 +1628,8 @@ object DataPrep {
     "q255_conformal_interval" -> q255_conformal_interval,
     "q259_fim_transform" -> q259_fim_transform,
     "q260_preference_pairs" -> q260_preference_pairs,
+    "q262_t_closeness" -> q262_t_closeness,
+    "q263_psi_drift" -> q263_psi_drift,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -2016,6 +2088,40 @@ object DataPrep {
          |FROM r a JOIN r b ON a.source = b.source AND a.lang = b.lang
          |WHERE a.rd = 1 AND a.n >= 2 AND b.rd = b.n
          |ORDER BY 1, 2""".stripMargin,
+    "q262_t_closeness" ->
+      """WITH j AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment, o_orderpriority AS s
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ns FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+        |cls AS (SELECT nation, segment, s, CAST(COUNT(*) AS BIGINT) AS ncs
+        |  FROM j GROUP BY 1, 2, 3),
+        |csz AS (SELECT nation, segment, CAST(SUM(ncs) AS BIGINT) AS nc
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT csz.nation, csz.segment, csz.nc AS class_size,
+        |  CAST(ROUND(1000.0 * SUM(ABS(COALESCE(cls.ncs, 0) * tot.n
+        |      - g.ns * csz.nc)) / (2.0 * csz.nc * tot.n)) AS BIGINT) AS tv_milli
+        |FROM csz CROSS JOIN g CROSS JOIN tot
+        |LEFT JOIN cls ON cls.nation = csz.nation
+        |  AND cls.segment = csz.segment AND cls.s = g.s
+        |GROUP BY csz.nation, csz.segment, csz.nc, tot.n
+        |ORDER BY 1, 2""".stripMargin,
+    "q263_psi_drift" ->
+      s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} // 1000 AS b
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |bins AS (SELECT g.range AS b,
+         |    CAST(1 + SUM(CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c0,
+         |    CAST(1 + SUM(CASE WHEN d.source = 'src1' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1
+         |  FROM range(0, 11) g LEFT JOIN d ON d.b = g.range GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         |    CAST(SUM(c1) AS BIGINT) AS n1 FROM bins)
+         |SELECT tot.n0, tot.n1,
+         |  CAST(ROUND(1e6 * SUM((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+         |    * ln((CAST(c0 AS DOUBLE) / n0) / (CAST(c1 AS DOUBLE) / n1))))
+         |    AS BIGINT) AS psi_micro
+         |FROM bins, tot GROUP BY 1, 2""".stripMargin,
     "q130_train_val_test" ->
       """WITH s AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

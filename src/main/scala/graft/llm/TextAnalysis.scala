@@ -1336,7 +1336,42 @@ object TextAnalysis {
       .orderBy($"b")
   }
 
+  /** q264 — mutual information I(lang; source) with both marginal
+    * entropies and the normalized coefficient: the association audit
+    * that tells a mixture designer whether language balance can be
+    * tuned independently of source balance (MI ≈ 0) or the two are
+    * coupled (MI → min H). One corpus scan reduces to the bounded
+    * |langs|·|sources| contingency table; marginals and the total
+    * come from re-aggregating that table (never the corpus); the MI
+    * and entropy sums are fixed float trees over exact integer counts,
+    * micro-rounded (house ln convention), and the normalized value is
+    * computed FROM the rounded integers so it cannot ulp-drift.
+    */
+  def q264_mutual_info(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.Caches.tracked(load(spark, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("nij")))
+    val rl = c.groupBy($"lang").agg(sum($"nij").as("ni"))
+    val rs = c.groupBy($"source").agg(sum($"nij").as("nj"))
+    val n = c.agg(sum($"nij").as("nt"))
+    val joined = c.join(broadcast(rl), "lang").join(broadcast(rs), "source")
+      .crossJoin(broadcast(n))
+    joined.groupBy($"nt")
+      .agg(
+        round(lit(1e6) * sum($"nij".cast("double") / $"nt"
+          * log($"nij".cast("double") * $"nt" / ($"ni".cast("double") * $"nj"))))
+          .cast("long").as("mi_micro"),
+        round(lit(1e6) * sum($"nij".cast("double") / $"nt"
+          * log($"nt".cast("double") / $"ni"))).cast("long").as("h_lang_micro"),
+        round(lit(1e6) * sum($"nij".cast("double") / $"nt"
+          * log($"nt".cast("double") / $"nj"))).cast("long").as("h_source_micro"))
+      .select($"nt".as("n"), $"mi_micro", $"h_lang_micro", $"h_source_micro",
+        round(lit(1000.0) * $"mi_micro" / least($"h_lang_micro", $"h_source_micro"))
+          .cast("long").as("nmi_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_mutual_info" -> q264_mutual_info,
     "q253_isotonic_calibration" -> q253_isotonic_calibration,
     "q244_gopher_rules" -> q244_gopher_rules,
     "q245_mattr_diversity" -> q245_mattr_diversity,
@@ -1376,6 +1411,26 @@ object TextAnalysis {
     "q54_token_chunks" -> q54_token_chunks)
 
   val oracle: Map[String, String] = Map(
+    "q264_mutual_info" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni FROM c GROUP BY 1),
+        |rs AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS nj FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(nij) AS BIGINT) AS nt FROM c),
+        |a AS (SELECT n.nt,
+        |    CAST(ROUND(1e6 * SUM(CAST(nij AS DOUBLE) / nt
+        |      * ln(CAST(nij AS DOUBLE) * nt / (CAST(ni AS DOUBLE) * nj))))
+        |      AS BIGINT) AS mi_micro,
+        |    CAST(ROUND(1e6 * SUM(CAST(nij AS DOUBLE) / nt
+        |      * ln(CAST(nt AS DOUBLE) / ni))) AS BIGINT) AS h_lang_micro,
+        |    CAST(ROUND(1e6 * SUM(CAST(nij AS DOUBLE) / nt
+        |      * ln(CAST(nt AS DOUBLE) / nj))) AS BIGINT) AS h_source_micro
+        |  FROM c JOIN rl USING (lang) JOIN rs USING (source) CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT nt AS n, mi_micro, h_lang_micro, h_source_micro,
+        |  CAST(ROUND(1000.0 * mi_micro / LEAST(h_lang_micro, h_source_micro))
+        |    AS BIGINT) AS nmi_milli
+        |FROM a""".stripMargin,
     "q253_isotonic_calibration" ->
       s"""WITH d AS (SELECT $QualityBpSql // 200 AS b,
          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),

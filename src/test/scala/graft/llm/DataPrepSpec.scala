@@ -347,6 +347,38 @@ class DataPrepSpec extends AnyFunSuite {
     assert(r(0).getLong(4) == 6300L - 5010L)
   }
 
+  test("q262 t-closeness: closed forms — balanced classes 1/6, the pure-A class 1/3") {
+    import spark.implicits._
+    // nations 0/1: 2×A + 2×B each (= the global mix up to nation 2's
+    // skew); nation 2: 4×A only. Closed forms: N=12, N_A=8, N_B=4 ⇒
+    // tv(pure A class) = (|4·12−8·4|+|0−4·4|)/(2·4·12) = 1/3 → 333;
+    // tv(balanced class) = (8+8)/96 = 1/6 → 167.
+    val cust = (1L to 12L).map(k => (k, ((k - 1) / 4), s"SEG"))
+    val ords = (1L to 12L).map(k => (k, if (k > 8 || k % 2 == 1) "A" else "B"))
+    val tmp = TestSpark.tempDir("tclose")
+    cust.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    ords.toDF("o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = DataPrep.q262_t_closeness(spark, tmp).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((0L, 4L, 167L), (1L, 4L, 167L), (2L, 4L, 333L)),
+      r.mkString(", "))
+  }
+
+  test("q263 PSI: identical distributions give exactly zero") {
+    import spark.implicits._
+    val src0 = graft.Tables.load(spark, dir, "documents")
+      .filter($"source" === "src0")
+    val same = src0.union(src0.withColumn("source", lit("src1"))
+      .select(src0.columns.map(col): _*))
+    val tmp = TestSpark.tempDir("psi_self")
+    same.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q263_psi_drift(spark, tmp).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == 0L, s"self-PSI must be 0, got ${r.getLong(2)}")
+  }
+
   test("q135 overflow guard is exact at the Long boundary (integer DIV, not double /)") {
     import spark.implicits._
     // the guard expression as written in q135_ks_drift

@@ -84,6 +84,30 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(valRow.getLong(4) == 0L)
   }
 
+  test("q264 MI: an independent grid gives exactly 0; a bijective coupling saturates at min-entropy") {
+    import spark.implicits._
+    // independent: 3 langs × 3 sources, 2 docs per cell ⇒ every
+    // ln-ratio is ln(1) = 0 ⇒ MI exactly 0
+    val ind = for (l <- Seq("en", "de", "fr"); s <- Seq("s0", "s1", "s2");
+      i <- 1 to 2) yield (s"$l$s$i".hashCode.toLong, "t", l, s)
+    val tmp1 = TestSpark.tempDir("mi_ind")
+    ind.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp1/documents.parquet")
+    val r1 = TextAnalysis.q264_mutual_info(spark, tmp1).collect()(0)
+    assert(r1.getLong(1) == 0L, s"independent MI=${r1.getLong(1)}")
+    // bijective lang↔source ⇒ I = H(lang) = H(source) (±1 micro for
+    // the two differently-shaped but mathematically equal ln trees)
+    val cpl = for (i <- 0 to 2; j <- 1 to 2) yield
+      (i.toLong * 10 + j, "t", s"l$i", s"s$i")
+    val tmp2 = TestSpark.tempDir("mi_cpl")
+    cpl.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val r2 = TextAnalysis.q264_mutual_info(spark, tmp2).collect()(0)
+    assert(math.abs(r2.getLong(1) - r2.getLong(2)) <= 1L,
+      s"coupled MI=${r2.getLong(1)} H_lang=${r2.getLong(2)}")
+    assert(math.abs(r2.getLong(4) - 1000L) <= 1L, s"nmi=${r2.getLong(4)}")
+  }
+
   test("q253 isotonic: a decreasing two-bin curve pools to the weighted mean") {
     import spark.implicits._
     // "x" scores 5010 (bin 25, all English ⇒ raw 10000); ten "the"s

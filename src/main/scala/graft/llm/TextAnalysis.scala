@@ -1370,8 +1370,61 @@ object TextAnalysis {
           .cast("long").as("nmi_milli"))
   }
 
+  /** q266 — Unicode NFC normalization audit: per lang, how many
+    * documents differ from their canonical composition (é as e+U+0301
+    * etc.) and by how many code points — the ingest gate that keeps
+    * byte-level dedup/fingerprinting (q20/q24/q225) from being
+    * defeated by visually-identical decomposed forms. Runs on the
+    * custom codegen'd [[graft.functions.NfcNormalize]] expression
+    * (Spark ships no normalizer; a UDF would break the projection out
+    * of whole-stage codegen, and the isNormalized fast path makes the
+    * clean-corpus case a single allocation-free scan). The honest
+    * answer on an already-clean corpus is all-zeros — the planted
+    * fixture spec proves the detection path.
+    */
+  def q266_nfc_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .withColumn("nfc", graft.functions.NfcNormalize($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"text" =!= $"nfc", 1L).otherwise(0L)).as("n_denorm"),
+        sum((length($"text") - length($"nfc")).cast("long")).as("delta_chars"))
+      .orderBy($"lang")
+  }
+
+  /** q267 — Unicode script-mix audit: per lang, the per-mille
+    * composition of Latin / Han / Cyrillic / digit code points plus
+    * the count of mixed-script documents (two scripts co-present) —
+    * the spoofing/mislabeled-language canary a multilingual ingest
+    * runs next to n-gram langid (q22). Counting uses EXPLICIT BMP
+    * ranges (not \\p{script=…} classes, whose tables differ between
+    * Java regex and RE2) so both engines count identical characters;
+    * all map-side regexp counts into one |langs|-bounded aggregate.
+    */
+  def q267_script_mix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select($"lang", length($"text").cast("long").as("l"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]"), lit(0))).cast("long").as("lat"),
+        size(regexp_extract_all($"text", lit("[一-鿿]"), lit(0))).cast("long").as("han"),
+        size(regexp_extract_all($"text", lit("[Ѐ-ӿ]"), lit(0))).cast("long").as("cyr"),
+        size(regexp_extract_all($"text", lit("[0-9]"), lit(0))).cast("long").as("dig"))
+    d.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1000.0) * sum($"lat") / sum($"l")).cast("long").as("latin_mille"),
+        round(lit(1000.0) * sum($"han") / sum($"l")).cast("long").as("han_mille"),
+        round(lit(1000.0) * sum($"cyr") / sum($"l")).cast("long").as("cyr_mille"),
+        round(lit(1000.0) * sum($"dig") / sum($"l")).cast("long").as("digit_mille"),
+        sum(when(($"lat" > 0 && $"han" > 0) || ($"lat" > 0 && $"cyr" > 0)
+          || ($"han" > 0 && $"cyr" > 0), 1L).otherwise(0L)).as("n_mixed"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_mutual_info" -> q264_mutual_info,
+    "q266_nfc_audit" -> q266_nfc_audit,
+    "q267_script_mix" -> q267_script_mix,
     "q253_isotonic_calibration" -> q253_isotonic_calibration,
     "q244_gopher_rules" -> q244_gopher_rules,
     "q245_mattr_diversity" -> q245_mattr_diversity,
@@ -1431,6 +1484,28 @@ object TextAnalysis {
         |  CAST(ROUND(1000.0 * mi_micro / LEAST(h_lang_micro, h_source_micro))
         |    AS BIGINT) AS nmi_milli
         |FROM a""".stripMargin,
+    "q266_nfc_audit" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_denorm,
+        |  CAST(SUM(length(text) - length(nfc_normalize(text))) AS BIGINT)
+        |    AS delta_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q267_script_mix" ->
+      """WITH d AS (SELECT lang, length(text) AS l,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS lat,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS han,
+        |    len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS cyr,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(ROUND(1000.0 * SUM(lat) / SUM(l)) AS BIGINT) AS latin_mille,
+        |  CAST(ROUND(1000.0 * SUM(han) / SUM(l)) AS BIGINT) AS han_mille,
+        |  CAST(ROUND(1000.0 * SUM(cyr) / SUM(l)) AS BIGINT) AS cyr_mille,
+        |  CAST(ROUND(1000.0 * SUM(dig) / SUM(l)) AS BIGINT) AS digit_mille,
+        |  CAST(SUM(CASE WHEN (lat > 0 AND han > 0) OR (lat > 0 AND cyr > 0)
+        |    OR (han > 0 AND cyr > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q253_isotonic_calibration" ->
       s"""WITH d AS (SELECT $QualityBpSql // 200 AS b,
          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),

@@ -1638,7 +1638,46 @@ object Analytics {
         round(lit(1000.0) * $"i").cast("long").as("intercept_milli"))
   }
 
+  /** q265 — difference-in-differences estimator: the two-group ×
+    * two-period causal workhorse (did a change at the cutoff move the
+    * treated group's metric beyond the control group's common
+    * trend?). Treated = purchase events, control = view events,
+    * cutoff 2024-01-16; the metric is cents-exact value. Four cell
+    * means are one partial+final aggregate to a 4-row table; the DiD
+    * contrast (t₁−t₀)−(c₁−c₀) is a fixed float tree over the four
+    * exactly-rounded divisions, rounded once to MILLI CURRENCY UNITS
+    * (cents × 10). Nothing after the first aggregate scales with
+    * event volume.
+    */
+  def q265_diff_in_diff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = load(spark, dir, "events")
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_type", cents($"value").as("v"),
+        when(to_date($"ts") < lit("2024-01-16").cast("date"), 0).otherwise(1).as("aft"))
+      .groupBy($"event_type", $"aft")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    m.agg(
+        min(when($"event_type" === "purchase" && $"aft" === 1,
+          $"s".cast("double") / $"n")).as("t1"),
+        min(when($"event_type" === "purchase" && $"aft" === 0,
+          $"s".cast("double") / $"n")).as("t0"),
+        min(when($"event_type" === "view" && $"aft" === 1,
+          $"s".cast("double") / $"n")).as("c1"),
+        min(when($"event_type" === "view" && $"aft" === 0,
+          $"s".cast("double") / $"n")).as("c0"),
+        sum($"n").as("n_events"))
+      .select($"n_events",
+        round($"t0").cast("long").as("treated_before_cents"),
+        round($"t1").cast("long").as("treated_after_cents"),
+        round($"c0").cast("long").as("control_before_cents"),
+        round($"c1").cast("long").as("control_after_cents"),
+        round(lit(10.0) * (($"t1" - $"t0") - ($"c1" - $"c0")))
+          .cast("long").as("did_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_diff_in_diff" -> q265_diff_in_diff,
     "q256_ewma_forecast" -> q256_ewma_forecast,
     "q257_acf" -> q257_acf,
     "q258_theil_sen" -> q258_theil_sen,
@@ -1708,6 +1747,29 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q265_diff_in_diff" ->
+      """WITH e AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS aft
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |m AS (SELECT event_type, aft, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+        |w AS (SELECT
+        |  MIN(CASE WHEN event_type = 'purchase' AND aft = 1
+        |    THEN CAST(s AS DOUBLE) / n END) AS t1,
+        |  MIN(CASE WHEN event_type = 'purchase' AND aft = 0
+        |    THEN CAST(s AS DOUBLE) / n END) AS t0,
+        |  MIN(CASE WHEN event_type = 'view' AND aft = 1
+        |    THEN CAST(s AS DOUBLE) / n END) AS c1,
+        |  MIN(CASE WHEN event_type = 'view' AND aft = 0
+        |    THEN CAST(s AS DOUBLE) / n END) AS c0,
+        |  CAST(SUM(n) AS BIGINT) AS n_events FROM m)
+        |SELECT n_events,
+        |  CAST(ROUND(t0) AS BIGINT) AS treated_before_cents,
+        |  CAST(ROUND(t1) AS BIGINT) AS treated_after_cents,
+        |  CAST(ROUND(c0) AS BIGINT) AS control_before_cents,
+        |  CAST(ROUND(c1) AS BIGINT) AS control_after_cents,
+        |  CAST(ROUND(10.0 * ((t1 - t0) - (c1 - c0))) AS BIGINT) AS did_milli
+        |FROM w""".stripMargin,
     "q256_ewma_forecast" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),

@@ -108,6 +108,33 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(math.abs(r2.getLong(4) - 1000L) <= 1L, s"nmi=${r2.getLong(4)}")
   }
 
+  test("q266 NFC audit: planted decomposed doc is counted with its code-point delta") {
+    import spark.implicits._
+    val decomposed = "cafe" + "́" + " au lait" // 13 cps, NFC = 12
+    val rows = Seq((1L, decomposed, "fr"), (2L, "plain ascii", "fr"),
+      (3L, "clean english", "en"))
+    val tmp = TestSpark.tempDir("nfc_audit")
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.q266_nfc_audit(spark, tmp).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("en", 1L, 0L, 0L), ("fr", 2L, 1L, 1L)), r.mkString(", "))
+  }
+
+  test("q267 script mix: planted Latin+Han doc flags as mixed with the right mille shares") {
+    import spark.implicits._
+    // 4 Latin + 1 space + 5 Han = 10 cps ⇒ latin 400‰, han 500‰
+    val mixed = "abcd " + "一二三四五"
+    val rows = Seq((1L, mixed, "zh"), (2L, "pure latin here", "en"))
+    val tmp = TestSpark.tempDir("script_mix")
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byLang = TextAnalysis.q267_script_mix(spark, tmp).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3), x.getLong(6))).toMap
+    assert(byLang("zh") == ((400L, 500L, 1L)), byLang.toString)
+    assert(byLang("en")._2 == 0L && byLang("en")._3 == 0L)
+  }
+
   test("q253 isotonic: a decreasing two-bin curve pools to the weighted mean") {
     import spark.implicits._
     // "x" scores 5010 (bin 25, all English ⇒ raw 10000); ten "the"s

@@ -45,6 +45,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q265 DiD: planted parallel-trends violation recovers the exact effect") {
+    import spark.implicits._
+    // treated (purchase): 100¢ before → 200¢ after (+100);
+    // control (view): 50¢ → 70¢ (+20) ⇒ DiD = 80¢ = 0.8 currency
+    // units = 800 milli-units (did_milli is milli-UNITS: cents × 10)
+    def mk(et: String, day: Int, cents: Long, n: Int, base: Long) =
+      (0 until n).map(i => (base + day * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00"),
+        et, cents / 100.0))
+    val rows = mk("purchase", 10, 100, 5, 10000) ++ mk("purchase", 20, 200, 5, 20000) ++
+      mk("view", 10, 50, 4, 30000) ++ mk("view", 20, 70, 4, 40000)
+    val tmp = TestSpark.tempDir("did_fix")
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val row = Analytics.q265_diff_in_diff(spark, tmp).collect()(0)
+    assert(row.getLong(0) == 18L)
+    assert(row.getLong(1) == 100L && row.getLong(2) == 200L)
+    assert(row.getLong(3) == 50L && row.getLong(4) == 70L)
+    assert(row.getLong(5) == 800L, s"did_milli=${row.getLong(5)}")
+  }
+
   test("q258: an exact linear series recovers slope and intercept exactly") {
     // x_t = 3t + 7: every pairwise slope is 3, every residual is 7
     val tmp = writeSeries((1 to 20).map(t => 3 * t + 7), "ts_linear")

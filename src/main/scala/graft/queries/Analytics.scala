@@ -1676,7 +1676,90 @@ object Analytics {
           .cast("long").as("did_milli"))
   }
 
+  /** q268 — one-sided CUSUM excursion (Page 1954) on the daily
+    * event-count series: the SEQUENTIAL level-shift monitor beside
+    * q252's retrospective changepoint. The recursive definition
+    * S_t = max(0, S_{t−1} + x_t − μ) never runs as a recursion: with
+    * P the prefix sum of the n-scaled centered series (n·x − S, q257's
+    * exact-integer centering), S_t = P_t − min_{i≤t} P_i — a prefix
+    * sum and a running min, both single windows over the
+    * calendar-bounded daily table, all integer-exact until the one
+    * closing division by n². Output is the peak excursion and its
+    * (earliest) day — the alarm a monitor would have fired.
+    */
+  def q268_cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val wCum = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("pn", sum($"n" * $"x" - $"s").over(wCum))
+      .withColumn("cus", $"pn" - min($"pn").over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy($"cus".desc, $"d")))
+      .filter($"rn" === 1)
+      .select($"d".as("alarm_day"),
+        round(lit(1000.0) * $"cus" / ($"n" * $"n")).cast("long").as("cusum_milli"))
+  }
+
+  /** q269 — Mann–Kendall trend test (the significance companion to
+    * q258's Theil–Sen slope): S = Σ_{j<k} sign(x_k − x_j) is an EXACT
+    * integer over the bounded |days|² pair grid, the tie-corrected
+    * variance is exact integer arithmetic, and the
+    * continuity-corrected z is one fixed sqrt+division milli-rounded
+    * at the end. Nothing scales with event volume past the daily
+    * aggregate.
+    */
+  def q269_mann_kendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("x"))
+    val idx = graft.Caches.tracked(daily.withColumn("t",
+      row_number().over(Window.orderBy($"d")).cast("long")))
+    val s = idx.as("a").join(idx.as("b"), $"a.t" < $"b.t")
+      .agg(sum(when($"b.x" > $"a.x", 1L).when($"b.x" < $"a.x", -1L)
+        .otherwise(0L)).as("mk"))
+    val ties = idx.groupBy($"x").agg(count(lit(1)).as("c")).filter($"c" > 1)
+      .agg(coalesce(sum($"c" * ($"c" - 1) * (lit(2L) * $"c" + 5)), lit(0L)).as("tt"))
+    val n = idx.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select($"mk".as("s_stat"), $"n".as("n_days"),
+        round(lit(1000.0) * ($"mk" - when($"mk" > 0, 1L).when($"mk" < 0, -1L).otherwise(0L))
+          / sqrt(($"n".cast("double") * ($"n" - 1) * (lit(2L) * $"n" + 5) - $"tt") / lit(18.0)))
+          .cast("long").as("z_milli"))
+  }
+
+  /** q270 — additive weekly seasonal decomposition (classical
+    * moving-average form): day-of-week effects from the detrended
+    * series, where "detrended" is 7·x − (centered 7-day sum) — an
+    * EXACT INTEGER per interior day (the ×7 clears the moving-average
+    * division), so per-dow effects are integer sums until the one
+    * closing division by 7·count. The dow-effect table is what a
+    * forecast/anomaly layer (q156) subtracts before thresholding.
+    */
+  def q270_seasonal_dow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("x"))
+    val w7 = Window.orderBy($"d").rowsBetween(-3, 3)
+    val idx = daily
+      .withColumn("dow", (weekday($"d") + 1).cast("long"))
+      .withColumn("t", row_number().over(Window.orderBy($"d")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s7", sum($"x").over(w7))
+    idx.filter($"t" >= 4 && $"t" <= $"n" - 3)
+      .select($"dow", ($"x" * 7 - $"s7").as("num"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(lit(1000.0) * sum($"num") / (lit(7.0) * count(lit(1))))
+          .cast("long").as("seasonal_milli"))
+      .orderBy($"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_cusum" -> q268_cusum,
+    "q269_mann_kendall" -> q269_mann_kendall,
+    "q270_seasonal_dow" -> q270_seasonal_dow,
     "q265_diff_in_diff" -> q265_diff_in_diff,
     "q256_ewma_forecast" -> q256_ewma_forecast,
     "q257_acf" -> q257_acf,
@@ -1747,6 +1830,53 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q268_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s FROM daily),
+        |p AS (SELECT d, CAST(SUM(n * x - s) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pn, n
+        |  FROM daily, tot),
+        |c AS (SELECT d, n, pn - MIN(pn) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus FROM p)
+        |SELECT d AS alarm_day,
+        |  CAST(ROUND(1000.0 * cus / (n * n)) AS BIGINT) AS cusum_milli
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cus DESC, d) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin,
+    "q269_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |idx AS (SELECT x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t FROM daily),
+        |s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS mk
+        |  FROM idx a JOIN idx b ON a.t < b.t),
+        |ties AS (SELECT COALESCE(CAST(SUM(c * (c - 1) * (2 * c + 5))
+        |    AS BIGINT), 0) AS tt
+        |  FROM (SELECT COUNT(*) AS c FROM idx GROUP BY x HAVING COUNT(*) > 1)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx)
+        |SELECT s.mk AS s_stat, n.n AS n_days,
+        |  CAST(ROUND(1000.0 * (s.mk - CASE WHEN s.mk > 0 THEN 1
+        |      WHEN s.mk < 0 THEN -1 ELSE 0 END)
+        |    / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - ties.tt)
+        |      / 18.0)) AS BIGINT) AS z_milli
+        |FROM s, ties, n""".stripMargin,
+    "q270_seasonal_dow" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |idx AS (SELECT d, x, isodow(d) AS dow,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS BIGINT) AS s7
+        |  FROM daily),
+        |det AS (SELECT dow, 7 * x - s7 AS num FROM idx
+        |  WHERE t >= 4 AND t <= n - 3)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(ROUND(1000.0 * SUM(num) / (7.0 * COUNT(*))) AS BIGINT)
+        |    AS seasonal_milli
+        |FROM det GROUP BY 1 ORDER BY 1""".stripMargin,
     "q265_diff_in_diff" ->
       """WITH e AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
         |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS aft

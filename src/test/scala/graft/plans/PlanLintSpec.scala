@@ -121,6 +121,11 @@ class PlanLintSpec extends AnyFunSuite {
       "q257_acf" -> Set("single-partition-window", "cartesian-product"),
       "q258_theil_sen" ->
         Set("single-partition-window", "cartesian-product"),
+      // same calendar-bounded daily-table family as q257/q258
+      "q268_cusum" -> Set("single-partition-window", "cartesian-product"),
+      "q269_mann_kendall" ->
+        Set("single-partition-window", "cartesian-product"),
+      "q270_seasonal_dow" -> Set("single-partition-window"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
       "q192_budget_waterfill" -> Set("single-partition-window"),

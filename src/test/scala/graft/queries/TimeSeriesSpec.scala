@@ -45,6 +45,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q268 CUSUM: a clean step shift peaks at the series end with the closed-form excursion") {
+    // 10 days at 4, 10 at 8: centered n·x−S = ∓40, prefix bottoms at
+    // −400 (day 10) and returns to 0, so the excursion P_t − min P
+    // peaks at the LAST day with 400 ⇒ 1000·400/20² = 1000 milli.
+    val tmp = writeSeries(Seq.fill(10)(4) ++ Seq.fill(10)(8), "cusum_step")
+    val r = Analytics.q268_cusum(spark, tmp).collect()(0)
+    assert(r.getDate(0).toString == "2024-04-20", s"alarm=${r.getDate(0)}")
+    assert(r.getLong(1) == 1000L, s"cusum_milli=${r.getLong(1)}")
+  }
+
+  test("q269 Mann-Kendall: strictly increasing series gives S = C(n,2) and the exact z") {
+    val n = 20
+    val tmp = writeSeries((1 to n).map(_ + 2), "mk_incr")
+    val r = Analytics.q269_mann_kendall(spark, tmp).collect()(0)
+    val s = n * (n - 1) / 2
+    assert(r.getLong(0) == s.toLong && r.getLong(1) == n.toLong)
+    val z = math.round(1000.0 * (s - 1)
+      / math.sqrt(n.toDouble * (n - 1) * (2 * n + 5) / 18.0))
+    assert(r.getLong(2) == z, s"z_milli=${r.getLong(2)} expected $z")
+  }
+
+  test("q270 seasonal: a pure weekly pattern recovers exact dow effects") {
+    // 2024-04-01 is a Monday; Sundays (dow 7) run at 170, others 100.
+    // Any centered 7-day window sums to 770, so 7x−s7 = −70 (dow 1–6)
+    // or +420 (dow 7) ⇒ effects −10 and +60 exactly.
+    val counts = (0 until 28).map(i => if (i % 7 == 6) 170 else 100)
+    val tmp = writeSeries(counts, "seasonal_wk")
+    val r = Analytics.q270_seasonal_dow(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    for (d <- 1L to 6L) assert(r(d) == -10000L, s"dow $d -> ${r(d)}")
+    assert(r(7L) == 60000L, s"dow 7 -> ${r(7L)}")
+  }
+
   test("q265 DiD: planted parallel-trends violation recovers the exact effect") {
     import spark.implicits._
     // treated (purchase): 100¢ before → 200¢ after (+100);

@@ -358,13 +358,167 @@ object ScaleOps {
       .orderBy($"event_type")
   }
 
+  /** q271 — join-key skew planner: the report that DECIDES when the
+    * salting/AQE machinery (q67, X60) is worth its cost, instead of
+    * folklore thresholds. Per candidate shuffle key, exact skew
+    * statistics computed WITHOUT any global sort: the per-key
+    * frequency table reduces to the frequency-OF-frequency histogram
+    * (bounded by the max multiplicity, not |keys|), and max share,
+    * exact p99/median multiplicity (integer cross-multiplied
+    * cumulative thresholds) and the Gini coefficient (grouped
+    * rank-sum arithmetic — Σ ranks of a c-key group is
+    * c·cumBefore + c(c+1)/2, all integers) fall out of one cumulative
+    * window over that bounded table. `salt_advice` flags keys whose
+    * hottest value exceeds a 32-partition fair share.
+    */
+  def q271_skew_planner(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    import spark.implicits._
+    def forKey(col: String): DataFrame = {
+      val freq = graft.Tables.load(spark, dir, "lineitem")
+        .groupBy(org.apache.spark.sql.functions.col(col).as("k"))
+        .agg(count(lit(1)).as("f"))
+      val ff = freq.groupBy($"f").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"f")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = ff.withColumn("cumc", sum($"c").over(w))
+      val meta = cum.agg(sum($"c").as("nk"), sum($"f" * $"c").as("nr"),
+        max($"f").as("mx"),
+        sum($"f" * (($"cumc" - $"c") * $"c" + expr("c * (c + 1) div 2"))).as("sxi"))
+      val p99 = cum.crossJoin(broadcast(meta.select($"nk".as("nk2"))))
+        .filter($"cumc" * 100 >= $"nk2" * 99).agg(min($"f").as("p99_mult"))
+      val med = cum.crossJoin(broadcast(meta.select($"nk".as("nk3"))))
+        .filter($"cumc" * 2 >= $"nk3").agg(min($"f").as("med_mult"))
+      meta.crossJoin(broadcast(p99)).crossJoin(broadcast(med))
+        .select(lit(col).as("key_col"), $"nk".as("n_keys"),
+          round(lit(1e6) * $"mx" / $"nr").cast("long").as("max_share_micro"),
+          $"p99_mult", $"med_mult",
+          round(lit(1000.0) * (lit(2L) * $"sxi" - ($"nk" + 1) * $"nr")
+            / ($"nk".cast("double") * $"nr")).cast("long").as("gini_milli"),
+          (round(lit(1e6) * $"mx" / $"nr").cast("long") > 1000000L / 32L)
+            .cast("int").as("salt_advice"))
+    }
+    forKey("l_orderkey").union(forKey("l_partkey")).union(forKey("l_suppkey"))
+      .orderBy($"key_col")
+  }
+
+  /** q272 — join-cardinality estimator audit: the System-R uniform
+    * assumption |A⋈B| ≈ n_A·n_B / max(d_A, d_B) checked against the
+    * EXACT join size — computed without executing the join, as
+    * Σ f_A(k)·f_B(k) over the per-key count tables (one equi-join of
+    * two aggregates, never the fact×fact row explosion). The audit a
+    * CBO regression suite runs: when err_pct drifts, the optimizer's
+    * stats model no longer matches the data's key correlation.
+    */
+  def q272_join_card_audit(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, left: DataFrame, lk: String,
+              right: DataFrame, rk: String): DataFrame = {
+      val fa = left.groupBy(org.apache.spark.sql.functions.col(lk).as("k"))
+        .agg(count(lit(1)).as("fa"))
+      val fb = right.groupBy(org.apache.spark.sql.functions.col(rk).as("k"))
+        .agg(count(lit(1)).as("fb"))
+      val actual = fa.join(fb, "k").agg(sum($"fa" * $"fb").as("actual_rows"))
+      val s = fa.agg(sum($"fa").as("na"), count(lit(1)).as("da"))
+        .crossJoin(fb.agg(sum($"fb").as("nb"), count(lit(1)).as("db")))
+      s.crossJoin(broadcast(actual))
+        .select(lit(name).as("join_name"), $"na".as("n_left"), $"nb".as("n_right"),
+          $"da".as("d_left"), $"db".as("d_right"),
+          round($"na".cast("double") * $"nb" / greatest($"da", $"db"))
+            .cast("long").as("est_rows"),
+          $"actual_rows",
+          round(lit(100.0) * ($"na".cast("double") * $"nb" / greatest($"da", $"db")
+            - $"actual_rows") / $"actual_rows").cast("long").as("err_pct"))
+    }
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    audit("orders_lineitem", graft.Tables.load(spark, dir, "orders"), "o_orderkey",
+        li, "l_orderkey")
+      .union(audit("part_lineitem", graft.Tables.load(spark, dir, "part"), "p_partkey",
+        li, "l_partkey"))
+      .orderBy($"join_name")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q62_bloom_prune" -> q62_bloom_prune,
+      "q271_skew_planner" -> q271_skew_planner,
+      "q272_join_card_audit" -> q272_join_card_audit,
       "q66_bucketed_join" -> q66_bucketed_join,
       "q67_salted_agg" -> q67_salted_agg,
       "q149_bitmap_distinct" -> q149_bitmap_distinct)
 
+  /** One q271 oracle block per key column; unioned below. */
+  private def skewOracleFor(col: String): String =
+    s"""SELECT * FROM (
+       |WITH freq AS (SELECT $col AS k, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM lineitem GROUP BY 1),
+       |ff AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM freq GROUP BY 1),
+       |cum AS (SELECT f, c, CAST(SUM(c) OVER (ORDER BY f
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+       |  FROM ff),
+       |meta AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ff) AS nk,
+       |    (SELECT CAST(SUM(f * c) AS BIGINT) FROM ff) AS nr,
+       |    (SELECT CAST(MAX(f) AS BIGINT) FROM ff) AS mx,
+       |    (SELECT CAST(SUM(f * ((cumc - c) * c + c * (c + 1) // 2))
+       |      AS BIGINT) FROM cum) AS sxi)
+       |SELECT '$col' AS key_col, nk AS n_keys,
+       |  CAST(ROUND(1e6 * mx / nr) AS BIGINT) AS max_share_micro,
+       |  (SELECT CAST(MIN(f) AS BIGINT) FROM cum, meta
+       |    WHERE cumc * 100 >= nk * 99) AS p99_mult,
+       |  (SELECT CAST(MIN(f) AS BIGINT) FROM cum, meta
+       |    WHERE cumc * 2 >= nk) AS med_mult,
+       |  CAST(ROUND(1000.0 * (2 * sxi - (nk + 1) * nr)
+       |    / (CAST(nk AS DOUBLE) * nr)) AS BIGINT) AS gini_milli,
+       |  CAST(CASE WHEN CAST(ROUND(1e6 * mx / nr) AS BIGINT) > 31250
+       |    THEN 1 ELSE 0 END AS INT) AS salt_advice
+       |FROM meta)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q271_skew_planner" ->
+      (skewOracleFor("l_orderkey") + "\nUNION ALL\n" +
+        skewOracleFor("l_partkey") + "\nUNION ALL\n" +
+        skewOracleFor("l_suppkey") + "\nORDER BY key_col"),
+    "q272_join_card_audit" ->
+      """SELECT * FROM (
+        |WITH fa AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fa
+        |    FROM orders GROUP BY 1),
+        |fb AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fb
+        |    FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(SUM(fa.fa * fb.fb) AS BIGINT) AS actual_rows
+        |  FROM fa JOIN fb USING (k)),
+        |s AS (SELECT (SELECT CAST(SUM(fa) AS BIGINT) FROM fa) AS na,
+        |    (SELECT CAST(SUM(fb) AS BIGINT) FROM fb) AS nb,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fa) AS da,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS db)
+        |SELECT 'orders_lineitem' AS join_name, na AS n_left, nb AS n_right,
+        |  da AS d_left, db AS d_right,
+        |  CAST(ROUND(CAST(na AS DOUBLE) * nb / GREATEST(da, db)) AS BIGINT)
+        |    AS est_rows,
+        |  m.actual_rows,
+        |  CAST(ROUND(100.0 * (CAST(na AS DOUBLE) * nb / GREATEST(da, db)
+        |    - m.actual_rows) / m.actual_rows) AS BIGINT) AS err_pct
+        |FROM s, m)
+        |UNION ALL
+        |SELECT * FROM (
+        |WITH fa AS (SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS fa
+        |    FROM part GROUP BY 1),
+        |fb AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS fb
+        |    FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(SUM(fa.fa * fb.fb) AS BIGINT) AS actual_rows
+        |  FROM fa JOIN fb USING (k)),
+        |s AS (SELECT (SELECT CAST(SUM(fa) AS BIGINT) FROM fa) AS na,
+        |    (SELECT CAST(SUM(fb) AS BIGINT) FROM fb) AS nb,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fa) AS da,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS db)
+        |SELECT 'part_lineitem' AS join_name, na AS n_left, nb AS n_right,
+        |  da AS d_left, db AS d_right,
+        |  CAST(ROUND(CAST(na AS DOUBLE) * nb / GREATEST(da, db)) AS BIGINT)
+        |    AS est_rows,
+        |  m.actual_rows,
+        |  CAST(ROUND(100.0 * (CAST(na AS DOUBLE) * nb / GREATEST(da, db)
+        |    - m.actual_rows) / m.actual_rows) AS BIGINT) AS err_pct
+        |FROM s, m)
+        |ORDER BY join_name""".stripMargin,
     "q149_bitmap_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -351,4 +351,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("bitmap_construct_agg"), plan.take(600))
     assert(!plan.contains("Expand"), plan.take(600))
   }
+
+  test("q271 skew planner: planted hot key flags for salting, uniform key does not") {
+    import spark.implicits._
+    // l_orderkey: key 1 has 90 rows, keys 2..11 one each (max share
+    // 90/100 = 900000 micro, advice 1); l_partkey/l_suppkey uniform
+    // over 100 keys (gini 0, advice 0).
+    val rows = (0 until 100).map { i =>
+      val ok = if (i < 90) 1L else (i - 88).toLong
+      (ok, (i % 100).toLong + 1, (i % 100).toLong + 1)
+    }
+    val tmp = TestSpark.tempDir("skew_plan")
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = ScaleOps.q271_skew_planner(spark, tmp).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(5), x.getInt(6))).toMap
+    assert(r("l_orderkey")._1 == 11L)
+    assert(r("l_orderkey")._2 == 900000L, r("l_orderkey").toString)
+    assert(r("l_orderkey")._4 == 1)
+    assert(r("l_partkey") == ((100L, 10000L, 0L, 0)), r("l_partkey").toString)
+  }
+
+  test("q272 join-card audit: uniform FK join estimates exactly, correlated skew underestimates") {
+    import spark.implicits._
+    // orders: key 1 ×5, keys 2..10 ×1 (na=14, da=10);
+    // lineitem: key 1 ×21, keys 2..10 ×1 (nb=30, db=10)
+    // actual = 5·21 + 9 = 114; System-R est = 14·30/10 = 42 ⇒ −63 %.
+    val ords = (1 to 5).map(i => 1L) ++ (2L to 10L)
+    val lis = (1 to 21).map(_ => 1L) ++ (2L to 10L)
+    val tmp = TestSpark.tempDir("jcard")
+    ords.toDF("o_orderkey").write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    lis.map(k => (k, k)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    (1L to 10L).toDF("p_partkey").write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val r = ScaleOps.q272_join_card_audit(spark, tmp).collect()
+      .map(x => x.getString(0) -> (x.getLong(5), x.getLong(6), x.getLong(7))).toMap
+    assert(r("orders_lineitem") == ((42L, 114L, -63L)), r.toString)
+    // part side is 1-per-key: est = 10·30/10 = 30 = actual
+    assert(r("part_lineitem") == ((30L, 30L, 0L)), r.toString)
+  }
 }

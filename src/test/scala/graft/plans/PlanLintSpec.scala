@@ -126,6 +126,12 @@ class PlanLintSpec extends AnyFunSuite {
       "q269_mann_kendall" ->
         Set("single-partition-window", "cartesian-product"),
       "q270_seasonal_dow" -> Set("single-partition-window"),
+      // cumulative window + 1-row meta broadcasts over the
+      // max-multiplicity-bounded freq-of-freq histogram
+      "q271_skew_planner" ->
+        Set("single-partition-window", "cartesian-product"),
+      // 1-row totals/actual broadcast attaches
+      "q272_join_card_audit" -> Set("cartesian-product"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
       "q192_budget_waterfill" -> Set("single-partition-window"),

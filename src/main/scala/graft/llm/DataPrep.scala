@@ -970,6 +970,93 @@ object DataPrep {
         .cast("long").as("psi_micro"))
   }
 
+  /** Shared bounded-domain cumulative table for the robust-stat pair
+    * (q273/q274): per (source, quality-bp) counts with per-source
+    * cumulative and total counts — the structure that replaces a
+    * per-source SORT of the corpus (the thing that cannot run at
+    * 100 TB) with windows over a table bounded by |sources|·10001.
+    */
+  private def qualityCum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = load(spark, dir, "documents")
+      .select($"source", TextAnalysis.qualityBp($"text").as("s"))
+      .groupBy($"source", $"s").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy($"source").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wa = Window.partitionBy($"source")
+    c.withColumn("cc", sum($"cnt").over(wc))
+      .withColumn("n", sum($"cnt").over(wa))
+      .withColumn("tot", sum($"cnt" * $"s").over(wa))
+  }
+
+  /** q273 — 10 %-trimmed and winsorized mean quality per source:
+    * robust location WITHOUT a per-source sort. Order statistics come
+    * from the bounded score-domain cumulative table ([[qualityCum]]):
+    * the bottom-k/top-k mass is whole-bins-plus-a-partial-boundary-bin
+    * arithmetic (all exact integers — the boundary bin contributes
+    * (k − mass-below)·boundary-score), the winsorized form puts the
+    * trimmed mass back at the (k+1)-th / (n−k)-th order statistics,
+    * and each output is ONE closing division. The k=0 small-source
+    * case degrades to the plain mean with every correction term
+    * exactly zero.
+    */
+  def q273_robust_mean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = qualityCum(spark, dir).withColumn("k", expr("n div 10"))
+    val lo = k.filter($"cc" >= $"k").groupBy($"source").agg(min($"s").as("lo_s"))
+    val lo2 = k.filter($"cc" >= $"k" + 1).groupBy($"source").agg(min($"s").as("lo2_s"))
+    val hi = k.filter($"cc" >= $"n" - $"k").groupBy($"source").agg(min($"s").as("hi_s"))
+    k.join(broadcast(lo), "source").join(broadcast(lo2), "source")
+      .join(broadcast(hi), "source")
+      .groupBy($"source")
+      .agg(max($"n").as("n"), max($"k").as("kk"), max($"tot").as("tot"),
+        max($"lo_s").as("lo_s"), max($"lo2_s").as("lo2_s"), max($"hi_s").as("hi_s"),
+        sum(when($"s" < $"lo_s", $"cnt" * $"s").otherwise(0L)).as("bot_full"),
+        sum(when($"s" < $"lo_s", $"cnt").otherwise(0L)).as("bel"),
+        sum(when($"s" > $"hi_s", $"cnt" * $"s").otherwise(0L)).as("top_full"),
+        sum(when($"s" > $"hi_s", $"cnt").otherwise(0L)).as("abv"))
+      .select($"source", $"n", $"kk".as("k_trim"),
+        round(lit(1000.0) * $"tot" / $"n").cast("long").as("mean_milli"),
+        round(lit(1000.0) * ($"tot" - ($"bot_full" + ($"kk" - $"bel") * $"lo_s")
+          - ($"top_full" + ($"kk" - $"abv") * $"hi_s")) / ($"n" - $"kk" * 2))
+          .cast("long").as("trimmed_milli"),
+        round(lit(1000.0) * ($"tot" - ($"bot_full" + ($"kk" - $"bel") * $"lo_s")
+          - ($"top_full" + ($"kk" - $"abv") * $"hi_s")
+          + $"kk" * $"lo2_s" + $"kk" * $"hi_s") / $"n")
+          .cast("long").as("winsor_milli"))
+      .orderBy($"source")
+  }
+
+  /** q274 — median / MAD / robust-outlier count per source: the
+    * scale companion to q273, same no-sort construction — the
+    * deviation domain |s − median| is ALSO bounded, so the MAD is a
+    * second cumulative pass over a ≤10001-row table and the outlier
+    * rule (|s − med| > 3·MAD) is an exact integer comparison folded
+    * into the same aggregate. Lower-median convention throughout
+    * (q139's), so every statistic is a domain value, not an
+    * interpolation.
+    */
+  def q274_robust_scale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cum = graft.Caches.tracked(qualityCum(spark, dir))
+    val med = cum.filter(lit(2L) * $"cc" >= $"n")
+      .groupBy($"source").agg(min($"s").as("med"))
+    val dev = cum.join(broadcast(med), "source")
+      .groupBy($"source", abs($"s" - $"med").as("a"))
+      .agg(sum($"cnt").as("cnt"))
+    val wd = Window.partitionBy($"source").orderBy($"a")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dcum = dev.withColumn("cc", sum($"cnt").over(wd))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"source")))
+    val mad = dcum.filter(lit(2L) * $"cc" >= $"n")
+      .groupBy($"source").agg(min($"a").as("mad"))
+    dcum.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy($"source")
+      .agg(max($"n").as("n"), max($"med").as("median_bp"), max($"mad").as("mad_bp"),
+        sum(when($"a" > lit(3L) * $"mad", $"cnt").otherwise(0L)).as("n_outliers"))
+      .orderBy($"source")
+  }
+
   /** q139 — token-weighted median document length per source: the
     * "where is the token mass" diagnostic (an unweighted median
     * over-represents short documents; training cost is per TOKEN).
@@ -1630,6 +1717,8 @@ object DataPrep {
     "q260_preference_pairs" -> q260_preference_pairs,
     "q262_t_closeness" -> q262_t_closeness,
     "q263_psi_drift" -> q263_psi_drift,
+    "q273_robust_mean" -> q273_robust_mean,
+    "q274_robust_scale" -> q274_robust_scale,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -2122,6 +2211,73 @@ object DataPrep {
          |    * ln((CAST(c0 AS DOUBLE) / n0) / (CAST(c1 AS DOUBLE) / n1))))
          |    AS BIGINT) AS psi_micro
          |FROM bins, tot GROUP BY 1, 2""".stripMargin,
+    "q273_robust_mean" ->
+      s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} AS s
+         |  FROM documents),
+         |c AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1, 2),
+         |cum AS (SELECT source, s, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n,
+         |    CAST(SUM(cnt * s) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM c),
+         |k AS (SELECT *, n // 10 AS k FROM cum),
+         |lo AS (SELECT source, MIN(s) AS lo_s FROM k WHERE cc >= k GROUP BY 1),
+         |lo2 AS (SELECT source, MIN(s) AS lo2_s FROM k WHERE cc >= k + 1
+         |  GROUP BY 1),
+         |hi AS (SELECT source, MIN(s) AS hi_s FROM k WHERE cc >= n - k
+         |  GROUP BY 1),
+         |agg AS (SELECT k.source, MAX(k.n) AS n, MAX(k.k) AS kk,
+         |    MAX(k.tot) AS tot, MAX(lo.lo_s) AS lo_s, MAX(lo2.lo2_s) AS lo2_s,
+         |    MAX(hi.hi_s) AS hi_s,
+         |    CAST(SUM(CASE WHEN k.s < lo.lo_s THEN k.cnt * k.s ELSE 0 END)
+         |      AS BIGINT) AS bot_full,
+         |    CAST(SUM(CASE WHEN k.s < lo.lo_s THEN k.cnt ELSE 0 END)
+         |      AS BIGINT) AS bel,
+         |    CAST(SUM(CASE WHEN k.s > hi.hi_s THEN k.cnt * k.s ELSE 0 END)
+         |      AS BIGINT) AS top_full,
+         |    CAST(SUM(CASE WHEN k.s > hi.hi_s THEN k.cnt ELSE 0 END)
+         |      AS BIGINT) AS abv
+         |  FROM k JOIN lo ON k.source = lo.source
+         |    JOIN lo2 ON k.source = lo2.source JOIN hi ON k.source = hi.source
+         |  GROUP BY 1)
+         |SELECT source, n, kk AS k_trim,
+         |  CAST(ROUND(1000.0 * tot / n) AS BIGINT) AS mean_milli,
+         |  CAST(ROUND(1000.0 * (tot - (bot_full + (kk - bel) * lo_s)
+         |    - (top_full + (kk - abv) * hi_s)) / (n - 2 * kk)) AS BIGINT)
+         |    AS trimmed_milli,
+         |  CAST(ROUND(1000.0 * (tot - (bot_full + (kk - bel) * lo_s)
+         |    - (top_full + (kk - abv) * hi_s) + kk * lo2_s + kk * hi_s) / n)
+         |    AS BIGINT) AS winsor_milli
+         |FROM agg ORDER BY 1""".stripMargin,
+    "q274_robust_scale" ->
+      s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} AS s
+         |  FROM documents),
+         |c AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1, 2),
+         |cum AS (SELECT source, s, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM c),
+         |med AS (SELECT source, MIN(s) AS med FROM cum WHERE 2 * cc >= n
+         |  GROUP BY 1),
+         |dev AS (SELECT c.source, ABS(c.s - med.med) AS a,
+         |    CAST(SUM(c.cnt) AS BIGINT) AS cnt
+         |  FROM c JOIN med ON c.source = med.source GROUP BY 1, 2),
+         |dcum AS (SELECT source, a, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY a
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM dev),
+         |mad AS (SELECT source, MIN(a) AS mad FROM dcum WHERE 2 * cc >= n
+         |  GROUP BY 1)
+         |SELECT med.source, MAX(dcum.n) AS n, MAX(med.med) AS median_bp,
+         |  MAX(mad.mad) AS mad_bp,
+         |  CAST(SUM(CASE WHEN dcum.a > 3 * mad.mad THEN dcum.cnt ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM med JOIN mad ON med.source = mad.source
+         |  JOIN dcum ON med.source = dcum.source
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q130_train_val_test" ->
       """WITH s AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

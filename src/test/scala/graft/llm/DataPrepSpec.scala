@@ -379,6 +379,28 @@ class DataPrepSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L, s"self-PSI must be 0, got ${r.getLong(2)}")
   }
 
+  test("q273/q274 robust stats: arithmetic-progression scores give symmetric closed forms") {
+    import spark.implicits._
+    // doc j has j stopwords ⇒ score 5000+130j, j = 1..10: a symmetric
+    // progression, so mean = trimmed = winsorized = 5715; lower median
+    // = s_5 = 5650, MAD = 260 (sorted deviations 0,130,130,260,260,…),
+    // no 3·MAD outliers (max dev 650 ≤ 780).
+    val rows = (1 to 10).map(j =>
+      (j.toLong, Seq.fill(j)("the").mkString(" "), "src0"))
+    val tmp = TestSpark.tempDir("robust_prog")
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = DataPrep.q273_robust_mean(spark, tmp).collect()(0)
+    assert(m.getLong(1) == 10L && m.getLong(2) == 1L)
+    assert(m.getLong(3) == 5715000L && m.getLong(4) == 5715000L
+      && m.getLong(5) == 5715000L,
+      s"mean=${m.getLong(3)} trimmed=${m.getLong(4)} winsor=${m.getLong(5)}")
+    val s = DataPrep.q274_robust_scale(spark, tmp).collect()(0)
+    assert(s.getLong(2) == 5650L, s"median=${s.getLong(2)}")
+    assert(s.getLong(3) == 260L, s"mad=${s.getLong(3)}")
+    assert(s.getLong(4) == 0L, s"outliers=${s.getLong(4)}")
+  }
+
   test("q135 overflow guard is exact at the Long boundary (integer DIV, not double /)") {
     import spark.implicits._
     // the guard expression as written in q135_ks_drift

@@ -1421,8 +1421,39 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** q277 — corpus-level Flesch–Kincaid grade per lang: the classic
+    * readability score from three EXACT integer totals (words =
+    * whitespace tokens, sentences = terminator runs with a per-doc
+    * floor of 1, syllables ≈ vowel-group runs — the standard cheap
+    * approximation) through one fixed float tree
+    * 0.39·W/S + 11.8·Y/W − 15.59, milli-rounded once. Corpus-level
+    * (totals, not mean-of-per-doc-grades) so no per-doc division sums
+    * float error; the whole thing is a map-side projection into a
+    * |langs|-bounded aggregate.
+    */
+  def q277_readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select($"lang",
+        size(wsTokens($"text")).cast("long").as("words"),
+        greatest(lit(1L), size(regexp_extract_all($"text", lit("[.!?]+"), lit(0)))
+          .cast("long")).as("sents"),
+        size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syls"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"words").as("words"), sum($"sents").as("sents"),
+        sum($"syls").as("syllables"))
+      .select($"lang", $"n_docs", $"words", $"sents", $"syllables",
+        round(lit(1000.0) * (lit(0.39) * $"words" / $"sents"
+          + lit(11.8) * $"syllables" / $"words" - lit(15.59)))
+          .cast("long").as("fk_grade_milli"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_mutual_info" -> q264_mutual_info,
+    "q277_readability" -> q277_readability,
     "q266_nfc_audit" -> q266_nfc_audit,
     "q267_script_mix" -> q267_script_mix,
     "q253_isotonic_calibration" -> q253_isotonic_calibration,
@@ -1491,6 +1522,22 @@ object TextAnalysis {
         |  CAST(SUM(length(text) - length(nfc_normalize(text))) AS BIGINT)
         |    AS delta_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q277_readability" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syls
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(words) AS BIGINT) AS words,
+        |  CAST(SUM(sents) AS BIGINT) AS sents,
+        |  CAST(SUM(syls) AS BIGINT) AS syllables,
+        |  CAST(ROUND(1000.0 * (0.39 * SUM(words) / SUM(sents)
+        |    + 11.8 * SUM(syls) / SUM(words) - 15.59)) AS BIGINT)
+        |    AS fk_grade_milli
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q267_script_mix" ->
       """WITH d AS (SELECT lang, length(text) AS l,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS lat,

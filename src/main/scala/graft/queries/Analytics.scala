@@ -1756,7 +1756,36 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** q276 — cohort LTV curves: cumulative revenue per customer by
+    * (acquisition-month cohort, months-since-acquisition age) — the
+    * finance view on top of q78's retention triangle. Cohort
+    * assignment is one aggregate on the customer key; revenue folds
+    * to the bounded (cohort, age) grid BEFORE the cumulative window
+    * runs (the window never sees order rows), and LTV is exact
+    * integer cents with a closing integer division by cohort size.
+    */
+  def q276_cohort_ltv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = load(spark, dir, "orders")
+      .select($"o_custkey".as("c"),
+        date_trunc("month", $"o_orderdate").cast("date").as("m"),
+        cents($"o_totalprice").as("cents"))
+    val coh = o.groupBy($"c").agg(min($"m").as("cm"))
+    val sz = coh.groupBy($"cm").agg(count(lit(1)).as("n_cust"))
+    val rev = o.join(coh, "c")
+      .groupBy($"cm", months_between($"m", $"cm").cast("long").as("age"))
+      .agg(sum($"cents").as("rev"))
+    val w = Window.partitionBy($"cm").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("cum_rev", sum($"rev").over(w))
+      .join(sz, "cm")
+      .select($"cm".as("cohort_month"), $"age", $"n_cust",
+        expr("cum_rev div n_cust").as("ltv_cents"))
+      .orderBy($"cohort_month", $"age")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_cohort_ltv" -> q276_cohort_ltv,
     "q268_cusum" -> q268_cusum,
     "q269_mann_kendall" -> q269_mann_kendall,
     "q270_seasonal_dow" -> q270_seasonal_dow,
@@ -1830,6 +1859,24 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q276_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS c,
+        |    date_trunc('month', o_orderdate) AS m,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |coh AS (SELECT c, MIN(m) AS cm FROM o GROUP BY 1),
+        |sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_cust FROM coh
+        |  GROUP BY 1),
+        |rev AS (SELECT coh.cm,
+        |    CAST(datediff('month', coh.cm, o.m) AS BIGINT) AS age,
+        |    CAST(SUM(o.cents) AS BIGINT) AS rev
+        |  FROM o JOIN coh ON o.c = coh.c GROUP BY 1, 2),
+        |cum AS (SELECT cm, age, CAST(SUM(rev) OVER (PARTITION BY cm
+        |    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_rev FROM rev)
+        |SELECT CAST(cum.cm AS DATE) AS cohort_month, cum.age, sz.n_cust,
+        |  CAST(cum.cum_rev // sz.n_cust AS BIGINT) AS ltv_cents
+        |FROM cum JOIN sz ON cum.cm = sz.cm
+        |ORDER BY 1, 2""".stripMargin,
     "q268_cusum" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),

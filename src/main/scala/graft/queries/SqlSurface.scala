@@ -561,7 +561,31 @@ object SqlSurface {
       .orderBy($"custkey")
   }
 
+  /** q275 — semi-structured JSON extraction from the event `props`
+    * column (the engine's VARIANT-parity surface — the reference's
+    * warehouse treats payloads exactly this way): `get_json_object`
+    * path extraction with honest corrupt-row accounting (a bad
+    * payload yields NULL, counted, never a job failure). The
+    * extraction is a codegen'd per-row projection — zero shuffles
+    * before the |event-types|-bounded aggregate — so at 100 TB the
+    * cost is one scan, and the path prune means only `props` and
+    * `event_type` are read (columnar projection pushdown).
+    */
+  def q275_json_extract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_bad"),
+        min($"k").as("k_min"), max($"k").as("k_max"),
+        sum($"k").as("k_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_json_extract" -> q275_json_extract,
     "q166_clamped_balance" -> q166_clamped_balance,
     "q169_clamped_balance_fold" -> q169_clamped_balance_fold,
     "q160_value_navigation" -> q160_value_navigation,
@@ -581,6 +605,14 @@ object SqlSurface {
     "q92_skyline" -> q92_skyline)
 
   val oracle: Map[String, String] = Map(
+    "q275_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q166_clamped_balance" -> ClampedBalanceSql,
     "q169_clamped_balance_fold" -> ClampedBalanceSql,
     "q160_value_navigation" ->

@@ -135,6 +135,18 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(byLang("en")._2 == 0L && byLang("en")._3 == 0L)
   }
 
+  test("q277 readability: closed form — 'go. go go.' scores FK(1.5, 1.0) exactly") {
+    import spark.implicits._
+    // words 3, sentence runs 2, vowel groups 3 ⇒
+    // 0.39·1.5 + 11.8·1 − 15.59 = −3.205 ⇒ −3205 milli
+    val tmp = TestSpark.tempDir("fk_fix")
+    Seq((1L, "go. go go.", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.q277_readability(spark, tmp).collect()(0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(r.getLong(5) == -3205L, s"fk=${r.getLong(5)}")
+  }
+
   test("q253 isotonic: a decreasing two-bin curve pools to the weighted mean") {
     import spark.implicits._
     // "x" scores 5010 (bin 25, all English ⇒ raw 10000); ten "the"s

@@ -78,6 +78,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r(7L) == 60000L, s"dow 7 -> ${r(7L)}")
   }
 
+  test("q275 JSON extract: corrupt payloads count as bad, never fail, and stay out of the stats") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "click", """{"k": 5}"""),
+      (2L, "click", """{"k": 11}"""),
+      (3L, "click", """not json at all"""),
+      (4L, "click", """{"other": 1}"""))
+    val tmp = TestSpark.tempDir("json_ext")
+    rows.toDF("event_id", "event_type", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SqlSurface.q275_json_extract(spark, tmp).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 5L && r.getLong(4) == 11L && r.getLong(5) == 16L)
+  }
+
+  test("q276 cohort LTV: hand-built two-month cohort accumulates exactly") {
+    import spark.implicits._
+    // cohort 2024-01: customers 1, 2. Month 0 revenue 10+20 = 30,
+    // month 1 adds 40 ⇒ LTV 1500 then 3500 cents per customer.
+    val rows = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05"), 10.0),
+      (2L, java.sql.Date.valueOf("2024-01-20"), 20.0),
+      (1L, java.sql.Date.valueOf("2024-02-10"), 40.0))
+    val tmp = TestSpark.tempDir("ltv_fix")
+    rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Analytics.q276_cohort_ltv(spark, tmp).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((0L, 2L, 1500L), (1L, 2L, 3500L)), r.mkString(", "))
+  }
+
   test("q265 DiD: planted parallel-trends violation recovers the exact effect") {
     import spark.implicits._
     // treated (purchase): 100¢ before → 200¢ after (+100);

@@ -1057,6 +1057,36 @@ object DataPrep {
       .orderBy($"source")
   }
 
+  /** q279 — exact 1-D Wasserstein (earth-mover) drift between two
+    * sources' quality distributions: completes the drift family with
+    * the MASS-TRANSPORT view (L51/q135 KS = sup-norm, L123/q263
+    * PSI = log-weighted, L116/q250 = rank location). In 1-D the W₁
+    * distance has the closed form ∫|F₀−F₁|, which on the bounded
+    * score domain is Σ gap·|cum₀·n₁ − cum₁·n₀| — EXACT integers
+    * (q135's cross-multiplication) with the inter-score gap from one
+    * lead window, one closing division to milli score units.
+    */
+  def q279_wasserstein(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = load(spark, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", TextAnalysis.qualityBp($"text").as("s"))
+      .groupBy($"s").agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+    val t = c.agg(sum($"c0").as("n0"), sum($"c1").as("n1"))
+    val wCum = Window.orderBy($"s").rowsBetween(Window.unboundedPreceding, 0)
+    c.withColumn("cum0", sum($"c0").over(wCum))
+      .withColumn("cum1", sum($"c1").over(wCum))
+      .withColumn("s_next", lead($"s", 1).over(Window.orderBy($"s")))
+      .filter($"s_next".isNotNull)
+      .crossJoin(broadcast(t))
+      .groupBy($"n0", $"n1")
+      .agg(round(lit(1000.0) * sum(($"s_next" - $"s")
+        * abs($"cum0" * $"n1" - $"cum1" * $"n0"))
+        / ($"n0".cast("double") * $"n1")).cast("long").as("w1_milli"))
+  }
+
   /** q139 — token-weighted median document length per source: the
     * "where is the token mass" diagnostic (an unweighted median
     * over-represents short documents; training cost is per TOKEN).
@@ -1719,6 +1749,7 @@ object DataPrep {
     "q263_psi_drift" -> q263_psi_drift,
     "q273_robust_mean" -> q273_robust_mean,
     "q274_robust_scale" -> q274_robust_scale,
+    "q279_wasserstein" -> q279_wasserstein,
     "q130_train_val_test" -> q130_train_val_test,
     "q122_negative_sampling" -> q122_negative_sampling,
     "q41_stratified_sample" -> q41_stratified_sample,
@@ -2278,6 +2309,26 @@ object DataPrep {
          |FROM med JOIN mad ON med.source = mad.source
          |  JOIN dcum ON med.source = dcum.source
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q279_wasserstein" ->
+      s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} AS s
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |c AS (SELECT s,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c0,
+         |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         |    CAST(SUM(c1) AS BIGINT) AS n1 FROM c),
+         |cum AS (SELECT s, CAST(SUM(c0) OVER w AS BIGINT) AS cum0,
+         |    CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+         |    LEAD(s) OVER (ORDER BY s) AS s_next
+         |  FROM c WINDOW w AS (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t.n0, t.n1,
+         |  CAST(ROUND(1000.0 * SUM((s_next - s) * ABS(cum0 * t.n1 - cum1 * t.n0))
+         |    / (CAST(t.n0 AS DOUBLE) * t.n1)) AS BIGINT) AS w1_milli
+         |FROM cum, t WHERE s_next IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q130_train_val_test" ->
       """WITH s AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

@@ -960,7 +960,57 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  /** q278 — embedding anisotropy (Ethayarajh 2019): the share of
+    * total variance on the top principal component — the "is my
+    * embedding space collapsing into a cone" diagnostic that decides
+    * whether whitening is needed before cosine retrieval (an
+    * anisotropic space makes every cosine look high and ANN recall
+    * lie). The covariance is EXACT INTEGER arithmetic: embedding
+    * values quantize to 1e-6 BIGINTs (round of a float→double is
+    * engine-identical), and n·Σxy − Σx·Σy over the (i,j) grid keeps
+    * every cell exact — so the 3-round power iteration downstream
+    * runs on bit-identical matrices in both engines. The only
+    * corpus-sized work is one self-join on vec_id producing the
+    * 64×64 cell partial sums map-side; everything after is a
+    * 4096-row fixed-cost computation. Past ~5e3 vecs/1e6-quantized
+    * values the cells want decimal(38,0) — same shape, wider type.
+    */
+  def q278_anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = graft.Caches.tracked(load(spark, dir, "embeddings")
+      .select($"vec_id", posexplode(toDouble($"embedding")))
+      .select($"vec_id", $"pos".cast("long").as("i"),
+        round($"col" * 1e6).cast("long").as("xq")))
+    val n = ex.agg(countDistinct($"vec_id").as("n"))
+    val sx = ex.groupBy($"i").agg(sum($"xq").as("sx"))
+    val sxy = ex.as("a").join(ex.as("b"), "vec_id")
+      .groupBy($"a.i".as("i"), $"b.i".as("j"))
+      .agg(sum($"a.xq" * $"b.xq").as("sxy"))
+    val cov = graft.Caches.tracked(sxy
+      .join(broadcast(sx.select($"i", $"sx".as("sxi"))), "i")
+      .join(broadcast(sx.select($"i".as("j"), $"sx".as("sxj"))), "j")
+      .crossJoin(broadcast(n))
+      .select($"i", $"j", ($"n" * $"sxy" - $"sxi" * $"sxj").as("c"), $"n"))
+    val tr = cov.filter($"i" === $"j").agg(sum($"c").as("trace"))
+    val u1 = cov.groupBy($"i").agg(sum($"c").cast("double").as("u"))
+    val v1 = u1.crossJoin(broadcast(u1.agg(sqrt(sum($"u" * $"u")).as("nm"))))
+      .select($"i".as("j"), ($"u" / $"nm").as("v"))
+    val u2 = cov.join(broadcast(v1), "j")
+      .groupBy($"i").agg(sum($"c" * $"v").as("u"))
+    val v2 = u2.crossJoin(broadcast(u2.agg(sqrt(sum($"u" * $"u")).as("nm"))))
+      .select($"i".as("j"), ($"u" / $"nm").as("v"))
+    val u3 = cov.join(broadcast(v2), "j")
+      .groupBy($"i").agg(sum($"c" * $"v").as("u"))
+    val ray = u3.join(broadcast(v2.select($"j".as("i"), $"v")), "i")
+      .agg(sum($"u" * $"v").as("lam"))
+    cov.select($"n").limit(1)
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(ray))
+      .select($"n", $"trace",
+        round(lit(1e6) * $"lam" / $"trace").cast("long").as("top_share_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_anisotropy" -> q278_anisotropy,
     "q247_sq8_adc_recall" -> q247_sq8_adc_recall,
     "q248_srp_rerank" -> q248_srp_rerank,
     "q249_ivf_probe_sweep" -> q249_ivf_probe_sweep,
@@ -979,6 +1029,33 @@ object Similarity {
     "q195_semantic_dedup" -> q195_semantic_dedup)
 
   val oracle: Map[String, String] = Map(
+    "q278_anisotropy" ->
+      """WITH ex AS (SELECT vec_id, g.i - 1 AS i,
+        |    CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM ex),
+        |sx AS (SELECT i, CAST(SUM(xq) AS BIGINT) AS sx FROM ex GROUP BY 1),
+        |sxy AS (SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS (SELECT sxy.i, sxy.j,
+        |    CAST(n.n * sxy.sxy - si.sx * sj.sx AS BIGINT) AS c
+        |  FROM sxy, n JOIN sx si ON sxy.i = si.i JOIN sx sj ON sxy.j = sj.i),
+        |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace FROM cov WHERE i = j),
+        |u1 AS (SELECT i, CAST(SUM(c) AS DOUBLE) AS u FROM cov GROUP BY 1),
+        |n1 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u1),
+        |v1 AS (SELECT i, u / nm AS v FROM u1, n1),
+        |u2 AS (SELECT cov.i, SUM(cov.c * v1.v) AS u FROM cov
+        |  JOIN v1 ON cov.j = v1.i GROUP BY 1),
+        |n2 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u2),
+        |v2 AS (SELECT i, u / nm AS v FROM u2, n2),
+        |u3 AS (SELECT cov.i, SUM(cov.c * v2.v) AS u FROM cov
+        |  JOIN v2 ON cov.j = v2.i GROUP BY 1),
+        |ray AS (SELECT SUM(u3.u * v2.v) AS lam FROM u3
+        |  JOIN v2 ON u3.i = v2.i)
+        |SELECT n.n, tr.trace,
+        |  CAST(ROUND(1e6 * ray.lam / tr.trace) AS BIGINT) AS top_share_micro
+        |FROM n, tr, ray""".stripMargin,
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec
     // recall assertions against the exact q26 result. q49 replays the
     // same inverted-list machinery with SQL-reproducible seeds.

@@ -401,6 +401,28 @@ class DataPrepSpec extends AnyFunSuite {
     assert(s.getLong(4) == 0L, s"outliers=${s.getLong(4)}")
   }
 
+  test("q279 Wasserstein: identical distributions give 0; a pure shift gives exactly the shift") {
+    import spark.implicits._
+    // src1 = src0 shifted one stopword up: scores {5130, 5260} vs
+    // {5260, 5390} — a pure +130 bp translation, and W₁ of a
+    // translation IS the translation.
+    def doc(k: Int): String = Seq.fill(k)("the").mkString(" ")
+    val shifted = Seq(
+      (1L, doc(1), "src0"), (2L, doc(2), "src0"),
+      (3L, doc(2), "src1"), (4L, doc(3), "src1"))
+    val tmp = TestSpark.tempDir("w1_shift")
+    shifted.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DataPrep.q279_wasserstein(spark, tmp).collect()(0)
+    assert(r.getLong(2) == 130000L, s"w1_milli=${r.getLong(2)}")
+    val self = Seq((1L, doc(1), "src0"), (2L, doc(2), "src0"),
+      (3L, doc(1), "src1"), (4L, doc(2), "src1"))
+    val tmp2 = TestSpark.tempDir("w1_self")
+    self.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    assert(DataPrep.q279_wasserstein(spark, tmp2).collect()(0).getLong(2) == 0L)
+  }
+
   test("q135 overflow guard is exact at the Long boundary (integer DIV, not double /)") {
     import spark.implicits._
     // the guard expression as written in q135_ks_drift

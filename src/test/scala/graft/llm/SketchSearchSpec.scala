@@ -59,4 +59,22 @@ class SketchSearchSpec extends AnyFunSuite {
       s"probing 8 lists must not recall less than probing 1: ${recalls.toSeq}")
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("q278 anisotropy: a single-axis cloud puts 100% of variance on the top component") {
+    import spark.implicits._
+    // every vector lies on dimension 0 with varying magnitude: the
+    // covariance has exactly one nonzero cell, so the power iteration
+    // must report top_share_micro = 1e6 exactly.
+    val rows = (0 until 40).map { i =>
+      val v = new Array[Float](64)
+      v(0) = 0.1f * (i + 1)
+      (i.toLong, v, 0)
+    }
+    val tmp = TestSpark.tempDir("aniso_axis")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Similarity.q278_anisotropy(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 40L)
+    assert(r.getLong(2) == 1000000L, s"top_share_micro=${r.getLong(2)}")
+  }
 }

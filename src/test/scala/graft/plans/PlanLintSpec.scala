@@ -132,6 +132,12 @@ class PlanLintSpec extends AnyFunSuite {
         Set("single-partition-window", "cartesian-product"),
       // 1-row totals/actual broadcast attaches
       "q272_join_card_audit" -> Set("cartesian-product"),
+      // 1-row/64-row broadcast attaches in the fixed-cost power
+      // iteration over the 4096-cell covariance table
+      "q278_anisotropy" -> Set("cartesian-product"),
+      // cum/lead windows over the bounded score domain + 1-row totals
+      "q279_wasserstein" ->
+        Set("single-partition-window", "cartesian-product"),
       "q136_survival" -> Set("single-partition-window"),
       // water-filling windows run on the |sources|-bounded aggregate
       "q192_budget_waterfill" -> Set("single-partition-window"),

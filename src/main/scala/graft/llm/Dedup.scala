@@ -454,14 +454,28 @@ object Dedup {
     // Convergence check by the label-sum invariant: min-label updates
     // only ever decrease a label, so the sum strictly decreases until
     // the fixpoint — one tiny aggregate per round instead of a join.
-    var prevSum = labels.agg(sum($"label")).head.getLong(0)
+    // An empty pair list (no duplicates found) sums to NULL — return
+    // the empty label table instead of looping (or NPE-ing on the
+    // scalar read). Callers treat "no rows" as "no clusters".
+    val seed = labels.agg(sum($"label")).head
+    if (seed.isNullAt(0)) return labels
+    var prevSum = seed.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val prop = edges.join(labels, $"u" === $"node")
         .select($"v".as("node"), $"label")
-      val next = graft.Caches.tracked(
-        labels.union(prop).groupBy($"node").agg(min($"label").as("label")))
+      // localCheckpoint (eager) truncates the lineage each round: the
+      // round-k logical plan otherwise contains round k−1 TWICE
+      // (labels in both the union and the propagation join), so a
+      // large-diameter component grows a 2^rounds plan tree and dies
+      // in planning long before any data problem — found by q280's
+      // grid graph, whose snake-shaped components legitimately need
+      // tens of rounds. Persisted-block cost per round is the bounded
+      // (node, label) table.
+      val next = labels.union(prop)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .localCheckpoint(true)
       val curSum = next.agg(sum($"label")).head.getLong(0)
       converged = curSum == prevSum
       prevSum = curSum

@@ -128,12 +128,91 @@ object Spatial {
       .orderBy($"ring")
   }
 
+  /** q280 — grid-density clustering (DBSCAN-lite): cells with ≥ 3
+    * points are core; clusters are EXACT 4-connected components of
+    * core cells. The point stream reduces to cell counts in one
+    * aggregate — the CC machinery never touches points, only the
+    * grid-bounded core-cell set — and component closure reuses
+    * [[graft.llm.Dedup.connectedComponents]] (min-label propagation
+    * with the driver-side label-sum convergence check: one scalar
+    * read per round, rounds = component diameter — cheap here because
+    * the input is the BOUNDED cell graph, exactly where a convergent
+    * loop is affordable at 100 TB). Isolated core cells are their own
+    * clusters. 16° cells so the sparse harness sky still yields core
+    * cells; at real density the cell constant shrinks, same plan.
+    */
+  def q280_grid_density_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val DenseCell = 16000000L
+    val core = graft.Caches.tracked(load(spark, dir, "events")
+      .select($"user_id").distinct()
+      .select(
+        (h60(concat(lit("lat_"), $"user_id")) % 160000000L).as("lat_u"),
+        (h60(concat(lit("lon_"), $"user_id")) % 360000000L).as("lon_u"))
+      .groupBy(($"lon_u" / DenseCell).cast("long").as("cx"),
+        ($"lat_u" / DenseCell).cast("long").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 3)
+      .withColumn("lbl", $"cx" * 1000 + $"cy"))
+    // east/north adjacency once per unordered pair (a.lbl < b.lbl by
+    // construction of the offsets)
+    val nb = Seq((1L, 0L), (0L, 1L)).toDF("dx", "dy")
+    val pairs = core.select($"cx", $"cy", $"lbl".as("doc_a"))
+      .crossJoin(broadcast(nb))
+      .join(core.select($"cx".as("bx"), $"cy".as("by"), $"lbl".as("doc_b")),
+        $"bx" === $"cx" + $"dx" && $"by" === $"cy" + $"dy")
+      .select($"doc_a", $"doc_b")
+    val cc = graft.llm.Dedup.connectedComponents(pairs)
+      .select($"node".as("lbl"), $"label".as("cluster"))
+    val labeled = core.join(cc, Seq("lbl"), "left")
+      .select($"n", coalesce($"cluster", $"lbl").as("cluster"))
+    val meta = labeled.agg(count(lit(1)).as("n_core_cells"),
+      sum($"n").as("n_core_points"))
+    val cl = labeled.groupBy($"cluster").agg(count(lit(1)).as("c"))
+    meta
+      .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_clusters"))))
+      .crossJoin(broadcast(cl.agg(max($"c").as("largest_cluster_cells"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_grid_density_clusters" -> q280_grid_density_clusters,
     "q142_geo_rings" -> q142_geo_rings,
     "q80_spatial_join" -> q80_spatial_join,
     "q114_spatial_knn" -> q114_spatial_knn)
 
   val oracle: Map[String, String] = Map(
+    "q280_grid_density_clusters" ->
+      """WITH RECURSIVE pts AS (SELECT DISTINCT user_id FROM events),
+        |xy AS (SELECT user_id,
+        |    CAST('0x' || substring(md5('lat_' || CAST(user_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 160000000 AS lat_u,
+        |    CAST('0x' || substring(md5('lon_' || CAST(user_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 360000000 AS lon_u FROM pts),
+        |cells AS (SELECT lon_u // 16000000 AS cx, lat_u // 16000000 AS cy,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM xy GROUP BY 1, 2),
+        |core AS (SELECT cx, cy, n, cx * 1000 + cy AS lbl FROM cells
+        |  WHERE n >= 3),
+        |nb(dx, dy) AS (SELECT * FROM (VALUES (1, 0), (0, 1)) t(dx, dy)),
+        |pairs AS (SELECT a.lbl AS u, b.lbl AS v FROM core a
+        |  JOIN nb ON true JOIN core b ON b.cx = a.cx + nb.dx
+        |    AND b.cy = a.cy + nb.dy),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT u, u FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cc AS (SELECT node AS lbl, MIN(lab) AS cluster FROM reach
+        |  GROUP BY node),
+        |labeled AS (SELECT core.n, COALESCE(cc.cluster, core.lbl) AS cluster
+        |  FROM core LEFT JOIN cc ON core.lbl = cc.lbl),
+        |cl AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS c FROM labeled
+        |  GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM labeled) AS BIGINT) AS n_core_cells,
+        |  CAST((SELECT SUM(n) FROM labeled) AS BIGINT) AS n_core_points,
+        |  CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters,
+        |  CAST((SELECT MAX(c) FROM cl) AS BIGINT) AS largest_cluster_cells""".stripMargin,
     "q142_geo_rings" ->
       """WITH p AS (SELECT DISTINCT user_id FROM events),
         |pts AS (SELECT user_id,

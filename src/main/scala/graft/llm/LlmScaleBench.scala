@@ -172,7 +172,26 @@ object LlmScaleBench {
       "product_quantization" -> (() => drive(q("q198_product_quantization"))),
       "pq_adc_topk" -> (() => drive(q("q199_pq_adc_topk"))),
       "embedding_neardup" -> (() => drive(q("q30_embedding_neardup"))),
-      "embedding_outliers" -> (() => drive(q("q46_embedding_outliers"))))
+      "embedding_outliers" -> (() => drive(q("q46_embedding_outliers"))),
+      // end-of-round-10 operators with corpus/embedding-scale stages
+      "gopher_rules" -> (() => drive(q("q244_gopher_rules"))),
+      "mattr_diversity" -> (() => drive(q("q245_mattr_diversity"))),
+      "heldout_surprisal" -> (() => drive(q("q246_heldout_surprisal"))),
+      "sq8_adc_recall" -> (() => drive(q("q247_sq8_adc_recall"))),
+      "srp_rerank" -> (() => drive(q("q248_srp_rerank"))),
+      "ivf_probe_sweep" -> (() => drive(q("q249_ivf_probe_sweep"))),
+      "mann_whitney" -> (() => drive(q("q250_mann_whitney"))),
+      "isotonic_calibration" -> (() => drive(q("q253_isotonic_calibration"))),
+      "conformal_interval" -> (() => drive(q("q255_conformal_interval"))),
+      "psi_drift" -> (() => drive(q("q263_psi_drift"))),
+      "mutual_info" -> (() => drive(q("q264_mutual_info"))),
+      "nfc_audit" -> (() => drive(q("q266_nfc_audit"))),
+      "script_mix" -> (() => drive(q("q267_script_mix"))),
+      "robust_mean" -> (() => drive(q("q273_robust_mean"))),
+      "robust_scale" -> (() => drive(q("q274_robust_scale"))),
+      "readability" -> (() => drive(q("q277_readability"))),
+      "anisotropy" -> (() => drive(q("q278_anisotropy"))),
+      "wasserstein" -> (() => drive(q("q279_wasserstein"))))
 
     val timed = stages.map { case (name, f) =>
       val (rows, sec) = t(f())
@@ -216,6 +235,26 @@ object LlmScaleBench {
       s"memorization rate must flag both members of ≥90% of planted pairs, got $memHigh")
     graft.Caches.releaseAll()
 
+    // FIM gate is hash-driven: every synth doc clears the 20-char
+    // floor, so the psm share must sit at the 50% gate ±5 points
+    val (psmRows, tFim) = t(q("q259_fim_transform")
+      .filter($"mode" === "psm").count())
+    require(psmRows > NDocs * 45 / 100 && psmRows < NDocs * 55 / 100,
+      s"FIM psm share off the hash gate: $psmRows of $NDocs")
+    graft.Caches.releaseAll()
+
+    // bootstrap CIs must be ordered for every source at 20×
+    val (badCi, tCi) = t(q("q254_bootstrap_ci")
+      .filter($"lo_milli" > $"hi_milli").count())
+    require(badCi == 0, s"$badCi sources with inverted bootstrap CI")
+    graft.Caches.releaseAll()
+
+    // preference pairs: margins non-negative, endpoints distinct
+    val (badPref, tPref) = t(q("q260_preference_pairs")
+      .filter($"margin_bp" < 0 || $"chosen_id" === $"rejected_id").count())
+    require(badPref == 0, s"$badPref malformed preference pairs")
+    graft.Caches.releaseAll()
+
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
       ("minhash_pairs", mhPairs, tMinhash),
       ("neardup_clusters", ccClusters, tCluster),
@@ -223,7 +262,10 @@ object LlmScaleBench {
       ("prefix_jaccard_pairs", ppPairs, tPrefix),
       ("soft_dedup_upweighted", softHigh, tSoft),
       ("winnow_planted_pairs", winnowPairs, tWinnow),
-      ("memorization_flagged", memHigh, tMem)) ++ timed)
+      ("memorization_flagged", memHigh, tMem),
+      ("fim_psm_rows", psmRows, tFim),
+      ("bootstrap_ci_ordered", badCi, tCi),
+      ("preference_pairs_clean", badPref, tPref)) ++ timed)
       .map { case (k, rows, sec) =>
         s""""$k":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
       }

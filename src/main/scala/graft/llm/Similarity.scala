@@ -972,8 +972,14 @@ object Similarity {
     * runs on bit-identical matrices in both engines. The only
     * corpus-sized work is one self-join on vec_id producing the
     * 64×64 cell partial sums map-side; everything after is a
-    * 4096-row fixed-cost computation. Past ~5e3 vecs/1e6-quantized
-    * values the cells want decimal(38,0) — same shape, wider type.
+    * 4096-row fixed-cost computation. The n·Σxy − Σx·Σy combination
+    * runs in decimal(38,0) — at 2e4 vecs the cells already pass 2⁶³
+    * (found by the 20× scale stress; a silent Long wrap here is a
+    * wrong eigenvector, not an error) — and only then narrows to
+    * double (one exactly-rounded conversion, identical in both
+    * engines) for the fixed-cost iteration. Σxy itself stays BIGINT:
+    * it holds to ~4e7 vectors, and the decimal widening of the
+    * combination is on 4096 rows, not the corpus.
     */
   def q278_anisotropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -990,9 +996,12 @@ object Similarity {
       .join(broadcast(sx.select($"i", $"sx".as("sxi"))), "i")
       .join(broadcast(sx.select($"i".as("j"), $"sx".as("sxj"))), "j")
       .crossJoin(broadcast(n))
-      .select($"i", $"j", ($"n" * $"sxy" - $"sxi" * $"sxj").as("c"), $"n"))
+      .select($"i", $"j",
+        ($"n".cast("decimal(38,0)") * $"sxy"
+          - $"sxi".cast("decimal(38,0)") * $"sxj").cast("double").as("c"),
+        $"n"))
     val tr = cov.filter($"i" === $"j").agg(sum($"c").as("trace"))
-    val u1 = cov.groupBy($"i").agg(sum($"c").cast("double").as("u"))
+    val u1 = cov.groupBy($"i").agg(sum($"c").as("u"))
     val v1 = u1.crossJoin(broadcast(u1.agg(sqrt(sum($"u" * $"u")).as("nm"))))
       .select($"i".as("j"), ($"u" / $"nm").as("v"))
     val u2 = cov.join(broadcast(v1), "j")
@@ -1005,7 +1014,8 @@ object Similarity {
       .agg(sum($"u" * $"v").as("lam"))
     cov.select($"n").limit(1)
       .crossJoin(broadcast(tr)).crossJoin(broadcast(ray))
-      .select($"n", $"trace",
+      .select($"n",
+        round($"trace" / ($"n" * $"n")).cast("long").as("total_var_e12"),
         round(lit(1e6) * $"lam" / $"trace").cast("long").as("top_share_micro"))
   }
 
@@ -1039,10 +1049,11 @@ object Similarity {
         |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy
         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
         |cov AS (SELECT sxy.i, sxy.j,
-        |    CAST(n.n * sxy.sxy - si.sx * sj.sx AS BIGINT) AS c
+        |    CAST(CAST(n.n AS DECIMAL(38,0)) * sxy.sxy
+        |      - CAST(si.sx AS DECIMAL(38,0)) * sj.sx AS DOUBLE) AS c
         |  FROM sxy, n JOIN sx si ON sxy.i = si.i JOIN sx sj ON sxy.j = sj.i),
-        |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace FROM cov WHERE i = j),
-        |u1 AS (SELECT i, CAST(SUM(c) AS DOUBLE) AS u FROM cov GROUP BY 1),
+        |tr AS (SELECT SUM(c) AS trace FROM cov WHERE i = j),
+        |u1 AS (SELECT i, SUM(c) AS u FROM cov GROUP BY 1),
         |n1 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u1),
         |v1 AS (SELECT i, u / nm AS v FROM u1, n1),
         |u2 AS (SELECT cov.i, SUM(cov.c * v1.v) AS u FROM cov
@@ -1053,7 +1064,8 @@ object Similarity {
         |  JOIN v2 ON cov.j = v2.i GROUP BY 1),
         |ray AS (SELECT SUM(u3.u * v2.v) AS lam FROM u3
         |  JOIN v2 ON u3.i = v2.i)
-        |SELECT n.n, tr.trace,
+        |SELECT n.n,
+        |  CAST(ROUND(tr.trace / (n.n * n.n)) AS BIGINT) AS total_var_e12,
         |  CAST(ROUND(1e6 * ray.lam / tr.trace) AS BIGINT) AS top_share_micro
         |FROM n, tr, ray""".stripMargin,
     // q34 omitted: KMeans isn't SQL-portable; verified by the LlmSpec

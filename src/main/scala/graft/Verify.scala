@@ -46,6 +46,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.Graph.releaseEdgeMemo(spark) // session teardown hook
+    graft.llm.Similarity.releaseShared()
     spark.stop()
   }
 }

@@ -893,9 +893,18 @@ object Dedup {
     "q52_neardup_clusters" -> q52_neardup_clusters,
     "q73_prefix_jaccard" -> q73_prefix_jaccard)
 
-  // Oracles recompute the *exact* similarity all-pairs from the raw
-  // strings (feasible at sf0.01's 500 docs; the Spark side must find
-  // the same pairs via LSH/blocking — that equality is the check).
+  // Oracles recompute the *exact* similarity ground truth from the
+  // raw strings — independently of the Spark side's LSH/banding/prefix
+  // candidate generation (that equality is the check). Since round 11
+  // the pair generation is an inverted-index join on shared 3-shingles
+  // (`GramIxSql`): every pair that shares ≥ 1 distinct shingle gets
+  // its EXACT intersection size from one COUNT(*) per pair, and pairs
+  // sharing none have J = 0 — below every threshold in use — so the
+  // rewrite is lossless while the cost drops from |docs|² list
+  // intersections to Σ df(gram)² group rows. That turns the sf0.1
+  // replays from 90 s-budget timeouts into seconds WITHOUT weakening
+  // the oracle: it is still exact arithmetic over all qualifying
+  // pairs, not a replay of the engine's probabilistic plan.
   private[llm] val Shingle3Sql =
     """list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
       |  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))""".stripMargin
@@ -910,16 +919,28 @@ object Dedup {
        |         CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        |       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))""".stripMargin
 
+  /** Shared inverted-index pair stage: (da, db, la, lb, i) for every
+    * doc pair sharing ≥ 1 distinct 3-shingle, with da < db, i the
+    * EXACT |A∩B| (shingles are list_distinct'd, so COUNT(*) over the
+    * gram equi-join IS the intersection size) and la/lb the shingle
+    * counts — J(a,b) = i/(la+lb−i) exactly, and
+    * len(list_distinct(a.sh || b.sh)) = la+lb−i. MATERIALIZED hints
+    * keep DuckDB from re-inlining the stage into every consumer CTE.
+    */
+  private[llm] val GramIxSql: String =
+    s"""dx AS MATERIALIZED (SELECT doc_id, len(sh) AS ln, sh FROM
+      |  (SELECT doc_id, $Shingle3Sql AS sh FROM documents) WHERE len(sh) > 0),
+      |gx AS (SELECT doc_id, ln, unnest(sh) AS g FROM dx),
+      |ix AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        a.ln AS la, b.ln AS lb, CAST(COUNT(*) AS BIGINT) AS i
+      |      FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q242_lsh_band_planner" ->
-      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
-        |p AS (SELECT CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-        |        AS BIGINT) AS j_bp
-        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |      WHERE 2 * len(list_intersect(a.sh, b.sh))
-        |            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+      s"""WITH $GramIxSql,
+        |p AS (SELECT CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |      FROM ix WHERE 2 * i >= la + lb - i),
         |cfg AS (SELECT CAST(v.r AS INT) AS r, CAST(v.b AS INT) AS b FROM (VALUES
         |        (1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)) v(r, b)),
         |m AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -935,19 +956,13 @@ object Dedup {
         |SELECT m.r, m.b, m.n_pairs, m.expected_missed_milli, g.fp_area_micro
         |FROM m JOIN g ON m.r = g.r AND m.b = g.b ORDER BY m.r""".stripMargin,
     "q234_lsh_recall_curve" ->
-      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-        |    AS BIGINT) AS j_bp,
+      s"""WITH $GramIxSql
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp,
         |  CAST(ROUND(1000.0 * (1.0 - POW(1.0 -
-        |       POW(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-        |           / 10000.0, $RowsPerBand), $NumBands))) AS BIGINT) AS p_detect_milli
-        |FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |WHERE 2 * len(list_intersect(a.sh, b.sh))
-        |      >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        |       POW(ROUND(10000.0 * i / (la + lb - i)) / 10000.0,
+        |           $RowsPerBand), $NumBands))) AS BIGINT) AS p_detect_milli
+        |FROM ix WHERE 2 * i >= la + lb - i
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q228_winnow_candidates" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -968,15 +983,10 @@ object Dedup {
         |FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
     "q225_dedup_threshold_sweep" ->
-      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-        |          AS BIGINT) AS j_bp
-        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |      WHERE 2 * len(list_intersect(a.sh, b.sh))
-        |            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+      s"""WITH $GramIxSql,
+        |p AS (SELECT da AS doc_a, db AS doc_b,
+        |        CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |      FROM ix WHERE 2 * i >= la + lb - i),
         |t AS (SELECT CAST(v.t AS BIGINT) AS threshold_bp
         |      FROM (VALUES (5000), (7000), (9000)) v(t)),
         |f AS (SELECT t.threshold_bp, p.doc_a, p.doc_b FROM t
@@ -1009,15 +1019,12 @@ object Dedup {
         |FROM m WHERE pos <= n - $WinnowWindow + 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q220_source_dedup_matrix" ->
-      s"""WITH d AS (SELECT doc_id, source, $Shingle3Sql AS sh FROM documents),
-        |d2 AS (SELECT doc_id, source, sh FROM d WHERE len(sh) > 0),
-        |p AS (SELECT a.source AS sa, b.source AS sb,
-        |        CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-        |          AS BIGINT) AS j_bp
-        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |      WHERE 2 * len(list_intersect(a.sh, b.sh))
-        |            >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      s"""WITH $GramIxSql,
+        |p AS (SELECT ca.source AS sa, cb.source AS sb,
+        |        CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |      FROM ix JOIN documents ca ON ix.da = ca.doc_id
+        |        JOIN documents cb ON ix.db = cb.doc_id
+        |      WHERE 2 * i >= la + lb - i)
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(ROUND(AVG(j_bp)) AS BIGINT) AS mean_j_bp
@@ -1063,13 +1070,10 @@ object Dedup {
         |  CAST(COUNT(*) AS BIGINT) AS n_grams
         |FROM p GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     "q106_canonical_docs" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |  WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |              / len(list_distinct(a.sh || b.sh))) >= 5000),
-        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      s"""WITH RECURSIVE $GramIxSql,
+        |pairs AS (SELECT da AS u, db AS v FROM ix
+        |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
         |reach(node, lab) AS (
         |  SELECT doc_id, doc_id FROM nodes
@@ -1098,24 +1102,18 @@ object Dedup {
         |WHERE levenshtein(a.pre, b.pre) <= 30
         |ORDER BY a_id, b_id""".stripMargin,
     "q203_incremental_dedup" ->
-      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)
-        |SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
-        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j_bp
-        |FROM d2 a JOIN d2 b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |            / len(list_distinct(a.sh || b.sh))) >= 5000
+      s"""WITH $GramIxSql
+        |SELECT CASE WHEN da % 2 = 1 THEN da ELSE db END AS batch_doc,
+        |  CASE WHEN da % 2 = 1 THEN db ELSE da END AS index_doc,
+        |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |FROM ix WHERE da % 2 <> db % 2
+        |  AND ROUND(10000.0 * i / (la + lb - i)) >= 5000
         |ORDER BY batch_doc, index_doc""".stripMargin,
     "q23_minhash_dedup" ->
-      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j_bp
-        |FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |            / len(list_distinct(a.sh || b.sh))) >= 5000
+      s"""WITH $GramIxSql
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |FROM ix WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q24_simhash_dedup" ->
       s"""WITH t AS (SELECT doc_id,
@@ -1129,13 +1127,10 @@ object Dedup {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q52_neardup_clusters" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-        |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |  WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |              / len(list_distinct(a.sh || b.sh))) >= 5000),
-        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      s"""WITH RECURSIVE $GramIxSql,
+        |pairs AS (SELECT da AS u, db AS v FROM ix
+        |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
         |reach(node, lab) AS (
         |  SELECT doc_id, doc_id FROM nodes
@@ -1156,13 +1151,9 @@ object Dedup {
         |            / len(list_distinct(a.sh || b.sh))) >= 3000
         |ORDER BY source, doc_a, doc_b""".stripMargin,
     "q73_prefix_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, $Shingle3Sql AS sh FROM documents),
-        |     d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS j_bp
-        |FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |WHERE 2 * len(list_intersect(a.sh, b.sh))
-        |      >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+      s"""WITH $GramIxSql
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |FROM ix WHERE 2 * i >= la + lb - i
         |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -2132,12 +2132,9 @@ object TextAnalysis {
         |SELECT doc_id, dl, score_milli FROM sc
         |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin,
     "q165_score_calibration" ->
-      s"""WITH d AS (SELECT doc_id, ${Dedup.Shingle3Sql} AS sh FROM documents),
-         |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-         |p AS (SELECT a.doc_id AS da, b.doc_id AS db
-         |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-         |  WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-         |        / len(list_distinct(a.sh || b.sh))) >= 5000),
+      s"""WITH ${Dedup.GramIxSql},
+         |p AS (SELECT da, db FROM ix
+         |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
          |dup AS (SELECT DISTINCT doc_id FROM (
          |    SELECT da AS doc_id FROM p UNION ALL SELECT db FROM p)),
          |s AS (SELECT doc_id, $QualityBpSql AS q FROM documents)

@@ -568,7 +568,14 @@ object Graph {
     import spark.implicits._
     var e = graft.Caches.tracked(supportBackboneEdges(spark, dir))
     val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-    census += ((0L, e.select($"u").distinct().count(), e.count() / 2))
+    // Per-round census as ONE aggregate action (countDistinct + count
+    // in the same job) — two separate actions here would double the
+    // driver round-trips per round for the same scalars.
+    def tally(round: Long): Unit = {
+      val r = e.agg(countDistinct($"u").as("nv"), count(lit(1)).as("ne")).head()
+      census += ((round, r.getLong(0), r.getLong(1) / 2))
+    }
+    tally(0L)
     for (r <- 1 to 4) {
       val keep = e.groupBy($"u").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= 3).select($"u")
@@ -576,7 +583,7 @@ object Graph {
         e.join(keep, Seq("u"), "left_semi")
           .join(keep.select($"u".as("v")), Seq("v"), "left_semi")
           .select($"u", $"v"))
-      census += ((r.toLong, e.select($"u").distinct().count(), e.count() / 2))
+      tally(r.toLong)
     }
     census.toSeq.toDF("round", "n_vertices", "n_edges")
   }
@@ -600,18 +607,18 @@ object Graph {
         |e0 AS (SELECT a.p AS u, b.p AS v
         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
         |d1 AS (SELECT u FROM e GROUP BY u HAVING COUNT(*) >= 3),
-        |e1 AS (SELECT e.u, e.v FROM e
+        |e1 AS MATERIALIZED (SELECT e.u, e.v FROM e
         |  JOIN d1 a ON e.u = a.u JOIN d1 b ON e.v = b.u),
         |d2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
-        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
         |  JOIN d2 a ON e1.u = a.u JOIN d2 b ON e1.v = b.u),
         |d3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 3),
-        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
         |  JOIN d3 a ON e2.u = a.u JOIN d3 b ON e2.v = b.u),
         |d4 AS (SELECT u FROM e3 GROUP BY u HAVING COUNT(*) >= 3),
-        |e4 AS (SELECT e3.u, e3.v FROM e3
+        |e4 AS MATERIALIZED (SELECT e3.u, e3.v FROM e3
         |  JOIN d4 a ON e3.u = a.u JOIN d4 b ON e3.v = b.u)
         |SELECT CAST(0 AS BIGINT) AS round,
         |  CAST((SELECT COUNT(DISTINCT u) FROM e) AS BIGINT) AS n_vertices,
@@ -707,10 +714,12 @@ object Graph {
         |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_frequent_triples" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
-        |SELECT a.p AS pa, b.p AS pb, c.p AS pc, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-        |          JOIN li c ON a.o = c.o AND b.p < c.p
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |pr AS MATERIALIZED (SELECT a.o, a.p AS pa, b.p AS pb
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+        |SELECT pr.pa, pr.pb, c.p AS pc, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pr JOIN li c ON pr.o = c.o AND pr.pb < c.p
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
         |ORDER BY n DESC, pa, pb, pc""".stripMargin,
     "q107_bfs_hops" ->

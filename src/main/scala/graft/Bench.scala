@@ -132,6 +132,64 @@ object Bench {
         s""""stage_in_recs":${r.stageInRecs},"stage_in_bytes":${r.stageInBytes},""" +
         s""""stage_shw_recs":${r.stageShWrite}}"""
     }
+    // Self-attribution against the committed quiet record (round-10
+    // directive 7): re-run actuals_diff's verdict INLINE so the driver
+    // artifact carries its own machine-vs-plan attribution — a wall
+    // delta with IDENTICAL actuals (rows/records/shuffles exact,
+    // scan_bytes within 10% for parquet-regen drift) is machine
+    // conditions; changed actuals is a plan change and needs a
+    // code-level explanation. Baseline defaults to the committed
+    // quiet record; override with SPARK_GRAFT_BENCH_BASELINE.
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r10_quiet3.json")
+    val attribution: String = try {
+      val src = scala.io.Source.fromFile(baselinePath)
+      val line =
+        try src.getLines().filter(_.contains("\"queries\"")).toSeq.lastOption
+        finally src.close()
+      line match {
+        case None =>
+          s""""attribution":{"baseline":"$baselinePath","error":"no parseable line"}"""
+        case Some(l) =>
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(l)
+          if (root.path("sf").asText("") != sfDir)
+            s""""attribution":{"baseline":"$baselinePath","sf_mismatch":"${root.path("sf").asText("")}"}"""
+          else {
+            val bq = root.path("queries"); val bs = root.path("stats")
+            var machine = 0; var plan = 0; var inBand = 0; var noBase = 0
+            val planQs = scala.collection.mutable.ArrayBuffer.empty[String]
+            for ((k, r) <- results) {
+              if (!bq.has(k) || bq.get(k).asDouble(-1) <= 0) noBase += 1
+              else {
+                val ratio = r.wall / bq.get(k).asDouble()
+                if (ratio < 1.5 && ratio > 1.0 / 1.5) inBand += 1
+                else {
+                  val s = bs.path(k)
+                  val same = r.stats.exists { st =>
+                    s.path("shuffle_recs").asLong(-2) == st.shuffleRows &&
+                      s.path("scan_rows").asLong(-2) == st.scanRows &&
+                      s.path("shuffles").asInt(-2) == st.shuffles && {
+                        val bb = s.path("scan_bytes").asLong(-2)
+                        bb == st.scanBytes || (bb > 0 && st.scanBytes > 0 &&
+                          math.abs(bb - st.scanBytes).toDouble
+                            / math.max(bb, st.scanBytes) <= 0.10)
+                      }
+                  }
+                  if (same) machine += 1 else { plan += 1; planQs += k }
+                }
+              }
+            }
+            s""""attribution":{"baseline":"$baselinePath","in_band":$inBand,""" +
+              s""""machine":$machine,"plan":$plan,"no_baseline":$noBase,""" +
+              s""""plan_changed":[${planQs.sorted.take(20).map("\"" + _ + "\"").mkString(",")}]}"""
+          }
+      }
+    } catch {
+      case e: Throwable =>
+        s""""attribution":{"baseline":"$baselinePath","error":"${e.getClass.getSimpleName}"}"""
+    }
+
     val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.wall }
       .mkString("{", ",", "}")
     val st = results.map { case (k, r) => s"\"" + k + "\":" + statJson(r) }
@@ -140,7 +198,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":$qs,"stats":$st,"load":$ls,"sf":"$sfDir"}"""
+      s"""$attribution,"queries":$qs,"stats":$st,"load":$ls,"sf":"$sfDir"}"""
     println(json)
     // Side artifact: sbt appends its own "[success]" line after ours,
     // so a last-line parse of stdout misses the JSON. The file copy is
@@ -160,7 +218,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries_total":${results.size},"reps":$reps,"load":$lsC,"sf":"$sfDir",""" +
-      s""""detail":"BENCH_LOCAL.json","queries":{"""
+      s"""$attribution,"detail":"BENCH_LOCAL.json","queries":{"""
     val budget = 1600 // < 2000-char window minus sbt's "[success]" trailer
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = prefix.length + 2
@@ -172,6 +230,7 @@ object Bench {
     }
     println(prefix + entries.mkString(",") + "}}")
     graft.queries.Graph.releaseEdgeMemo(spark) // session teardown hook
+    graft.llm.Similarity.releaseShared()
     spark.stop()
   }
 }

@@ -127,11 +127,77 @@ object GtfsScaleBench {
       require(rows > 0, s"$name returned no rows")
       name -> sec
     }
+
+    // ---- gtfsrt connector at sf-scale (round-10 directive 6): 500
+    // minute-stamped protobuf snapshots stream through the DSv2
+    // source (one input partition per snapshot, Trigger.AvailableNow)
+    // into the KPI spine. The 500×40 snapshot→trip assignment is a
+    // BIJECTION onto the 20k-trip schedule, so both invariants are
+    // exact equalities, not lower bounds: a dropped snapshot, a
+    // double-read file or a decode regression all fail loudly.
+    val rtDir = s"$wh/../rt_scale"
+    val nSnapshots = 500
+    val tripsPerSnap = (nTrips / nSnapshots).toInt
+    val (_, tSnapSynth) = t {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rtDir))
+      for (k <- 0 until nSnapshots) {
+        val w = new ProtoWire.Writer
+        val ts = dayStart + 21600L + k * 120L
+        w.message(1) { h => h.string(1, "2.0").int(2, 0).int(3, ts) }
+        for (i <- 0 until tripsPerSnap) {
+          val trip = k.toLong * tripsPerSnap + i
+          w.message(2) { e =>
+            e.string(1, s"e$trip")
+            e.message(3) { tu =>
+              tu.message(1)(t => t.string(1, s"T$trip")
+                .string(5, s"R${trip % nRoutes}").int(6, trip % 2))
+              for (s0 <- 0 until stopsPerTrip.toInt) {
+                val sched = dayStart + 21600L + (trip % 1200) * 60 + s0 * 120
+                tu.message(2) { s =>
+                  s.int(1, s0).string(4, s"S${(trip * stopsPerTrip + s0) * 7 % nStops}")
+                  s.message(2)(_.int(2, sched + ((trip * 7 + s0) % 601) - 300))
+                }
+              }
+            }
+          }
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+          f"$rtDir/trip_updates_20250903_$k%04d.pb"), w.toBytes)
+      }
+    }
+    val relayOut = s"$wh/../rt_scale_out"
+    val (relayRows, tConnector) = t {
+      val q = spark.readStream.format("gtfsrt")
+        .option("kind", "stop_time_updates").load(rtDir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$wh/../rt_scale_ckpt")
+        .option("path", relayOut)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(relayOut).count()
+    }
+    require(relayRows == nSnapshots.toLong * tripsPerSnap * stopsPerTrip,
+      s"connector must relay every stop-time update exactly once: " +
+        s"expected ${nSnapshots.toLong * tripsPerSnap * stopsPerTrip}, got $relayRows")
+    val (connectorSpineRows, tConnectorSpine) = t {
+      val obs = spark.read.parquet(relayOut)
+        .withColumn("intermediate_stop", coalesce($"arrival_time", $"departure_time"))
+      drive(Kpi.delaySpine(obs, silver("stop_times_static_silver"), serviceDate))
+    }
+    require(connectorSpineRows == nTrips * stopsPerTrip,
+      s"connector-fed spine must cover the full schedule: " +
+        s"expected ${nTrips * stopsPerTrip}, got $connectorSpineRows")
+
     val obsTotal = counts1("trip_stop_times_silver")
     val stages = (Seq("bronze_synth" -> tBronze, "rt_synth" -> tRt,
-      "silver_refresh" -> tSilver1, "silver_noop_refresh" -> tSilver2) ++ kpiTimes)
+      "silver_refresh" -> tSilver1, "silver_noop_refresh" -> tSilver2) ++ kpiTimes ++
+      Seq("connector_snap_synth" -> tSnapSynth, "connector_relay" -> tConnector,
+        "connector_spine" -> tConnectorSpine))
       .map { case (k, v) => s"""\"$k\":${math.round(v * 1000) / 1000.0}""" }
-    println(s"""{"metric":"gtfs_scale","obs_rows":$obsTotal,"stages":{${stages.mkString(",")}}}""")
+    println(s"""{"metric":"gtfs_scale","obs_rows":$obsTotal,""" +
+      s""""connector_snapshots":$nSnapshots,"connector_rows":$relayRows,""" +
+      s""""connector_spine_rows":$connectorSpineRows,"stages":{${stages.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -623,6 +623,150 @@ object Dedup {
   def q204_substring_spans(spark: SparkSession, dir: String): DataFrame =
     substringSpans(load(spark, dir, "documents"))
 
+  /** Core of q282, factored for the structural spec: every document's
+    * near-dup cluster id (connected-component label over the MinHash
+    * pairs; docs in no pair are their own singleton cluster) and the
+    * CLUSTER-keyed hash split. Splitting by cluster id instead of doc
+    * id is what makes the split leakage-free BY CONSTRUCTION: both
+    * members of a near-dup pair share a cluster id, so they hash to
+    * the same split and q236's leakage audit is structurally zero.
+    */
+  def clusterSplits(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = connectedComponents(minhashPairs(docs.select($"doc_id", $"text")))
+      .select($"node".as("doc_id"), $"label".as("cid"))
+    docs.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("clustered", $"cid".isNotNull.cast("long"))
+      .withColumn("cluster_id", coalesce($"cid", $"doc_id"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("graft_split_"),
+          $"cluster_id".cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .select($"doc_id", $"cluster_id", $"clustered", $"split")
+  }
+
+  /** q282 — leakage-free (group-aware) train/val/test split: q130's
+    * 80/10/10 hash split keyed on the NEAR-DUP CLUSTER id instead of
+    * the doc id, so near-duplicate documents can never straddle the
+    * eval boundary (the leak q236 merely AUDITS is prevented at
+    * assignment time — the GROUP-aware split of scikit's GroupShuffle
+    * / the dedup-before-split step of every serious eval protocol).
+    * Scale shape: the pair machinery is q23's banded LSH (never
+    * all-pairs), CC is the bounded-round min-label propagation, and
+    * the split itself is one md5 per CLUSTER — no coordination,
+    * reproducible under any partitioning.
+    */
+  def q282_cluster_split(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusterSplits(load(spark, dir, "documents"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        sum($"clustered").as("n_clustered_docs"))
+      .orderBy($"split")
+  }
+
+  /** q283 — eval-set decontamination spans (the sub-document form of
+    * q44's doc-level contamination gate, with q204's span surgery):
+    * for each TRAIN document, the maximal word spans whose every
+    * 8-gram also occurs somewhere in the EVAL split (doc_id ≡ 0 mod
+    * EvalModulus, q44's convention) — the exact spans a pipeline cuts
+    * before training so the model cannot memorize its own test set
+    * (GPT-3 appendix-C-style n-gram decontamination, made span-exact).
+    * Same linear plan shape as q204: positional gram hashes, the
+    * eval-side distinct gram table (≪ corpus), one equi-join back on
+    * the 60-bit hash, per-doc gaps-and-islands merge.
+    */
+  def q283_decontam_spans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = graft.Caches.tracked(
+      load(spark, dir, "documents")
+        .select($"doc_id".cast("long"), $"text")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            DataPrep.gramHashesWithPos(md, text, SpanGramWords)
+              .map { case (pos, g) => (id, pos, g) }
+          }
+        }
+        .toDF("doc_id", "pos", "g"))
+    val evalGrams = grams.filter($"doc_id" % DataPrep.EvalModulus === 0)
+      .select($"g").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    grams.filter($"doc_id" % DataPrep.EvalModulus =!= 0)
+      .join(evalGrams, "g")
+      .withColumn("isl", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + SpanGramWords - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start", $"span_end", $"n_grams")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  /** q286 — eval-side n-gram novelty audit (the flip side of q283):
+    * for each EVAL document, how many of its positional 8-grams
+    * already occur in the TRAIN split — the pre-training decontam
+    * risk report (a high-overlap eval doc measures memorization, not
+    * generalization; cf. the n-gram overlap tables of the GPT-3 /
+    * PaLM evals). One distinct-gram table per side, one equi-join,
+    * one per-doc aggregate — linear, no pair joins.
+    */
+  def q286_eval_ngram_overlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = graft.Caches.tracked(
+      load(spark, dir, "documents")
+        .select($"doc_id".cast("long"), $"text")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            DataPrep.gramHashesWithPos(md, text, SpanGramWords)
+              .map { case (pos, g) => (id, pos, g) }
+          }
+        }
+        .toDF("doc_id", "pos", "g"))
+    val trainGrams = grams.filter($"doc_id" % DataPrep.EvalModulus =!= 0)
+      .select($"g").distinct().withColumn("hit", lit(1L))
+    grams.filter($"doc_id" % DataPrep.EvalModulus === 0)
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_in_train"))
+      .withColumn("overlap_bp",
+        round(lit(10000.0) * $"n_in_train" / $"n_grams").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** q284 — mirror-cluster audit: for each near-dup CLUSTER (q52's
+    * connected components), how many documents, distinct sources and
+    * distinct languages it spans — the mirror-site / cross-crawl
+    * duplication report at cluster granularity (q220's source matrix
+    * counts PAIRS; this answers "is this one article syndicated
+    * across 9 sources or 9 copies inside one crawl", which decides
+    * whether source-level dedup ordering even helps). Everything
+    * after the pair machinery is |clusters|-bounded: one equi-join of
+    * the label table back to the doc dims, one aggregate. Integer
+    * counts only — no float path anywhere.
+    */
+  def q284_mirror_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val labels = connectedComponents(minhashPairs(docs.select($"doc_id", $"text")))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    labels.join(docs.select($"doc_id", $"source", $"lang"), "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"))
+      .orderBy($"cluster_id")
+  }
+
   /** q214 — soft dedup by n-gram commonness (the SoftDeDup idea:
     * down-WEIGHT common content instead of dropping it, so the
     * training loss keeps the document but repeated boilerplate stops
@@ -875,6 +1019,10 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_cluster_split" -> q282_cluster_split,
+    "q283_decontam_spans" -> q283_decontam_spans,
+    "q284_mirror_clusters" -> q284_mirror_clusters,
+    "q286_eval_ngram_overlap" -> q286_eval_ngram_overlap,
     "q242_lsh_band_planner" -> q242_lsh_band_planner,
     "q234_lsh_recall_curve" -> q234_lsh_recall_curve,
     "q228_winnow_candidates" -> q228_winnow_candidates,
@@ -937,6 +1085,76 @@ object Dedup {
       |      GROUP BY 1, 2, 3, 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q282_cluster_split" ->
+      s"""WITH RECURSIVE $GramIxSql,
+        |pairs AS (SELECT da AS u, db AS v FROM ix
+        |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        |m AS (SELECT d.doc_id, cl.doc_id IS NOT NULL AS clustered,
+        |        COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |b AS (SELECT *, CAST('0x' || substring(md5('graft_split_'
+        |        || CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+        |      FROM m)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q284_mirror_clusters" ->
+      s"""WITH RECURSIVE $GramIxSql,
+        |pairs AS (SELECT da AS u, db AS v FROM ix
+        |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT CAST(cl.cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+        |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q283_decontam_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(ws) - ${SpanGramWords - 1}, 0))) AS pos,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${SpanGramWords - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(ws[i:i+${SpanGramWords - 1}], ' ')), 1, 15) AS BIGINT))) AS g
+        |  FROM w),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % ${DataPrep.EvalModulus} = 0),
+        |p AS (SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM g JOIN ev USING (g) WHERE doc_id % ${DataPrep.EvalModulus} <> 0)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + ${SpanGramWords - 1} AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM p GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    "q286_eval_ngram_overlap" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - ${SpanGramWords - 1}, 0)),
+        |      i -> CAST('0x' || substring(md5(
+        |             array_to_string(ws[i:i+${SpanGramWords - 1}], ' ')), 1, 15) AS BIGINT))) AS g
+        |  FROM w),
+        |tr AS (SELECT DISTINCT g FROM g WHERE doc_id % ${DataPrep.EvalModulus} <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_train,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+        |       / COUNT(*)) AS BIGINT) AS overlap_bp
+        |FROM g LEFT JOIN tr USING (g) WHERE doc_id % ${DataPrep.EvalModulus} = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q242_lsh_band_planner" ->
       s"""WITH $GramIxSql,
         |p AS (SELECT CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp

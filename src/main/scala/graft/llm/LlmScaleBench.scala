@@ -205,6 +205,13 @@ object LlmScaleBench {
       "mutual_info" -> (() => drive(q("q264_mutual_info"))),
       "nfc_audit" -> (() => drive(q("q266_nfc_audit"))),
       "script_mix" -> (() => drive(q("q267_script_mix"))),
+      // round-11 operators
+      "hard_negatives" -> (() => drive(q("q281_hard_negatives"))),
+      "cluster_split" -> (() => drive(q("q282_cluster_split"))),
+      "decontam_spans" -> (() => drive(q("q283_decontam_spans"))),
+      "mirror_clusters" -> (() => drive(q("q284_mirror_clusters"))),
+      "embedding_standardize" -> (() => drive(q("q285_embedding_standardize"))),
+      "eval_ngram_overlap" -> (() => drive(q("q286_eval_ngram_overlap"))),
       "robust_mean" -> (() => drive(q("q273_robust_mean"))),
       "robust_scale" -> (() => drive(q("q274_robust_scale"))),
       "readability" -> (() => drive(q("q277_readability"))),
@@ -261,6 +268,27 @@ object LlmScaleBench {
       s"FIM psm share off the hash gate: $psmRows of $NDocs")
     graft.Caches.releaseAll()
 
+    // leakage-free split at 20×: the three splits must cover every doc
+    // exactly once, and NO planted near-dup pair may straddle a split
+    // (both members share a CC cluster id by construction — a split
+    // count mismatch here means the cluster keying broke)
+    val splitDocs = timed.find(_._1 == "cluster_split").get._2
+    val (splitTotal, tSplitTotal) = t(q("q282_cluster_split")
+      .agg(sum($"n_docs")).head.getLong(0))
+    require(splitTotal == NDocs,
+      s"cluster split must cover all $NDocs docs exactly once, got $splitTotal")
+    require(splitDocs == 3, s"expected 3 split rows, got $splitDocs")
+    graft.Caches.releaseAll()
+
+    // decontamination at 20×: planted pairs straddling the eval split
+    // (partner ids differ by 1, EvalModulus = 17 is odd, so ~2/17 of
+    // the 10k planted pairs have exactly one eval member) must surface
+    // train-side spans
+    val decontamSpans = timed.find(_._1 == "decontam_spans").get._2
+    require(decontamSpans >= nPlanted / 17,
+      s"planted pairs straddling the eval split must yield ≥ ${nPlanted / 17} " +
+        s"decontamination spans, got $decontamSpans")
+
     // bootstrap CIs must be ordered for every source at 20×
     val (badCi, tCi) = t(q("q254_bootstrap_ci")
       .filter($"lo_milli" > $"hi_milli").count())
@@ -282,6 +310,7 @@ object LlmScaleBench {
       ("winnow_planted_pairs", winnowPairs, tWinnow),
       ("memorization_flagged", memHigh, tMem),
       ("fim_psm_rows", psmRows, tFim),
+      ("cluster_split_total", splitTotal, tSplitTotal),
       ("bootstrap_ci_ordered", badCi, tCi),
       ("preference_pairs_clean", badPref, tPref)) ++ timed)
       .map { case (k, rows, sec) =>

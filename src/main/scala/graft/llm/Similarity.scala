@@ -984,6 +984,77 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  /** q281 — hard-negative mining for contrastive training (the
+    * in-batch-negatives upgrade every retrieval/embedding training
+    * pipeline runs; cf. DPR, Karpukhin et al. 2020): for each query
+    * vector, the most similar corpus vector with the SAME label (the
+    * positive) and the most similar with a DIFFERENT label (the hard
+    * negative), plus the margin between them — the smaller the
+    * margin, the harder (and more valuable) the training pair.
+    *
+    * Scale design: one broadcast of the query batch against the
+    * corpus scan (q26's exact shape — the demo ground truth; at
+    * 100 TB the candidate generator is the ANN layer feeding the same
+    * conditional-max tail), then ONE partial+final aggregation per
+    * query with two conditional lexicographic maxes — no window, no
+    * per-query sort. Determinism: maxes compare (sim_micro,
+    * −neighbor_id) structs, so ties break to the lower neighbor id in
+    * both engines.
+    */
+  def q281_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"label".as("q_label"))
+    val sims = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"label".as("n_label"),
+        $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+    sims.groupBy($"q_id", $"q_label")
+      .agg(
+        max(when($"n_label" === $"q_label",
+          struct($"sim_micro", (-$"neighbor_id").as("negid")))).as("pos"),
+        max(when($"n_label" =!= $"q_label",
+          struct($"sim_micro", (-$"neighbor_id").as("negid")))).as("neg"))
+      .select($"q_id", $"q_label".cast("long").as("q_label"),
+        (-$"pos.negid").as("pos_id"), $"pos.sim_micro".as("pos_sim_micro"),
+        (-$"neg.negid").as("neg_id"), $"neg.sim_micro".as("neg_sim_micro"),
+        ($"pos.sim_micro" - $"neg.sim_micro").as("margin_micro"))
+      .orderBy($"q_id")
+  }
+
+  /** q285 — per-dimension embedding standardization parameters (the
+    * diagonal-whitening fit that q278's anisotropy report decides
+    * between: full PCA whitening vs this one-pass mean/variance
+    * rescale). Exact-integer statistics via q278's micro-quantization
+    * trick: coordinates round to 1e-6 BIGINTs once, so Σx and Σx² are
+    * exact order-independent integer sums and the variance uses the
+    * n·Σx² − (Σx)² cross-multiplication — bit-identical in both
+    * engines, no float-summation drift anywhere. One corpus scan,
+    * one 64-row aggregate; min/max ride the same pass.
+    */
+  def q285_embedding_standardize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = load(spark, dir, "embeddings")
+      .select(posexplode(toDouble($"embedding")))
+      .select($"pos".cast("long").as("i"),
+        round($"col" * 1e6).cast("long").as("xq"))
+    ex.groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sx"),
+        sum($"xq" * $"xq").as("sxx"),
+        min($"xq").as("min_e6"), max($"xq").as("max_e6"))
+      .select($"i", $"n",
+        round($"sx".cast("double") / $"n").cast("long").as("mean_e6"),
+        round(($"n".cast("decimal(38,0)") * $"sxx"
+          - $"sx".cast("decimal(38,0)") * $"sx").cast("double")
+          / ($"n".cast("double") * $"n")).cast("long").as("var_e12"),
+        $"min_e6", $"max_e6")
+      .orderBy($"i")
+  }
+
   /** q278 — embedding anisotropy (Ethayarajh 2019): the share of
     * total variance on the top principal component — the "is my
     * embedding space collapsing into a cone" diagnostic that decides
@@ -1044,6 +1115,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_hard_negatives" -> q281_hard_negatives,
+    "q285_embedding_standardize" -> q285_embedding_standardize,
     "q278_anisotropy" -> q278_anisotropy,
     "q247_sq8_adc_recall" -> q247_sq8_adc_recall,
     "q248_srp_rerank" -> q248_srp_rerank,
@@ -1118,6 +1191,40 @@ object Similarity {
         |  FROM cand)
         |SELECT q_id, rank, neighbor_id, sim_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q281_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.q_id, q.q_label, e.label AS n_label, e.vec_id AS neighbor_id,
+        |        CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |p AS (SELECT q_id, neighbor_id AS pos_id, sim_micro AS pos_sim_micro FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS r
+        |    FROM s WHERE n_label = q_label) WHERE r = 1),
+        |g AS (SELECT q_id, neighbor_id AS neg_id, sim_micro AS neg_sim_micro FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS r
+        |    FROM s WHERE n_label <> q_label) WHERE r = 1)
+        |SELECT q.q_id, CAST(q.q_label AS BIGINT) AS q_label,
+        |  p.pos_id, p.pos_sim_micro, g.neg_id, g.neg_sim_micro,
+        |  p.pos_sim_micro - g.neg_sim_micro AS margin_micro
+        |FROM q LEFT JOIN p USING (q_id) LEFT JOIN g USING (q_id)
+        |ORDER BY q_id""".stripMargin,
+    "q285_embedding_standardize" ->
+      """WITH ex AS (SELECT vec_id, g.i - 1 AS i,
+        |    CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |s AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xq) AS BIGINT) AS sx,
+        |        CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+        |        CAST(MIN(xq) AS BIGINT) AS min_e6, CAST(MAX(xq) AS BIGINT) AS max_e6
+        |      FROM ex GROUP BY 1)
+        |SELECT CAST(i AS BIGINT) AS i, n,
+        |  CAST(ROUND(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_e6,
+        |  CAST(ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e12,
+        |  min_e6, max_e6
+        |FROM s ORDER BY i""".stripMargin,
     "q247_sq8_adc_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |st AS (SELECT g.i AS pos, MIN(v[g.i]) AS mn, MAX(v[g.i]) AS mx

@@ -166,7 +166,11 @@ class PlanLintSpec extends AnyFunSuite {
       // q240 attaches the 1-row median via crossJoin(broadcast) with
       // the rare-threshold predicate in the BNLJ condition — q42's
       // scalar-attach exception
-      "q240_rare_token_retention" -> Set("cartesian-product"))
+      "q240_rare_token_retention" -> Set("cartesian-product"),
+      // q281 is q26's conditioned broadcast-query-batch exact scan (the
+      // demo ground truth for hard-negative mining; ANN candidates feed
+      // the same conditional-max tail at scale)
+      "q281_hard_negatives" -> Set("cartesian-product"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

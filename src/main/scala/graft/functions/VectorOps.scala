@@ -77,12 +77,88 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** `vector_to_double(a)`: native ARRAY<FLOAT> → ARRAY<DOUBLE> upcast.
+  *
+  * Why an Expression and not `transform(a, x -> cast(x as double))`:
+  * HigherOrderFunction lambdas are CodegenFallback — the transform
+  * puts an INTERPRETED projection (64 lambda invocations per row) at
+  * the base of every embedding operator AND breaks the whole-stage
+  * codegen span right above the scan. This expression is one method
+  * call per row inside codegen; the cast itself is exact (every
+  * float is representable as a double), so values are bit-identical
+  * to the HOF form and no oracle changes. Accepts ARRAY<DOUBLE> as an
+  * identity pass-through so double-typed fixture tables keep working.
+  */
+case class VectorToDouble(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val fromFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(DoubleType, containsNull)
+    case _ => ArrayType(DoubleType, containsNull = true)
+  }
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "vector_to_double"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vector_to_double requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${t.sql}")
+  }
+
+  def convert(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { if (a.isNullAt(i)) hasNull = true; i += 1 }
+    if (!hasNull) {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (a.isNullAt(i)) null
+          else java.lang.Double.valueOf(
+            if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = convert(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vtd", this, classOf[VectorToDouble].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.convert($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorToDouble =
+    copy(child = newChild)
+}
+
 object VectorOps {
   import org.apache.spark.sql.graftglue.ColumnGlue.{column, expression}
 
   /** Column-API entry point. */
   def vectorDot(a: Column, b: Column): Column =
     column(VectorDot(expression(a), expression(b)))
+
+  /** Column-API entry point for the native float→double upcast. */
+  def vectorToDouble(a: Column): Column =
+    column(VectorToDouble(expression(a)))
 
   /** SQL registration: `SELECT vector_dot(v, w)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

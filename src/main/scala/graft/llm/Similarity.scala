@@ -29,7 +29,15 @@ import graft.Tables.load
   */
 object Similarity {
 
-  private[llm] def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Native codegen'd ARRAY<FLOAT>→ARRAY<DOUBLE> upcast
+    * (graft.functions.VectorToDouble) — bit-identical to the
+    * `transform(c, _.cast("double"))` HOF it replaced (float→double
+    * is exact), but one generated call per row instead of ~64
+    * interpreted lambda invocations, and it keeps the scan inside
+    * whole-stage codegen (HOFs are CodegenFallback).
+    */
+  private[llm] def toDouble(c: Column): Column =
+    graft.functions.VectorOps.vectorToDouble(c)
 
   /** Native codegen'd dot (graft.functions.VectorDot) — bit-identical
     * to the aggregate(zip_with(...)) HOF composition it replaced (same

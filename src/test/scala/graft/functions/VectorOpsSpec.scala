@@ -75,4 +75,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("vector_dot") ||
       err.getMessage.contains("ARRAY<DOUBLE>"))
   }
+
+  test("vector_to_double is bit-identical to the transform(cast) HOF on floats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(50)(Array.fill(64)(rnd.nextFloat() * 2 - 1)).toDF("a")
+    val hof = df.select(transform($"a", x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0))
+    val native = df.select(VectorOps.vectorToDouble($"a"))
+      .collect().map(_.getSeq[Double](0))
+    assert(hof.zip(native).forall { case (h, n) =>
+      h.zip(n).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      }
+    })
+  }
+
+  test("vector_to_double: null input, null element, double pass-through") {
+    import spark.implicits._
+    val nullInput = Seq((0, null: Array[Float]))
+      .toDF("k", "a").select(VectorOps.vectorToDouble($"a")).collect()
+    assert(nullInput.head.isNullAt(0))
+    val withNulls = Seq(Tuple1(Seq[java.lang.Float](1.5f, null)))
+      .toDF("a").select(VectorOps.vectorToDouble($"a")).collect()
+    assert(withNulls.head.getSeq[Any](0) == Seq(1.5d, null))
+    val passThrough = Seq(Tuple1(Array(1.25, -2.5)))
+      .toDF("a").select(VectorOps.vectorToDouble($"a")).collect()
+    assert(passThrough.head.getSeq[Double](0) == Seq(1.25, -2.5))
+  }
 }

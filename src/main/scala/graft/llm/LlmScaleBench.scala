@@ -207,6 +207,7 @@ object LlmScaleBench {
       "script_mix" -> (() => drive(q("q267_script_mix"))),
       // round-11 operators
       "hard_negatives" -> (() => drive(q("q281_hard_negatives"))),
+      "ivfpq_topk" -> (() => drive(q("q287_ivfpq_topk"))),
       "cluster_split" -> (() => drive(q("q282_cluster_split"))),
       "decontam_spans" -> (() => drive(q("q283_decontam_spans"))),
       "mirror_clusters" -> (() => drive(q("q284_mirror_clusters"))),

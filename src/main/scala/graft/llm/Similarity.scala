@@ -992,6 +992,97 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  final val IvfPqRerank = 50
+
+  /** q287 — IVFPQ end-to-end (Jégou et al. 2011 §V; the FAISS IVFPQ
+    * composition, assembled from this library's own oracle-verified
+    * stages): the coarse IVF quantizer bounds WHICH vectors a query
+    * visits (q49's probe — IvfProbes of IvfCentroids inverted lists),
+    * the PQ codes bound the BYTES each visited vector costs during the
+    * scan (q198/q199's 8-byte ADC — 32× smaller than raw doubles),
+    * and an exact cosine rerank of the top-IvfPqRerank ADC candidates
+    * restores full precision at the end — the three-stage shape
+    * production ANN actually serves. This variant encodes raw vectors
+    * (IVFFlat-PQ, q199's convention) rather than residuals, so every
+    * stage replays in the DuckDB oracle bit-for-bit.
+    *
+    * Scale design: the stored index is (centroid, 8 codes) per vector
+    * — built once and MATERIALIZED (the inverted lists + code shelf of
+    * a real deployment); the ADC pass touches ONLY the codes of the
+    * probed lists (never raw vectors); the rerank fetches raw vectors
+    * for just IvfPqRerank·|queries| rows via one equi-join back to the
+    * index (the "fetch from the vector store" step). No stage is
+    * corpus-quadratic; the one broadcast is the query batch with its
+    * 8×16-long LUTs attached.
+    */
+  def q287_ivfpq_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val seeds = pqSeeds(emb)
+
+    // the stored index: coarse list id + 8-byte PQ code per vector
+    // (materialized — CodegenFallback argmins must not re-evaluate
+    // per candidate row, and a real IVFPQ index is a stored table)
+    val codes = pqAssigned(emb, seeds).select($"vec_id",
+      array((0 until PqSubspaces).map(m => col(s"a$m").getField("cid")): _*)
+        .as("codes"))
+    val index = graft.Caches.tracked(assignTo(emb, seeds).join(codes, "vec_id"))
+
+    // query batch: probe ranking over the coarse centroids + the ADC
+    // LUT of exact micro-distances to every codeword
+    val centArr = array(seeds.map { case (cid, c) =>
+      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
+    }.toSeq: _*)
+    def dist2Micro(v: Column, cv: Column): Column =
+      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+    val lut = array((0 until PqSubspaces).map { m =>
+      val s = slice($"qv", m * PqSubDim + 1, PqSubDim)
+      array(seeds.map { case (_, c) =>
+        pqDistMicro(dot(s, s), s, pqSubvec(c, m))
+      }.toSeq: _*)
+    }: _*)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .withColumn("lut", lut)
+      .select($"q_id", $"qv", $"qnrm", $"lut", explode(centArr).as("c"))
+      .withColumn("dmicro", dist2Micro($"qv", $"c.cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
+      .filter($"crank" <= IvfProbes)
+      .select($"q_id", $"lut", $"c.cid".as("probe_centroid"))
+
+    // ADC scan over the probed lists' CODES only — slim rows
+    val adc = (0 until PqSubspaces).map(m =>
+        element_at(element_at($"lut", m + 1),
+          element_at($"codes", m + 1) + lit(1)))
+      .reduce(_ + _)
+    val cands = index.select($"vec_id", $"centroid", $"codes")
+      .join(broadcast(queries),
+        $"centroid" === $"probe_centroid" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc_micro"))
+    val wa = Window.partitionBy($"q_id").orderBy($"adc_micro", $"neighbor_id")
+    val atop = cands.withColumn("rk", row_number().over(wa))
+      .filter($"rk" <= IvfPqRerank)
+      .select($"q_id", $"neighbor_id")
+
+    // exact rerank: fetch raw vectors for the IvfPqRerank·|queries|
+    // survivors only
+    val qvec = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val rr = atop
+      .join(index.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .join(broadcast(qvec), "q_id")
+      .select($"q_id", $"neighbor_id",
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    rr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"sim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** q281 — hard-negative mining for contrastive training (the
     * in-batch-negatives upgrade every retrieval/embedding training
     * pipeline runs; cf. DPR, Karpukhin et al. 2020): for each query
@@ -1123,6 +1214,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_ivfpq_topk" -> q287_ivfpq_topk,
     "q281_hard_negatives" -> q281_hard_negatives,
     "q285_embedding_standardize" -> q285_embedding_standardize,
     "q278_anisotropy" -> q278_anisotropy,
@@ -1197,6 +1289,52 @@ object Similarity {
         |r AS (SELECT q_id, neighbor_id, sim_micro,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, neighbor_id) AS rank
         |  FROM cand)
+        |SELECT q_id, rank, neighbor_id, sim_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q287_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |ad AS MATERIALIZED (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |sub AS MATERIALIZED (
+        |  SELECT e.vec_id, m.m, s.cid,
+        |    CAST(ROUND((
+        |      list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                         e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      - 2.0 * list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                                 s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      + list_inner_product(s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                           s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
+        |      AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN s),
+        |pasg AS (SELECT vec_id, m, cid AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+        |    FROM sub) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS q_id, cid AS probe FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS crank
+        |    FROM ad WHERE vec_id % 50 = 0) WHERE crank <= $IvfProbes),
+        |lutv AS (SELECT vec_id AS q_id, m, cid, dmicro FROM sub WHERE vec_id % 50 = 0),
+        |cand AS (SELECT qp.q_id, a.vec_id AS neighbor_id
+        |  FROM asg a JOIN qp ON a.centroid = qp.probe AND a.vec_id <> qp.q_id),
+        |adc AS (SELECT c.q_id, c.neighbor_id, CAST(SUM(l.dmicro) AS BIGINT) AS adc_micro
+        |  FROM cand c JOIN pasg p ON p.vec_id = c.neighbor_id
+        |    JOIN lutv l ON l.q_id = c.q_id AND l.m = p.m AND l.cid = p.code
+        |  GROUP BY 1, 2),
+        |atop AS (SELECT q_id, neighbor_id FROM (
+        |    SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_micro, neighbor_id) AS rk FROM adc) z WHERE rk <= $IvfPqRerank),
+        |rr AS (SELECT atop.q_id, atop.neighbor_id,
+        |    CAST(ROUND(list_cosine_similarity(q.v, n.v) * 1e6) AS BIGINT) AS sim_micro
+        |  FROM atop JOIN e q ON q.vec_id = atop.q_id
+        |    JOIN e n ON n.vec_id = atop.neighbor_id),
+        |r AS (SELECT q_id, neighbor_id, sim_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, neighbor_id) AS rank
+        |  FROM rr)
         |SELECT q_id, rank, neighbor_id, sim_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q281_hard_negatives" ->

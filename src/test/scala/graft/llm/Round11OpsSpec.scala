@@ -128,6 +128,29 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(d0.getLong(4) == 100000L && d0.getLong(5) == 300000L)
   }
 
+  test("IVFPQ recall@10 beats the probe fraction; rerank output is exact cosine") {
+    val exact = Similarity.q26_ann_topk(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val rows = Similarity.q287_ivfpq_topk(spark, dir).collect()
+    val ivfpq = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(ivfpq.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      ivfpq.get(q).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"IVFPQ recall@10 should beat its probe fraction, got $mean")
+    // the final ranking is EXACT cosine on the survivors: every
+    // reported sim_micro must equal the exact pair cosine q26 computes
+    val exactSims = Similarity.q26_ann_topk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      exactSims.get(k).foreach(s => assert(s == r.getLong(3),
+        s"rerank sim for $k must be the exact cosine"))
+    }
+  }
+
   test("eval n-gram overlap: fully-copied eval doc scores 10000 bp, novel doc 0 bp") {
     import spark.implicits._
     val m = DataPrep.EvalModulus

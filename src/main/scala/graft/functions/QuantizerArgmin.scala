@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `quantizer_argmin(v)`: native nearest-centroid assignment — the
+  * inner loop of the whole quantizer family (IVF assignment q34/q49,
+  * SemDeDup clusters q195, purity q227, probe sweep q249, the PQ
+  * subspace codes q198/q199/q287).
+  *
+  * Returns STRUCT(d: BIGINT, cid: INT) — the micro-rounded squared
+  * distance and id of the nearest centroid — bit-identical to the
+  * `array_min(array(struct(round((vv − 2·dot + cc)·1e6), cid), …))`
+  * composition it replaces:
+  *  - vv and each dot accumulate left-to-right from 0.0 (the
+  *    VectorDot contract that matches DuckDB's list_inner_product);
+  *  - cc is the PRECOMPUTED Scala `c.map(x·x).sum` fold, passed in so
+  *    the constant matches the oracle's list_inner_product exactly;
+  *  - the combine order is ((vv − 2.0·dot) + cc) · 1e6, then Spark's
+  *    Round semantics (BigDecimal.valueOf HALF_UP — ties away from
+  *    zero, same as DuckDB's ROUND);
+  *  - ties break to the LOWER cid (strict <, ascending scan) — the
+  *    array_min lexicographic struct order.
+  *
+  * Why an Expression: `array_min` is CodegenFallback, so the HOF
+  * composition ran an interpreted 16-struct allocation per row at the
+  * base of every quantizer scan (~95 µs/row measured at 20k vectors)
+  * AND broke the whole-stage codegen span; this is one generated call
+  * per row into a tight primitive loop. Any NULL element nulls the
+  * result (the composition's d would be null — never exercised by the
+  * non-null embedding tables, pinned by spec).
+  */
+case class QuantizerArgmin(child: Expression,
+    centers: Seq[Seq[Double]], cc: Seq[Double]) extends UnaryExpression {
+  require(centers.nonEmpty && centers.length == cc.length,
+    "quantizer_argmin needs aligned centers and Σc² constants")
+
+  @transient private lazy val cArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val ccArr: Array[Double] = cc.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantizer_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantizer_argmin requires ARRAY<DOUBLE>, got ${t.sql}")
+  }
+
+  /** Spark Round(x, 0) semantics on doubles: BigDecimal.valueOf →
+    * HALF_UP (ties away from zero), identical to DuckDB's ROUND.
+    */
+  private def halfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val v = new Array[Double](n)
+    i = 0
+    while (i < n) { v(i) = a.getDouble(i); i += 1 }
+    var vv = 0.0
+    i = 0
+    while (i < n) { vv += v(i) * v(i); i += 1 }
+    var bestD = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < cArr.length) {
+      val ctr = cArr(c)
+      val m = math.min(n, ctr.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += v(i) * ctr(i); i += 1 }
+      val d = halfUp(((vv - 2.0 * dot) + ccArr(c)) * 1e6)
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qam", this, classOf[QuantizerArgmin].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizerArgmin =
+    copy(child = newChild)
+}
+
+object QuantizerArgmin {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{column, expression}
+
+  /** Column-API entry: seeds as the (cid, vector) list the quantizer
+    * family already carries — cid MUST be the dense 0..k−1 range in
+    * order (the assignment contract the oracles replay).
+    */
+  def argmin(v: Column, seeds: Array[(Int, Array[Double])]): Column = {
+    require(seeds.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "quantizer_argmin expects dense ordered cids 0..k-1")
+    column(QuantizerArgmin(expression(v),
+      seeds.map(_._2.toSeq).toSeq,
+      seeds.map(_._2.map(x => x * x).sum).toSeq))
+  }
+
+  /** Raw-codebook entry (the PQ subspace form): centers with their
+    * PRECOMPUTED Σc² folds — pass the same Scala left-to-right sums
+    * the expression composition used, never recompute in a different
+    * order.
+    */
+  def argmin(v: Column, centers: Array[Array[Double]], ccs: Array[Double]): Column =
+    column(QuantizerArgmin(expression(v),
+      centers.map(_.toSeq).toSeq, ccs.toSeq))
+}

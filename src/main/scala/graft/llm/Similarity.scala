@@ -345,13 +345,14 @@ object Similarity {
                        seeds: Array[(Int, Array[Double])]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vv = dot($"v", $"v")
+    // Native codegen'd argmin (graft.functions.QuantizerArgmin) —
+    // bit-identical to the array_min-over-structs composition it
+    // replaced (same folds, same HALF_UP micro-rounding, ties to the
+    // lower cid), but one generated call per row instead of an
+    // interpreted 16-struct allocation (array_min is CodegenFallback).
     emb
-      .withColumn("centroid", array_min(array(seeds.map { case (cid, c) =>
-          struct(round((vv - lit(2.0) * dot($"v", array(c.map(lit).toSeq: _*))
-            + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
-            lit(cid).as("cid"))
-        }.toSeq: _*)).getField("cid"))
+      .withColumn("centroid",
+        graft.functions.QuantizerArgmin.argmin($"v", seeds).getField("cid"))
       .select($"vec_id", $"v", $"nrm", $"centroid")
   }
 
@@ -585,11 +586,12 @@ object Similarity {
     val withSubs = emb.select(($"vec_id" +: (0 until PqSubspaces).map(m =>
       slice($"v", m * PqSubDim + 1, PqSubDim).as(s"s$m"))): _*)
     withSubs.select(($"vec_id" +: (0 until PqSubspaces).map { m =>
-      val s = col(s"s$m")
-      val ss = dot(s, s)
-      array_min(array(seeds.map { case (cid, c) =>
-        struct(pqDistMicro(ss, s, pqSubvec(c, m)).as("d"), lit(cid).as("cid"))
-      }.toSeq: _*)).as(s"a$m")
+      // native argmin per subspace (see assignTo) — Σc² folds
+      // precomputed Scala-side, matching the oracle's
+      // list_inner_product bit-for-bit
+      val subs = seeds.map { case (_, c) => pqSubvec(c, m) }
+      graft.functions.QuantizerArgmin.argmin(col(s"s$m"),
+        subs, subs.map(_.map(x => x * x).sum)).as(s"a$m")
     }): _*)
   }
 
@@ -654,10 +656,14 @@ object Similarity {
       .select($"vec_id", toDouble($"embedding").as("v"))
     val seeds = pqSeeds(emb)
 
-    // corpus: PQ codes only (the compressed index)
-    val codes = pqAssigned(emb, seeds).select($"vec_id",
+    // corpus: PQ codes only (the compressed index) — MATERIALIZED so
+    // the per-subspace argmin projection cannot collapse into the
+    // query-batch attach and re-evaluate per (corpus × query) output
+    // row (measured 22 s vs 1.5 s at 20k vectors × 400 queries); a
+    // real PQ index is a stored code shelf anyway
+    val codes = graft.Caches.tracked(pqAssigned(emb, seeds).select($"vec_id",
       array((0 until PqSubspaces).map(m => col(s"a$m").getField("cid")): _*)
-        .as("codes"))
+        .as("codes")))
 
     // query batch: per query, the 8×16 LUT of exact micro-distances
     // to every codeword — computed once here, looked up per candidate

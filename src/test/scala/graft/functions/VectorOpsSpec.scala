@@ -91,6 +91,29 @@ class VectorOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("quantizer_argmin is bit-identical to the array_min(struct) composition, ties to lower cid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val seeds: Array[(Int, Array[Double])] =
+      Array.tabulate(4)(i => (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+    // duplicate centroid 3 == centroid 1 → any point nearest to it must
+    // report cid 1 (lower id wins the tie)
+    seeds(3) = (3, seeds(1)._2.clone())
+    val df = Seq.fill(200)(Array.fill(dim)(rnd.nextDouble() - 0.5)).toDF("v")
+    val vv = VectorOps.vectorDot($"v", $"v")
+    val hof = df.select(array_min(array(seeds.map { case (cid, c) =>
+        struct(round((vv - lit(2.0) * VectorOps.vectorDot($"v", array(c.map(lit).toSeq: _*))
+          + lit(c.map(x => x * x).sum)) * 1e6).cast("long").as("d"),
+          lit(cid).as("cid"))
+      }.toSeq: _*)).as("m"))
+      .select($"m.d", $"m.cid").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val native = df.select(QuantizerArgmin.argmin($"v", seeds).as("m"))
+      .select($"m.d", $"m.cid").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(hof.sameElements(native))
+    assert(native.forall(_._2 != 3), "ties must resolve to the lower cid")
+  }
+
   test("vector_to_double: null input, null element, double pass-through") {
     import spark.implicits._
     val nullInput = Seq((0, null: Array[Float]))

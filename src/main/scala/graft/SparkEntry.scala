@@ -50,6 +50,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Chunking.queries ++
       graft.llm.Similarity.queries ++
+      graft.llm.Evaluation.queries ++
       graft.llm.Multimodal.queries ++
       graft.llm.CorpusPipeline.queries ++
       graft.llm.DataPrep.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       graft.llm.Dedup.oracle ++
       graft.llm.Chunking.oracle ++
       graft.llm.Similarity.oracle ++
+      graft.llm.Evaluation.oracle ++
       graft.llm.Multimodal.oracle ++
       graft.llm.CorpusPipeline.oracle ++
       graft.llm.DataPrep.oracle ++

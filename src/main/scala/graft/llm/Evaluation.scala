@@ -1,0 +1,440 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import Similarity.{toDouble, dot, norm, TopK}
+
+/** Training-data valuation and retrieval-evaluation operators over the
+  * `embeddings` table — the "is this data worth training on / is this
+  * index worth serving from" layer that sits beside the ANN stack
+  * (q26/q34/q49) and the dedup stack (q23/q195):
+  *
+  *  - q288 exact KNN-Shapley data valuation (Jia et al., VLDB 2019):
+  *    the closed-form per-training-point Shapley value of a K-NN
+  *    classifier, computed with windows — no Monte-Carlo permutations.
+  *  - q289 k-center coreset (greedy farthest-point / Gonzalez 1985):
+  *    diversity selection with a 2-approximation coverage guarantee.
+  *  - q290 IVF index maintenance audit: assign an append batch to the
+  *    frozen coarse quantizer and measure per-list occupancy drift —
+  *    the "do I need to retrain the index" signal.
+  *  - q292 retrieval quality metrics (recall@k / MRR / nDCG@k) for the
+  *    exact cosine run against label relevance.
+  *  - q293 matryoshka truncation recall: top-k recall when embeddings
+  *    are truncated to prefix dims (Kusupati et al. 2022) — the
+  *    bytes-per-vector knob evaluated against the full-dim baseline.
+  *
+  * Determinism across engines follows the ANN-layer conventions: every
+  * similarity/distance is micro-rounded to an integer immediately
+  * after one double expression both engines evaluate identically; all
+  * accumulation past that point is exact integer arithmetic; ranking
+  * ties break on ids.
+  */
+object Evaluation {
+
+  final val ShapK = 5
+
+  /** q288 — exact KNN-Shapley data valuation (Jia et al. 2019, "Towards
+    * Efficient Data Valuation Based on the Shapley Value"): for a K-NN
+    * utility, the Shapley value of every training point has a closed
+    * form over the distance-sorted corpus — s_(N) = 1[y_(N)=y]/N and
+    * s_(j) = s_(j+1) + (1[y_(j)=y] − 1[y_(j+1)=y])·min(K,j)/(K·j) —
+    * so the whole valuation is one ranking window + one lead + one
+    * suffix sum, never a permutation sample. The probe batch is the
+    * standard every-50th query set (bounded — the corpus side stays
+    * linear at any SF; at 100 TB the batch is the knob, exactly like
+    * the q26 exact-eval family). Each per-position term quantizes to
+    * 1e-12 units with ONE identically-evaluated double expression,
+    * then the suffix sum and the per-training-point total across
+    * queries are exact integer sums — engine-identical by
+    * construction. Output: the top-100 most valuable training points
+    * (TakeOrdered — never a global single-partition window over the
+    * corpus). Spec pins the efficiency property Σᵢ sᵢ = hits@K/K per
+    * query and the all-same-label closed form.
+    */
+  def q288_knn_shapley(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"label".as("q_label"))
+
+    val sims = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id",
+        $"vec_id".as("train_id"), $"label",
+        when($"label" === $"q_label", 1L).otherwise(0L).as("ind"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+
+    val byDist = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"train_id")
+    val part = Window.partitionBy($"q_id")
+    val ranked = sims
+      .withColumn("pos", row_number().over(byDist))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("ind_next", lead($"ind", 1).over(byDist))
+    val terms = ranked.withColumn("term_e12",
+      when($"ind_next".isNull,
+        round($"ind".cast("double") / $"n" * 1e12).cast("long"))
+        .otherwise(round(($"ind" - $"ind_next") * least(lit(ShapK), $"pos")
+          / (lit(ShapK.toDouble) * $"pos") * 1e12).cast("long")))
+    // suffix sum in distance order = running sum over descending pos
+    val suffix = Window.partitionBy($"q_id").orderBy($"pos".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val values = terms
+      .withColumn("s_e12", sum($"term_e12").over(suffix))
+      .groupBy($"train_id", $"label".cast("long").as("label"))
+      .agg(count(lit(1)).as("n_queries"), sum($"s_e12").as("value_e12"))
+    values
+      .orderBy($"value_e12".desc, $"train_id")
+      .limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"value_e12".desc, $"train_id")).cast("long"))
+      .select($"rank", $"train_id", $"label", $"n_queries", $"value_e12")
+      .orderBy($"rank")
+  }
+
+  final val KCenters = 5
+
+  /** q289 — greedy k-center coreset (Gonzalez 1985, farthest-point
+    * traversal): the diversity-selection dual of dedup — pick the K
+    * training examples that COVER the embedding space (every point
+    * within coverage_radius of some center, a 2-approximation of the
+    * optimal k-center radius). Exactly K bounded rounds: each round
+    * one corpus scan computes min-distance to the ≤K chosen centers
+    * (literal vectors — broadcast with the plan, no join) and
+    * TakeOrdered picks the farthest point (the next center AND the
+    * current coverage radius in one row). Driver state is K·64
+    * doubles — bounded scalars, the documented two-phase pattern. At
+    * 100 TB: K scans, each embarrassingly parallel, no shuffle except
+    * the single-row argmax reduce.
+    */
+  def q289_kcenter_coreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+
+    def dist2Micro(v: Column, c: Array[Double]): Column = {
+      val cv = array(c.map(lit).toSeq: _*)
+      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+    }
+
+    // seed: the minimum vec_id (deterministic, engine-independent)
+    val first = emb.orderBy($"vec_id").limit(1).collect()(0)
+    // head of `centers` is always the center chosen in the CURRENT
+    // round: the farthest point found in round r is both round r's
+    // coverage radius and round r+1's center (prepended below)
+    var centers = List((first.getLong(0), first.getSeq[Double](1).toArray))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to KCenters) {
+      val dmin = centers.map(c => dist2Micro($"v", c._2)).reduce(least(_, _))
+      val far = emb.select($"vec_id", $"v", dmin.as("dmin"))
+        .orderBy($"dmin".desc, $"vec_id").limit(1).collect()(0)
+      out += ((r.toLong, centers.head._1, far.getLong(2)))
+      centers = (far.getLong(0), far.getSeq[Double](1).toArray) :: centers
+    }
+    spark.createDataFrame(out.toList).toDF("round", "center_id", "coverage_micro")
+      .orderBy($"round")
+  }
+
+  /** q290 — IVF index maintenance audit (incremental append + drift):
+    * the operational question behind every served ANN index — an
+    * append batch arrives, the coarse quantizer is FROZEN (retraining
+    * re-shuffles every stored code), so new vectors go to their
+    * nearest existing centroid; when per-list occupancy drifts, recall
+    * degrades and a retrain is due. The audit assigns base corpus and
+    * append batch (vec_id ≥ 16 with id%10 = 7 — the first 16 vectors
+    * are q49's frozen seeds) through the SAME seeded quantizer the
+    * oracle replays, and reports per-list base/new occupancy shares
+    * (ppm) and their drift. One scan, one 16-row aggregate — index
+    * maintenance cost is assignment-only, exactly how a 100 TB index
+    * absorbs appends between retrains.
+    */
+  def q290_ivf_append_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (_, assigned) = Similarity.seededAssignment(emb)
+    val flagged = assigned.select($"centroid",
+      when($"vec_id" >= Similarity.IvfCentroids && $"vec_id" % 10 === 7, 1L)
+        .otherwise(0L).as("isn"))
+    val g = flagged.groupBy($"centroid")
+      .agg(sum(lit(1L) - $"isn").as("n_base"), sum($"isn").as("n_new"))
+    val t = g.agg(sum($"n_base").as("tb"), sum($"n_new").as("tn"))
+    g.crossJoin(broadcast(t))
+      .select($"centroid".cast("long").as("cid"), $"n_base", $"n_new",
+        round(lit(1e6) * $"n_base" / $"tb").cast("long").as("share_base_ppm"),
+        round(lit(1e6) * $"n_new" / $"tn").cast("long").as("share_new_ppm"))
+      .withColumn("drift_ppm", abs($"share_base_ppm" - $"share_new_ppm"))
+      .orderBy($"cid")
+  }
+
+  /** nDCG discount table, computed ONCE in Scala and spliced as
+    * literal constants into BOTH the Spark plan and the DuckDB oracle
+    * SQL — log2 across engines/libms can differ in the last ulp, so
+    * neither engine ever evaluates a log: disc(i) = round(1e9/log2(i+1)).
+    */
+  private val DiscE9: IndexedSeq[Long] =
+    (1 to TopK).map(i => math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+  private val CumDiscE9: IndexedSeq[Long] = DiscE9.scanLeft(0L)(_ + _).tail
+
+  /** q292 — retrieval quality metrics: recall@10, MRR and nDCG@10 of
+    * the exact cosine run (q26's shared top-k memo) against label
+    * relevance (a neighbor is relevant iff it carries the query's
+    * label) — the eval harness every retrieval/RAG pipeline runs
+    * before swapping an index. DCG terms use the pre-quantized
+    * discount table (exact integer sums — engine-identical); ideal
+    * DCG is the cumulative table at min(10, n_rel); each final metric
+    * is ONE exactly-rounded division to micro units. Cost: the run is
+    * the memoized exact top-k (≤|queries|·10 rows) joined to two
+    * bounded label tables — nothing corpus-quadratic beyond the
+    * shared denominator.
+    */
+  def q292_retrieval_metrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = load(spark, dir, "embeddings").select($"vec_id", $"label")
+    val labCnt = labels.groupBy($"label").agg(count(lit(1)).as("c"))
+    val queries = labels.filter($"vec_id" % 50 === 0)
+      .join(broadcast(labCnt), "label")
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), ($"c" - 1L).as("n_rel"))
+
+    val discCol = array(DiscE9.map(lit): _*)
+    val run = Similarity.exactTopK(spark, dir)
+      .join(broadcast(labels.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))),
+        "neighbor_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("rel", ($"n_label" === $"q_label").cast("long"))
+
+    val perQ = run.groupBy($"q_id", $"n_rel")
+      .agg(sum($"rel").as("hits"),
+        sum(when($"rel" === 1L, element_at(discCol, $"rank".cast("int")))
+          .otherwise(0L)).as("dcg_e9"),
+        min(when($"rel" === 1L, $"rank")).as("first_rel"))
+    val cumCol = array(CumDiscE9.map(lit): _*)
+    perQ.select($"q_id", $"n_rel", $"hits",
+        when($"n_rel" > 0,
+          round(lit(1e6) * $"hits" / least(lit(TopK.toLong), $"n_rel")).cast("long"))
+          .otherwise(0L).as("recall_micro"),
+        when($"first_rel".isNotNull,
+          round(lit(1e6) / $"first_rel").cast("long")).otherwise(0L).as("mrr_micro"),
+        when($"n_rel" > 0,
+          round(lit(1e6) * $"dcg_e9"
+            / element_at(cumCol, least(lit(TopK), $"n_rel").cast("int"))).cast("long"))
+          .otherwise(0L).as("ndcg_micro"))
+      .orderBy($"q_id")
+  }
+
+  final val MatryoshkaDims = Seq(16, 32, 64)
+
+  /** q293 — matryoshka truncation recall (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): top-10 recall when the
+    * cosine runs on only the first d dimensions — the bytes-per-vector
+    * scan knob (d=16 reads 4× fewer bytes than full) evaluated against
+    * the full-dim exact baseline. Per dim: the standard broadcast-
+    * query scan on sliced vectors, rank window, overlap count vs the
+    * shared exact memo; d=64 IS the baseline, so its recall is
+    * exactly 1e6 — a built-in sanity anchor the oracle hashes too.
+    */
+  def q293_matryoshka_recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val exact = Similarity.exactTopK(spark, dir)
+      .select($"q_id", $"neighbor_id").withColumn("in_exact", lit(1L))
+
+    val perDim = MatryoshkaDims.map { d =>
+      val sub = emb.select($"vec_id", slice($"v", 1, d).as("vd"))
+        .withColumn("nrm", norm($"vd"))
+      val queries = sub.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"vd".as("qv"), $"nrm".as("qnrm"))
+      val sims = sub.join(broadcast(queries), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          round(dot($"qv", $"vd") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+      sims.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+        .join(broadcast(exact), Seq("q_id", "neighbor_id"), "left")
+        .groupBy($"q_id").agg(sum(coalesce($"in_exact", lit(0L))).as("ovl"))
+        .agg(count(lit(1)).as("n_queries"), sum($"ovl").as("sum_overlap"))
+        .select(lit(d.toLong).as("dim"), $"n_queries", $"sum_overlap",
+          round(lit(1e6) * $"sum_overlap" / (lit(TopK.toLong) * $"n_queries"))
+            .cast("long").as("mean_recall_micro"))
+    }
+    perDim.reduce(_.union(_)).orderBy($"dim")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_knn_shapley" -> q288_knn_shapley,
+    "q289_kcenter_coreset" -> q289_kcenter_coreset,
+    "q290_ivf_append_drift" -> q290_ivf_append_drift,
+    "q292_retrieval_metrics" -> q292_retrieval_metrics,
+    "q293_matryoshka_recall" -> q293_matryoshka_recall)
+
+  private val ESql =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)"
+
+  private def kcenterSql: String = {
+    def dist(dAlias: String, cAlias: String) =
+      s"""CAST(ROUND((list_inner_product($dAlias.v, $dAlias.v)
+         |  - 2.0 * list_inner_product($dAlias.v, $cAlias.cv)
+         |  + list_inner_product($cAlias.cv, $cAlias.cv)) * 1e6) AS BIGINT)""".stripMargin
+    val rounds = (2 to KCenters).map { r =>
+      s"""f${r - 1} AS (SELECT vec_id, dmin FROM d${r - 1}
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT e.vec_id AS cid, e.v AS cv FROM e, f${r - 1}
+         |  WHERE e.vec_id = f${r - 1}.vec_id),
+         |d$r AS (SELECT d.vec_id, d.v,
+         |    LEAST(d.dmin, ${dist("d", "c")}) AS dmin
+         |  FROM d${r - 1} d, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to KCenters).map { r =>
+      val cid = if (r == 1) "(SELECT cid FROM c1)" else s"(SELECT cid FROM c$r)"
+      s"""SELECT CAST($r AS BIGINT) AS round, CAST($cid AS BIGINT) AS center_id,
+         |  (SELECT dmin FROM f$r) AS coverage_micro""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ESql,
+       |c1 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.v, ${dist("e", "c")} AS dmin FROM e, c1 c),
+       |$rounds,
+       |f$KCenters AS (SELECT vec_id, dmin FROM d$KCenters
+       |  ORDER BY dmin DESC, vec_id LIMIT 1)
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
+  private def matryoshkaSql: String = {
+    val blocks = MatryoshkaDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, n_queries, sum_overlap,
+         |  CAST(ROUND(1e6 * sum_overlap / (10 * n_queries)) AS BIGINT)
+         |    AS mean_recall_micro
+         |FROM (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |    CAST(SUM(ovl) AS BIGINT) AS sum_overlap
+         |  FROM (
+         |    SELECT t.q_id, SUM(CASE WHEN ex.neighbor_id IS NOT NULL
+         |                            THEN 1 ELSE 0 END) AS ovl
+         |    FROM (
+         |      SELECT q_id, neighbor_id FROM (
+         |        SELECT q.q_id, e.vec_id AS neighbor_id,
+         |          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |            CAST(ROUND(list_cosine_similarity(
+         |              list_slice(q.v, 1, $d), list_slice(e.v, 1, $d)) * 1e6)
+         |              AS BIGINT) DESC, e.vec_id) AS rank
+         |        FROM qq q JOIN e ON e.vec_id <> q.q_id)
+         |      WHERE rank <= 10) t
+         |    LEFT JOIN ex ON ex.q_id = t.q_id AND ex.neighbor_id = t.neighbor_id
+         |    GROUP BY t.q_id))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ESql,
+       |qq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 50 = 0),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q.q_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+       |        CAST(ROUND(list_cosine_similarity(q.v, e.v) * 1e6) AS BIGINT)
+       |        DESC, e.vec_id) AS rank
+       |    FROM qq q JOIN e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 10)
+       |$blocks
+       |ORDER BY dim""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q288_knn_shapley" ->
+      s"""WITH $ESql,
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.q_id, e.vec_id AS train_id, e.label,
+        |        CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS ind,
+        |        CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT)
+        |          AS sim_micro
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY sim_micro DESC, train_id) AS pos,
+        |        COUNT(*) OVER (PARTITION BY q_id) AS n
+        |      FROM s),
+        |t AS (SELECT *, LEAD(ind) OVER (PARTITION BY q_id ORDER BY pos)
+        |        AS ind_next FROM r),
+        |u AS (SELECT q_id, train_id, label, pos,
+        |        CASE WHEN ind_next IS NULL
+        |             THEN CAST(ROUND(CAST(ind AS DOUBLE) / n * 1e12) AS BIGINT)
+        |             ELSE CAST(ROUND((ind - ind_next) * LEAST($ShapK, pos)
+        |                    / ($ShapK.0 * pos) * 1e12) AS BIGINT)
+        |        END AS term_e12
+        |      FROM t),
+        |sh AS (SELECT q_id, train_id, label,
+        |        SUM(term_e12) OVER (PARTITION BY q_id ORDER BY pos DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_e12
+        |      FROM u),
+        |agg AS (SELECT train_id, CAST(label AS BIGINT) AS label,
+        |        CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |        CAST(SUM(s_e12) AS BIGINT) AS value_e12
+        |      FROM sh GROUP BY 1, 2),
+        |top AS (SELECT * FROM agg ORDER BY value_e12 DESC, train_id LIMIT 100)
+        |SELECT ROW_NUMBER() OVER (ORDER BY value_e12 DESC, train_id) AS rank,
+        |  train_id, label, n_queries, value_e12
+        |FROM top ORDER BY rank""".stripMargin,
+    "q289_kcenter_coreset" -> kcenterSql,
+    "q290_ivf_append_drift" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |ad AS (SELECT e.vec_id, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |fl AS (SELECT centroid,
+        |    CASE WHEN vec_id >= ${Similarity.IvfCentroids} AND vec_id % 10 = 7
+        |         THEN 1 ELSE 0 END AS isn FROM asg),
+        |g AS (SELECT centroid, SUM(1 - isn) AS n_base, SUM(isn) AS n_new
+        |      FROM fl GROUP BY 1),
+        |t AS (SELECT SUM(n_base) AS tb, SUM(n_new) AS tn FROM g)
+        |SELECT CAST(centroid AS BIGINT) AS cid,
+        |  CAST(n_base AS BIGINT) AS n_base, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(ROUND(1e6 * n_base / tb) AS BIGINT) AS share_base_ppm,
+        |  CAST(ROUND(1e6 * n_new / tn) AS BIGINT) AS share_new_ppm,
+        |  ABS(CAST(ROUND(1e6 * n_base / tb) AS BIGINT)
+        |    - CAST(ROUND(1e6 * n_new / tn) AS BIGINT)) AS drift_ppm
+        |FROM g, t ORDER BY cid""".stripMargin,
+    "q292_retrieval_metrics" -> {
+      val discList = DiscE9.mkString("[", ", ", "]")
+      val cumList = CumDiscE9.mkString("[", ", ", "]")
+      s"""WITH $ESql,
+        |lc AS (SELECT label, COUNT(*) AS c FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id AS q_id, e.v AS qv, e.label AS q_label,
+        |        lc.c - 1 AS n_rel
+        |      FROM e JOIN lc ON lc.label = e.label WHERE e.vec_id % 50 = 0),
+        |s AS (SELECT q.q_id, q.n_rel, e.vec_id AS neighbor_id,
+        |        CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+        |        CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT)
+        |          AS sim_micro
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY sim_micro DESC, neighbor_id) AS rank FROM s),
+        |top AS (SELECT * FROM r WHERE rank <= $TopK),
+        |perq AS (SELECT q_id, n_rel,
+        |        CAST(SUM(rel) AS BIGINT) AS hits,
+        |        CAST(SUM(CASE WHEN rel = 1 THEN ($discList)[rank]
+        |                      ELSE 0 END) AS BIGINT) AS dcg_e9,
+        |        MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        |      FROM top GROUP BY 1, 2)
+        |SELECT q_id, CAST(n_rel AS BIGINT) AS n_rel, hits,
+        |  CASE WHEN n_rel > 0
+        |       THEN CAST(ROUND(1e6 * hits / LEAST($TopK, n_rel)) AS BIGINT)
+        |       ELSE 0 END AS recall_micro,
+        |  CASE WHEN first_rel IS NOT NULL
+        |       THEN CAST(ROUND(1e6 / first_rel) AS BIGINT)
+        |       ELSE 0 END AS mrr_micro,
+        |  CASE WHEN n_rel > 0
+        |       THEN CAST(ROUND(1e6 * dcg_e9
+        |              / ($cumList)[LEAST($TopK, n_rel)]) AS BIGINT)
+        |       ELSE 0 END AS ndcg_micro
+        |FROM perq ORDER BY q_id""".stripMargin
+    },
+    "q293_matryoshka_recall" -> matryoshkaSql)
+}

@@ -356,7 +356,7 @@ object Similarity {
       .select($"vec_id", $"v", $"nrm", $"centroid")
   }
 
-  private def seededAssignment(emb: DataFrame): (Array[(Int, Array[Double])], DataFrame) = {
+  private[llm] def seededAssignment(emb: DataFrame): (Array[(Int, Array[Double])], DataFrame) = {
     val seeds = pqSeeds(emb)
     (seeds, assignTo(emb, seeds))
   }

@@ -24,6 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "Dedup" -> graft.llm.Dedup.queries,
     "Chunking" -> graft.llm.Chunking.queries,
     "Similarity" -> graft.llm.Similarity.queries,
+    "Evaluation" -> graft.llm.Evaluation.queries,
     "Multimodal" -> graft.llm.Multimodal.queries,
     "CorpusPipeline" -> graft.llm.CorpusPipeline.queries,
     "DataPrep" -> graft.llm.DataPrep.queries,

@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Planted-fixture invariants for the valuation/eval layer (q288–q293):
+  * the KNN-Shapley efficiency property against an independent Scala
+  * replay, greedy k-center against an independent greedy replay, the
+  * frozen-quantizer append audit on hand-assigned copies, retrieval
+  * metrics on a constructed-cosine corpus, and the matryoshka
+  * full-dim anchor.
+  */
+class EvaluationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+  }
+
+  test("knn shapley: efficiency property — values sum to hits@K/K; all-same-label closed form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // one query (vec_id 0), 40 train points, mixed labels
+    val rows = (0 to 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), i % 3))
+    val tmp = TestSpark.tempDir("shapley")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q288_knn_shapley(spark, tmp).collect()
+    assert(out.length == 40, "single query, 40 train points, all in top-100")
+    // independent replay: sort train by (sim desc, id), hits@5 w.r.t. label 0
+    val q = rows.head
+    val ranked = rows.tail
+      .map(r => (r._1, r._3, cosMicro(q._2, r._2)))
+      .sortBy(t => (-t._3, t._1))
+    val hits = ranked.take(Evaluation.ShapK).count(_._2 == q._3)
+    val total = out.map(_.getLong(4)).sum
+    val expected = math.round(1e12 * hits / Evaluation.ShapK)
+    assert(math.abs(total - expected) <= 1000L,
+      s"sum(shapley)=$total must equal hits@K/K=$expected (±term-rounding)")
+    // all-same-label: every train point is worth exactly 1/N
+    val rows2 = (0 to 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 7))
+    val tmp2 = TestSpark.tempDir("shapley2")
+    rows2.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp2/embeddings.parquet")
+    val out2 = Evaluation.q288_knn_shapley(spark, tmp2).collect()
+    assert(out2.length == 20)
+    val each = math.round(1e12 / 20)
+    assert(out2.forall(_.getLong(4) == each),
+      "all-same-label corpus: every point's value is exactly 1/N")
+  }
+
+  test("k-center: greedy farthest-point matches an independent replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    val tmp = TestSpark.tempDir("kcenter")
+    pts.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q289_kcenter_coreset(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    def d2Micro(a: Array[Float], b: Array[Float]): Long = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        aa += a(i).toDouble * a(i).toDouble
+        ab += a(i).toDouble * b(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.round((aa - 2.0 * ab + bb) * 1e6)
+    }
+    var centers = List(pts.minBy(_._1))
+    val exp = (1 to Evaluation.KCenters).map { r =>
+      val far = pts
+        .map(p => (p, centers.map(c => d2Micro(p._2, c._2)).min))
+        .minBy { case (p, d) => (-d, p._1) }
+      val row = (r.toLong, centers.head._1, far._2)
+      centers = far._1 :: centers
+      row
+    }
+    assert(out.toSeq == exp,
+      "engine greedy must match the independent farthest-point replay")
+  }
+
+  test("ivf append drift: planted copies land on their seed centroids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val seeds = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    // append batch: ids >= 16 with id % 10 == 7, exact copies of seeds 1..3
+    val appends = Seq(17L, 27L, 37L).zipWithIndex.map { case (id, k) =>
+      (id, seeds(k + 1)._2, 0)
+    }
+    val tmp = TestSpark.tempDir("ivfappend")
+    (seeds ++ appends).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q290_ivf_append_drift(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 16, "every seed centroid keeps exactly itself as base")
+    (0 until 16).foreach { cid =>
+      assert(out(cid.toLong).getLong(1) == 1L, s"centroid $cid base occupancy")
+      val expNew = if (cid >= 1 && cid <= 3) 1L else 0L
+      assert(out(cid.toLong).getLong(2) == expNew, s"centroid $cid new occupancy")
+    }
+    // shares: base 1/16 each; new 1/3 on the three append targets
+    assert(out(1L).getLong(4) == math.round(1e6 / 3.0))
+    assert(out(0L).getLong(3) == math.round(1e6 / 16.0))
+    assert(out(5L).getLong(5) == math.round(1e6 / 16.0), "untouched list drift = its base share")
+  }
+
+  test("retrieval metrics: constructed-cosine corpus gives exact recall/MRR/nDCG") {
+    import spark.implicits._
+    // query vec_id 0 along e0; neighbor i has cosine cos(theta_i) by
+    // construction (unit rotation in the (e0, e_i) plane) — relevance
+    // pattern chosen so rank order is theta order: rel at ranks 1 and 3
+    val n = 12
+    val rows = (0L, Array.tabulate(64)(i => if (i == 0) 1f else 0f), 0) +:
+      (1 to n).map { i =>
+        val th = 0.1 * i
+        val v = new Array[Float](64)
+        v(0) = math.cos(th).toFloat
+        v(i % 60 + 1) = math.sin(th).toFloat
+        val lab = if (i == 1 || i == 3) 0 else 1
+        (i.toLong, v, lab)
+      }
+    val tmp = TestSpark.tempDir("retrmetrics")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    Similarity.releaseShared()
+    val out = Evaluation.q292_retrieval_metrics(spark, tmp).collect()
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == 2L, "two same-label others")
+    assert(r0.getLong(2) == 2L, "both relevant docs inside top-10")
+    assert(r0.getLong(3) == 1000000L, "recall@10 = 2/min(10,2) = 1")
+    assert(r0.getLong(4) == 1000000L, "first relevant at rank 1")
+    // nDCG: rel at ranks 1,3 of the ideal prefix {1,2}
+    val disc = (1 to 10).map(i => math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+    val dcg = disc(0) + disc(2)
+    val idcg = disc(0) + disc(1)
+    assert(r0.getLong(5) == math.round(1e6 * dcg.toDouble / idcg))
+    Similarity.releaseShared()
+  }
+
+  test("matryoshka: full-dim row is the exact baseline; output covers all dims") {
+    Similarity.releaseShared()
+    val out = Evaluation.q293_matryoshka_recall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet == Set(16L, 32L, 64L))
+    assert(out(64L) == 1000000L, "d=64 IS the exact baseline")
+    assert(out(16L) <= 1000000L && out(16L) > 0L)
+    Similarity.releaseShared()
+  }
+}

@@ -170,7 +170,13 @@ class PlanLintSpec extends AnyFunSuite {
       // q281 is q26's conditioned broadcast-query-batch exact scan (the
       // demo ground truth for hard-negative mining; ANN candidates feed
       // the same conditional-max tail at scale)
-      "q281_hard_negatives" -> Set("cartesian-product"))
+      "q281_hard_negatives" -> Set("cartesian-product"),
+      // q288 is the KNN-Shapley valuation over q26's conditioned
+      // broadcast-query-batch scan (the probe batch is the bounded
+      // side; the corpus is never self-joined)
+      "q288_knn_shapley" -> Set("cartesian-product"),
+      // q293 runs q26's shape once per matryoshka dim (3 sliced scans)
+      "q293_matryoshka_recall" -> Set("cartesian-product"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

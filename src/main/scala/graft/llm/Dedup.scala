@@ -100,7 +100,7 @@ object Dedup {
   /** Exact Jaccard in basis points — same double expression as the
     * DuckDB oracle (`ROUND(10000.0 * i / u)`), exact-match rounding.
     */
-  private def jBp(a: Array[Long], b: Array[Long]): Long = {
+  private[llm] def jBp(a: Array[Long], b: Array[Long]): Long = {
     val inter = intersectSize(a, b)
     val union = a.length + b.length - inter
     math.round(10000.0 * inter / union)
@@ -497,6 +497,54 @@ object Dedup {
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(bySize).cast("long"))
       .orderBy($"doc_id")
+  }
+
+  /** q291 — cluster chaining audit: the failure mode of transitive-
+    * closure dedup (q52/q106) is the CHAIN — A≈B and B≈C merge A and
+    * C into one cluster even when J(A,C) is far below the pairwise
+    * threshold, so canonical-selection silently treats non-duplicates
+    * as copies. The audit computes the EXACT Jaccard of every
+    * intra-cluster pair (not just the LSH-found edges) and reports,
+    * per cluster, how many pairs fall below the 0.5 pair threshold
+    * (n_weak_pairs > 0 ⇔ the cluster exists only by chaining) plus
+    * the min/max pair similarity — the diameter proxy a curation run
+    * reviews before trusting cluster-level drops.
+    *
+    * Scale: the pair grid is Σ cluster_size² — bounded because
+    * near-dup clusters are small by construction (the same bound
+    * q195's cluster-confined pairs rely on); at 100 TB a giant
+    * pathological cluster is exactly what this audit EXISTS to
+    * surface, and the n_pairs column prices it before any fix.
+    * Pairs that share zero shingles never meet in an equi-join —
+    * their Jaccard is 0 by definition, supplied by the left join.
+    */
+  def q291_cluster_chain_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val shing = graft.Caches.tracked(docs
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingleHashes(t, 3)) })
+      .toDF("doc_id", "sh"))
+    val labels = connectedComponents(minhashPairs(docs))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    val member = graft.Caches.tracked(labels.join(shing, "doc_id"))
+    val sizes = member.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val pairJ = member.as("a")
+      .join(member.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.cluster_id".as("cluster_id"), $"a.sh".as("sha"), $"b.sh".as("shb"))
+      .as[(Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (c, sa, sb) => (c, jBp(sa, sb)) })
+      .toDF("cluster_id", "j_bp")
+    pairJ.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"j_bp" < 5000L, 1L).otherwise(0L)).as("n_weak_pairs"),
+        min($"j_bp").as("min_j_bp"), max($"j_bp").as("max_j_bp"))
+      .join(sizes, "cluster_id")
+      .select($"cluster_id", $"cluster_size", $"n_pairs", $"n_weak_pairs",
+        $"min_j_bp", $"max_j_bp")
+      .orderBy($"cluster_id")
   }
 
   /** q86 — blocked edit-distance (Levenshtein) near-dup: the fuzzy
@@ -1039,6 +1087,7 @@ object Dedup {
     "q24_simhash_dedup" -> q24_simhash_dedup,
     "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked,
     "q52_neardup_clusters" -> q52_neardup_clusters,
+    "q291_cluster_chain_audit" -> q291_cluster_chain_audit,
     "q73_prefix_jaccard" -> q73_prefix_jaccard)
 
   // Oracles recompute the *exact* similarity ground truth from the
@@ -1373,5 +1422,32 @@ object Dedup {
         |SELECT da AS doc_a, db AS doc_b,
         |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
         |FROM ix WHERE 2 * i >= la + lb - i
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q291_cluster_chain_audit" ->
+      s"""WITH RECURSIVE $GramIxSql,
+        |pairs AS (SELECT da AS u, db AS v FROM ix
+        |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM cl GROUP BY 1),
+        |mp AS (SELECT a.cluster_id, a.doc_id AS pa, b.doc_id AS pb
+        |       FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id
+        |         AND a.doc_id < b.doc_id),
+        |pj AS (SELECT mp.cluster_id,
+        |    COALESCE(CAST(ROUND(10000.0 * ix.i / (ix.la + ix.lb - ix.i))
+        |      AS BIGINT), 0) AS j_bp
+        |  FROM mp LEFT JOIN ix ON ix.da = mp.pa AND ix.db = mp.pb)
+        |SELECT CAST(pj.cluster_id AS BIGINT) AS cluster_id, sz.cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN j_bp < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_weak_pairs,
+        |  MIN(j_bp) AS min_j_bp, MAX(j_bp) AS max_j_bp
+        |FROM pj JOIN sz ON sz.cluster_id = pj.cluster_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
 }

@@ -264,7 +264,58 @@ object Evaluation {
     perDim.reduce(_.union(_)).orderBy($"dim")
   }
 
+  final val GeoMedianIters = 2
+
+  /** q296 — per-label geometric median (Weiszfeld 1937, fixed
+    * [[GeoMedianIters]] iterations): the robust class centroid — a
+    * handful of corrupt/mislabeled vectors drag the MEAN arbitrarily
+    * far but barely move the geometric median (breakdown point 0.5),
+    * so it's the anchor q46-style drift audits should trust when
+    * contamination is the thing being hunted. Determinism by the
+    * q278 grid discipline: coordinates quantize once to the 1e-6
+    * integer grid; each iteration computes per-vector distances from
+    * EXACT integer sums, weights quantize to 1e-9-reciprocal integers
+    * (one identically-evaluated double expression per vector), and
+    * the re-estimated center rounds back to the grid from a
+    * decimal-exact weighted sum — both engines walk bit-identical
+    * states. Fixed iteration count (the bounded-rounds policy: data-
+    * dependent convergence loops can't be promised at 100 TB); each
+    * round is one broadcast join of the 64·|labels| center table onto
+    * the exploded scan + two aggregates, all linear.
+    */
+  def q296_geometric_median(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = graft.Caches.tracked(load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode(toDouble($"embedding")))
+      .select($"label".cast("long").as("label"), $"vec_id",
+        $"pos".cast("long").as("i"),
+        round($"col" * 1e6).cast("long").as("xq")))
+    val m0 = ex.groupBy($"label", $"i")
+      .agg(round(sum($"xq").cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+    var m = m0
+    for (_ <- 1 to GeoMedianIters) {
+      val w = ex.join(broadcast(m), Seq("label", "i"))
+        .groupBy($"label", $"vec_id")
+        .agg(sum(($"xq" - $"m") * ($"xq" - $"m")).as("ss"))
+        .select($"label", $"vec_id",
+          round(lit(1e9) / greatest(sqrt($"ss".cast("double")), lit(1.0)))
+            .cast("long").as("wq"))
+      m = ex.join(w, Seq("label", "vec_id"))
+        .groupBy($"label", $"i")
+        .agg(sum($"xq".cast("decimal(38,0)") * $"wq").as("num"),
+          sum($"wq").as("den"))
+        .select($"label", $"i",
+          round($"num".cast("double") / $"den").cast("long").as("m"))
+    }
+    m0.withColumnRenamed("m", "mean_e6")
+      .join(m.withColumnRenamed("m", "gm_e6"), Seq("label", "i"))
+      .select($"label", $"i", $"mean_e6", $"gm_e6")
+      .orderBy($"label", $"i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_geometric_median" -> q296_geometric_median,
     "q288_knn_shapley" -> q288_knn_shapley,
     "q289_kcenter_coreset" -> q289_kcenter_coreset,
     "q290_ivf_append_drift" -> q290_ivf_append_drift,
@@ -339,7 +390,36 @@ object Evaluation {
        |ORDER BY dim""".stripMargin
   }
 
+  private def geoMedianSql: String = {
+    val iters = (1 to GeoMedianIters).map { k =>
+      s"""w$k AS (SELECT e.label, e.vec_id,
+         |    CAST(ROUND(1e9 / GREATEST(SQRT(CAST(
+         |      SUM((e.xq - m.m) * (e.xq - m.m)) AS DOUBLE)), 1.0))
+         |      AS BIGINT) AS wq
+         |  FROM exg e JOIN m${k - 1} m ON m.label = e.label AND m.i = e.i
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT e.label, e.i,
+         |    CAST(ROUND(CAST(SUM(CAST(e.xq AS DECIMAL(38,0)) * w.wq)
+         |      AS DOUBLE) / SUM(w.wq)) AS BIGINT) AS m
+         |  FROM exg e JOIN w$k w ON w.label = e.label AND w.vec_id = e.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH exg AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    g.i - 1 AS i, CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq
+       |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+       |m0 AS (SELECT label, i,
+       |    CAST(ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |  FROM exg GROUP BY 1, 2),
+       |$iters
+       |SELECT m0.label, CAST(m0.i AS BIGINT) AS i, m0.m AS mean_e6,
+       |  mf.m AS gm_e6
+       |FROM m0 JOIN m$GeoMedianIters mf
+       |  ON mf.label = m0.label AND mf.i = m0.i
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q296_geometric_median" -> geoMedianSql,
     "q288_knn_shapley" ->
       s"""WITH $ESql,
         |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e

@@ -165,6 +165,45 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Dirichlet smoothing pseudo-count for q295 (Zhai & Lafferty's
+    * recommended range is 500–2000 for long docs; 300 suits this
+    * corpus's ~80-token documents).
+    */
+  final val QlMu = 300.0
+
+  /** q295 — query-likelihood retrieval with Dirichlet smoothing (Zhai
+    * & Lafferty, SIGIR 2001): the language-modeling IR family beside
+    * q171's BM25 — score(q,d) = Π_t p(t|d) with
+    * p(t|d) = (tf + μ·p_c(t))/(dl + μ), the collection LM p_c
+    * absorbing zero-count terms. Scored as the raw PRODUCT over the
+    * fixed 3-term query (one identically-parenthesised double tree —
+    * the q171 convention of avoiding cross-libm logs entirely; a log
+    * would only monotonically rescale the ranking), rounded once to
+    * 1e-15 units. Same scan shape as q171: one pass computes dl and
+    * per-term tf, a 1-row collection-stats aggregate broadcasts back,
+    * top-50 via TakeOrdered.
+    */
+  def q295_ql_retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("join", "vector", "data")
+    val tf = load(spark, dir, "documents")
+      .select(($"doc_id" +: size(wsTokens($"text")).cast("long").as("dl") +:
+        terms.map(t => size(filter(wsTokens($"text"), w => w === t))
+          .cast("long").as(s"tf_$t"))): _*)
+    val statAggs = sum($"dl").cast("double").as("total_toks") +:
+      terms.map(t => sum(col(s"tf_$t")).cast("double").as(s"cf_$t"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.map { t =>
+      (col(s"tf_$t").cast("double") + lit(QlMu) * col(s"cf_$t") / $"total_toks") /
+        ($"dl" + lit(QlMu))
+    }.reduce(_ * _)
+    tf.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl",
+        round(score * lit(1e15)).cast("long").as("score_e15"))
+      .orderBy($"score_e15".desc, $"doc_id")
+      .limit(50)
+  }
+
   final val RrfK = 60L    // the standard reciprocal-rank-fusion damping
   final val RrfDepth = 50 // fuse the top-50 of each input ranking
   final val RrfTopN = 20
@@ -1488,6 +1527,7 @@ object TextAnalysis {
     "q165_score_calibration" -> q165_score_calibration,
     "q193_lm_surprisal" -> q193_lm_surprisal,
     "q171_bm25_lite" -> q171_bm25_lite,
+    "q295_ql_retrieval" -> q295_ql_retrieval,
     "q200_rrf_fusion" -> q200_rrf_fusion,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
@@ -2097,6 +2137,30 @@ object TextAnalysis {
         |         - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
         |         + LEAST(len(string_split(text, ' ')), 100) * 10)) AS quality_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q295_ql_retrieval" ->
+      """WITH tf AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
+        |      AS BIGINT) AS tf_join,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
+        |      AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
+        |      AS BIGINT) AS tf_data
+        |  FROM documents),
+        |st AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_toks,
+        |    CAST(SUM(tf_join) AS DOUBLE) AS cf_join,
+        |    CAST(SUM(tf_vector) AS DOUBLE) AS cf_vector,
+        |    CAST(SUM(tf_data) AS DOUBLE) AS cf_data
+        |  FROM tf)
+        |SELECT doc_id, dl, CAST(ROUND(
+        |    (CAST(tf_join AS DOUBLE) + 300.0 * cf_join / total_toks)
+        |      / (dl + 300.0)
+        |    * ((CAST(tf_vector AS DOUBLE) + 300.0 * cf_vector / total_toks)
+        |      / (dl + 300.0))
+        |    * ((CAST(tf_data AS DOUBLE) + 300.0 * cf_data / total_toks)
+        |      / (dl + 300.0))
+        |    * 1e15) AS BIGINT) AS score_e15
+        |FROM tf, st ORDER BY score_e15 DESC, doc_id LIMIT 50""".stripMargin,
     "q171_bm25_lite" ->
       """WITH tf AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,

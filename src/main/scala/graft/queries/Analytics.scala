@@ -1784,7 +1784,99 @@ object Analytics {
       .orderBy($"cohort_month", $"age")
   }
 
+  /** q294 — iterative proportional fitting (IPF / RAS / raking,
+    * Deming–Stephan 1940): calibrate a seed contingency table to
+    * fresh marginal totals — the survey-weighting / demand-matrix
+    * workhorse ("yesterday's (event_type × weekday) mix, re-scaled to
+    * today's row and column totals"). Seed = counts over even
+    * event_ids, target margins = counts over odd event_ids (a
+    * deterministic, SF-stable split). Two full row→column rounds,
+    * unrolled (fixed iteration count — the q261/q278 bounded-rounds
+    * policy): cells live on a 1e-6 integer grid, every rescale is ONE
+    * identically-parenthesised double expression rounded back to the
+    * grid, and the margin sums between rescales are exact BIGINT —
+    * both engines walk bit-identical tables. The only corpus-sized
+    * work is the two counting scans; all fitting happens on the
+    * |types|·|weekdays| grid.
+    */
+  def q294_ipf_margins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"event_type",
+        (weekday(to_date($"ts")) + 1).cast("long").as("dow"))
+    val seed = ev.filter($"event_id" % 2 === 0)
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("seed_n"))
+    val tr = ev.filter($"event_id" % 2 === 1)
+      .groupBy($"event_type").agg(count(lit(1)).as("tr"))
+    val tc = ev.filter($"event_id" % 2 === 1)
+      .groupBy($"dow").agg(count(lit(1)).as("tc"))
+
+    val x0 = seed.join(broadcast(tr), "event_type").join(broadcast(tc), "dow")
+    // row pass 1: x1 = seed·1e6 · tr / sr  (sr exact BIGINT)
+    val sr0 = Window.partitionBy($"event_type")
+    val x1 = x0.withColumn("sr", sum($"seed_n").over(sr0))
+      .withColumn("x1",
+        round($"seed_n" * lit(1e6) * $"tr" / $"sr").cast("long"))
+    // column pass 1: x2 = x1 · (1e6·tc) / sc1
+    val sc1 = Window.partitionBy($"dow")
+    val x2 = x1.withColumn("sc1", sum($"x1").over(sc1))
+      .withColumn("x2",
+        round($"x1" * (lit(1e6) * $"tc") / $"sc1").cast("long"))
+    // row pass 2
+    val x3 = x2.withColumn("sr2", sum($"x2").over(sr0))
+      .withColumn("x3",
+        round($"x2" * (lit(1e6) * $"tr") / $"sr2").cast("long"))
+    // column pass 2
+    val x4 = x3.withColumn("sc3", sum($"x3").over(sc1))
+      .withColumn("fitted_e6",
+        round($"x3" * (lit(1e6) * $"tc") / $"sc3").cast("long"))
+    x4.select($"event_type", $"dow", $"seed_n", $"fitted_e6")
+      .orderBy($"event_type", $"dow")
+  }
+
+  /** q297 — Simpson's-paradox audit: the aggregation trap every
+    * metrics stack eventually hits — a per-stratum effect whose SIGN
+    * flips when strata are pooled (confounding by stratum mix). The
+    * audit compares the purchase-vs-click mean value (exact integer
+    * cents) per ISO weekday against the pooled contrast, flagging any
+    * stratum whose direction disagrees with the overall row. The
+    * pooled row derives from the SAME 7-row stratum aggregate (exact
+    * integer sums — no second scan); means round once to milli-cents,
+    * the flip test compares signs of integer differences. Stratum
+    * row dow 0 = pooled.
+    */
+  def q297_simpson_paradox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val strata = load(spark, dir, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .select((weekday(to_date($"ts")) + 1).cast("long").as("dow"),
+        $"event_type", graft.Tables.cents($"value").as("v"))
+      .groupBy($"dow")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"event_type" === "purchase", $"v").otherwise(0L)).as("s_a"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"event_type" === "click", $"v").otherwise(0L)).as("s_b"))
+    val pooled = strata.agg(
+        sum($"n_a").as("n_a"), sum($"s_a").as("s_a"),
+        sum($"n_b").as("n_b"), sum($"s_b").as("s_b"))
+      .select(lit(0L).as("dow"), $"n_a", $"s_a", $"n_b", $"s_b")
+    val withMeans = strata.unionByName(pooled)
+      .select($"dow", $"n_a", $"n_b",
+        round(lit(1000.0) * $"s_a" / $"n_a").cast("long").as("mean_a_milli"),
+        round(lit(1000.0) * $"s_b" / $"n_b").cast("long").as("mean_b_milli"))
+      .withColumn("diff_milli", $"mean_a_milli" - $"mean_b_milli")
+    val overall = withMeans.filter($"dow" === 0L)
+      .select($"diff_milli".as("overall_diff"))
+    withMeans.crossJoin(broadcast(overall))
+      .select($"dow", $"n_a", $"n_b", $"mean_a_milli", $"mean_b_milli",
+        $"diff_milli",
+        (signum($"diff_milli") =!= signum($"overall_diff")).as("sign_flip"))
+      .orderBy($"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_ipf_margins" -> q294_ipf_margins,
+    "q297_simpson_paradox" -> q297_simpson_paradox,
     "q276_cohort_ltv" -> q276_cohort_ltv,
     "q268_cusum" -> q268_cusum,
     "q269_mann_kendall" -> q269_mann_kendall,
@@ -1859,6 +1951,58 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q294_ipf_margins" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow FROM events),
+        |seed AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS seed_n
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |tr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tr
+        |  FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+        |tc AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+        |x0 AS (SELECT s.event_type, s.dow, s.seed_n, tr.tr, tc.tc
+        |  FROM seed s JOIN tr ON tr.event_type = s.event_type
+        |  JOIN tc ON tc.dow = s.dow),
+        |x1 AS (SELECT *, CAST(ROUND(seed_n * 1e6 * tr /
+        |    (SUM(seed_n) OVER (PARTITION BY event_type))) AS BIGINT) AS x1
+        |  FROM x0),
+        |x2 AS (SELECT *, CAST(ROUND(x1 * (1e6 * tc) /
+        |    (SUM(x1) OVER (PARTITION BY dow))) AS BIGINT) AS x2
+        |  FROM x1),
+        |x3 AS (SELECT *, CAST(ROUND(x2 * (1e6 * tr) /
+        |    (SUM(x2) OVER (PARTITION BY event_type))) AS BIGINT) AS x3
+        |  FROM x2),
+        |x4 AS (SELECT *, CAST(ROUND(x3 * (1e6 * tc) /
+        |    (SUM(x3) OVER (PARTITION BY dow))) AS BIGINT) AS fitted_e6
+        |  FROM x3)
+        |SELECT event_type, dow, seed_n, fitted_e6 FROM x4
+        |ORDER BY event_type, dow""".stripMargin,
+    "q297_simpson_paradox" ->
+      """WITH st AS (SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS s_a,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS s_b
+        |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        |allr AS (SELECT * FROM st
+        |  UNION ALL
+        |  SELECT 0, CAST(SUM(n_a) AS BIGINT), CAST(SUM(s_a) AS BIGINT),
+        |    CAST(SUM(n_b) AS BIGINT), CAST(SUM(s_b) AS BIGINT) FROM st),
+        |m AS (SELECT dow, n_a, n_b,
+        |    CAST(ROUND(1000.0 * s_a / n_a) AS BIGINT) AS mean_a_milli,
+        |    CAST(ROUND(1000.0 * s_b / n_b) AS BIGINT) AS mean_b_milli
+        |  FROM allr),
+        |d AS (SELECT *, mean_a_milli - mean_b_milli AS diff_milli FROM m),
+        |o AS (SELECT diff_milli AS overall_diff FROM d WHERE dow = 0)
+        |SELECT dow, n_a, n_b, mean_a_milli, mean_b_milli, diff_milli,
+        |  SIGN(diff_milli) <> SIGN(overall_diff) AS sign_flip
+        |FROM d, o ORDER BY dow""".stripMargin,
     "q276_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey AS c,
         |    date_trunc('month', o_orderdate) AS m,

@@ -162,4 +162,54 @@ class EvaluationSpec extends AnyFunSuite {
     assert(out(16L) <= 1000000L && out(16L) > 0L)
     Similarity.releaseShared()
   }
+  test("ql retrieval: exact score replay and containment ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "join vector data x x x"),
+      (1L, "join vector x x x x"),
+      (2L, "join x x x x x"),
+      (3L, "x x x x x x"))
+    val tmp = TestSpark.tempDir("qlretr")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.q295_ql_retrieval(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L),
+      "more matched query terms must rank higher")
+    // exact replay of the identically-parenthesised double tree
+    val total = 24.0
+    val cf = Map("join" -> 3.0, "vector" -> 2.0, "data" -> 1.0)
+    def score(tfs: Map[String, Long]): Long = {
+      val fs = Seq("join", "vector", "data").map { t =>
+        (tfs.getOrElse(t, 0L).toDouble + 300.0 * cf(t) / total) / (6L + 300.0)
+      }
+      math.round(fs.reduce(_ * _) * 1e15)
+    }
+    val expected = Map(
+      0L -> score(Map("join" -> 1L, "vector" -> 1L, "data" -> 1L)),
+      1L -> score(Map("join" -> 1L, "vector" -> 1L)),
+      2L -> score(Map("join" -> 1L)),
+      3L -> score(Map.empty[String, Long]))
+    out.foreach { case (id, s) =>
+      assert(s == expected(id), s"doc $id score $s != ${expected(id)}")
+    }
+  }
+
+  test("geometric median: a planted outlier drags the mean but not the median") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => if (i == 0) 0.5f else 0.01f)
+    val outlier = Array.tabulate(64)(i => if (i == 0) 6.5f else 0.01f)
+    val rows = (0 until 12).map(i => (i.toLong, base, 0)) :+ (12L, outlier, 0)
+    val tmp = TestSpark.tempDir("geomed")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val d0 = Evaluation.q296_geometric_median(spark, tmp).collect()
+      .find(r => r.getLong(1) == 0L).get
+    val meanErr = math.abs(d0.getLong(2) - 500000L)
+    val gmErr = math.abs(d0.getLong(3) - 500000L)
+    // mean shifts by 6e6/13 ~ 461538 on dim 0; two Weiszfeld rounds
+    // must pull the estimate at least 5x closer to the cluster
+    assert(meanErr > 400000L, s"fixture sanity: mean is dragged ($meanErr)")
+    assert(gmErr * 5 < meanErr, s"gm err $gmErr vs mean err $meanErr")
+  }
 }

@@ -169,4 +169,38 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out(0L) == ((5L, 5L, 10000L)), s"copied eval doc: ${out(0L)}")
     assert(out(m.toLong) == ((5L, 0L, 0L)), s"novel eval doc: ${out(m.toLong)}")
   }
+  test("cluster chain audit: planted A~B~C chain surfaces the weak A-C pair") {
+    import spark.implicits._
+    // A differs from B in words 0..7, C from B in words 8..15: the
+    // 3-gram-shingle Jaccards are J(A,B)=30/46~0.65, J(B,C)=28/48~0.58
+    // (both above the 0.5 pair threshold) but J(A,C)=22/54~0.41 below
+    // it: the cluster {A,B,C} exists only by chaining, and the audit
+    // must say so
+    val words = (1 to 40).map(i => s"w$i").toArray
+    val a = words.mkString(" ")
+    val b = words.zipWithIndex.map { case (w, i) =>
+      if (i < 8) s"b$i" else w }.mkString(" ")
+    val c = words.zipWithIndex.map { case (w, i) =>
+      if (i < 8) s"b$i" else if (i < 16) s"c$i" else w }.mkString(" ")
+    val noise = (100 to 140).map(i =>
+      (i.toLong, (1 to 40).map(j => s"n${i}_$j").mkString(" ")))
+    val tmp = graft.TestSpark.tempDir("chainaudit")
+    ((Seq((0L, a), (1L, b), (2L, c)) ++ noise))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.q23_minhash_dedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)),
+      "fixture requires LSH to surface both strong edges")
+    assert(!pairs.contains((0L, 2L)), "A-C must be below the pair threshold")
+    val out = Dedup.q291_cluster_chain_audit(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val cl = out(0L) // cluster id = min doc_id
+    assert(cl.getLong(1) == 3L, "chain cluster has all three docs")
+    assert(cl.getLong(2) == 3L, "three intra-cluster pairs")
+    assert(cl.getLong(3) == 1L, "exactly the A-C pair is weak")
+    // min pair similarity is the exact 3-gram-shingle J(A,C): shared
+    // trigrams start only inside words 16..39 -> 22 of union 54
+    assert(cl.getLong(4) == math.round(10000.0 * 22 / 54))
+  }
 }

@@ -1402,6 +1402,46 @@ object DataPrep {
     * plus a source-bounded final aggregate — embarrassingly parallel
     * at any corpus size.
     */
+  final val DpQuantileBinWidth = 50L
+
+  /** q299 — differentially-private quantiles via report-noisy-max
+    * (the exponential mechanism over histogram bins, in the
+    * noisy-argmax form q224's DP top-k already uses): release the
+    * p25/p50/p75 of the document-length distribution without exposing
+    * exact ranks. Per candidate bin the utility is −|cum(bin) −
+    * target| (sensitivity 1 under add/remove); the released bin is
+    * the argmax of utility + discrete-Laplace noise drawn by the
+    * exact bit-length mechanism (q210 — no transcendentals, replayed
+    * bit-for-bit by the oracle), tie to the lower bin. One corpus
+    * scan folds to the bounded bin histogram; everything after is
+    * |bins|·|quantiles| integer work. The demo emits the true bin
+    * beside the DP bin for auditability — a real release drops it.
+    */
+  def q299_dp_quantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binned = load(spark, dir, "documents")
+      .select(expr(s"n_chars div $DpQuantileBinWidth").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("c"))
+    val cum = binned
+      .withColumn("cum", sum($"c").over(Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"c").over(Window.partitionBy()))
+    val targets = Seq(25L, 50L, 75L).toDF("q_pct")
+    val scored = cum.crossJoin(broadcast(targets))
+      .withColumn("target", expr("(n * q_pct) div 100"))
+      .withColumn("score", -abs($"cum" - $"target"))
+      .withColumn("noisy", $"score" + geometricNoise(
+        concat(lit("graft_dpq_"), $"q_pct".cast("string"),
+          lit("_"), $"bin".cast("string"))))
+    scored.groupBy($"q_pct")
+      .agg(max($"n").as("n_docs"),
+        min(when($"cum" >= $"target", $"bin")).as("true_bin"),
+        max(struct($"noisy", (-$"bin").as("negbin"))).as("mx"))
+      .select($"q_pct", $"n_docs", $"true_bin",
+        (-$"mx.negbin").as("dp_bin"), lit(693L).as("epsilon_milli"))
+      .orderBy($"q_pct")
+  }
+
   def q213_filter_funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = load(spark, dir, "documents")
@@ -1733,6 +1773,7 @@ object DataPrep {
     "q219_embedding_drift" -> q219_embedding_drift,
     "q209_k_anonymity" -> q209_k_anonymity,
     "q210_dp_noisy_counts" -> q210_dp_noisy_counts,
+    "q299_dp_quantile" -> q299_dp_quantile,
     "q213_filter_funnel" -> q213_filter_funnel,
     "q215_repeat_epochs" -> q215_repeat_epochs,
     "q192_budget_waterfill" -> q192_budget_waterfill,
@@ -1931,6 +1972,36 @@ object DataPrep {
         |  CAST(COUNT(DISTINCT o.o_orderpriority) >= 3 AS INT) AS l_ok
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q299_dp_quantile" ->
+      s"""WITH hb AS (SELECT n_chars // $DpQuantileBinWidth AS lb,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        |cum AS (SELECT lb, c,
+        |    CAST(SUM(c) OVER (ORDER BY lb ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n FROM hb),
+        |t AS (SELECT * FROM (VALUES (CAST(25 AS BIGINT)), (50), (75))
+        |      AS t(q_pct)),
+        |x AS (SELECT t.q_pct, cum.lb, cum.cum, cum.n,
+        |    (cum.n * t.q_pct) // 100 AS target FROM cum, t),
+        |sc AS (SELECT q_pct, lb, cum, n, target,
+        |    -abs(cum - target) AS score,
+        |    3 * CAST(('0x' || substring(md5('graft_dpq_' || q_pct || '_'
+        |      || lb), 1, 15)) AS BIGINT) AS w FROM x),
+        |nz AS (SELECT *, score + CASE
+        |    WHEN w >= 1152921504606846976 AND w < 2305843009213693952 THEN 0
+        |    WHEN w < 1152921504606846976
+        |      THEN greatest(length(bin(greatest(w, 1))) - 61, -40)
+        |    ELSE least(61 - length(bin(greatest(3458764513820540927 - w, 1))), 40)
+        |  END AS noisy FROM sc),
+        |win AS (SELECT q_pct, lb AS dp_bin FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_pct
+        |      ORDER BY noisy DESC, lb) AS r FROM nz) WHERE r = 1),
+        |tb AS (SELECT q_pct, MAX(n) AS n_docs,
+        |    MIN(CASE WHEN cum >= target THEN lb END) AS true_bin
+        |  FROM nz GROUP BY 1)
+        |SELECT tb.q_pct, tb.n_docs, tb.true_bin, win.dp_bin,
+        |  CAST(693 AS BIGINT) AS epsilon_milli
+        |FROM tb JOIN win ON win.q_pct = tb.q_pct ORDER BY tb.q_pct""".stripMargin,
     "q210_dp_noisy_counts" ->
       """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
         |           FROM documents GROUP BY 1, 2),

@@ -314,8 +314,100 @@ object Evaluation {
       .orderBy($"label", $"i")
   }
 
+  final val NoiseK = 5
+
+  /** q298 — label-noise detection by k-NN disagreement (the Confident-
+    * Learning-style audit, Northcutt et al. 2021, reduced to its
+    * geometric core): a vector whose nearest same-cluster neighbors
+    * mostly carry a DIFFERENT label is a suspected mislabel — the QA
+    * pass a training pipeline runs before trusting labels. Candidate
+    * neighbors are CLUSTER-CONFINED (the q195 SemDeDup shape: pairs
+    * only within a seeded-quantizer cell, one equi-join on the
+    * centroid id — never all-pairs), top-[[NoiseK]] by exact cosine
+    * with id tie-breaks; a vector is flagged when the majority of its
+    * neighbors disagree, and the modal neighbor label is the
+    * suggested correction. At 100 TB: k scales with cell size, cells
+    * are bounded by k-means granularity — the audit stays
+    * Σ|cell|², the same bound the dedup layer already lives under.
+    */
+  def q298_label_noise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+    val (_, assignedRaw) = Similarity.seededAssignment(emb.drop("label"))
+    // materialized before the pair join (the q195 lesson: the argmin
+    // fused into a pair join re-evaluates per PAIR row)
+    val a = graft.Caches.tracked(assignedRaw
+      .join(emb.select($"vec_id", $"label".cast("long").as("label")), "vec_id"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.centroid") === col("y.centroid") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
+        col("y.vec_id").as("nb"), col("y.label").as("nb_label"),
+        round(dot(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm")) * 1e6).cast("long").as("sim_micro"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim_micro".desc, $"nb")
+    val byLab = pairs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= NoiseK)
+      .groupBy($"vec_id", $"label", $"nb_label")
+      .agg(count(lit(1)).as("c"))
+    byLab.groupBy($"vec_id", $"label")
+      .agg(sum($"c").as("n_nb"),
+        sum(when($"nb_label" =!= $"label", $"c").otherwise(0L)).as("n_diff"),
+        max(struct($"c", (-$"nb_label").as("neg"))).as("md"))
+      .filter($"n_diff" * 2 > $"n_nb")
+      .select($"vec_id", $"label", $"n_nb", $"n_diff",
+        (-$"md.neg").as("modal_label"))
+      .orderBy($"vec_id")
+  }
+
+  final val MaxSimSubs = 8
+
+  /** q300 — late-interaction retrieval (maxsim, the ColBERT scoring
+    * of Khattab & Zaharia, SIGIR 2020): score(q,d) = Σ_m max_m′
+    * cos(q_m, d_m′) over per-vector sub-embeddings — each query part
+    * is free to match its best-aligned doc part, so meaning that
+    * moved position still scores (the property whole-vector cosine
+    * lacks; the spec plants a permuted-parts doc that maxsim ranks
+    * first while full cosine does not). Sub-vectors here are the PQ
+    * subspace decomposition ([[MaxSimSubs]]×8 dims) of the stored
+    * embedding — the same layout a token-level index would store one
+    * row per part. Plan shape is q26's conditioned broadcast with
+    * both sides pre-exploded: per-part norms materialize below the
+    * join, the 64-cell max/sum is two integer aggregates keyed on
+    * (query, doc), top-10 per query by ranking window.
+    */
+  def q300_maxsim_retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val subs = array((0 until MaxSimSubs).map(m =>
+      struct(lit(m.toLong).as("m"), slice($"v", m * 8 + 1, 8).as("sv"))): _*)
+    val ds = emb.select($"vec_id", explode(subs).as("s"))
+      .select($"vec_id", $"s.m".as("dm"), $"s.sv".as("dv"))
+      .withColumn("dn", norm($"dv"))
+    val qs = ds.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"dm".as("qm"), $"dv".as("qv"), $"dn".as("qn"))
+    val cell = ds.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"qm", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"dv")
+          / greatest($"qn" * $"dn", lit(1e-12)) * 1e6).cast("long").as("c"))
+    val score = cell.groupBy($"q_id", $"neighbor_id", $"qm")
+      .agg(max($"c").as("mx"))
+      .groupBy($"q_id", $"neighbor_id")
+      .agg(sum($"mx").as("maxsim_micro"))
+    val w = Window.partitionBy($"q_id").orderBy($"maxsim_micro".desc, $"neighbor_id")
+    score.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"maxsim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_geometric_median" -> q296_geometric_median,
+    "q298_label_noise" -> q298_label_noise,
+    "q300_maxsim_retrieval" -> q300_maxsim_retrieval,
     "q288_knn_shapley" -> q288_knn_shapley,
     "q289_kcenter_coreset" -> q289_kcenter_coreset,
     "q290_ivf_append_drift" -> q290_ivf_append_drift,
@@ -419,6 +511,62 @@ object Evaluation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q298_label_noise" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |ad AS (SELECT e.vec_id, e.v, e.label, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, CAST(label AS BIGINT) AS label,
+        |      cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |p AS (SELECT x.vec_id, x.label, y.vec_id AS nb, y.label AS nb_label,
+        |    CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT)
+        |      AS sim_micro
+        |  FROM asg x JOIN asg y ON x.centroid = y.centroid
+        |    AND x.vec_id <> y.vec_id),
+        |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY sim_micro DESC, nb) AS rk
+        |    FROM p) WHERE rk <= $NoiseK),
+        |bl AS (SELECT vec_id, label, nb_label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM top GROUP BY 1, 2, 3),
+        |mod AS (SELECT vec_id, CAST(nb_label AS BIGINT) AS modal_label FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY c DESC, nb_label) AS r FROM bl) WHERE r = 1),
+        |agg AS (SELECT vec_id, label, CAST(SUM(c) AS BIGINT) AS n_nb,
+        |    CAST(SUM(CASE WHEN nb_label <> label THEN c ELSE 0 END)
+        |      AS BIGINT) AS n_diff
+        |  FROM bl GROUP BY 1, 2)
+        |SELECT agg.vec_id, agg.label, agg.n_nb, agg.n_diff, mod.modal_label
+        |FROM agg JOIN mod ON mod.vec_id = agg.vec_id
+        |WHERE n_diff * 2 > n_nb ORDER BY agg.vec_id""".stripMargin,
+    "q300_maxsim_retrieval" ->
+      s"""WITH $ESql,
+        |sub AS (SELECT vec_id, CAST(m.m AS BIGINT) AS dm,
+        |    list_slice(v, m.m * 8 + 1, m.m * 8 + 8) AS dv
+        |  FROM e, (SELECT unnest(generate_series(0, ${MaxSimSubs - 1})) AS m) m),
+        |sn AS (SELECT vec_id, dm, dv,
+        |    SQRT(list_inner_product(dv, dv)) AS dn FROM sub),
+        |q AS (SELECT vec_id AS q_id, dm AS qm, dv AS qv, dn AS qn
+        |      FROM sn WHERE vec_id % 50 = 0),
+        |cell AS (SELECT q.q_id, q.qm, s.vec_id AS neighbor_id,
+        |    CAST(ROUND(list_inner_product(q.qv, s.dv)
+        |      / GREATEST(q.qn * s.dn, 1e-12) * 1e6) AS BIGINT) AS c
+        |  FROM sn s JOIN q ON s.vec_id <> q.q_id),
+        |mx AS (SELECT q_id, neighbor_id, qm, MAX(c) AS mx
+        |  FROM cell GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, neighbor_id, CAST(SUM(mx) AS BIGINT)
+        |      AS maxsim_micro
+        |  FROM mx GROUP BY 1, 2),
+        |r AS (SELECT q_id, neighbor_id, maxsim_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY maxsim_micro DESC, neighbor_id) AS rank FROM sc)
+        |SELECT q_id, rank, neighbor_id, maxsim_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q296_geometric_median" -> geoMedianSql,
     "q288_knn_shapley" ->
       s"""WITH $ESql,

@@ -212,4 +212,81 @@ class EvaluationSpec extends AnyFunSuite {
     assert(meanErr > 400000L, s"fixture sanity: mean is dragged ($meanErr)")
     assert(gmErr * 5 < meanErr, s"gm err $gmErr vs mean err $meanErr")
   }
+  test("label noise: a planted mislabel in a uniform cluster is the only suspect") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val seeds = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    val members = (100 to 111).map(id => (id.toLong, seeds(0)._2, 0))
+    val mislabeled = (112L, seeds(0)._2, 1)
+    val tmp = TestSpark.tempDir("labelnoise")
+    (seeds ++ members :+ mislabeled).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q298_label_noise(spark, tmp).collect()
+    assert(out.length == 1, s"exactly the planted mislabel: ${out.mkString(",")}")
+    val r = out(0)
+    assert(r.getLong(0) == 112L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L,
+      "all five nearest neighbors disagree")
+    assert(r.getLong(4) == 0L, "modal neighbor label is the correction")
+  }
+
+  test("dp quantile: bit-exact independent replay of the noisy-max release") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i => (i.toLong, 30L * i))
+    val tmp = TestSpark.tempDir("dpq")
+    docs.toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DataPrep.q299_dp_quantile(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    def noise(seed: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val w = 3L * java.lang.Long.parseLong(hex, 16)
+      val third = 1L << 60
+      if (w >= third && w < 2 * third) 0L
+      else if (w < third)
+        math.max(java.lang.Long.toBinaryString(math.max(w, 1L)).length - 61, -40).toLong
+      else
+        math.min(61 - java.lang.Long.toBinaryString(
+          math.max(3 * third - 1 - w, 1L)).length, 40).toLong
+    }
+    val bins = docs.map(_._2 / 50).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = docs.size.toLong
+    val cums = bins.scanLeft((0L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
+    Seq(25L, 50L, 75L).foreach { q =>
+      val target = n * q / 100
+      val trueBin = cums.collectFirst { case (b, c) if c >= target => b }.get
+      val dpBin = cums.map { case (b, c) =>
+        (b, -math.abs(c - target) + noise(s"graft_dpq_${q}_$b"))
+      }.minBy { case (b, s) => (-s, b) }._1
+      assert(out(q) == ((n, trueBin, dpBin)), s"q=$q: ${out(q)}")
+    }
+  }
+
+  test("maxsim: permuted-parts doc is a perfect late-interaction match") {
+    import spark.implicits._
+    // query parts p0..p7 are one-hot sub-patterns; doc 100 carries the
+    // SAME parts cyclically shifted: every query part finds an exact
+    // match somewhere in the doc -> maxsim = 8 * 1e6
+    def part(m: Int): Array[Float] = {
+      val a = new Array[Float](8); a(m % 8) = 1f; a
+    }
+    val qv = (0 until 8).flatMap(m => part(m)).toArray
+    val shifted = (0 until 8).flatMap(m => part(m + 1)).toArray
+    val rnd = new scala.util.Random(41)
+    val noiseDocs = (101 to 140).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    val rows = Seq((0L, qv, 0), (100L, shifted, 0)) ++ noiseDocs
+    val tmp = TestSpark.tempDir("maxsim")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q300_maxsim_retrieval(spark, tmp).collect()
+    val top = out.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L)(0)
+    assert(top.getLong(2) == 100L, "shifted-parts doc must rank first")
+    assert(top.getLong(3) == 8000000L, "every part matches exactly")
+  }
 }

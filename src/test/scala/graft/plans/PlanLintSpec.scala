@@ -176,7 +176,13 @@ class PlanLintSpec extends AnyFunSuite {
       // side; the corpus is never self-joined)
       "q288_knn_shapley" -> Set("cartesian-product"),
       // q293 runs q26's shape once per matryoshka dim (3 sliced scans)
-      "q293_matryoshka_recall" -> Set("cartesian-product"))
+      "q293_matryoshka_recall" -> Set("cartesian-product"),
+      // q299's cumulative/total windows run over the bounded length-
+      // histogram (≤ max_chars/50 rows by construction)
+      "q299_dp_quantile" -> Set("single-partition-window"),
+      // q300 is q26's conditioned broadcast with both sides
+      // pre-exploded into sub-vectors (the late-interaction scan)
+      "q300_maxsim_retrieval" -> Set("cartesian-product"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

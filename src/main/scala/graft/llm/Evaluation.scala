@@ -404,10 +404,59 @@ object Evaluation {
       .orderBy($"q_id", $"rank")
   }
 
+  /** q302 — residual quantization (RQ, the two-level additive coder
+    * of Chen et al. 2010 / FAISS's ResidualQuantizer): after the
+    * coarse assignment, quantize the RESIDUAL v − c against a second
+    * codebook — per extra byte it recovers error PQ's independent
+    * subspaces can't, because the second stage sees the full-dim
+    * leftover. Completes the stored-index compression suite beside
+    * PQ (q198), SQ8 (q247) and SRP (q248). Codebooks stay
+    * oracle-replayable: coarse = q49's seeds, residual codebook = the
+    * ENGINE-assigned residuals of vectors 16..31 (collected — 16·64
+    * doubles, bounded driver state), so both engines derive identical
+    * codebooks from the data alone. Output: per coarse list, mean
+    * quantization error after stage 1 vs stage 2 — the bytes-vs-
+    * recall evidence an index planner reads. One scan + one bounded
+    * aggregate; both argmins are the native codegen'd expression.
+    */
+  def q302_residual_quantization(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (seeds, assignedRaw) = Similarity.seededAssignment(emb)
+    val cvArr = array(seeds.map(s =>
+      array(s._2.map(lit).toIndexedSeq: _*)): _*)
+    // materialize the residuals once (zip_with is CodegenFallback —
+    // never let it fuse into the second argmin scan twice)
+    val assigned = graft.Caches.tracked(assignedRaw
+      .withColumn("rv", zip_with($"v",
+        element_at(cvArr, $"centroid" + 1), (a, b) => a - b)))
+    val k = Similarity.IvfCentroids
+    val rseeds = assigned
+      .filter($"vec_id" >= k && $"vec_id" < 2L * k)
+      .select($"vec_id", $"rv").collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    assigned
+      .withColumn("err0", round(dot($"rv", $"rv") * 1e6).cast("long"))
+      .withColumn("a2", graft.functions.QuantizerArgmin.argmin($"rv", rseeds))
+      .select($"centroid".cast("long").as("cid"), $"err0",
+        $"a2.d".as("err1"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"err0").cast("double") / count(lit(1)))
+          .cast("long").as("mean_err0_micro"),
+        round(sum($"err1").cast("double") / count(lit(1)))
+          .cast("long").as("mean_err1_micro"))
+      .orderBy($"cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_geometric_median" -> q296_geometric_median,
     "q298_label_noise" -> q298_label_noise,
     "q300_maxsim_retrieval" -> q300_maxsim_retrieval,
+    "q302_residual_quantization" -> q302_residual_quantization,
     "q288_knn_shapley" -> q288_knn_shapley,
     "q289_kcenter_coreset" -> q289_kcenter_coreset,
     "q290_ivf_append_drift" -> q290_ivf_append_drift,
@@ -567,6 +616,39 @@ object Evaluation {
         |      ORDER BY maxsim_micro DESC, neighbor_id) AS rank FROM sc)
         |SELECT q_id, rank, neighbor_id, maxsim_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q302_residual_quantization" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |rvs AS (SELECT a.vec_id, a.centroid,
+        |    list_transform(generate_series(1, 64), j -> a.v[j] - s.cv[j]) AS rv
+        |  FROM asg a JOIN s ON s.cid = a.centroid),
+        |rs AS (SELECT CAST(vec_id - ${Similarity.IvfCentroids} AS INT) AS rcid,
+        |    rv AS rsv FROM rvs
+        |  WHERE vec_id >= ${Similarity.IvfCentroids}
+        |    AND vec_id < ${2 * Similarity.IvfCentroids}),
+        |ad2 AS (SELECT r.vec_id, r.centroid, r.rv, rs.rcid,
+        |    CAST(ROUND((list_inner_product(r.rv, r.rv)
+        |      - 2.0 * list_inner_product(r.rv, rs.rsv)
+        |      + list_inner_product(rs.rsv, rs.rsv)) * 1e6) AS BIGINT) AS d2
+        |  FROM rvs r CROSS JOIN rs),
+        |a2 AS (SELECT vec_id, centroid, rv, d2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, rcid) AS rn FROM ad2) WHERE rn = 1)
+        |SELECT CAST(centroid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(SUM(CAST(ROUND(list_inner_product(rv, rv) * 1e6)
+        |    AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_err0_micro,
+        |  CAST(ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS mean_err1_micro
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q296_geometric_median" -> geoMedianSql,
     "q288_knn_shapley" ->
       s"""WITH $ESql,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
@@ -202,6 +203,47 @@ object TextAnalysis {
         round(score * lit(1e15)).cast("long").as("score_e15"))
       .orderBy($"score_e15".desc, $"doc_id")
       .limit(50)
+  }
+
+  /** q301 — rank agreement between two retrieval runs (Kendall τ-b +
+    * Spearman ρ over the common top-50): the regression gate for
+    * swapping a scorer — "does QL order results like BM25 does" as
+    * two standard coefficients, not eyeballs. Both runs reduce to
+    * bounded top-50 lists FIRST (the q200 convention), so the pair
+    * grid is ≤ 50² no matter the corpus; concordance counts are exact
+    * integers, each coefficient is one rounded division. Ranks within
+    * each list are distinct, so the τ-b tie terms vanish and
+    * τ-b = (nc − nd) / (m(m−1)/2) exactly.
+    */
+  def q301_rank_correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w1 = Window.orderBy($"score_milli".desc, $"doc_id")
+    val r1 = q171_bm25_lite(spark, dir)
+      .withColumn("ra", row_number().over(w1).cast("long"))
+      .select($"doc_id", $"ra")
+    val w2 = Window.orderBy($"score_e15".desc, $"doc_id")
+    val r2 = q295_ql_retrieval(spark, dir)
+      .withColumn("rb", row_number().over(w2).cast("long"))
+      .select($"doc_id", $"rb")
+    val joined = r1.join(r2, "doc_id")
+    val pairs = joined.as("a").join(joined.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        (signum(col("a.ra") - col("b.ra"))
+          === signum(col("a.rb") - col("b.rb"))).cast("long").as("conc"),
+        ((col("a.ra") - col("b.ra")) * (col("a.rb") - col("b.rb")) < 0)
+          .cast("long").as("disc"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"conc").as("concordant"),
+        sum($"disc").as("discordant"))
+    val sp = joined.agg(count(lit(1)).as("n_common"),
+      sum(($"ra" - $"rb") * ($"ra" - $"rb")).as("sd2"))
+    sp.crossJoin(pairs)
+      .select($"n_common", $"n_pairs", $"concordant", $"discordant",
+        round(lit(1000.0) * ($"concordant" - $"discordant") / $"n_pairs")
+          .cast("long").as("tau_milli"),
+        round(lit(1000.0) * (lit(1.0) - lit(6.0) * $"sd2"
+          / ($"n_common" * ($"n_common" * $"n_common" - lit(1L)))))
+          .cast("long").as("spearman_milli"))
   }
 
   final val RrfK = 60L    // the standard reciprocal-rank-fusion damping
@@ -1528,13 +1570,95 @@ object TextAnalysis {
     "q193_lm_surprisal" -> q193_lm_surprisal,
     "q171_bm25_lite" -> q171_bm25_lite,
     "q295_ql_retrieval" -> q295_ql_retrieval,
+    "q301_rank_correlation" -> q301_rank_correlation,
     "q200_rrf_fusion" -> q200_rrf_fusion,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
     "q53_tfidf_keywords" -> q53_tfidf_keywords,
     "q54_token_chunks" -> q54_token_chunks)
 
+  private val QlSql: String =
+    """WITH tf AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
+        |      AS BIGINT) AS tf_join,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
+        |      AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
+        |      AS BIGINT) AS tf_data
+        |  FROM documents),
+        |st AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_toks,
+        |    CAST(SUM(tf_join) AS DOUBLE) AS cf_join,
+        |    CAST(SUM(tf_vector) AS DOUBLE) AS cf_vector,
+        |    CAST(SUM(tf_data) AS DOUBLE) AS cf_data
+        |  FROM tf)
+        |SELECT doc_id, dl, CAST(ROUND(
+        |    (CAST(tf_join AS DOUBLE) + 300.0 * cf_join / total_toks)
+        |      / (dl + 300.0)
+        |    * ((CAST(tf_vector AS DOUBLE) + 300.0 * cf_vector / total_toks)
+        |      / (dl + 300.0))
+        |    * ((CAST(tf_data AS DOUBLE) + 300.0 * cf_data / total_toks)
+        |      / (dl + 300.0))
+        |    * 1e15) AS BIGINT) AS score_e15
+        |FROM tf, st ORDER BY score_e15 DESC, doc_id LIMIT 50""".stripMargin
+
+  private val Bm25Sql: String =
+    """WITH tf AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
+        |      AS BIGINT) AS tf_join,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
+        |      AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
+        |      AS BIGINT) AS tf_data
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(dl) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_join,
+        |    CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_vector,
+        |    CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS df_data
+        |  FROM tf),
+        |sc AS (SELECT doc_id, dl,
+        |    CAST(ROUND((
+        |      (n_docs - df_join + 0.5) / (df_join + 0.5)
+        |        * (CAST(tf_join AS DOUBLE) * 2.2)
+        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + (n_docs - df_vector + 0.5) / (df_vector + 0.5)
+        |        * (CAST(tf_vector AS DOUBLE) * 2.2)
+        |        / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + (n_docs - df_data + 0.5) / (df_data + 0.5)
+        |        * (CAST(tf_data AS DOUBLE) * 2.2)
+        |        / (CAST(tf_data AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    ) * 1000) AS BIGINT) AS score_milli
+        |  FROM tf, st)
+        |SELECT doc_id, dl, score_milli FROM sc
+        |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q301_rank_correlation" ->
+      s"""WITH bm AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |      ORDER BY score_milli DESC, doc_id) AS ra FROM ($Bm25Sql)),
+        |ql AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |      ORDER BY score_e15 DESC, doc_id) AS rb FROM ($QlSql)),
+        |j AS (SELECT bm.doc_id, ra, rb FROM bm JOIN ql USING (doc_id)),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN SIGN(a.ra - b.ra) = SIGN(a.rb - b.rb)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM j a JOIN j b ON a.doc_id < b.doc_id),
+        |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sd2 FROM j)
+        |SELECT n_common, n_pairs, concordant, discordant,
+        |  CAST(ROUND(1000.0 * (concordant - discordant) / n_pairs) AS BIGINT)
+        |    AS tau_milli,
+        |  CAST(ROUND(1000.0 * (1.0 - 6.0 * sd2
+        |    / (n_common * (n_common * n_common - 1)))) AS BIGINT)
+        |    AS spearman_milli
+        |FROM sp, p""".stripMargin,
     "q264_mutual_info" ->
       """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
         |  FROM documents GROUP BY 1, 2),
@@ -2137,64 +2261,8 @@ object TextAnalysis {
         |         - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 40
         |         + LEAST(len(string_split(text, ' ')), 100) * 10)) AS quality_bp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q295_ql_retrieval" ->
-      """WITH tf AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
-        |      AS BIGINT) AS tf_join,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
-        |      AS BIGINT) AS tf_vector,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
-        |      AS BIGINT) AS tf_data
-        |  FROM documents),
-        |st AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_toks,
-        |    CAST(SUM(tf_join) AS DOUBLE) AS cf_join,
-        |    CAST(SUM(tf_vector) AS DOUBLE) AS cf_vector,
-        |    CAST(SUM(tf_data) AS DOUBLE) AS cf_data
-        |  FROM tf)
-        |SELECT doc_id, dl, CAST(ROUND(
-        |    (CAST(tf_join AS DOUBLE) + 300.0 * cf_join / total_toks)
-        |      / (dl + 300.0)
-        |    * ((CAST(tf_vector AS DOUBLE) + 300.0 * cf_vector / total_toks)
-        |      / (dl + 300.0))
-        |    * ((CAST(tf_data AS DOUBLE) + 300.0 * cf_data / total_toks)
-        |      / (dl + 300.0))
-        |    * 1e15) AS BIGINT) AS score_e15
-        |FROM tf, st ORDER BY score_e15 DESC, doc_id LIMIT 50""".stripMargin,
-    "q171_bm25_lite" ->
-      """WITH tf AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join'))
-        |      AS BIGINT) AS tf_join,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector'))
-        |      AS BIGINT) AS tf_vector,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'data'))
-        |      AS BIGINT) AS tf_data
-        |  FROM documents),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |    AVG(dl) AS avgdl,
-        |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |      AS df_join,
-        |    CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |      AS df_vector,
-        |    CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |      AS df_data
-        |  FROM tf),
-        |sc AS (SELECT doc_id, dl,
-        |    CAST(ROUND((
-        |      (n_docs - df_join + 0.5) / (df_join + 0.5)
-        |        * (CAST(tf_join AS DOUBLE) * 2.2)
-        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |      + (n_docs - df_vector + 0.5) / (df_vector + 0.5)
-        |        * (CAST(tf_vector AS DOUBLE) * 2.2)
-        |        / (CAST(tf_vector AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |      + (n_docs - df_data + 0.5) / (df_data + 0.5)
-        |        * (CAST(tf_data AS DOUBLE) * 2.2)
-        |        / (CAST(tf_data AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |    ) * 1000) AS BIGINT) AS score_milli
-        |  FROM tf, st)
-        |SELECT doc_id, dl, score_milli FROM sc
-        |ORDER BY score_milli DESC, doc_id LIMIT 50""".stripMargin,
+    "q295_ql_retrieval" -> QlSql,
+    "q171_bm25_lite" -> Bm25Sql,
     "q165_score_calibration" ->
       s"""WITH ${Dedup.GramIxSql},
          |p AS (SELECT da, db FROM ix

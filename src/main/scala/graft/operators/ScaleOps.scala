@@ -439,8 +439,52 @@ object ScaleOps {
       .orderBy($"join_name")
   }
 
+  final val HrwShards = 10
+
+  /** q303 — rendezvous (highest-random-weight) sharding with the
+    * minimal-movement audit (Thaler & Ravishankar 1998, the stateless
+    * alternative to consistent-hash rings): every doc goes to the
+    * shard with the highest hash(doc, shard) weight, so assignment
+    * needs NO routing table, any node computes it, and adding shard
+    * N+1 moves EXACTLY the docs whose new weight wins — an expected
+    * 1/(N+1) of the corpus, all INTO the new shard, none between old
+    * shards. The audit assigns at [[HrwShards]] and [[HrwShards]]+1
+    * in one pass (conditional argmax over the same exploded weights)
+    * and reports per-shard before/after counts and moved-out counts —
+    * the spec pins moved_out = n_before − n_after for every old shard
+    * and 0 arrivals anywhere but the new one. Weights are the
+    * repo-wide 60-bit md5 (oracle replays bit-for-bit). Distinct
+    * from q45's greedy packing: HRW is stateless and
+    * rebalance-minimal, the shape a 100 TB ingest tier actually runs.
+    */
+  def q303_rendezvous_shards(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shards = array((0 to HrwShards).map(s => lit(s.toLong)): _*)
+    val byDoc = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(shards).as("s"))
+      .withColumn("w", hash60(concat(lit("graft_hrw_"),
+        $"doc_id".cast("string"), lit("_"), $"s".cast("string"))))
+      .groupBy($"doc_id")
+      .agg(
+        max(when($"s" < HrwShards, struct($"w", $"s"))).as("a10"),
+        max(struct($"w", $"s")).as("a11"))
+      .select($"a10.s".as("s10"), $"a11.s".as("s11"))
+    val before = byDoc.groupBy($"s10".as("shard"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(($"s10" =!= $"s11").cast("long")).as("moved_out"))
+    val after = byDoc.groupBy($"s11".as("shard"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("shard"), "full_outer")
+      .select($"shard",
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"moved_out", lit(0L)).as("moved_out"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q62_bloom_prune" -> q62_bloom_prune,
+      "q303_rendezvous_shards" -> q303_rendezvous_shards,
       "q271_skew_planner" -> q271_skew_planner,
       "q272_join_card_audit" -> q272_join_card_audit,
       "q66_bucketed_join" -> q66_bucketed_join,
@@ -474,6 +518,28 @@ object ScaleOps {
        |FROM meta)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q303_rendezvous_shards" ->
+      s"""WITH w AS (SELECT d.doc_id, s.s,
+        |    CAST(('0x' || substring(md5('graft_hrw_' || d.doc_id || '_'
+        |      || s.s), 1, 15)) AS BIGINT) AS w
+        |  FROM documents d, (SELECT CAST(unnest(generate_series(0, $HrwShards))
+        |      AS BIGINT) AS s) s),
+        |bd AS (SELECT doc_id,
+        |    MAX(CASE WHEN s < $HrwShards THEN ROW(w, s) END) AS a10,
+        |    MAX(ROW(w, s)) AS a11
+        |  FROM w GROUP BY 1),
+        |pick AS (SELECT (a10)[2] AS s10, (a11)[2] AS s11 FROM bd),
+        |bef AS (SELECT s10 AS shard, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS moved_out
+        |  FROM pick GROUP BY 1),
+        |aft AS (SELECT s11 AS shard, CAST(COUNT(*) AS BIGINT) AS n_after
+        |  FROM pick GROUP BY 1)
+        |SELECT COALESCE(bef.shard, aft.shard) AS shard,
+        |  COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after,
+        |  COALESCE(moved_out, 0) AS moved_out
+        |FROM bef FULL OUTER JOIN aft ON aft.shard = bef.shard
+        |ORDER BY shard""".stripMargin,
     "q271_skew_planner" ->
       (skewOracleFor("l_orderkey") + "\nUNION ALL\n" +
         skewOracleFor("l_partkey") + "\nUNION ALL\n" +

@@ -289,4 +289,64 @@ class EvaluationSpec extends AnyFunSuite {
     assert(top.getLong(2) == 100L, "shifted-parts doc must rank first")
     assert(top.getLong(3) == 8000000L, "every part matches exactly")
   }
+  test("rank correlation: identical orderings give tau = rho = 1000") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "join vector data x x x"),
+      (1L, "join vector x x x x"),
+      (2L, "join x x x x x"),
+      (3L, "x x x x x x"))
+    val tmp = TestSpark.tempDir("rankcorr")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.q301_rank_correlation(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 6L && r.getLong(3) == 0L,
+      "BM25 and QL order the containment chain identically")
+    assert(r.getLong(4) == 1000L && r.getLong(5) == 1000L)
+  }
+
+  test("residual quantization: planted residual-codebook copies reach zero stage-2 error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val seeds = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    // vec 16+i = seed_i + one-hot(0.01) delta: its residual IS the
+    // residual codebook entry for rcid i
+    def plusDelta(v: Array[Float]): Array[Float] = {
+      val c = v.clone(); c(0) = c(0) + 0.01f; c
+    }
+    val sources = (0 until 16).map(i => (16L + i, plusDelta(seeds(i)._2), 0))
+    // two more copies of the cell-2 pattern: stage-2 error exactly 0
+    val copies = Seq((100L, plusDelta(seeds(2)._2), 0), (101L, plusDelta(seeds(2)._2), 0))
+    val tmp = TestSpark.tempDir("rq")
+    (seeds ++ sources ++ copies).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q302_residual_quantization(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // err(delta) in micro units: delta is float32 0.01
+    val d = 0.01f.toDouble
+    val e = math.round(d * d * 1e6)
+    assert(out(2L) == ((4L, math.round((3 * e).toDouble / 4), math.round(e.toDouble / 4))),
+      s"cell 2: ${out(2L)}")
+    assert(out(5L) == ((2L, math.round(e.toDouble / 2), math.round(e.toDouble / 2))),
+      s"cell 5: ${out(5L)}")
+  }
+
+  test("rendezvous shards: adding a shard moves docs only INTO it") {
+    val out = graft.operators.ScaleOps
+      .q303_rendezvous_shards(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val total = out.values.map(_._1).sum
+    assert(total == out.values.map(_._2).sum, "doc count conserved")
+    assert(out(10L)._1 == 0L, "new shard holds nothing before")
+    (0L until 10L).foreach { sId =>
+      val (b, a, m) = out(sId)
+      assert(a == b - m, s"shard $sId: arrivals only at the new shard")
+    }
+    assert(out(10L)._2 == out.values.map(_._3).sum,
+      "every moved doc lands in the new shard")
+    val frac = out(10L)._2.toDouble / total
+    assert(frac > 0.03 && frac < 0.2, s"movement ~1/11, got $frac")
+  }
 }

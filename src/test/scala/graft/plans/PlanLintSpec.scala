@@ -182,7 +182,12 @@ class PlanLintSpec extends AnyFunSuite {
       "q299_dp_quantile" -> Set("single-partition-window"),
       // q300 is q26's conditioned broadcast with both sides
       // pre-exploded into sub-vectors (the late-interaction scan)
-      "q300_maxsim_retrieval" -> Set("cartesian-product"))
+      "q300_maxsim_retrieval" -> Set("cartesian-product"),
+      // q301's windows/self-join run over the two LIMIT-50 run lists
+      // (≤ 50 rows by construction); the doc_id< pair condition over
+      // the 50-row broadcast is the bounded grid, not a corpus product
+      "q301_rank_correlation" ->
+        Set("cartesian-product", "single-partition-window"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

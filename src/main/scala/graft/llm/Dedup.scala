@@ -547,6 +547,46 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** q304 — near-dup pair mutation map: for every verified near-dup
+    * pair, WHERE the two texts differ — positional token mismatch
+    * count and the first/last differing positions (1-based; 0 = the
+    * overlap is identical and only lengths differ). This is the
+    * reviewer-facing explanation layer on top of q23's pair list: a
+    * single-position map says "one edited word", a dense map says
+    * "templated boilerplate with rotating payload" — different
+    * curation actions. Per-pair work is one linear walk over the
+    * token overlap (mapPartitions — the documented per-row escape
+    * hatch), bounded by the pair list the LSH stage already bounds.
+    */
+  def q304_pair_mutation_map(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents").select($"doc_id", $"text")
+    val toks = graft.Caches.tracked(
+      docs.select($"doc_id", split($"text", " ").as("t")))
+    minhashPairs(docs)
+      .join(toks.select($"doc_id".as("doc_a"), $"t".as("ta")), "doc_a")
+      .join(toks.select($"doc_id".as("doc_b"), $"t".as("tb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"j_bp", $"ta", $"tb")
+      .as[(Long, Long, Long, Seq[String], Seq[String])]
+      .mapPartitions(_.map { case (a, b, j, ta, tb) =>
+        val m = math.min(ta.length, tb.length)
+        var n = 0; var first = 0L; var last = 0L
+        var i = 0
+        while (i < m) {
+          if (ta(i) != tb(i)) {
+            n += 1
+            if (first == 0L) first = i + 1L
+            last = i + 1L
+          }
+          i += 1
+        }
+        (a, b, j, ta.length.toLong, tb.length.toLong, n.toLong, first, last)
+      })
+      .toDF("doc_a", "doc_b", "j_bp", "len_a", "len_b",
+        "n_pos_diff", "first_diff_pos", "last_diff_pos")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q86 — blocked edit-distance (Levenshtein) near-dup: the fuzzy
     * title/lead dedup every curation pipeline runs where token-set
     * similarity (q23/q25) is too coarse — character-level edits, typo
@@ -1088,6 +1128,7 @@ object Dedup {
     "q25_ngram_jaccard_blocked" -> q25_ngram_jaccard_blocked,
     "q52_neardup_clusters" -> q52_neardup_clusters,
     "q291_cluster_chain_audit" -> q291_cluster_chain_audit,
+    "q304_pair_mutation_map" -> q304_pair_mutation_map,
     "q73_prefix_jaccard" -> q73_prefix_jaccard)
 
   // Oracles recompute the *exact* similarity ground truth from the
@@ -1423,6 +1464,22 @@ object Dedup {
         |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
         |FROM ix WHERE 2 * i >= la + lb - i
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q304_pair_mutation_map" ->
+      s"""WITH $GramIxSql,
+        |pr AS (SELECT da, db,
+        |    CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |  FROM ix WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cmp AS (SELECT pr.da AS doc_a, pr.db AS doc_b, pr.j_bp,
+        |    CAST(len(a.t) AS BIGINT) AS len_a, CAST(len(b.t) AS BIGINT) AS len_b,
+        |    list_filter(generate_series(1, least(len(a.t), len(b.t))),
+        |      j -> a.t[j] <> b.t[j]) AS dps
+        |  FROM pr JOIN tk a ON a.doc_id = pr.da JOIN tk b ON b.doc_id = pr.db)
+        |SELECT doc_a, doc_b, j_bp, len_a, len_b,
+        |  CAST(len(dps) AS BIGINT) AS n_pos_diff,
+        |  CAST(COALESCE(dps[1], 0) AS BIGINT) AS first_diff_pos,
+        |  CAST(COALESCE(dps[-1], 0) AS BIGINT) AS last_diff_pos
+        |FROM cmp ORDER BY doc_a, doc_b""".stripMargin,
     "q291_cluster_chain_audit" ->
       s"""WITH RECURSIVE $GramIxSql,
         |pairs AS (SELECT da AS u, db AS v FROM ix

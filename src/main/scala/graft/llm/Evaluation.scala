@@ -382,23 +382,35 @@ object Evaluation {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
-    val subs = array((0 until MaxSimSubs).map(m =>
-      struct(lit(m.toLong).as("m"), slice($"v", m * 8 + 1, 8).as("sv"))): _*)
-    val ds = emb.select($"vec_id", explode(subs).as("s"))
-      .select($"vec_id", $"s.m".as("dm"), $"s.sv".as("dv"))
-      .withColumn("dn", norm($"dv"))
-    val qs = ds.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"dm".as("qm"), $"dv".as("qv"), $"dn".as("qn"))
-    val cell = ds.join(broadcast(qs), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"qm", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"dv")
-          / greatest($"qn" * $"dn", lit(1e-12)) * 1e6).cast("long").as("c"))
-    val score = cell.groupBy($"q_id", $"neighbor_id", $"qm")
-      .agg(max($"c").as("mx"))
-      .groupBy($"q_id", $"neighbor_id")
-      .agg(sum($"mx").as("maxsim_micro"))
+    // per-part slices + norms materialize ONCE per row, below the
+    // join: the 8×8 cell grid then evaluates entirely inside one
+    // codegen'd projection per (query, doc) pair — the pair stream
+    // stays |q|·|corpus| rows and NOTHING corpus-sized shuffles (the
+    // exploded-sides formulation shuffled 64·|q|·|corpus| cell rows
+    // through two aggregations — 38 s vs ~4 s at the 20× stress).
+    def parts(df: DataFrame, pfx: String): DataFrame =
+      (0 until MaxSimSubs).foldLeft(df) { (d, m) =>
+        d.withColumn(s"$pfx$m", slice($"v", m * 8 + 1, 8))
+          .withColumn(s"${pfx}n$m", norm(col(s"$pfx$m")))
+      }
+    val ds = parts(emb, "p").drop("v")
+    val qs = parts(emb.filter($"vec_id" % 50 === 0), "q")
+      .drop("v").withColumnRenamed("vec_id", "q_id")
+    // cell(m,m') rounds to micro BEFORE max/sum — integer semantics
+    // identical to the exploded form and to the oracle replay
+    val cells = for (m <- 0 until MaxSimSubs) yield {
+      val best = (0 until MaxSimSubs).map { mp =>
+        round(dot(col(s"q$m"), col(s"p$mp"))
+          / greatest(col(s"qn$m") * col(s"pn$mp"), lit(1e-12)) * 1e6)
+          .cast("long")
+      }.reduce(greatest(_, _))
+      best
+    }
+    val maxsim = cells.reduce(_ + _)
+    val scored = ds.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), maxsim.as("maxsim_micro"))
     val w = Window.partitionBy($"q_id").orderBy($"maxsim_micro".desc, $"neighbor_id")
-    score.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= TopK)
       .select($"q_id", $"rank", $"neighbor_id", $"maxsim_micro")
       .orderBy($"q_id", $"rank")

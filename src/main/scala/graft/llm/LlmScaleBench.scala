@@ -77,6 +77,48 @@ object LlmScaleBench {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Synthetic event stream for the analytics-family stress (~2.4M
+    * rows over 60 calendar days) with two PLANTED invariants:
+    *
+    *  - every even-id event has an odd-id exact duplicate, so q294's
+    *    target margins EQUAL its seed table and IPF must be
+    *    stationary at factor 1 — fitted_e6 ≡ seed_n·1e6 in all cells;
+    *  - value/volume follow a constructed stratum-mix reversal
+    *    (purchase beats click inside EVERY weekday, loses pooled), so
+    *    q297 must flag sign_flip on every stratum and never on the
+    *    pooled row.
+    *
+    * Deterministic, no RNG: volumes and values are functions of the
+    * ISO weekday alone.
+    */
+  def synthEvents(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val secsPerDay = 86400L
+    val base = java.time.LocalDate.of(2024, 1, 1) // a Monday, isodow 1
+    val baseEpoch = base.toEpochDay * secsPerDay
+    spark.range(60).as[Long].mapPartitions(_.flatMap { day =>
+      val dow = ((day % 7) + 1).toInt // day 0 is Monday
+      val weekdayish = dow <= 5
+      val nPurch = if (weekdayish) 200 else 20000
+      val nClick = if (weekdayish) 20000 else 200
+      val vPurch = if (weekdayish) 10.0 else 2.0
+      val vClick = if (weekdayish) 9.0 else 1.0
+      val dayBase = day * 100000L
+      def rows(n: Int, off: Long, tpe: String, v: Double) =
+        (0 until n).iterator.flatMap { i =>
+          val seedId = (dayBase + off + i) * 2
+          val ts = new java.sql.Timestamp(
+            (baseEpoch + day * secsPerDay + 3600 + i % 43200) * 1000L)
+          // even id + its odd exact duplicate (the IPF margin plant)
+          Iterator((seedId, ts, (seedId / 2) % 997, tpe, v, """{"k": 1}"""),
+            (seedId + 1, ts, (seedId / 2) % 997, tpe, v, """{"k": 1}"""))
+        }
+      rows(nPurch, 0L, "purchase", vPurch) ++
+        rows(nClick, 30000L, "click", vClick)
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -92,6 +134,7 @@ object LlmScaleBench {
 
     val (_, tDocs) = t(synthDocuments(spark, NDocs, s"$dir/documents.parquet"))
     val (_, tEmb) = t(synthEmbeddings(spark, NVecs, s"$dir/embeddings.parquet"))
+    val (_, tEv) = t(synthEvents(spark, s"$dir/events.parquet"))
 
     def drive(df: DataFrame): Long = df.queryExecution.toRdd.count()
     def q(name: String): DataFrame = graft.SparkEntry.queries(name)(spark, dir)
@@ -217,7 +260,27 @@ object LlmScaleBench {
       "robust_scale" -> (() => drive(q("q274_robust_scale"))),
       "readability" -> (() => drive(q("q277_readability"))),
       "anisotropy" -> (() => drive(q("q278_anisotropy"))),
-      "wasserstein" -> (() => drive(q("q279_wasserstein"))))
+      "wasserstein" -> (() => drive(q("q279_wasserstein"))),
+      // round-11b: valuation / eval / index-maintenance layer
+      "knn_shapley" -> (() => drive(q("q288_knn_shapley"))),
+      "kcenter_coreset" -> (() => drive(q("q289_kcenter_coreset"))),
+      "ivf_append_drift" -> (() => drive(q("q290_ivf_append_drift"))),
+      "retrieval_metrics" -> (() => drive(q("q292_retrieval_metrics"))),
+      "matryoshka_recall" -> (() => drive(q("q293_matryoshka_recall"))),
+      "geometric_median" -> (() => drive(q("q296_geometric_median"))),
+      "label_noise" -> (() => drive(q("q298_label_noise"))),
+      "dp_quantile" -> (() => drive(q("q299_dp_quantile"))),
+      "maxsim_retrieval" -> (() => drive(q("q300_maxsim_retrieval"))),
+      "ql_retrieval" -> (() => drive(q("q295_ql_retrieval"))),
+      "rank_correlation" -> (() => drive(q("q301_rank_correlation"))),
+      "residual_quantization" -> (() => drive(q("q302_residual_quantization"))),
+      // events-analytics family over the 2.4M-row synthetic stream:
+      // each reduces to a calendar-bounded table before any window
+      "changepoint" -> (() => drive(q("q252_changepoint"))),
+      "cusum" -> (() => drive(q("q268_cusum"))),
+      "seasonal_dow" -> (() => drive(q("q270_seasonal_dow"))),
+      "acf" -> (() => drive(q("q257_acf"))),
+      "json_extract" -> (() => drive(q("q275_json_extract"))))
 
     val timed = stages.map { case (name, f) =>
       val (rows, sec) = t(f())
@@ -269,6 +332,56 @@ object LlmScaleBench {
       s"FIM psm share off the hash gate: $psmRows of $NDocs")
     graft.Caches.releaseAll()
 
+    // matryoshka anchor at 20×: the d=64 row is the exact baseline by
+    // construction — anything but exactly 1e6 means the truncation
+    // sweep's own ranking drifted from the shared exact memo
+    val (anchor, tMat) = t(q("q293_matryoshka_recall")
+      .filter($"dim" === 64L).collect()(0).getLong(3))
+    require(anchor == 1000000L, s"matryoshka d=64 recall must be 1e6, got $anchor")
+    graft.Caches.releaseAll()
+
+    // chain audit at 20×: planted near-dups are isolated PAIRS —
+    // every cluster has exactly one intra-pair and no chain-only
+    // (weak) pairs; a nonzero weak count means CC glued strangers
+    val (weakPairs, tChain) = t(q("q291_cluster_chain_audit")
+      .agg(sum($"n_weak_pairs")).collect()(0).getLong(0))
+    require(weakPairs == 0L,
+      s"planted pair-only corpus must have zero chain-weak pairs, got $weakPairs")
+    graft.Caches.releaseAll()
+
+    // IPF stationarity at 2.4M events: odd ids exactly duplicate even
+    // ids, so target margins EQUAL the seed table and every fitted
+    // cell must be exactly seed_n·1e6 (any drift = a rescale bug)
+    val (ipfBad, tIpf) = t(graft.queries.Analytics
+      .q294_ipf_margins(spark, dir)
+      .filter($"fitted_e6" =!= $"seed_n" * 1000000L).count())
+    require(ipfBad == 0L, s"IPF must be stationary on duplicated margins, $ipfBad cells off")
+    graft.Caches.releaseAll()
+
+    // Simpson audit at 2.4M events: the constructed mix reversal must
+    // flag EVERY weekday stratum and never the pooled row
+    val simpson = graft.queries.Analytics
+      .q297_simpson_paradox(spark, dir).collect()
+    require(simpson.filter(_.getLong(0) > 0).forall(_.getBoolean(6)),
+      "every stratum must disagree with the pooled direction")
+    require(!simpson.find(_.getLong(0) == 0L).get.getBoolean(6),
+      "the pooled row must not flag itself")
+    graft.Caches.releaseAll()
+
+    // rendezvous movement conservation at 20×: every doc that leaves
+    // an old shard lands in the new one, and old shards receive none
+    val hrwRows = graft.operators.ScaleOps
+      .q303_rendezvous_shards(spark, dir).collect()
+    val movedSum = hrwRows.map(_.getLong(3)).sum
+    val newShard = hrwRows.find(_.getLong(0) == 10L).get
+    require(newShard.getLong(1) == 0L && newShard.getLong(2) == movedSum,
+      s"HRW movement must conserve into the new shard: $movedSum vs ${newShard.getLong(2)}")
+    hrwRows.filter(_.getLong(0) < 10L).foreach { r =>
+      require(r.getLong(2) == r.getLong(1) - r.getLong(3),
+        s"old shard ${r.getLong(0)} received arrivals")
+    }
+    graft.Caches.releaseAll()
+
     // leakage-free split at 20×: the three splits must cover every doc
     // exactly once, and NO planted near-dup pair may straddle a split
     // (both members share a CC cluster id by construction — a split
@@ -303,6 +416,8 @@ object LlmScaleBench {
     graft.Caches.releaseAll()
 
     val json = (Seq(("synth_docs", -1L, tDocs), ("synth_embeddings", -1L, tEmb),
+      ("synth_events", -1L, tEv),
+      ("ipf_stationary", ipfBad, tIpf),
       ("minhash_pairs", mhPairs, tMinhash),
       ("neardup_clusters", ccClusters, tCluster),
       ("incremental_dedup_pairs", incPairs, tInc),
@@ -311,6 +426,8 @@ object LlmScaleBench {
       ("winnow_planted_pairs", winnowPairs, tWinnow),
       ("memorization_flagged", memHigh, tMem),
       ("fim_psm_rows", psmRows, tFim),
+      ("matryoshka_anchor", anchor, tMat),
+      ("chain_weak_pairs", weakPairs, tChain),
       ("cluster_split_total", splitTotal, tSplitTotal),
       ("bootstrap_ci_ordered", badCi, tCi),
       ("preference_pairs_clean", badPref, tPref)) ++ timed)

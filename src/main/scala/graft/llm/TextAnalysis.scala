@@ -246,6 +246,43 @@ object TextAnalysis {
           .cast("long").as("spearman_milli"))
   }
 
+  /** q305 — F1-optimal threshold selection: given a per-document
+    * score (the q21 quality score) and a reference positive set (docs
+    * containing the probe token), sweep EVERY distinct score as a
+    * cutoff and report the threshold maximizing F1 — the calibration
+    * step that turns "here's a quality score" into "filter at ≥ X".
+    * The sweep is NOT per-candidate work: documents fold to one row
+    * per distinct score (bounded by the basis-point range, ≤ 10 001
+    * rows at any corpus size), TP/FP come from one descending
+    * cumulative window over that bounded table, FN from the one-row
+    * total; F1 quantizes to milli per candidate and the winner is a
+    * single max(struct) with a lower-threshold tie-break.
+    */
+  def q305_threshold_opt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select(qualityBp($"text").as("score"),
+        array_contains(split($"text", " "), "data").cast("long").as("pos"))
+    val byScore = d.groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("np"))
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byScore
+      .withColumn("tp", sum($"np").over(w))
+      .withColumn("pred", sum($"n").over(w))
+      .crossJoin(broadcast(d.agg(sum($"pos").as("tot_pos"))))
+      .withColumn("fp", $"pred" - $"tp")
+      .withColumn("fn", $"tot_pos" - $"tp")
+      .withColumn("f1_milli",
+        when(lit(2L) * $"tp" + $"fp" + $"fn" > 0L,
+          round(lit(2000.0) * $"tp" / (lit(2L) * $"tp" + $"fp" + $"fn"))
+            .cast("long")).otherwise(0L))
+    cum.agg(max(struct($"f1_milli", (-$"score").as("ns"),
+        $"tp", $"fp", $"fn")).as("m"))
+      .select((-$"m.ns").as("threshold_bp"), $"m.tp".as("tp"),
+        $"m.fp".as("fp"), $"m.fn".as("fn"), $"m.f1_milli".as("f1_milli"))
+  }
+
   final val RrfK = 60L    // the standard reciprocal-rank-fusion damping
   final val RrfDepth = 50 // fuse the top-50 of each input ranking
   final val RrfTopN = 20
@@ -1571,6 +1608,7 @@ object TextAnalysis {
     "q171_bm25_lite" -> q171_bm25_lite,
     "q295_ql_retrieval" -> q295_ql_retrieval,
     "q301_rank_correlation" -> q301_rank_correlation,
+    "q305_threshold_opt" -> q305_threshold_opt,
     "q200_rrf_fusion" -> q200_rrf_fusion,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
@@ -2263,6 +2301,30 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q295_ql_retrieval" -> QlSql,
     "q171_bm25_lite" -> Bm25Sql,
+    "q305_threshold_opt" ->
+      s"""WITH d AS (SELECT $QualityBpSql AS score,
+        |    CASE WHEN list_contains(string_split(text, ' '), 'data')
+        |         THEN 1 ELSE 0 END AS pos FROM documents),
+        |bs AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS np FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos FROM d),
+        |cum AS (SELECT score,
+        |    CAST(SUM(np) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(SUM(n) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pred
+        |  FROM bs),
+        |f AS (SELECT score, tp, pred - tp AS fp, tot_pos - tp AS fn,
+        |    CASE WHEN 2 * tp + (pred - tp) + (tot_pos - tp) > 0
+        |         THEN CAST(ROUND(2000.0 * tp
+        |           / (2 * tp + (pred - tp) + (tot_pos - tp))) AS BIGINT)
+        |         ELSE 0 END AS f1_milli
+        |  FROM cum, tot)
+        |SELECT CAST(score AS BIGINT) AS threshold_bp, tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, f1_milli
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY f1_milli DESC, score)
+        |      AS r FROM f)
+        |WHERE r = 1""".stripMargin,
     "q165_score_calibration" ->
       s"""WITH ${Dedup.GramIxSql},
          |p AS (SELECT da, db FROM ix

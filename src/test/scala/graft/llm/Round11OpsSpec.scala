@@ -203,4 +203,39 @@ class Round11OpsSpec extends AnyFunSuite {
     // trigrams start only inside words 16..39 -> 22 of union 54
     assert(cl.getLong(4) == math.round(10000.0 * 22 / 54))
   }
+  test("pair mutation map: single planted edit localizes to one position") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i").toArray
+    val a = words.mkString(" ")
+    val b = words.updated(5, "EDIT").mkString(" ")
+    val noise = (100 to 130).map(i =>
+      (i.toLong, (1 to 40).map(j => s"n${i}_$j").mkString(" ")))
+    val tmp = graft.TestSpark.tempDir("mutmap")
+    (Seq((0L, a), (1L, b)) ++ noise).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.q304_pair_mutation_map(spark, tmp).collect()
+    assert(out.length == 1, "exactly the planted pair")
+    val r = out(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getLong(3) == 40L && r.getLong(4) == 40L)
+    assert(r.getLong(5) == 1L, "one differing position")
+    assert(r.getLong(6) == 6L && r.getLong(7) == 6L,
+      "the edit sits at 1-based position 6")
+  }
+
+  test("threshold opt: perfectly separable scores give F1 = 1000 at zero errors") {
+    import spark.implicits._
+    val stop = "the a of and to in is"
+    val pos = (0 until 8).map(i =>
+      (i.toLong, s"data $stop $stop $stop $stop $stop"))
+    val neg = (100 until 110).map(i =>
+      (i.toLong, "!!! ??? ;;; ::: %%% @@@"))
+    val tmp = graft.TestSpark.tempDir("thropt")
+    (pos ++ neg).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.q305_threshold_opt(spark, tmp).collect()(0)
+    assert(r.getLong(1) == 8L && r.getLong(2) == 0L && r.getLong(3) == 0L,
+      s"perfect separation: $r")
+    assert(r.getLong(4) == 1000L)
+  }
 }

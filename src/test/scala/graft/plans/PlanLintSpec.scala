@@ -187,7 +187,10 @@ class PlanLintSpec extends AnyFunSuite {
       // (≤ 50 rows by construction); the doc_id< pair condition over
       // the 50-row broadcast is the bounded grid, not a corpus product
       "q301_rank_correlation" ->
-        Set("cartesian-product", "single-partition-window"))
+        Set("cartesian-product", "single-partition-window"),
+      // q305's cumulative sweep runs over the ≤10 001-row distinct-
+      // score histogram — bounded by the basis-point range, not data
+      "q305_threshold_opt" -> Set("single-partition-window"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

@@ -587,6 +587,40 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q306 — dedup survivor-bias audit: canonical selection (q106)
+    * keeps the best-quality copy, and that CHOICE can bias the
+    * surviving corpus (dropping short docs, a language, a source).
+    * The audit splits the corpus into singleton / kept / dropped
+    * strata and reports exact counts with mean quality and mean
+    * length per stratum — the before/after table a curation review
+    * reads to see what dedup actually removed. Same bounded cluster
+    * machinery as q106; the stratum aggregate is 3 rows.
+    */
+  def q306_survivor_bias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val labels = connectedComponents(minhashPairs(docs.select($"doc_id", $"text")))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+    val q = docs.select($"doc_id", $"n_chars",
+      TextAnalysis.qualityBp($"text").as("q_bp"))
+    val member = q.join(labels, Seq("doc_id"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"q_bp".desc, $"doc_id")
+    member.filter($"cluster_id".isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .select($"doc_id", $"n_chars", $"q_bp",
+        when($"rn" === 1, lit("kept")).otherwise(lit("dropped")).as("status"))
+      .unionByName(member.filter($"cluster_id".isNull)
+        .select($"doc_id", $"n_chars", $"q_bp", lit("singleton").as("status")))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"),
+        round(lit(1000.0) * sum($"q_bp") / count(lit(1)))
+          .cast("long").as("mean_quality_milli_bp"),
+        round(lit(1000.0) * sum($"n_chars") / count(lit(1)))
+          .cast("long").as("mean_chars_milli"))
+      .orderBy($"status")
+  }
+
   /** q86 — blocked edit-distance (Levenshtein) near-dup: the fuzzy
     * title/lead dedup every curation pipeline runs where token-set
     * similarity (q23/q25) is too coarse — character-level edits, typo
@@ -1129,6 +1163,7 @@ object Dedup {
     "q52_neardup_clusters" -> q52_neardup_clusters,
     "q291_cluster_chain_audit" -> q291_cluster_chain_audit,
     "q304_pair_mutation_map" -> q304_pair_mutation_map,
+    "q306_survivor_bias" -> q306_survivor_bias,
     "q73_prefix_jaccard" -> q73_prefix_jaccard)
 
   // Oracles recompute the *exact* similarity ground truth from the
@@ -1464,6 +1499,32 @@ object Dedup {
         |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
         |FROM ix WHERE 2 * i >= la + lb - i
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q306_survivor_bias" ->
+      s"""WITH RECURSIVE $GramIxSql,
+        |pairs AS (SELECT da AS u, db AS v FROM ix
+        |  WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
+        |edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        |qd AS (SELECT doc_id, n_chars, ${TextAnalysis.QualityBpSql} AS q_bp
+        |       FROM documents),
+        |st AS (SELECT qd.doc_id, qd.n_chars, qd.q_bp,
+        |    CASE WHEN cl.cluster_id IS NULL THEN 'singleton'
+        |         WHEN ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+        |           ORDER BY qd.q_bp DESC, qd.doc_id) = 1
+        |           AND cl.cluster_id IS NOT NULL THEN 'kept'
+        |         ELSE 'dropped' END AS status
+        |  FROM qd LEFT JOIN cl ON cl.doc_id = qd.doc_id)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(1000.0 * SUM(q_bp) / COUNT(*)) AS BIGINT)
+        |    AS mean_quality_milli_bp,
+        |  CAST(ROUND(1000.0 * SUM(n_chars) / COUNT(*)) AS BIGINT)
+        |    AS mean_chars_milli
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "q304_pair_mutation_map" ->
       s"""WITH $GramIxSql,
         |pr AS (SELECT da, db,

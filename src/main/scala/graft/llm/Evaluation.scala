@@ -382,33 +382,39 @@ object Evaluation {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
-    // per-part slices + norms materialize ONCE per row, below the
-    // join: the 8×8 cell grid then evaluates entirely inside one
-    // codegen'd projection per (query, doc) pair — the pair stream
-    // stays |q|·|corpus| rows and NOTHING corpus-sized shuffles (the
-    // exploded-sides formulation shuffled 64·|q|·|corpus| cell rows
-    // through two aggregations — 38 s vs ~4 s at the 20× stress).
+    // doc-side part slices + norms materialize ONCE per doc row,
+    // below the join; ONLY the (tiny) query side explodes into parts.
+    // Each joined row then computes one query part's max over the 8
+    // doc parts — 8 narrow dots inside whole-stage codegen — and one
+    // aggregation sums the 8 per-part rows per pair. Two earlier
+    // formulations both failed at the 20× stress: exploding BOTH
+    // sides shuffled 64·|q|·|corpus| cell rows through two
+    // aggregations (38 s), and fusing all 64 cells into one
+    // projection blew the 64 KB codegen method limit and ran
+    // interpreted (293 s). This shape keeps the pair stream at
+    // 8·|q|·|corpus| with a codegen-sized projection.
     def parts(df: DataFrame, pfx: String): DataFrame =
       (0 until MaxSimSubs).foldLeft(df) { (d, m) =>
         d.withColumn(s"$pfx$m", slice($"v", m * 8 + 1, 8))
           .withColumn(s"${pfx}n$m", norm(col(s"$pfx$m")))
       }
     val ds = parts(emb, "p").drop("v")
-    val qs = parts(emb.filter($"vec_id" % 50 === 0), "q")
-      .drop("v").withColumnRenamed("vec_id", "q_id")
+    val qsubs = array((0 until MaxSimSubs).map(m =>
+      struct(lit(m.toLong).as("m"), slice($"v", m * 8 + 1, 8).as("sv"))): _*)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), explode(qsubs).as("s"))
+      .select($"q_id", $"s.m".as("qm"), $"s.sv".as("qv"))
+      .withColumn("qn", norm($"qv"))
     // cell(m,m') rounds to micro BEFORE max/sum — integer semantics
-    // identical to the exploded form and to the oracle replay
-    val cells = for (m <- 0 until MaxSimSubs) yield {
-      val best = (0 until MaxSimSubs).map { mp =>
-        round(dot(col(s"q$m"), col(s"p$mp"))
-          / greatest(col(s"qn$m") * col(s"pn$mp"), lit(1e-12)) * 1e6)
-          .cast("long")
-      }.reduce(greatest(_, _))
-      best
-    }
-    val maxsim = cells.reduce(_ + _)
+    // identical in every formulation and in the oracle replay
+    val best = (0 until MaxSimSubs).map { mp =>
+      round(dot($"qv", col(s"p$mp"))
+        / greatest($"qn" * col(s"pn$mp"), lit(1e-12)) * 1e6).cast("long")
+    }.reduce(greatest(_, _))
     val scored = ds.join(broadcast(qs), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"), maxsim.as("maxsim_micro"))
+      .select($"q_id", $"qm", $"vec_id".as("neighbor_id"), best.as("b"))
+      .groupBy($"q_id", $"neighbor_id")
+      .agg(sum($"b").as("maxsim_micro"))
     val w = Window.partitionBy($"q_id").orderBy($"maxsim_micro".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= TopK)
@@ -464,7 +470,50 @@ object Evaluation {
       .orderBy($"cid")
   }
 
+  /** q307 — kNN-graph reciprocity audit: the fraction of directed
+    * kNN edges that are MUTUAL (i ∈ knn(j) ∧ j ∈ knn(i)) — with
+    * q222's hubness, the standard "is this embedding space healthy"
+    * pair: low reciprocity means asymmetric neighborhoods (hubs
+    * attract, anti-hubs orphan) and predicts weak ANN recall.
+    * Neighborhoods are cluster-confined (q298's equi-join shape), the
+    * mutual test is one self-join of the bounded edge list on the
+    * reversed key. Per-list rows keep the audit actionable: a single
+    * degenerate IVF cell shows up as ITS row, not a diluted average.
+    */
+  def q307_knn_reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (_, assignedRaw) = Similarity.seededAssignment(emb)
+    val a = graft.Caches.tracked(assignedRaw)
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.centroid") === col("y.centroid") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.centroid").as("cid"), col("x.vec_id").as("src"),
+        col("y.vec_id").as("dst"),
+        round(dot(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm")) * 1e6).cast("long").as("sim_micro"))
+    val w = Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")
+    val edges = graft.Caches.tracked(pairs
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= NoiseK)
+      .select($"cid", $"src", $"dst"))
+    val mutual = edges.as("e").join(edges.as("r"),
+        col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+      .groupBy(col("e.cid").as("cid")).agg(count(lit(1)).as("n_mutual"))
+    val base = edges.groupBy($"cid")
+      .agg(countDistinct($"src").as("n_nodes"), count(lit(1)).as("n_edges"))
+    base.join(mutual, Seq("cid"), "left")
+      .select($"cid".cast("long").as("cid"), $"n_nodes", $"n_edges",
+        coalesce($"n_mutual", lit(0L)).as("n_mutual"))
+      .withColumn("reciprocity_milli",
+        round(lit(1000.0) * $"n_mutual" / $"n_edges").cast("long"))
+      .orderBy($"cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_knn_reciprocity" -> q307_knn_reciprocity,
     "q296_geometric_median" -> q296_geometric_median,
     "q298_label_noise" -> q298_label_noise,
     "q300_maxsim_retrieval" -> q300_maxsim_retrieval,
@@ -628,6 +677,36 @@ object Evaluation {
         |      ORDER BY maxsim_micro DESC, neighbor_id) AS rank FROM sc)
         |SELECT q_id, rank, neighbor_id, maxsim_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q307_knn_reciprocity" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |p AS (SELECT x.centroid AS cid, x.vec_id AS src, y.vec_id AS dst,
+        |    CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT)
+        |      AS sim_micro
+        |  FROM asg x JOIN asg y ON x.centroid = y.centroid
+        |    AND x.vec_id <> y.vec_id),
+        |edges AS MATERIALIZED (SELECT cid, src, dst FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY sim_micro DESC, dst) AS rk FROM p) WHERE rk <= $NoiseK),
+        |mu AS (SELECT e.cid, CAST(COUNT(*) AS BIGINT) AS n_mutual
+        |  FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+        |  GROUP BY 1),
+        |base AS (SELECT cid, CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges GROUP BY 1)
+        |SELECT CAST(base.cid AS BIGINT) AS cid, n_nodes, n_edges,
+        |  COALESCE(mu.n_mutual, 0) AS n_mutual,
+        |  CAST(ROUND(1000.0 * COALESCE(mu.n_mutual, 0) / n_edges) AS BIGINT)
+        |    AS reciprocity_milli
+        |FROM base LEFT JOIN mu ON mu.cid = base.cid ORDER BY cid""".stripMargin,
     "q302_residual_quantization" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e

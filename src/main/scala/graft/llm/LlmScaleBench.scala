@@ -99,7 +99,11 @@ object LlmScaleBench {
     spark.range(60).as[Long].mapPartitions(_.flatMap { day =>
       val dow = ((day % 7) + 1).toInt // day 0 is Monday
       val weekdayish = dow <= 5
-      val nPurch = if (weekdayish) 200 else 20000
+      // weekend totals differ from weekday totals (30 400 vs 40 400
+      // rows/day): a constant daily-count series has zero variance
+      // and legitimately breaks the ACF denominator — found by this
+      // stress when both volumes summed identically
+      val nPurch = if (weekdayish) 200 else 15000
       val nClick = if (weekdayish) 20000 else 200
       val vPurch = if (weekdayish) 10.0 else 2.0
       val vClick = if (weekdayish) 9.0 else 1.0
@@ -280,7 +284,9 @@ object LlmScaleBench {
       "cusum" -> (() => drive(q("q268_cusum"))),
       "seasonal_dow" -> (() => drive(q("q270_seasonal_dow"))),
       "acf" -> (() => drive(q("q257_acf"))),
-      "json_extract" -> (() => drive(q("q275_json_extract"))))
+      "json_extract" -> (() => drive(q("q275_json_extract"))),
+      "covariate_balance" -> (() => drive(q("q309_covariate_balance"))),
+      "nn_matching" -> (() => drive(q("q310_nn_matching"))))
 
     val timed = stages.map { case (name, f) =>
       val (rows, sec) = t(f())

@@ -237,13 +237,18 @@ object TextAnalysis {
         sum($"disc").as("discordant"))
     val sp = joined.agg(count(lit(1)).as("n_common"),
       sum(($"ra" - $"rb") * ($"ra" - $"rb")).as("sd2"))
+    // degenerate-overlap guards (mirrored in the oracle): a 0- or
+    // 1-doc intersection has no pairs (τ) / no rank variance (ρ) —
+    // report 0 instead of a division error
     sp.crossJoin(pairs)
       .select($"n_common", $"n_pairs", $"concordant", $"discordant",
-        round(lit(1000.0) * ($"concordant" - $"discordant") / $"n_pairs")
-          .cast("long").as("tau_milli"),
-        round(lit(1000.0) * (lit(1.0) - lit(6.0) * $"sd2"
-          / ($"n_common" * ($"n_common" * $"n_common" - lit(1L)))))
-          .cast("long").as("spearman_milli"))
+        when($"n_pairs" > 0L,
+          round(lit(1000.0) * ($"concordant" - $"discordant") / $"n_pairs")
+            .cast("long")).otherwise(0L).as("tau_milli"),
+        when($"n_common" > 1L,
+          round(lit(1000.0) * (lit(1.0) - lit(6.0) * $"sd2"
+            / ($"n_common" * ($"n_common" * $"n_common" - lit(1L)))))
+            .cast("long")).otherwise(0L).as("spearman_milli"))
   }
 
   /** q305 — F1-optimal threshold selection: given a per-document
@@ -281,6 +286,31 @@ object TextAnalysis {
         $"tp", $"fp", $"fn")).as("m"))
       .select((-$"m.ns").as("threshold_bp"), $"m.tp".as("tp"),
         $"m.fp".as("fp"), $"m.fn".as("fn"), $"m.f1_milli".as("f1_milli"))
+  }
+
+  /** q308 — per-source quantile normalization table: heterogeneous
+    * sources score on incompatible quality scales (a clean-corpus 6000
+    * ≠ a web-crawl 6000), so cross-source thresholds must compare
+    * PERCENTILES, not raw scores. The table maps each source's decile
+    * boundaries (0 = min … 10 = max) to raw score cutoffs via EXACT
+    * integer rank selection — rank ⌊(n−1)·d/10⌋+1 in the (score,
+    * doc_id)-sorted order, no interpolation, engine-identical. Windows
+    * partition by source (data-parallel at any source count); output
+    * is 11·|sources| rows.
+    */
+  def q308_source_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select($"source", qualityBp($"text").as("q_bp"), $"doc_id")
+    val bySrc = Window.partitionBy($"source")
+    val ranked = d
+      .withColumn("rn", row_number().over(bySrc.orderBy($"q_bp", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    val deciles = (0 to 10).map(_.toLong).toDF("decile")
+    ranked.crossJoin(broadcast(deciles))
+      .filter(expr("rn = ((n - 1) * decile) div 10 + 1"))
+      .select($"source", $"decile", $"q_bp".as("cutoff_bp"))
+      .orderBy($"source", $"decile")
   }
 
   final val RrfK = 60L    // the standard reciprocal-rank-fusion damping
@@ -1609,6 +1639,7 @@ object TextAnalysis {
     "q295_ql_retrieval" -> q295_ql_retrieval,
     "q301_rank_correlation" -> q301_rank_correlation,
     "q305_threshold_opt" -> q305_threshold_opt,
+    "q308_source_quantiles" -> q308_source_quantiles,
     "q200_rrf_fusion" -> q200_rrf_fusion,
     "q35_fingerprint" -> q35_fingerprint,
     "q51_repetition_stats" -> q51_repetition_stats,
@@ -1691,11 +1722,13 @@ object TextAnalysis {
         |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
         |    CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sd2 FROM j)
         |SELECT n_common, n_pairs, concordant, discordant,
-        |  CAST(ROUND(1000.0 * (concordant - discordant) / n_pairs) AS BIGINT)
-        |    AS tau_milli,
-        |  CAST(ROUND(1000.0 * (1.0 - 6.0 * sd2
-        |    / (n_common * (n_common * n_common - 1)))) AS BIGINT)
-        |    AS spearman_milli
+        |  CASE WHEN n_pairs > 0 THEN
+        |    CAST(ROUND(1000.0 * (concordant - discordant) / n_pairs) AS BIGINT)
+        |  ELSE 0 END AS tau_milli,
+        |  CASE WHEN n_common > 1 THEN
+        |    CAST(ROUND(1000.0 * (1.0 - 6.0 * sd2
+        |      / (n_common * (n_common * n_common - 1)))) AS BIGINT)
+        |  ELSE 0 END AS spearman_milli
         |FROM sp, p""".stripMargin,
     "q264_mutual_info" ->
       """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
@@ -2301,6 +2334,19 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q295_ql_retrieval" -> QlSql,
     "q171_bm25_lite" -> Bm25Sql,
+    "q308_source_quantiles" ->
+      s"""WITH d AS (SELECT source, doc_id, $QualityBpSql AS q_bp
+        |           FROM documents),
+        |r AS (SELECT source, q_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_bp, doc_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+        |t AS (SELECT * FROM (SELECT unnest(generate_series(0, 10))
+        |      AS decile) g)
+        |SELECT r.source, CAST(t.decile AS BIGINT) AS decile,
+        |  CAST(r.q_bp AS BIGINT) AS cutoff_bp
+        |FROM r, t WHERE r.rn = ((r.n - 1) * t.decile) // 10 + 1
+        |ORDER BY r.source, decile""".stripMargin,
     "q305_threshold_opt" ->
       s"""WITH d AS (SELECT $QualityBpSql AS score,
         |    CASE WHEN list_contains(string_split(text, ' '), 'data')

@@ -1599,8 +1599,14 @@ object Analytics {
       .join(c.as("b"), $"b.t" === $"a.t" + $"lag")
       .groupBy($"lag").agg(sum($"a.cx" * $"b.cx").as("num"))
       .crossJoin(broadcast(den))
+      // constant series ⇒ zero variance: autocorrelation is undefined
+      // there — report 0 instead of dividing by zero (a constant
+      // daily count is a legitimate production input; the 20× stress
+      // found the unguarded form crashing under ANSI mode)
       .select($"lag",
-        round(lit(1000.0) * $"num" / $"den").cast("long").as("acf_milli"))
+        when($"den" > 0L,
+          round(lit(1000.0) * $"num" / $"den").cast("long"))
+          .otherwise(0L).as("acf_milli"))
       .orderBy($"lag")
   }
 
@@ -1874,7 +1880,101 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** q309 — covariate balance audit (standardized mean differences):
+    * the pre-flight check before ANY observational causal estimate
+    * (q265's DiD, q310's matching) — are treated and control units
+    * comparable on their covariates? |SMD| > 0.1 is the conventional
+    * imbalance alarm. Users aggregate once (data-sized shuffle on
+    * user_id), the treated/control split reduces to TWO rows of exact
+    * integer sums per covariate, and the SMD is one fixed float tree
+    * (population variances via the n·Σx² − (Σx)² cross-mult, one
+    * sqrt, one division) rounded to milli. Pooled-zero-variance
+    * degenerates report 0 (mirrored guard).
+    */
+  def q309_covariate_balance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("views"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("tot"))
+      // scale-invariant treatment: purchase-heavy users (> 1/5 share)
+      .withColumn("treated", ($"np" * 5L > $"tot").cast("long"))
+    val long = users.select($"treated", explode(map(
+        lit("clicks"), $"clicks", lit("views"), $"views")).as(Seq("covariate", "x")))
+    val g = long.groupBy($"covariate", $"treated")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+    val t = g.filter($"treated" === 1L)
+      .select($"covariate", $"n".as("nt"), $"sx".as("sxt"), $"sxx".as("sxxt"))
+    val c = g.filter($"treated" === 0L)
+      .select($"covariate", $"n".as("nc"), $"sx".as("sxc"), $"sxx".as("sxxc"))
+    val mt = $"sxt".cast("double") / $"nt"
+    val mc = $"sxc".cast("double") / $"nc"
+    val vt = ($"nt" * $"sxxt" - $"sxt" * $"sxt").cast("double") / ($"nt".cast("double") * $"nt")
+    val vc = ($"nc" * $"sxxc" - $"sxc" * $"sxc").cast("double") / ($"nc".cast("double") * $"nc")
+    t.join(c, "covariate")
+      .select($"covariate", $"nt".as("n_treated"), $"nc".as("n_control"),
+        round(lit(1000.0) * mt).cast("long").as("mean_treated_milli"),
+        round(lit(1000.0) * mc).cast("long").as("mean_control_milli"),
+        when((vt + vc) > 0.0,
+          round(lit(1000.0) * (mt - mc) / sqrt((vt + vc) / lit(2.0)))
+            .cast("long")).otherwise(0L).as("smd_milli"))
+      .orderBy($"covariate")
+  }
+
+  final val MatchCaliper = 8L
+
+  /** q310 — caliper nearest-neighbor matching ATT (with replacement):
+    * each treated user matches the control whose covariate (total
+    * event count) is closest WITHIN its covariate bucket of width
+    * [[MatchCaliper]] — the standard caliper restriction (matches
+    * farther than the caliper are worse than no match), which is also
+    * what makes the estimator distributed: windows partition by
+    * bucket, so the sort is per-bucket, never a global single
+    * partition. With-replacement matching needs only each treated
+    * unit's nearest control in covariate order — two running extremes
+    * per bucket (last control at-or-before, first after), closer one
+    * wins, ties to the at-or-before side. Treated units with no
+    * in-caliper control are counted unmatched, never silently
+    * dropped. One user-level aggregate + one bucket-partitioned
+    * window — the 100 TB shape of a matching estimator.
+    */
+  def q310_nn_matching(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("cov"),
+        sum(graft.Tables.cents($"value")).as("y_cents"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .withColumn("treated", ($"np" * 5L > $"cov").cast("long"))
+      .withColumn("bucket", expr(s"cov div $MatchCaliper"))
+    val ord = Window.partitionBy($"bucket").orderBy($"cov", $"user_id")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    val m = users
+      .withColumn("prevc", max(when($"treated" === 0L,
+        struct($"cov", (-$"user_id").as("nid"), $"y_cents"))).over(before))
+      .withColumn("nextc", min(when($"treated" === 0L,
+        struct($"cov", $"user_id", $"y_cents"))).over(after))
+      .filter($"treated" === 1L)
+      .withColumn("dprev", when($"prevc".isNotNull, $"cov" - $"prevc.cov"))
+      .withColumn("dnext", when($"nextc".isNotNull, $"nextc.cov" - $"cov"))
+      .withColumn("match_y", when($"dprev".isNotNull &&
+          ($"dnext".isNull || $"dprev" <= $"dnext"), $"prevc.y_cents")
+        .otherwise($"nextc.y_cents"))
+    m.agg(count(lit(1)).as("n_treated"),
+        sum($"match_y".isNotNull.cast("long")).as("n_matched"),
+        sum(when($"match_y".isNotNull, $"y_cents" - $"match_y")).as("gap"))
+      .select($"n_treated", $"n_matched",
+        when($"n_matched" > 0L,
+          round(lit(1000.0) * $"gap" / $"n_matched").cast("long"))
+          .otherwise(0L).as("att_milli_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_covariate_balance" -> q309_covariate_balance,
+    "q310_nn_matching" -> q310_nn_matching,
     "q294_ipf_margins" -> q294_ipf_margins,
     "q297_simpson_paradox" -> q297_simpson_paradox,
     "q276_cohort_ltv" -> q276_cohort_ltv,
@@ -1951,6 +2051,71 @@ object Analytics {
     "q18_dedup_first_wins" -> q18_dedup_first_wins)
 
   val oracle: Map[String, String] = Map(
+    "q309_covariate_balance" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS clicks,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS views,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           * 5 > COUNT(*) THEN 1 ELSE 0 END AS treated
+        |  FROM events GROUP BY 1),
+        |lg AS (SELECT treated, 'clicks' AS covariate, clicks AS x FROM u
+        |  UNION ALL SELECT treated, 'views', views FROM u),
+        |g AS (SELECT covariate, treated, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM lg GROUP BY 1, 2),
+        |t AS (SELECT covariate, n AS nt, sx AS sxt, sxx AS sxxt FROM g
+        |      WHERE treated = 1),
+        |c AS (SELECT covariate, n AS nc, sx AS sxc, sxx AS sxxc FROM g
+        |      WHERE treated = 0)
+        |SELECT t.covariate, nt AS n_treated, nc AS n_control,
+        |  CAST(ROUND(1000.0 * (CAST(sxt AS DOUBLE) / nt)) AS BIGINT)
+        |    AS mean_treated_milli,
+        |  CAST(ROUND(1000.0 * (CAST(sxc AS DOUBLE) / nc)) AS BIGINT)
+        |    AS mean_control_milli,
+        |  CASE WHEN (CAST(nt * sxxt - sxt * sxt AS DOUBLE)
+        |        / (CAST(nt AS DOUBLE) * nt))
+        |      + (CAST(nc * sxxc - sxc * sxc AS DOUBLE)
+        |        / (CAST(nc AS DOUBLE) * nc)) > 0.0
+        |    THEN CAST(ROUND(1000.0
+        |      * (CAST(sxt AS DOUBLE) / nt - CAST(sxc AS DOUBLE) / nc)
+        |      / SQRT(((CAST(nt * sxxt - sxt * sxt AS DOUBLE)
+        |          / (CAST(nt AS DOUBLE) * nt))
+        |        + (CAST(nc * sxxc - sxc * sxc AS DOUBLE)
+        |          / (CAST(nc AS DOUBLE) * nc))) / 2.0)) AS BIGINT)
+        |    ELSE 0 END AS smd_milli
+        |FROM t JOIN c ON c.covariate = t.covariate ORDER BY t.covariate""".stripMargin,
+    "q310_nn_matching" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cov,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y_cents,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           * 5 > COUNT(*) THEN 1 ELSE 0 END AS treated,
+        |    CAST(COUNT(*) AS BIGINT) // 8 AS bucket
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT *,
+        |    MAX(CASE WHEN treated = 0 THEN ROW(cov, -user_id, y_cents) END)
+        |      OVER (PARTITION BY bucket ORDER BY cov, user_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevc,
+        |    MIN(CASE WHEN treated = 0 THEN ROW(cov, user_id, y_cents) END)
+        |      OVER (PARTITION BY bucket ORDER BY cov, user_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nextc
+        |  FROM u),
+        |m AS (SELECT y_cents,
+        |    CASE WHEN prevc IS NOT NULL AND (nextc IS NULL
+        |           OR cov - (prevc)[1] <= (nextc)[1] - cov)
+        |         THEN (prevc)[3] ELSE (nextc)[3] END AS match_y
+        |  FROM w WHERE treated = 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+        |  CAST(SUM(CASE WHEN match_y IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  CASE WHEN SUM(CASE WHEN match_y IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(ROUND(1000.0
+        |      * SUM(CASE WHEN match_y IS NOT NULL THEN y_cents - match_y END)
+        |      / SUM(CASE WHEN match_y IS NOT NULL THEN 1 ELSE 0 END))
+        |      AS BIGINT)
+        |    ELSE 0 END AS att_milli_cents
+        |FROM m""".stripMargin,
     "q294_ipf_margins" ->
       """WITH ev AS (SELECT event_id, event_type,
         |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow FROM events),
@@ -2129,7 +2294,9 @@ object Analytics {
         |l AS (SELECT lg.range AS lag, CAST(SUM(a.cx * b.cx) AS BIGINT) AS num
         |  FROM range(1, 8) lg JOIN c a ON true JOIN c b ON b.t = a.t + lg.range
         |  GROUP BY 1)
-        |SELECT lag, CAST(ROUND(1000.0 * num / den) AS BIGINT) AS acf_milli
+        |SELECT lag, CASE WHEN den > 0
+        |    THEN CAST(ROUND(1000.0 * num / den) AS BIGINT)
+        |    ELSE 0 END AS acf_milli
         |FROM l, c0 ORDER BY lag""".stripMargin,
     "q258_theil_sen" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,

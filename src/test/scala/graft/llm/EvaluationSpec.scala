@@ -349,4 +349,52 @@ class EvaluationSpec extends AnyFunSuite {
     val frac = out(10L)._2.toDouble / total
     assert(frac > 0.03 && frac < 0.2, s"movement ~1/11, got $frac")
   }
+  test("survivor bias: kept strata outnumber none, kept quality >= dropped") {
+    val out = Dedup.q306_survivor_bias(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("kept", "dropped", "singleton"))
+    // every cluster keeps exactly one member and drops the rest
+    assert(out("kept")._1 >= 1L && out("dropped")._1 >= out("kept")._1,
+      s"each cluster drops at least one member: $out")
+    assert(out.values.map(_._1).sum == 500L, "strata cover the corpus")
+    assert(out("kept")._2 >= out("dropped")._2,
+      "canonical selection keeps the higher-quality members")
+  }
+
+  test("knn reciprocity: identical-vector cell has the closed-form mutual count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val seeds = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    val members = (100 to 111).map(id => (id.toLong, seeds(0)._2, 0))
+    val tmp = TestSpark.tempDir("reciprocity")
+    (seeds ++ members).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q307_knn_reciprocity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c0 = out(0L)
+    // 13 identical vectors: each node's top-5 = the 5 lowest other
+    // ids, so exactly the 6 lowest ids form a mutual clique: 6*5 = 30
+    // mutual directed edges of 13*5 = 65
+    assert(c0.getLong(1) == 13L && c0.getLong(2) == 65L)
+    assert(c0.getLong(3) == 30L, s"mutual-clique count: ${c0.getLong(3)}")
+    assert(c0.getLong(4) == math.round(1000.0 * 30 / 65))
+  }
+
+  test("source quantiles: controlled score ladder maps deciles to exact ranks") {
+    import spark.implicits._
+    val docs = (0 to 10).map { i =>
+      val text = (Seq.fill(i)("the") ++ Seq.fill(20 - i)("x")).mkString(" ")
+      (i.toLong, text, "s")
+    }
+    val tmp = TestSpark.tempDir("srcq")
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.q308_source_quantiles(spark, tmp).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (0L to 10L).foreach { d =>
+      assert(out(d) == 5200L + 120L * d,
+        s"decile $d cutoff ${out(d)} != ${5200 + 120 * d}")
+    }
+  }
 }

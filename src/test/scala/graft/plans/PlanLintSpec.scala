@@ -190,7 +190,11 @@ class PlanLintSpec extends AnyFunSuite {
         Set("cartesian-product", "single-partition-window"),
       // q305's cumulative sweep runs over the ≤10 001-row distinct-
       // score histogram — bounded by the basis-point range, not data
-      "q305_threshold_opt" -> Set("single-partition-window"))
+      "q305_threshold_opt" -> Set("single-partition-window"),
+      // q308 fans each ranked row out against the 11-row decile
+      // literal with the rank-selection predicate in the BNLJ
+      // condition — a bounded ×11 attach, not a corpus product
+      "q308_source_quantiles" -> Set("cartesian-product"))
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val findings =

@@ -70,4 +70,47 @@ class CalibrationSpec extends AnyFunSuite {
     assert(out(0L).getLong(3) == math.round(1000.0 * 210000 / 1010))
     assert(out(0L).getLong(4) == math.round(1000.0 * 901000 / 1010))
   }
+  test("covariate balance: planted click imbalance gives SMD exactly 4, balanced views 0") {
+    import spark.implicits._
+    // treated users (purchase share > 1/5): clicks {9,11,9,11}, views 5
+    // controls: clicks {5,7,5,7}, views 5 -> SMD_clicks = 4/sqrt(1) = 4000
+    def mk(uid: Long, clicks: Int, views: Int, purch: Int) =
+      Seq.fill(clicks)((uid, "click", 1.0)) ++
+        Seq.fill(views)((uid, "view", 1.0)) ++
+        Seq.fill(purch)((uid, "purchase", 1.0))
+    val rows = mk(1, 9, 5, 4) ++ mk(2, 11, 5, 5) ++ mk(3, 9, 5, 4) ++
+      mk(4, 11, 5, 5) ++
+      mk(10, 5, 5, 0) ++ mk(11, 7, 5, 0) ++ mk(12, 5, 5, 0) ++ mk(13, 7, 5, 0)
+    val tmp = TestSpark.tempDir("covbal")
+    rows.toDF("user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Analytics.q309_covariate_balance(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ck = out("clicks")
+    assert(ck.getLong(1) == 4L && ck.getLong(2) == 4L)
+    assert(ck.getLong(3) == 10000L && ck.getLong(4) == 6000L)
+    assert(ck.getLong(5) == 4000L, s"SMD clicks: ${ck.getLong(5)}")
+    assert(out("views").getLong(5) == 0L, "balanced covariate reports 0")
+  }
+
+  test("nn matching: caliper buckets match nearest controls, unmatched counted") {
+    import spark.implicits._
+    // all event values 10.00 -> y_cents = 1000*cov; bucket = cov div 8
+    def mk(uid: Long, clicks: Int, purch: Int) =
+      Seq.fill(clicks)((uid, "click", 10.0)) ++
+        Seq.fill(purch)((uid, "purchase", 10.0))
+    val rows =
+      mk(1, 7, 3) ++   // treated A: cov 10 -> matches B (d=1) not C (d=2)
+      mk(2, 9, 5) ++   // treated D: cov 14 -> matches C (d=2) not B (d=5)
+      mk(3, 15, 5) ++  // treated E: cov 20, bucket 2 -> no control: unmatched
+      mk(10, 9, 0) ++  // control B: cov 9
+      mk(11, 12, 0)    // control C: cov 12
+    val tmp = TestSpark.tempDir("nnmatch")
+    rows.toDF("user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Analytics.q310_nn_matching(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L, s"$r")
+    // gaps: A-B = 1000*(10-9), D-C = 1000*(14-12) -> ATT milli = 1500000
+    assert(r.getLong(2) == 1500000L, s"att = ${r.getLong(2)}")
+  }
 }

@@ -702,7 +702,9 @@ object DataPrep {
       .select(when($"n1" =!= 0L && $"n0" > expr(s"${Long.MaxValue}L DIV n1"),
           raise_error(lit("q135: n0*n1 overflows Long — use decimal(38,0)")))
         .otherwise($"n0").as("n0"), $"n1",
-        round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long").as("ks_bp"))
+        when($"n0" > 0L && $"n1" > 0L,
+          round(lit(10000.0) * $"dmax" / ($"n0" * $"n1")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ks_bp"))
   }
 
   /** q250 — Mann-Whitney U rank-sum test (tie-corrected) between two
@@ -733,13 +735,20 @@ object DataPrep {
       .agg(sum($"n1").as("nn1"), sum($"n2").as("nn2"),
         sum($"n1" * (lit(2L) * $"cumb" + $"t" + 1)).as("r1x2"),
         sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      // degenerate guards (mirrored in the oracle): an empty group, a
+      // singleton union, or an all-tied sample has no defined z —
+      // report NULL instead of an ANSI division error
       .select($"nn1".as("n1"), $"nn2".as("n2"),
         ($"r1x2" - $"nn1" * ($"nn1" + 1)).as("u1_x2"), $"tie_term",
-        round(lit(1000.0) * ($"r1x2" - $"nn1" * ($"nn1" + 1) - $"nn1" * $"nn2")
-          / (lit(2.0) * sqrt($"nn1".cast("double") * $"nn2" / lit(12.0)
-            * (($"nn1" + $"nn2" + 1) - $"tie_term".cast("double")
-              / (($"nn1" + $"nn2").cast("double") * ($"nn1" + $"nn2" - 1))))))
-          .cast("long").as("z_milli"))
+        when($"nn1" > 0L && $"nn2" > 0L && $"nn1" + $"nn2" > 1L &&
+            ($"nn1".cast("double") * $"nn2" / lit(12.0)
+              * (($"nn1" + $"nn2" + 1) - $"tie_term".cast("double")
+                / (($"nn1" + $"nn2").cast("double") * ($"nn1" + $"nn2" - 1)))) > 0.0,
+          round(lit(1000.0) * ($"r1x2" - $"nn1" * ($"nn1" + 1) - $"nn1" * $"nn2")
+            / (lit(2.0) * sqrt($"nn1".cast("double") * $"nn2" / lit(12.0)
+              * (($"nn1" + $"nn2" + 1) - $"tie_term".cast("double")
+                / (($"nn1" + $"nn2").cast("double") * ($"nn1" + $"nn2" - 1))))))
+            .cast("long")).otherwise(lit(null).cast("long")).as("z_milli"))
   }
 
   /** q254 — Poisson bootstrap confidence interval on each source's
@@ -2160,8 +2169,9 @@ object DataPrep {
         |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n1
         |  FROM d)
         |SELECT t.n0, t.n1,
-        |  CAST(ROUND(10000.0 * MAX(ABS(cum0 * t.n1 - cum1 * t.n0))
-        |    / (t.n0 * t.n1)) AS BIGINT) AS ks_bp
+        |  CASE WHEN t.n0 > 0 AND t.n1 > 0 THEN
+        |    CAST(ROUND(10000.0 * MAX(ABS(cum0 * t.n1 - cum1 * t.n0))
+        |      / (t.n0 * t.n1)) AS BIGINT) END AS ks_bp
         |FROM cum, t GROUP BY t.n0, t.n1""".stripMargin,
     "q250_mann_whitney" ->
       s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} AS s
@@ -2181,11 +2191,15 @@ object DataPrep {
          |  FROM r)
          |SELECT nn1 AS n1, nn2 AS n2,
          |  r1x2 - nn1 * (nn1 + 1) AS u1_x2, tie_term,
-         |  CAST(ROUND(1000.0 * (r1x2 - nn1 * (nn1 + 1) - nn1 * nn2)
+         |  CASE WHEN nn1 > 0 AND nn2 > 0 AND nn1 + nn2 > 1 AND
+         |      (CAST(nn1 AS DOUBLE) * nn2 / 12.0
+         |        * ((nn1 + nn2 + 1) - CAST(tie_term AS DOUBLE)
+         |          / (CAST(nn1 + nn2 AS DOUBLE) * (nn1 + nn2 - 1)))) > 0.0
+         |  THEN CAST(ROUND(1000.0 * (r1x2 - nn1 * (nn1 + 1) - nn1 * nn2)
          |    / (2.0 * SQRT(CAST(nn1 AS DOUBLE) * nn2 / 12.0
          |      * ((nn1 + nn2 + 1) - CAST(tie_term AS DOUBLE)
          |        / (CAST(nn1 + nn2 AS DOUBLE) * (nn1 + nn2 - 1)))))) AS BIGINT)
-         |    AS z_milli
+         |  END AS z_milli
          |FROM a""".stripMargin,
     "q254_bootstrap_ci" ->
       s"""WITH d AS (SELECT source, doc_id, ${TextAnalysis.QualityBpSql} AS x

@@ -165,8 +165,10 @@ object Evaluation {
     val t = g.agg(sum($"n_base").as("tb"), sum($"n_new").as("tn"))
     g.crossJoin(broadcast(t))
       .select($"centroid".cast("long").as("cid"), $"n_base", $"n_new",
-        round(lit(1e6) * $"n_base" / $"tb").cast("long").as("share_base_ppm"),
-        round(lit(1e6) * $"n_new" / $"tn").cast("long").as("share_new_ppm"))
+        when($"tb" > 0L, round(lit(1e6) * $"n_base" / $"tb").cast("long"))
+          .otherwise(0L).as("share_base_ppm"),
+        when($"tn" > 0L, round(lit(1e6) * $"n_new" / $"tn").cast("long"))
+          .otherwise(0L).as("share_new_ppm"))
       .withColumn("drift_ppm", abs($"share_base_ppm" - $"share_new_ppm"))
       .orderBy($"cid")
   }
@@ -456,6 +458,9 @@ object Evaluation {
       .select($"vec_id", $"rv").collect()
       .sortBy(_.getLong(0))
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    require(rseeds.nonEmpty,
+      s"residual quantization needs vectors with ids in [$k, ${2 * k}) to seed " +
+        s"the residual codebook (q49 convention) — corpus too small/sparse")
     assigned
       .withColumn("err0", round(dot($"rv", $"rv") * 1e6).cast("long"))
       .withColumn("a2", graft.functions.QuantizerArgmin.argmin($"rv", rseeds))
@@ -797,10 +802,14 @@ object Evaluation {
         |t AS (SELECT SUM(n_base) AS tb, SUM(n_new) AS tn FROM g)
         |SELECT CAST(centroid AS BIGINT) AS cid,
         |  CAST(n_base AS BIGINT) AS n_base, CAST(n_new AS BIGINT) AS n_new,
-        |  CAST(ROUND(1e6 * n_base / tb) AS BIGINT) AS share_base_ppm,
-        |  CAST(ROUND(1e6 * n_new / tn) AS BIGINT) AS share_new_ppm,
-        |  ABS(CAST(ROUND(1e6 * n_base / tb) AS BIGINT)
-        |    - CAST(ROUND(1e6 * n_new / tn) AS BIGINT)) AS drift_ppm
+        |  CASE WHEN tb > 0 THEN CAST(ROUND(1e6 * n_base / tb) AS BIGINT)
+        |       ELSE 0 END AS share_base_ppm,
+        |  CASE WHEN tn > 0 THEN CAST(ROUND(1e6 * n_new / tn) AS BIGINT)
+        |       ELSE 0 END AS share_new_ppm,
+        |  ABS(CASE WHEN tb > 0 THEN CAST(ROUND(1e6 * n_base / tb) AS BIGINT)
+        |           ELSE 0 END
+        |    - CASE WHEN tn > 0 THEN CAST(ROUND(1e6 * n_new / tn) AS BIGINT)
+        |           ELSE 0 END) AS drift_ppm
         |FROM g, t ORDER BY cid""".stripMargin,
     "q292_retrieval_metrics" -> {
       val discList = DiscE9.mkString("[", ", ", "]")

@@ -1202,12 +1202,15 @@ object Similarity {
         $"n"))
     val tr = cov.filter($"i" === $"j").agg(sum($"c").as("trace"))
     val u1 = cov.groupBy($"i").agg(sum($"c").as("u"))
+    // greatest(nm, tiny) is a no-op whenever nm > 0 (every real
+    // corpus) and keeps the all-zero-covariance degenerate from an
+    // ANSI division error (degenerate-probe finding)
     val v1 = u1.crossJoin(broadcast(u1.agg(sqrt(sum($"u" * $"u")).as("nm"))))
-      .select($"i".as("j"), ($"u" / $"nm").as("v"))
+      .select($"i".as("j"), ($"u" / greatest($"nm", lit(1e-300))).as("v"))
     val u2 = cov.join(broadcast(v1), "j")
       .groupBy($"i").agg(sum($"c" * $"v").as("u"))
     val v2 = u2.crossJoin(broadcast(u2.agg(sqrt(sum($"u" * $"u")).as("nm"))))
-      .select($"i".as("j"), ($"u" / $"nm").as("v"))
+      .select($"i".as("j"), ($"u" / greatest($"nm", lit(1e-300))).as("v"))
     val u3 = cov.join(broadcast(v2), "j")
       .groupBy($"i").agg(sum($"c" * $"v").as("u"))
     val ray = u3.join(broadcast(v2.select($"j".as("i"), $"v")), "i")
@@ -1216,7 +1219,9 @@ object Similarity {
       .crossJoin(broadcast(tr)).crossJoin(broadcast(ray))
       .select($"n",
         round($"trace" / ($"n" * $"n")).cast("long").as("total_var_e12"),
-        round(lit(1e6) * $"lam" / $"trace").cast("long").as("top_share_micro"))
+        when($"trace" > 0.0,
+          round(lit(1e6) * $"lam" / $"trace").cast("long"))
+          .otherwise(lit(null).cast("long")).as("top_share_micro"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1258,18 +1263,20 @@ object Similarity {
         |tr AS (SELECT SUM(c) AS trace FROM cov WHERE i = j),
         |u1 AS (SELECT i, SUM(c) AS u FROM cov GROUP BY 1),
         |n1 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u1),
-        |v1 AS (SELECT i, u / nm AS v FROM u1, n1),
+        |v1 AS (SELECT i, u / GREATEST(nm, 1e-300) AS v FROM u1, n1),
         |u2 AS (SELECT cov.i, SUM(cov.c * v1.v) AS u FROM cov
         |  JOIN v1 ON cov.j = v1.i GROUP BY 1),
         |n2 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u2),
-        |v2 AS (SELECT i, u / nm AS v FROM u2, n2),
+        |v2 AS (SELECT i, u / GREATEST(nm, 1e-300) AS v FROM u2, n2),
         |u3 AS (SELECT cov.i, SUM(cov.c * v2.v) AS u FROM cov
         |  JOIN v2 ON cov.j = v2.i GROUP BY 1),
         |ray AS (SELECT SUM(u3.u * v2.v) AS lam FROM u3
         |  JOIN v2 ON u3.i = v2.i)
         |SELECT n.n,
         |  CAST(ROUND(tr.trace / (n.n * n.n)) AS BIGINT) AS total_var_e12,
-        |  CAST(ROUND(1e6 * ray.lam / tr.trace) AS BIGINT) AS top_share_micro
+        |  CASE WHEN tr.trace > 0.0 THEN
+        |    CAST(ROUND(1e6 * ray.lam / tr.trace) AS BIGINT)
+        |  END AS top_share_micro
         |FROM n, tr, ray""".stripMargin,
     // q34: the trained quantizer IS SQL-portable since round 11 —
     // Lloyd's runs in exact integer micro-arithmetic on an md5-ordered

@@ -1513,9 +1513,13 @@ object TextAnalysis {
           * log($"nt".cast("double") / $"ni"))).cast("long").as("h_lang_micro"),
         round(lit(1e6) * sum($"nij".cast("double") / $"nt"
           * log($"nt".cast("double") / $"nj"))).cast("long").as("h_source_micro"))
+      // single-category degenerate: both marginal entropies 0, NMI
+      // undefined — NULL instead of an ANSI division error
       .select($"nt".as("n"), $"mi_micro", $"h_lang_micro", $"h_source_micro",
-        round(lit(1000.0) * $"mi_micro" / least($"h_lang_micro", $"h_source_micro"))
-          .cast("long").as("nmi_milli"))
+        when(least($"h_lang_micro", $"h_source_micro") > 0L,
+          round(lit(1000.0) * $"mi_micro"
+            / least($"h_lang_micro", $"h_source_micro")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("nmi_milli"))
   }
 
   /** q266 — Unicode NFC normalization audit: per lang, how many
@@ -1747,8 +1751,9 @@ object TextAnalysis {
         |  FROM c JOIN rl USING (lang) JOIN rs USING (source) CROSS JOIN n
         |  GROUP BY 1)
         |SELECT nt AS n, mi_micro, h_lang_micro, h_source_micro,
-        |  CAST(ROUND(1000.0 * mi_micro / LEAST(h_lang_micro, h_source_micro))
-        |    AS BIGINT) AS nmi_milli
+        |  CASE WHEN LEAST(h_lang_micro, h_source_micro) > 0 THEN
+        |    CAST(ROUND(1000.0 * mi_micro / LEAST(h_lang_micro, h_source_micro))
+        |      AS BIGINT) END AS nmi_milli
         |FROM a""".stripMargin,
     "q266_nfc_audit" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -204,9 +204,13 @@ object DataQuality {
       .withColumn("benford_bp",
         element_at(array(BenfordBp.map(lit): _*), $"digit".cast("int")))
       .withColumn("expected_n", expr("(n_total * benford_bp) div 10000"))
+      // a tiny sample can round an expected cell to 0 — the chi2 term
+      // is undefined there (degenerate-probe finding; mirrored guard)
       .withColumn("chi2_milli",
-        round(lit(1000.0) * ($"n_observed" - $"expected_n")
-          * ($"n_observed" - $"expected_n") / $"expected_n").cast("long"))
+        when($"expected_n" > 0L,
+          round(lit(1000.0) * ($"n_observed" - $"expected_n")
+            * ($"n_observed" - $"expected_n") / $"expected_n").cast("long"))
+          .otherwise(lit(null).cast("long")))
       .select($"digit", $"n_observed", $"benford_bp", $"expected_n", $"chi2_milli")
       .orderBy($"digit")
   }
@@ -286,11 +290,12 @@ object DataQuality {
         |    AS BIGINT) AS benford_bp,
         |  CAST((n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit])
         |    // 10000 AS BIGINT) AS expected_n,
-        |  CAST(ROUND(1000.0
-        |    * (n_observed - (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)
-        |    * (n_observed - (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)
-        |    / ((n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000))
-        |    AS BIGINT) AS chi2_milli
+        |  CASE WHEN (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000 > 0 THEN
+        |    CAST(ROUND(1000.0
+        |      * (n_observed - (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)
+        |      * (n_observed - (n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)
+        |      / ((n_total * ([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[digit]) // 10000)) AS BIGINT)
+        |  END AS chi2_milli
         |FROM c, t ORDER BY digit""".stripMargin,
     "q145_join_health" ->
       """WITH l AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS lm

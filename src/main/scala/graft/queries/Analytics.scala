@@ -465,13 +465,31 @@ object Analytics {
     */
   def q40_stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // stddev and correlation from EXACT integer sums (one identically-
+    // evaluated double tree per statistic, mirrored in the oracle) —
+    // the builtin `corr` raises ANSI DIVIDE_BY_ZERO on a zero-variance
+    // column (degenerate-probe finding) and its internal streaming
+    // merge is not bit-portable anyway; zero-variance/singleton
+    // degenerates report NULL, matching SQL aggregate conventions
     load(spark, dir, "events")
       .select($"event_type", $"user_id", cents($"value").as("c"))
       .groupBy($"event_type")
-      .agg(
-        round(stddev_samp($"c")).cast("long").as("sd"),
-        round(corr($"c", $"user_id") * 1e6).cast("long").as("cr"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), sum($"c").as("sc"),
+        sum($"c" * $"c").as("scc"), sum($"user_id").as("su"),
+        sum($"user_id" * $"user_id").as("suu"),
+        sum($"c" * $"user_id").as("scu"))
+      .select($"event_type",
+        when($"n" > 1L,
+          round(sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double")
+            / ($"n".cast("double") * ($"n" - 1L)))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("sd"),
+        when($"n" * $"scc" - $"sc" * $"sc" > 0L &&
+            $"n" * $"suu" - $"su" * $"su" > 0L,
+          round(lit(1e6) * ($"n" * $"scu" - $"sc" * $"su").cast("double")
+            / sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double")
+              * ($"n" * $"suu" - $"su" * $"su").cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("cr"),
+        $"n")
       .orderBy($"event_type")
   }
 
@@ -730,11 +748,19 @@ object Analytics {
     ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      // single-day (or otherwise x-constant) series: the slope is
+      // undefined (zero x-variance) — report slope 0 with the mean as
+      // intercept instead of an ANSI division error (degenerate-probe
+      // finding; mirrored in the oracle)
       .select($"event_type", $"n",
-        round(lit(1e6) * ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-          ($"n" * $"sxx" - $"sx" * $"sx")).cast("long").as("slope_e6"),
-        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").cast("long")
+        when($"n" * $"sxx" - $"sx" * $"sx" =!= 0L,
+          round(lit(1e6) * ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx")).cast("long"))
+          .otherwise(0L).as("slope_e6"),
+        when($"n" * $"sxx" - $"sx" * $"sx" =!= 0L,
+          round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").cast("long"))
+          .otherwise(round($"sy".cast("double") / $"n").cast("long"))
           .as("intercept_cents"))
       .orderBy($"event_type")
   }
@@ -2761,10 +2787,14 @@ object Analytics {
         |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
         |      FROM ev GROUP BY 1)
         |SELECT event_type, n,
-        |  CAST(ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / (n * sxx - sx * sx)) AS BIGINT) AS slope_e6,
-        |  CAST(ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / (n * sxx - sx * sx) * sx) / n) AS BIGINT) AS intercept_cents
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (n * sxx - sx * sx)) AS BIGINT) ELSE 0 END AS slope_e6,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CAST(ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (n * sxx - sx * sx) * sx) / n) AS BIGINT)
+        |  ELSE CAST(ROUND(CAST(sy AS DOUBLE) / n) AS BIGINT)
+        |  END AS intercept_cents
         |FROM s ORDER BY event_type""".stripMargin,
     "q105_week_over_week" ->
       """WITH wk AS (SELECT event_type,
@@ -2942,13 +2972,24 @@ object Analytics {
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q40_stats" ->
-      """SELECT event_type,
-        |  CAST(ROUND(stddev_samp(c)) AS BIGINT) AS sd,
-        |  CAST(ROUND(corr(c, user_id) * 1e6) AS BIGINT) AS cr,
-        |  COUNT(*) AS n
-        |FROM (SELECT event_type, user_id,
-        |        CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc,
+        |    CAST(SUM(user_id) AS BIGINT) AS su,
+        |    CAST(SUM(user_id * user_id) AS BIGINT) AS suu,
+        |    CAST(SUM(c * user_id) AS BIGINT) AS scu
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
+        |  GROUP BY event_type)
+        |SELECT event_type,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(ROUND(SQRT(CAST(n * scc - sc * sc AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) END AS sd,
+        |  CASE WHEN n * scc - sc * sc > 0 AND n * suu - su * su > 0 THEN
+        |    CAST(ROUND(1e6 * CAST(n * scu - sc * su AS DOUBLE)
+        |      / SQRT(CAST(n * scc - sc * sc AS DOUBLE)
+        |        * CAST(n * suu - su * su AS DOUBLE))) AS BIGINT) END AS cr,
+        |  n
+        |FROM g ORDER BY event_type""".stripMargin,
     "q37_sessionize" ->
       """WITH o AS (SELECT user_id, date_trunc('second', ts) AS t FROM events),
         |  l AS (SELECT user_id, t,

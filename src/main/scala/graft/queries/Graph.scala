@@ -324,7 +324,13 @@ object Graph {
   def q107_bfs_hops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = copurchaseDirectedEdges(spark, dir) // session-memoized
-    val seed = edges.agg(min(least($"u", $"v"))).as[Long].head()
+    val seedRow = edges.agg(min(least($"u", $"v"))).head()
+    // an empty co-purchase graph has no BFS to run — return the empty
+    // hop histogram instead of decoding NULL into a non-nullable Long
+    // (degenerate-probe finding)
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Long)].toDF("d", "n_parts")
+    val seed = seedRow.getLong(0)
     var prev = spark.emptyDataset[Long].toDF("p")
     var curr = Seq(seed).toDF("p")
     var currRows = 1L

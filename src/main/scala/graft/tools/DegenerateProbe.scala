@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness probe: drive EVERY registered query
+  * against a pathologically small, constant-valued dataset — the
+  * input shapes that flush out latent ANSI divide-by-zero, empty-join
+  * `.head()` and zero-variance crashes (q257's constant daily series
+  * and q301's empty run overlap were both found this way at the 20×
+  * stress; this probe finds the whole class systematically).
+  *
+  * The fixture is deliberately DEGENERATE, not just small:
+  *  - `documents`: three byte-identical texts (every pair is a dup,
+  *    every similarity is 1, every diversity statistic is 0);
+  *  - `embeddings`: three identical vectors, one label (zero variance
+  *    on every dimension, all cosines exactly 1);
+  *  - `events`: four events on ONE day, same value, same type
+  *    (constant series, single category, no purchases);
+  *  - TPC-H tables: 3-row slices of sf0.001 (joins mostly empty).
+  *
+  * A query may legitimately return ZERO ROWS here — the contract this
+  * probe enforces is "degenerate data never throws", not "output is
+  * non-empty". `main` exits non-zero listing any thrower.
+  *
+  *   sbt "runMain graft.tools.DegenerateProbe"
+  */
+object DegenerateProbe {
+
+  def buildFixture(spark: SparkSession, srcDir: String, dir: String): Unit = {
+    import spark.implicits._
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      spark.read.parquet(s"$srcDir/$t.parquet").limit(3)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((0L, text, "en", "src0"), (1L, text, "en", "src0"), (2L, text, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val v = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.25f)
+    Seq((0L, v, 0), (1L, v, 0), (2L, v, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    (0 until 4).map(i => (i.toLong, ts, 1L, "view", 5.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+  }
+
+  /** Run every query against the fixture; return (name, error) for
+    * each thrower (empty = all robust).
+    */
+  def probe(spark: SparkSession, dir: String): Seq[(String, String)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val r = try {
+        fn(spark, dir).collect()
+        None
+      } catch {
+        case e: Throwable =>
+          val root = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).toSeq.last
+          Some(name -> s"${root.getClass.getSimpleName}: ${String.valueOf(root.getMessage).take(140)}")
+      }
+      graft.Caches.releaseAll()
+      graft.llm.Similarity.releaseShared()
+      r
+    }
+
+  /** The two queries whose trained/seeded codebooks REQUIRE a minimum
+    * corpus and say so with an explicit, actionable message — the
+    * designed loud failure, not a crash (a 3-row corpus reaching a
+    * trained-KMeans query means something upstream is broken; a
+    * cryptic division error there would be the bug).
+    */
+  final val DocumentedGuards: Set[String] =
+    Set("q34_ann_ivf", "q302_residual_quantization")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("degenerate").toString
+    buildFixture(spark, "/root/testdata/sf0.001", dir)
+    val failures = probe(spark, dir)
+    println(s"""{"metric":"degenerate_probe","queries":${graft.SparkEntry.queries.size},""" +
+      s""""failures":${failures.size},"detail":{${
+        failures.map { case (n, e) => s""""$n":"${e.replace("\"", "'")}"""" }.mkString(",")
+      }}}""")
+    if (!failures.map(_._1).toSet.subsetOf(DocumentedGuards)) sys.exit(1)
+  }
+}

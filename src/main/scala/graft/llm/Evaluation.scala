@@ -517,7 +517,50 @@ object Evaluation {
       .orderBy($"cid")
   }
 
+  /** q311 — semi-hard negative mining (Schroff et al. 2015, FaceNet):
+    * the negative that is CLOSER than margin-random but still farther
+    * than the positive — sim(a,n) < sim(a,p) — the regime that trains
+    * stably where q281's hardest negatives (which may violate the
+    * margin outright) collapse embeddings. Per query: best same-label
+    * positive first, then the max-similarity different-label neighbor
+    * strictly below it; queries whose every negative ties or beats
+    * the positive report NULL (the honest "no semi-hard exists here"
+    * — the batch-resampling signal). Same conditioned-broadcast scan
+    * as q281, one extra bounded join against the per-query positive.
+    */
+  def q311_semihard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"label".as("q_label"))
+    val sims = graft.Caches.tracked(emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"label".as("n_label"),
+        $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro")))
+    val pos = sims.filter($"n_label" === $"q_label")
+      .groupBy($"q_id", $"q_label")
+      .agg(max(struct($"sim_micro", (-$"neighbor_id").as("nid"))).as("p"))
+      .select($"q_id", $"q_label".cast("long").as("q_label"),
+        (-$"p.nid").as("pos_id"), $"p.sim_micro".as("pos_sim_micro"))
+    val semi = sims.filter($"n_label" =!= $"q_label")
+      .join(pos.select($"q_id", $"pos_sim_micro"), "q_id")
+      .filter($"sim_micro" < $"pos_sim_micro")
+      .groupBy($"q_id")
+      .agg(max(struct($"sim_micro", (-$"neighbor_id").as("nid"))).as("s"))
+      .select($"q_id", (-$"s.nid").as("semihard_id"),
+        $"s.sim_micro".as("semihard_sim_micro"))
+    pos.join(semi, Seq("q_id"), "left")
+      .select($"q_id", $"q_label", $"pos_id", $"pos_sim_micro",
+        $"semihard_id", $"semihard_sim_micro",
+        ($"pos_sim_micro" - $"semihard_sim_micro").as("margin_micro"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_semihard_negatives" -> q311_semihard_negatives,
     "q307_knn_reciprocity" -> q307_knn_reciprocity,
     "q296_geometric_median" -> q296_geometric_median,
     "q298_label_noise" -> q298_label_noise,
@@ -682,6 +725,32 @@ object Evaluation {
         |      ORDER BY maxsim_micro DESC, neighbor_id) AS rank FROM sc)
         |SELECT q_id, rank, neighbor_id, maxsim_micro FROM r
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q311_semihard_negatives" ->
+      s"""WITH $ESql,
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.q_id, q.q_label, e.label AS n_label,
+        |        e.vec_id AS neighbor_id,
+        |        CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT)
+        |          AS sim_micro
+        |      FROM q JOIN e ON e.vec_id <> q.q_id),
+        |pos AS (SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+        |    neighbor_id AS pos_id, sim_micro AS pos_sim_micro FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS rn
+        |    FROM s WHERE n_label = q_label) WHERE rn = 1),
+        |shn AS (SELECT q_id, neighbor_id AS semihard_id,
+        |    sim_micro AS semihard_sim_micro FROM (
+        |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.q_id
+        |      ORDER BY s.sim_micro DESC, s.neighbor_id) AS rn
+        |    FROM s JOIN pos ON pos.q_id = s.q_id
+        |    WHERE s.n_label <> s.q_label
+        |      AND s.sim_micro < pos.pos_sim_micro) WHERE rn = 1)
+        |SELECT pos.q_id, pos.q_label, pos.pos_id, pos.pos_sim_micro,
+        |  shn.semihard_id, shn.semihard_sim_micro,
+        |  pos.pos_sim_micro - shn.semihard_sim_micro AS margin_micro
+        |FROM pos LEFT JOIN shn ON shn.q_id = pos.q_id
+        |ORDER BY pos.q_id""".stripMargin,
     "q307_knn_reciprocity" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e

@@ -286,7 +286,13 @@ object LlmScaleBench {
       "acf" -> (() => drive(q("q257_acf"))),
       "json_extract" -> (() => drive(q("q275_json_extract"))),
       "covariate_balance" -> (() => drive(q("q309_covariate_balance"))),
-      "nn_matching" -> (() => drive(q("q310_nn_matching"))))
+      "nn_matching" -> (() => drive(q("q310_nn_matching"))),
+      "semihard_negatives" -> (() => drive(q("q311_semihard_negatives"))),
+      "survivor_bias" -> (() => drive(q("q306_survivor_bias"))),
+      "knn_reciprocity" -> (() => drive(q("q307_knn_reciprocity"))),
+      "source_quantiles" -> (() => drive(q("q308_source_quantiles"))),
+      "pair_mutation_map" -> (() => drive(q("q304_pair_mutation_map"))),
+      "threshold_opt" -> (() => drive(q("q305_threshold_opt"))))
 
     val timed = stages.map { case (name, f) =>
       val (rows, sec) = t(f())

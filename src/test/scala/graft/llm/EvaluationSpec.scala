@@ -397,4 +397,27 @@ class EvaluationSpec extends AnyFunSuite {
         s"decile $d cutoff ${out(d)} != ${5200 + 120 * d}")
     }
   }
+  test("semi-hard negatives: the mined negative sits strictly below the positive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    // rotate slightly inside the (0,1) coordinate plane: cos < 1
+    val near = base.clone(); near(0) = near(0) + 0.3f
+    val rows = Seq(
+      (0L, base, 0),   // query
+      (10L, base, 0),  // positive: exact copy, sim 1e6
+      (11L, base, 1),  // HARD negative at sim 1e6 — NOT semi-hard
+      (12L, near, 1)) ++ // semi-hard: different label, sim < 1e6
+      (20 until 50).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), 2))
+    val tmp = TestSpark.tempDir("semihard")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Evaluation.q311_semihard_negatives(spark, tmp).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(r.getLong(2) == 10L && r.getLong(3) == 1000000L, "positive is the copy")
+    assert(r.getLong(4) == 12L,
+      s"semi-hard must skip the margin-violating id 11, got ${r.getLong(4)}")
+    assert(r.getLong(5) < 1000000L && r.getLong(6) > 0L)
+  }
 }

@@ -78,10 +78,13 @@ case class QuantizerArgmin(child: Expression,
     var c = 0
     while (c < cArr.length) {
       val ctr = cArr(c)
-      val m = math.min(n, ctr.length)
+      // a malformed codebook must fail loudly — a truncated dot loop
+      // would silently corrupt every assignment downstream
+      require(ctr.length == n,
+        s"quantizer_argmin: vector dim $n != centroid dim ${ctr.length} (cid $c)")
       var dot = 0.0
       i = 0
-      while (i < m) { dot += v(i) * ctr(i); i += 1 }
+      while (i < n) { dot += v(i) * ctr(i); i += 1 }
       val d = halfUp(((vv - 2.0 * dot) + ccArr(c)) * 1e6)
       if (d < bestD) { bestD = d; bestC = c }
       c += 1

@@ -251,9 +251,13 @@ object Evaluation {
         .withColumn("nrm", norm($"vd"))
       val queries = sub.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_id"), $"vd".as("qv"), $"nrm".as("qnrm"))
+      // the q300 norm-product floor: an all-zero d-dim PREFIX is
+      // possible even when the full vector isn't — without it the
+      // cosine is NaN and the ANSI long cast throws (oracle mirrors)
       val sims = sub.join(broadcast(queries), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id".as("neighbor_id"),
-          round(dot($"qv", $"vd") / ($"qnrm" * $"nrm") * 1e6).cast("long").as("sim_micro"))
+          round(dot($"qv", $"vd") / greatest($"qnrm" * $"nrm", lit(1e-12)) * 1e6)
+            .cast("long").as("sim_micro"))
       val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
       sims.withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
         .join(broadcast(exact), Seq("q_id", "neighbor_id"), "left")
@@ -617,17 +621,27 @@ object Evaluation {
          |                            THEN 1 ELSE 0 END) AS ovl
          |    FROM (
          |      SELECT q_id, neighbor_id FROM (
-         |        SELECT q.q_id, e.vec_id AS neighbor_id,
+         |        SELECT q.q_id, s.vec_id AS neighbor_id,
          |          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-         |            CAST(ROUND(list_cosine_similarity(
-         |              list_slice(q.v, 1, $d), list_slice(e.v, 1, $d)) * 1e6)
-         |              AS BIGINT) DESC, e.vec_id) AS rank
-         |        FROM qq q JOIN e ON e.vec_id <> q.q_id)
+         |            CAST(ROUND(list_inner_product(q.qv, s.vd)
+         |              / GREATEST(q.qnrm * s.nrm, 1e-12) * 1e6)
+         |              AS BIGINT) DESC, s.vec_id) AS rank
+         |        FROM qd$d q JOIN sd$d s ON s.vec_id <> q.q_id)
          |      WHERE rank <= 10) t
          |    LEFT JOIN ex ON ex.q_id = t.q_id AND ex.neighbor_id = t.neighbor_id
          |    GROUP BY t.q_id))""".stripMargin
     }.mkString("\nUNION ALL\n")
+    // mirrored norm-product floor: per-dim sliced corpora with explicit
+    // dot/norms so the GREATEST(qnrm*nrm, 1e-12) guard matches Spark
+    val dimCtes = MatryoshkaDims.map { d =>
+      s"""sd$d AS (SELECT vec_id, list_slice(v, 1, $d) AS vd,
+         |    SQRT(list_inner_product(list_slice(v, 1, $d),
+         |      list_slice(v, 1, $d))) AS nrm FROM e),
+         |qd$d AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qnrm
+         |  FROM sd$d WHERE vec_id % 50 = 0)""".stripMargin
+    }.mkString(",\n")
     s"""WITH $ESql,
+       |$dimCtes,
        |qq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 50 = 0),
        |ex AS (SELECT q_id, neighbor_id FROM (
        |    SELECT q.q_id, e.vec_id AS neighbor_id,

@@ -470,24 +470,34 @@ object Analytics {
     // the builtin `corr` raises ANSI DIVIDE_BY_ZERO on a zero-variance
     // column (degenerate-probe finding) and its internal streaming
     // merge is not bit-portable anyway; zero-variance/singleton
-    // degenerates report NULL, matching SQL aggregate conventions
+    // degenerates report NULL, matching SQL aggregate conventions.
+    // The squares and cross-multiplications run in decimal(38,0) (the
+    // q285/q278 pattern): user_id reaches ~1e9 at sf1.0 (Sf1Gen round
+    // offsets), so uid² per-TERM is ~1e18 and any Long accumulation
+    // wraps after a handful of rows — decimal holds to ~sf100 and
+    // narrows to double once, exactly rounded, in both engines.
+    val d38 = "decimal(38,0)"
     load(spark, dir, "events")
       .select($"event_type", $"user_id", cents($"value").as("c"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"c").as("sc"),
-        sum($"c" * $"c").as("scc"), sum($"user_id").as("su"),
-        sum($"user_id" * $"user_id").as("suu"),
-        sum($"c" * $"user_id").as("scu"))
+        sum($"c".cast(d38) * $"c").as("scc"), sum($"user_id").as("su"),
+        sum($"user_id".cast(d38) * $"user_id").as("suu"),
+        sum($"c".cast(d38) * $"user_id").as("scu"))
       .select($"event_type",
         when($"n" > 1L,
-          round(sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double")
+          round(sqrt(($"n".cast(d38) * $"scc" - $"sc".cast(d38) * $"sc")
+            .cast("double")
             / ($"n".cast("double") * ($"n" - 1L)))).cast("long"))
           .otherwise(lit(null).cast("long")).as("sd"),
-        when($"n" * $"scc" - $"sc" * $"sc" > 0L &&
-            $"n" * $"suu" - $"su" * $"su" > 0L,
-          round(lit(1e6) * ($"n" * $"scu" - $"sc" * $"su").cast("double")
-            / sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double")
-              * ($"n" * $"suu" - $"su" * $"su").cast("double"))).cast("long"))
+        when($"n".cast(d38) * $"scc" - $"sc".cast(d38) * $"sc" > 0 &&
+            $"n".cast(d38) * $"suu" - $"su".cast(d38) * $"su" > 0,
+          round(lit(1e6) * ($"n".cast(d38) * $"scu" - $"sc".cast(d38) * $"su")
+            .cast("double")
+            / sqrt(($"n".cast(d38) * $"scc" - $"sc".cast(d38) * $"sc")
+              .cast("double")
+              * ($"n".cast(d38) * $"suu" - $"su".cast(d38) * $"su")
+                .cast("double"))).cast("long"))
           .otherwise(lit(null).cast("long")).as("cr"),
         $"n")
       .orderBy($"event_type")
@@ -1892,10 +1902,16 @@ object Analytics {
         sum($"n_a").as("n_a"), sum($"s_a").as("s_a"),
         sum($"n_b").as("n_b"), sum($"s_b").as("s_b"))
       .select(lit(0L).as("dow"), $"n_a", $"s_a", $"n_b", $"s_b")
+    // one-sided strata guard: a weekday with clicks but zero purchases
+    // (or vice versa) would make 0.0/0 = NaN and the ANSI cast throw —
+    // NULL mean instead, mirrored as CASE in the oracle; the sign_flip
+    // comparison then propagates NULL for that stratum
     val withMeans = strata.unionByName(pooled)
       .select($"dow", $"n_a", $"n_b",
-        round(lit(1000.0) * $"s_a" / $"n_a").cast("long").as("mean_a_milli"),
-        round(lit(1000.0) * $"s_b" / $"n_b").cast("long").as("mean_b_milli"))
+        when($"n_a" > 0L,
+          round(lit(1000.0) * $"s_a" / $"n_a").cast("long")).as("mean_a_milli"),
+        when($"n_b" > 0L,
+          round(lit(1000.0) * $"s_b" / $"n_b").cast("long")).as("mean_b_milli"))
       .withColumn("diff_milli", $"mean_a_milli" - $"mean_b_milli")
     val overall = withMeans.filter($"dow" === 0L)
       .select($"diff_milli".as("overall_diff"))
@@ -2186,8 +2202,10 @@ object Analytics {
         |  SELECT 0, CAST(SUM(n_a) AS BIGINT), CAST(SUM(s_a) AS BIGINT),
         |    CAST(SUM(n_b) AS BIGINT), CAST(SUM(s_b) AS BIGINT) FROM st),
         |m AS (SELECT dow, n_a, n_b,
-        |    CAST(ROUND(1000.0 * s_a / n_a) AS BIGINT) AS mean_a_milli,
-        |    CAST(ROUND(1000.0 * s_b / n_b) AS BIGINT) AS mean_b_milli
+        |    CASE WHEN n_a > 0
+        |      THEN CAST(ROUND(1000.0 * s_a / n_a) AS BIGINT) END AS mean_a_milli,
+        |    CASE WHEN n_b > 0
+        |      THEN CAST(ROUND(1000.0 * s_b / n_b) AS BIGINT) END AS mean_b_milli
         |  FROM allr),
         |d AS (SELECT *, mean_a_milli - mean_b_milli AS diff_milli FROM m),
         |o AS (SELECT diff_milli AS overall_diff FROM d WHERE dow = 0)
@@ -2973,21 +2991,30 @@ object Analytics {
         |ORDER BY event_id""".stripMargin,
     "q40_stats" ->
       """WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * c) AS scc,
         |    CAST(SUM(user_id) AS BIGINT) AS su,
-        |    CAST(SUM(user_id * user_id) AS BIGINT) AS suu,
-        |    CAST(SUM(c * user_id) AS BIGINT) AS scu
+        |    SUM(CAST(user_id AS DECIMAL(38,0)) * user_id) AS suu,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * user_id) AS scu
         |  FROM (SELECT event_type, user_id,
         |          CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
         |  GROUP BY event_type)
         |SELECT event_type,
         |  CASE WHEN n > 1 THEN
-        |    CAST(ROUND(SQRT(CAST(n * scc - sc * sc AS DOUBLE)
+        |    CAST(ROUND(SQRT(CAST(CAST(n AS DECIMAL(38,0)) * scc
+        |        - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) END AS sd,
-        |  CASE WHEN n * scc - sc * sc > 0 AND n * suu - su * su > 0 THEN
-        |    CAST(ROUND(1e6 * CAST(n * scu - sc * su AS DOUBLE)
-        |      / SQRT(CAST(n * scc - sc * sc AS DOUBLE)
-        |        * CAST(n * suu - su * su AS DOUBLE))) AS BIGINT) END AS cr,
+        |  CASE WHEN CAST(n AS DECIMAL(38,0)) * scc
+        |        - CAST(sc AS DECIMAL(38,0)) * sc > 0
+        |      AND CAST(n AS DECIMAL(38,0)) * suu
+        |        - CAST(su AS DECIMAL(38,0)) * su > 0 THEN
+        |    CAST(ROUND(1e6 * CAST(CAST(n AS DECIMAL(38,0)) * scu
+        |        - CAST(sc AS DECIMAL(38,0)) * su AS DOUBLE)
+        |      / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * scc
+        |          - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)
+        |        * CAST(CAST(n AS DECIMAL(38,0)) * suu
+        |          - CAST(su AS DECIMAL(38,0)) * su AS DOUBLE))) AS BIGINT)
+        |    END AS cr,
         |  n
         |FROM g ORDER BY event_type""".stripMargin,
     "q37_sessionize" ->

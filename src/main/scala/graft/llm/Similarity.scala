@@ -60,10 +60,17 @@ object Similarity {
     import spark.implicits._
     // Norms materialize below the join: once per corpus row, not once
     // per (row × query) pair — the join-side expression would be
-    // recomputed |queries|× per row.
+    // recomputed |queries|× per row. The cosine denominator divides by
+    // qnrm*nrm UNfloored (the oracle's list_cosine_similarity has no
+    // floor to mirror), which is safe only under the data invariant
+    // that no FULL vector is all-zero (q293's dim-PREFIXES can be
+    // zero and are floored there) — so the invariant fails LOUDLY
+    // here instead of surfacing as a NaN→ANSI cast error downstream.
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
+      .withColumn("nrm", when($"nrm" > 0d, $"nrm").otherwise(raise_error(
+        concat(lit("q26: zero-norm embedding, vec_id="), $"vec_id"))))
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
 

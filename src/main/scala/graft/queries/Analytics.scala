@@ -471,17 +471,21 @@ object Analytics {
     // column (degenerate-probe finding) and its internal streaming
     // merge is not bit-portable anyway; zero-variance/singleton
     // degenerates report NULL, matching SQL aggregate conventions.
-    // The squares and cross-multiplications run in decimal(38,0) (the
-    // q285/q278 pattern): user_id reaches ~1e9 at sf1.0 (Sf1Gen round
-    // offsets), so uid² per-TERM is ~1e18 and any Long accumulation
-    // wraps after a handful of rows — decimal holds to ~sf100 and
+    // ALL integer accumulations — first-order sums included — run in
+    // decimal(38,0) (the q285/q278 pattern): user_id reaches ~1e9 at
+    // sf1.0 (Sf1Gen round offsets), so uid² per-TERM is ~1e18 and any
+    // Long accumulation wraps after a handful of rows, while the
+    // first-order SUM(user_id) itself wraps int64 around ~9e9 rows per
+    // group — decimal holds every term to ~1e38 (≈sf100 for the
+    // second-order terms, far beyond for the first-order ones) and
     // narrows to double once, exactly rounded, in both engines.
     val d38 = "decimal(38,0)"
     load(spark, dir, "events")
       .select($"event_type", $"user_id", cents($"value").as("c"))
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"c").as("sc"),
-        sum($"c".cast(d38) * $"c").as("scc"), sum($"user_id").as("su"),
+      .agg(count(lit(1)).as("n"), sum($"c".cast(d38)).as("sc"),
+        sum($"c".cast(d38) * $"c").as("scc"),
+        sum($"user_id".cast(d38)).as("su"),
         sum($"user_id".cast(d38) * $"user_id").as("suu"),
         sum($"c".cast(d38) * $"user_id").as("scu"))
       .select($"event_type",
@@ -2991,9 +2995,9 @@ object Analytics {
         |ORDER BY event_id""".stripMargin,
     "q40_stats" ->
       """WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    SUM(CAST(c AS DECIMAL(38,0))) AS sc,
         |    SUM(CAST(c AS DECIMAL(38,0)) * c) AS scc,
-        |    CAST(SUM(user_id) AS BIGINT) AS su,
+        |    SUM(CAST(user_id AS DECIMAL(38,0))) AS su,
         |    SUM(CAST(user_id AS DECIMAL(38,0)) * user_id) AS suu,
         |    SUM(CAST(c AS DECIMAL(38,0)) * user_id) AS scu
         |  FROM (SELECT event_type, user_id,

@@ -428,6 +428,84 @@ object Evaluation {
       .orderBy($"q_id", $"rank")
   }
 
+  /** q312 — ANN-bounded maxsim: the SERVING composition of the two
+    * oracle-verified stages beside it — q49's coarse IVF probe bounds
+    * WHICH documents a query visits, q300's late-interaction maxsim
+    * scores ONLY those candidates. q300 is the exact |q|·|corpus|
+    * eval scan (18.8 s at sf1.0 — the honest denominator); this is
+    * the plan a production ColBERT-style retriever actually runs:
+    * candidate generation from the inverted lists, then the expensive
+    * 64-cell late-interaction score on the IvfProbes/IvfCentroids
+    * fraction of the corpus that survives.
+    *
+    * Scale design: the inverted lists are the MATERIALIZED stored
+    * index (Caches.tracked — never rebuilt per candidate row); the
+    * doc-side part slices + norms compute once per INDEX row below
+    * the join; only the (tiny) query side — 8 parts × IvfProbes
+    * probes per query — broadcasts. The candidate stream is
+    * 8·|q|·|corpus|·(nprobe/k) rows instead of q300's 8·|q|·|corpus|,
+    * and nothing else changes: the same codegen-sized per-row 8-dot
+    * projection, the same two integer aggregates, the same top-k
+    * window. Recall vs the exact q300 ranking is pinned by spec (the
+    * q27-vs-q26 pattern); every stage replays in DuckDB.
+    */
+  def q312_ann_maxsim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (seeds, assignedRaw) = Similarity.seededAssignment(emb)
+    // the stored index: (vec_id, centroid) inverted lists with the
+    // doc-side part slices + norms materialized once per doc row
+    val ds = graft.Caches.tracked(
+      (0 until MaxSimSubs).foldLeft(assignedRaw.drop("nrm")) { (d, m) =>
+        d.withColumn(s"p$m", slice($"v", m * 8 + 1, 8))
+          .withColumn(s"pn$m", norm(col(s"p$m")))
+      }.drop("v"))
+
+    // query probe ranking over the centroid literals (q49's shape:
+    // micro-rounded L2 with centroid-id tie-breaks, engine-independent)
+    val centArr = array(seeds.map { case (cid, c) =>
+      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
+    }.toSeq: _*)
+    val probes = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), explode(centArr).as("c"))
+      .withColumn("dmicro",
+        round((dot($"qv", $"qv") - lit(2.0) * dot($"qv", $"c.cv")
+          + dot($"c.cv", $"c.cv")) * 1e6).cast("long"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
+      .filter($"crank" <= Similarity.IvfProbes)
+      .select($"q_id", $"c.cid".as("probe_centroid"))
+
+    // query parts × probes: |q| · 8 · IvfProbes rows — broadcast side
+    val qsubs = array((0 until MaxSimSubs).map(m =>
+      struct(lit(m.toLong).as("m"), slice($"v", m * 8 + 1, 8).as("sv"))): _*)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), explode(qsubs).as("s"))
+      .select($"q_id", $"s.m".as("qm"), $"s.sv".as("qv"))
+      .withColumn("qn", norm($"qv"))
+      .join(probes, "q_id")
+
+    // q300's cell: each joined row computes one query part's max over
+    // the 8 doc parts — 8 narrow dots inside whole-stage codegen —
+    // but only over the probed lists' members
+    val best = (0 until MaxSimSubs).map { mp =>
+      round(dot($"qv", col(s"p$mp"))
+        / greatest($"qn" * col(s"pn$mp"), lit(1e-12)) * 1e6).cast("long")
+    }.reduce(greatest(_, _))
+    val scored = ds.join(broadcast(qs),
+        $"centroid" === $"probe_centroid" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"qm", $"vec_id".as("neighbor_id"), best.as("b"))
+      .groupBy($"q_id", $"neighbor_id")
+      .agg(sum($"b").as("maxsim_micro"))
+    val w = Window.partitionBy($"q_id").orderBy($"maxsim_micro".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"maxsim_micro")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** q302 — residual quantization (RQ, the two-level additive coder
     * of Chen et al. 2010 / FAISS's ResidualQuantizer): after the
     * coarse assignment, quantize the RESIDUAL v − c against a second
@@ -569,6 +647,7 @@ object Evaluation {
     "q296_geometric_median" -> q296_geometric_median,
     "q298_label_noise" -> q298_label_noise,
     "q300_maxsim_retrieval" -> q300_maxsim_retrieval,
+    "q312_ann_maxsim" -> q312_ann_maxsim,
     "q302_residual_quantization" -> q302_residual_quantization,
     "q288_knn_shapley" -> q288_knn_shapley,
     "q289_kcenter_coreset" -> q289_kcenter_coreset,
@@ -729,6 +808,49 @@ object Evaluation {
         |    CAST(ROUND(list_inner_product(q.qv, s.dv)
         |      / GREATEST(q.qn * s.dn, 1e-12) * 1e6) AS BIGINT) AS c
         |  FROM sn s JOIN q ON s.vec_id <> q.q_id),
+        |mx AS (SELECT q_id, neighbor_id, qm, MAX(c) AS mx
+        |  FROM cell GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, neighbor_id, CAST(SUM(mx) AS BIGINT)
+        |      AS maxsim_micro
+        |  FROM mx GROUP BY 1, 2),
+        |r AS (SELECT q_id, neighbor_id, maxsim_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY maxsim_micro DESC, neighbor_id) AS rank FROM sc)
+        |SELECT q_id, rank, neighbor_id, maxsim_micro FROM r
+        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q312_ann_maxsim" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS q_id, cid AS probe FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS crank
+        |    FROM ad WHERE vec_id % 50 = 0) WHERE crank <= ${Similarity.IvfProbes}),
+        |dsub AS (SELECT a.vec_id, a.centroid, CAST(m.m AS BIGINT) AS dm,
+        |    list_slice(a.v, m.m * 8 + 1, m.m * 8 + 8) AS dv
+        |  FROM asg a, (SELECT unnest(generate_series(0, ${MaxSimSubs - 1})) AS m) m),
+        |dn AS (SELECT vec_id, centroid, dm, dv,
+        |    SQRT(list_inner_product(dv, dv)) AS dn FROM dsub),
+        |qsub AS (SELECT e.vec_id AS q_id, CAST(m.m AS BIGINT) AS qm,
+        |    list_slice(e.v, m.m * 8 + 1, m.m * 8 + 8) AS qv
+        |  FROM e, (SELECT unnest(generate_series(0, ${MaxSimSubs - 1})) AS m) m
+        |  WHERE e.vec_id % 50 = 0),
+        |qn AS (SELECT q_id, qm, qv,
+        |    SQRT(list_inner_product(qv, qv)) AS qn FROM qsub),
+        |cell AS (SELECT q.q_id, q.qm, d.vec_id AS neighbor_id,
+        |    CAST(ROUND(list_inner_product(q.qv, d.dv)
+        |      / GREATEST(q.qn * d.dn, 1e-12) * 1e6) AS BIGINT) AS c
+        |  FROM dn d
+        |  JOIN qp ON d.centroid = qp.probe
+        |  JOIN qn q ON q.q_id = qp.q_id AND d.vec_id <> q.q_id),
         |mx AS (SELECT q_id, neighbor_id, qm, MAX(c) AS mx
         |  FROM cell GROUP BY 1, 2, 3),
         |sc AS (SELECT q_id, neighbor_id, CAST(SUM(mx) AS BIGINT)

@@ -289,6 +289,52 @@ class EvaluationSpec extends AnyFunSuite {
     assert(top.getLong(2) == 100L, "shifted-parts doc must rank first")
     assert(top.getLong(3) == 8000000L, "every part matches exactly")
   }
+  test("ann-bounded maxsim: planted same-cell duplicate ranks first with a perfect score") {
+    import spark.implicits._
+    // 100 deterministic vectors; vec 60 is an exact copy of query
+    // vec 0 — identical vector ⇒ identical coarse assignment ⇒ the
+    // query's own cell (always its rank-1 probe) contains the copy ⇒
+    // the candidate join must surface it, and late interaction scores
+    // the exact copy at 8 × 1e6.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 100).map { id =>
+      (id.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f), id % 5)
+    }
+    val rows = base.map { case (id, v, lab) =>
+      if (id == 60L) (id, base(0)._2.toSeq, lab) else (id, v.toSeq, lab)
+    }
+    val tmp = TestSpark.tempDir("annmaxsim")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Evaluation.q312_ann_maxsim(spark, tmp).collect()
+    val top0 = out.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L)(0)
+    assert(top0.getLong(2) == 60L, "same-cell exact copy must rank first")
+    assert(top0.getLong(3) == 8000000L, "every part of the copy matches exactly")
+  }
+
+  test("ann-bounded maxsim: candidate-bounded scores agree with the exact q300 scan; recall above floor") {
+    // Serving-vs-eval contract on the real harness corpus: q312 scores
+    // the SAME late-interaction function as q300, restricted to probed
+    // lists — so (1) any (query, neighbor) pair surfaced by BOTH runs
+    // must carry an identical maxsim_micro, and (2) top-10 overlap
+    // with the exact ranking stays above the IVF nprobe=4/16 floor
+    // (measured 0.22 at sf0.001 / 0.41 at sf0.01 — the same
+    // candidates-for-recall trade the q49/q249 probe family pins).
+    val dir = "/root/testdata/sf0.001"
+    val exact = Evaluation.q300_maxsim_retrieval(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val ann = Evaluation.q312_ann_maxsim(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val common = ann.keySet.intersect(exact.keySet)
+    assert(common.nonEmpty, "ANN and exact top-10 share no pairs at all")
+    common.foreach { k =>
+      assert(ann(k) == exact(k),
+        s"maxsim_micro disagrees on $k: ann=${ann(k)} exact=${exact(k)}")
+    }
+    val recall = common.size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall@10 vs exact collapsed: $recall")
+  }
+
   test("rank correlation: identical orderings give tau = rho = 1000") {
     import spark.implicits._
     val docs = Seq(

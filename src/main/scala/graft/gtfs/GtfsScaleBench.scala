@@ -165,20 +165,46 @@ object GtfsScaleBench {
           f"$rtDir/trip_updates_20250903_$k%04d.pb"), w.toBytes)
       }
     }
+    // Round-12 directive #7: the relay runs THROTTLED (25 snapshots
+    // per micro-batch → 20 checkpoint commits) and is KILLED mid-drain
+    // after ~8 committed batches, then a fresh query resumes from the
+    // same checkpoint and drains the rest. The exactly-once proof is
+    // the exact 300,000-row equality across the kill: the offset WAL
+    // commits before each batch, the parquet sink dedups by batch id,
+    // so the restart neither loses nor re-relays a snapshot.
     val relayOut = s"$wh/../rt_scale_out"
-    val (relayRows, tConnector) = t {
-      val q = spark.readStream.format("gtfsrt")
-        .option("kind", "stop_time_updates").load(rtDir)
+    def startRelay(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("gtfsrt")
+        .option("kind", "stop_time_updates")
+        .option("maxFilesPerTrigger", 25)
+        .load(rtDir)
         .writeStream.format("parquet")
         .option("checkpointLocation", s"$wh/../rt_scale_ckpt")
         .option("path", relayOut)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      spark.read.parquet(relayOut).count()
+    val ((relayRows, killedAtBatch, resumeBatches), tConnector) = t {
+      val q1 = startRelay()
+      while (q1.isActive &&
+          (q1.lastProgress == null || q1.lastProgress.batchId < 8))
+        Thread.sleep(20)
+      val killedAt =
+        if (q1.lastProgress == null) -1L else q1.lastProgress.batchId
+      q1.stop() // mid-drain kill: ~12 of 20 batches still unprocessed
+      q1.awaitTermination()
+      val q2 = startRelay()
+      q2.awaitTermination()
+      val resumed = q2.recentProgress.count(_.numInputRows > 0).toLong
+      (spark.read.parquet(relayOut).count(), killedAt, resumed)
     }
+    require(killedAtBatch >= 1 && killedAtBatch < 19,
+      s"the kill must land mid-drain (some batches committed, some " +
+        s"pending), got batchId=$killedAtBatch of 20")
+    require(resumeBatches >= 1,
+      s"the resumed query must process the remaining batches, got $resumeBatches")
     require(relayRows == nSnapshots.toLong * tripsPerSnap * stopsPerTrip,
-      s"connector must relay every stop-time update exactly once: " +
+      s"connector must relay every stop-time update exactly once " +
+        s"across the kill-and-resume: " +
         s"expected ${nSnapshots.toLong * tripsPerSnap * stopsPerTrip}, got $relayRows")
     val (connectorSpineRows, tConnectorSpine) = t {
       val obs = spark.read.parquet(relayOut)
@@ -197,6 +223,8 @@ object GtfsScaleBench {
       .map { case (k, v) => s"""\"$k\":${math.round(v * 1000) / 1000.0}""" }
     println(s"""{"metric":"gtfs_scale","obs_rows":$obsTotal,""" +
       s""""connector_snapshots":$nSnapshots,"connector_rows":$relayRows,""" +
+      s""""connector_killed_at_batch":$killedAtBatch,""" +
+      s""""connector_resume_batches":$resumeBatches,""" +
       s""""connector_spine_rows":$connectorSpineRows,"stages":{${stages.mkString(",")}}}""")
     spark.stop()
   }

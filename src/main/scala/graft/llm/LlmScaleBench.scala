@@ -275,6 +275,11 @@ object LlmScaleBench {
       "label_noise" -> (() => drive(q("q298_label_noise"))),
       "dp_quantile" -> (() => drive(q("q299_dp_quantile"))),
       "maxsim_retrieval" -> (() => drive(q("q300_maxsim_retrieval"))),
+      // the serving composition beside the exact scan above: coarse
+      // IVF probe bounds the candidate stream to nprobe/k of the
+      // corpus before the 64-cell late-interaction scorer runs — the
+      // q300-vs-q312 wall gap at this scale IS the serving argument
+      "ann_maxsim" -> (() => drive(q("q312_ann_maxsim"))),
       "ql_retrieval" -> (() => drive(q("q295_ql_retrieval"))),
       "rank_correlation" -> (() => drive(q("q301_rank_correlation"))),
       "residual_quantization" -> (() => drive(q("q302_residual_quantization"))),

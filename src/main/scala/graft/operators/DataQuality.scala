@@ -52,25 +52,47 @@ object DataQuality {
       .orderBy($"rule")
   }
 
+  /** Posting-list cap for q94: tokens whose per-block document
+    * frequency exceeds this are dropped from the index (and from the
+    * norms — cosine is computed consistently in the capped term
+    * space). Σ df(t)² is the join's pair fan-out, so the cap bounds
+    * the worst token's contribution at DfCut² regardless of corpus
+    * size — the df-cut every production all-pairs system applies
+    * (ubiquitous tokens carry ~no discriminative signal but all the
+    * quadratic cost). Sized above every real-corpus df at the
+    * verification scales (max block-df: 15 at sf0.01, 101 at sf0.1 —
+    * outputs there are IDENTICAL with or without the cap) and
+    * measured at the sf1.0 linearity audit to collapse the
+    * dense-vocab pathology: Σ df² 1.35e9 → 5e3 (wall 174 s → ~1 s).
+    */
+  final val Q94DfCut = 150L
+
   /** q94 — sparse cosine similarity via an INVERTED-INDEX join: the
     * scalable form of all-pairs text similarity. Token-count vectors
     * never materialize — the postings list (block key, token, doc,
     * tf) joins itself on (block, token), partial products aggregate
     * per pair, norms join back as a broadcast |docs|-vector. Pair
-    * fan-out is Σ df(t)² per block, which the block key bounds here
-    * and a document-frequency cut (drop ubiquitous tokens, exactly
-    * q73's prefix-filter idea) bounds at open scale. All arithmetic
-    * is exact-integer dots + IEEE sqrt/divide in a fixed shape, so
-    * the score is bit-identical across engines and partitionings.
+    * fan-out is Σ df(t)² per block, bounded by the block key plus the
+    * [[Q94DfCut]] document-frequency cut (q73's prefix-filter idea;
+    * the df aggregate and the postings join hash on the same
+    * (block, token) key, so the cut costs no extra shuffle). All
+    * arithmetic is exact-integer dots + IEEE sqrt/divide in a fixed
+    * shape, so the score is bit-identical across engines and
+    * partitionings.
     */
   def q94_sparse_cosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = graft.Caches.tracked(load(spark, dir, "documents")
+    val tfAll = load(spark, dir, "documents")
       .select($"doc_id", $"lang", $"source",
         explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
       .groupBy($"doc_id", $"lang", $"source", $"tok")
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))
+    val dfCut = tfAll.groupBy($"lang", $"source", $"tok")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= Q94DfCut)
+      .select($"lang", $"source", $"tok")
+    val tf = graft.Caches.tracked(tfAll.join(dfCut, Seq("lang", "source", "tok")))
     val nrm = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
     val a = tf.select($"lang", $"source", $"tok",
       $"doc_id".as("a_id"), $"tf".as("a_tf"))
@@ -371,10 +393,13 @@ object DataQuality {
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q94_sparse_cosine" ->
-      """WITH t AS (SELECT doc_id, lang, source,
+      s"""WITH t AS (SELECT doc_id, lang, source,
         |        unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, lang, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |tf0 AS (SELECT doc_id, lang, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
         |       FROM t WHERE len(tok) > 0 GROUP BY 1, 2, 3, 4),
+        |dfc AS (SELECT lang, source, tok FROM tf0
+        |       GROUP BY 1, 2, 3 HAVING COUNT(*) <= ${Q94DfCut}),
+        |tf AS (SELECT tf0.* FROM tf0 JOIN dfc USING (lang, source, tok)),
         |nrm AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1),
         |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        SUM(a.tf * b.tf) AS dot

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -175,14 +175,16 @@ private[sources] class GtfsRtScanBuilder(kind: String, path: String,
     pushed,
     options.getBoolean("fileStampPrune", false),
     options.getLong("fileStampSlackMinutes", 10L),
-    options.getOrDefault("fileStampZone", "Europe/Paris"))
+    options.getOrDefault("fileStampZone", "Europe/Paris"),
+    options.getInt("maxFilesPerTrigger", 0))
 }
 
 private[sources] class GtfsRtScan(kind: String, path: String,
                                   full: StructType, required: StructType,
                                   pushed: Array[Filter],
                                   stampPrune: Boolean, slackMinutes: Long,
-                                  stampZone: String)
+                                  stampZone: String,
+                                  maxFilesPerTrigger: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -264,7 +266,8 @@ private[sources] class GtfsRtScan(kind: String, path: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GtfsRtMicroBatchStream(kind, path, full, required, pushed)
+    new GtfsRtMicroBatchStream(kind, path, full, required, pushed,
+      maxFilesPerTrigger)
 }
 
 /** Streaming form of the snapshot scan: the offset is the
@@ -281,7 +284,8 @@ private[sources] class GtfsRtScan(kind: String, path: String,
 private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
                                               full: StructType,
                                               required: StructType,
-                                              pushed: Array[Filter])
+                                              pushed: Array[Filter],
+                                              maxFilesPerTrigger: Int = 0)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow contract: pin the end offset ONCE at query
@@ -290,10 +294,25 @@ private[sources] class GtfsRtMicroBatchStream(kind: String, path: String,
   @volatile private var availableNowTarget: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(listNames().lastOption.getOrElse(""))
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    GtfsRtOffset(availableNowTarget.getOrElse(
-      listNames().lastOption.getOrElse("")))
+  // `maxFilesPerTrigger` caps each micro-batch's admission (the
+  // backfill throttle: a relay restarted against a deep landing dir
+  // drains in bounded batches instead of one mega-batch — and each
+  // batch is a checkpoint commit, so a mid-drain kill loses at most
+  // one batch of work). 0 = unlimited (one AvailableNow batch).
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startKey = start.asInstanceOf[GtfsRtOffset].lastName
+    val names = listNames()
+    val target = availableNowTarget.getOrElse(names.lastOption.getOrElse(""))
+    val pending = names.filter(n => n > startKey && n <= target)
+    val admitted = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
+    }
+    GtfsRtOffset(if (admitted.nonEmpty) admitted.last else startKey)
+  }
   override def reportLatestOffset(): Offset =
     GtfsRtOffset(listNames().lastOption.getOrElse(""))
 

@@ -49,6 +49,32 @@ object DegenerateProbe {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
   }
 
+  /** Zero-row fixture (round-12 directive #4): every table present
+    * with its exact production schema and NO rows — the shape a
+    * day-one deployment, an over-eager filter, or an empty partition
+    * hands every operator. Exercises the class the 3-row fixture
+    * can't: `.head()` on an empty aggregate, collected codebook seeds
+    * that come back empty, min/max folds over nothing.
+    */
+  def buildEmptyFixture(spark: SparkSession, srcDir: String, dir: String): Unit = {
+    import spark.implicits._
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      spark.read.parquet(s"$srcDir/$t.parquet").limit(0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+  }
+
   /** Run every query against the fixture; return (name, error) for
     * each thrower (empty = all robust).
     */
@@ -77,6 +103,15 @@ object DegenerateProbe {
   final val DocumentedGuards: Set[String] =
     Set("q34_ann_ivf", "q302_residual_quantization")
 
+  /** Queries whose EXPLICIT corpus-shape `require` fires on a
+    * zero-row corpus (the loud, named failure — not a crash). The
+    * empty fixture legitimately trips every operator whose stored
+    * index or codebook is derived FROM the corpus: no vectors means
+    * no seeds, and proceeding with an empty codebook would be the
+    * silent-corruption path the guards exist to close.
+    */
+  val EmptyDocumentedGuards: Set[String] = Set.empty
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -89,10 +124,16 @@ object DegenerateProbe {
     val dir = java.nio.file.Files.createTempDirectory("degenerate").toString
     buildFixture(spark, "/root/testdata/sf0.001", dir)
     val failures = probe(spark, dir)
+    val emptyDir = java.nio.file.Files.createTempDirectory("degenerate0").toString
+    buildEmptyFixture(spark, "/root/testdata/sf0.001", emptyDir)
+    val emptyFailures = probe(spark, emptyDir)
+    def detail(fs: Seq[(String, String)]): String =
+      fs.map { case (n, e) => s""""$n":"${e.replace("\"", "'")}"""" }.mkString(",")
     println(s"""{"metric":"degenerate_probe","queries":${graft.SparkEntry.queries.size},""" +
-      s""""failures":${failures.size},"detail":{${
-        failures.map { case (n, e) => s""""$n":"${e.replace("\"", "'")}"""" }.mkString(",")
-      }}}""")
-    if (!failures.map(_._1).toSet.subsetOf(DocumentedGuards)) sys.exit(1)
+      s""""failures":${failures.size},"detail":{${detail(failures)}},""" +
+      s""""empty_failures":${emptyFailures.size},""" +
+      s""""empty_detail":{${detail(emptyFailures)}}}""")
+    if (!failures.map(_._1).toSet.subsetOf(DocumentedGuards) ||
+        !emptyFailures.map(_._1).toSet.subsetOf(EmptyDocumentedGuards)) sys.exit(1)
   }
 }

@@ -136,6 +136,32 @@ class GtfsRtSourceSpec extends AnyFunSuite {
     assert(spark.read.schema(outSchema).parquet(out).count() == 2 * n1)
   }
 
+  test("maxFilesPerTrigger: AvailableNow drains in bounded batches with identical output") {
+    import org.apache.spark.sql.streaming.Trigger
+    val vp = TestSpark.tempDir("dsv2_throttle_vp")
+    val out = TestSpark.tempDir("dsv2_throttle_out")
+    val ckpt = TestSpark.tempDir("dsv2_throttle_ckpt")
+    for (i <- 0 until 6)
+      Fixtures.writeRtSnapshots(TestSpark.tempDir(s"dsv2_th_$i"), vp,
+        stamp = f"20250903_10${i}%02d", feedTs = 1000000L + i * 60)
+    val q = spark.readStream.format("gtfsrt")
+      .option("kind", "vehicle_positions")
+      .option("maxFilesPerTrigger", 2)
+      .load(vp)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 3, s"6 snapshots / 2 per trigger must run 3 batches, got $batches")
+    val outSchema = GtfsRtSource.schemaFor("vehicle_positions")
+    val throttled = spark.read.schema(outSchema).parquet(out)
+    val direct = spark.read.format("gtfsrt")
+      .option("kind", "vehicle_positions").load(vp)
+    assert(throttled.count() == direct.count(),
+      "throttling must not change what gets relayed")
+  }
+
   test("streaming read handles nested subdirectories: paths resolve, same-named files don't collide") {
     import org.apache.spark.sql.streaming.Trigger
     val root = TestSpark.tempDir("dsv2_nested_vp")

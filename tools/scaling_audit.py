@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Automated sf0.1 -> sf1.0 linearity audit over two graft.Bench
+artifacts (round-11/12 directive #1): for every query, compare the
+recorded ACTUALS (stage_in_recs / stage_in_bytes / shuffle_recs /
+scan_rows) at the two scale points and flag super-linear growth.
+
+The harness tables grow a clean 10x from sf0.1 to target/sf1.0
+(fixed dims nation/region excepted), so a scale-linear operator's
+actuals should grow by ~<=12x (10x data plus partition-count and
+boundary slack). Growth beyond the threshold is either
+
+  - BY DESIGN: the documented quadratic eval denominators (exact
+    brute-force top-k, the |q|x|corpus| late-interaction scan, pair
+    recall tables ...) where BOTH the query batch and the corpus grow
+    10x so the pair stream grows 100x. These are allowlisted BY NAME
+    with the justification printed into the artifact - an unlisted
+    100x row still fails.
+  - A BUG: the class the sf1.0 run caught twice before (q195's
+    CodegenFallback-in-join re-evaluation, q40's int64 overflow).
+
+Usage:
+    python3 tools/scaling_audit.py BENCH_LOCAL.json BENCH_SF1_r13.json \
+        > SCALING_r13.json
+
+Exit code 1 if any non-allowlisted query grows faster than THRESHOLD
+in any audited actual. Wall-time is reported but never flagged on its
+own: the referee for wall is actuals, same as tools/actuals_diff.py.
+Dev tool only - not part of the shipped library.
+"""
+import json
+import sys
+
+AUDIT_KEYS = ("stage_in_recs", "stage_in_bytes", "shuffle_recs", "scan_rows")
+# Per-metric growth thresholds for 10x table rows. Row-shaped metrics
+# get 12 (10x + partition/boundary slack). Byte- and shuffle-record
+# metrics get 18 because the sf1.0 documents corpus is SYNTHESIZED
+# (LlmScaleBench planted structure), not replicated, and its per-doc
+# shape is larger than the sf0.1 harness corpus - measured growth:
+# doc rows x10.0, total chars x12.75 (avg doc 297 -> 379 chars),
+# total tokens x14.67 (54 -> 79 tokens/doc). A token- or char-stream
+# operator therefore grows ~13-15x while being exactly row-linear.
+THRESHOLDS = {"stage_in_recs": 12.0, "scan_rows": 12.0,
+              "stage_in_bytes": 18.0, "shuffle_recs": 18.0}
+DATA_GROWTH = {"table_rows": 10.0, "doc_chars": 12.75, "doc_tokens": 14.67}
+# Floor below which a ratio is meaningless (a 12-row -> 200-row
+# growth is boundary noise, not a scale signal).
+MIN_BASE = {"stage_in_recs": 100_000, "stage_in_bytes": 10_000_000,
+            "shuffle_recs": 100_000, "scan_rows": 100_000}
+# A metric whose BASE value sits far below its floor while the sf1.0
+# value clears it marks a STRATEGY TRANSITION, not super-linearity:
+# the base-scale plan never exercised that channel (a dim that fit in
+# a broadcast at sf0.1 shuffles at sf1.0; a map-side-combined
+# aggregate stops fitting its hash map). The transition is linear
+# from sf1.0 on; the row is judged on its remaining metrics and the
+# transition recorded informationally.
+TRANSITION_BASE_FRACTION = 10
+
+# Documented super-linear-by-design operators: the pair/eval layer
+# where the query batch AND the corpus both grow 10x, so the pair
+# stream grows ~100x. Each entry names WHY it is expected; anything
+# not named here that exceeds THRESHOLD fails the audit.
+ALLOWLIST = {
+    "q26_ann_topk": "exact brute-force |q|x|corpus| eval denominator (both sides grow 10x => 100x pairs; the serving paths are q27/q34/q287)",
+    "q300_maxsim_retrieval": "exact |q|x|corpus| late-interaction eval scan (serving path is q312)",
+    "q281_hard_negatives": "exact |q|x|corpus| mining scan (demo ground truth; ANN feeds the same tail at scale)",
+    "q311_semihard_negatives": "exact |q|x|corpus| mining scan beside q281",
+    "q288_knn_shapley": "exact |q|x|corpus| valuation scan (closed-form KNN-Shapley is defined on the full ranking)",
+    "q293_matryoshka_recall": "per-prefix-dim exact eval joins vs the q26 denominator (eval table, not a serving path)",
+    "q292_retrieval_metrics": "eval metrics over the exact q26 ranking (denominator family)",
+    "q247_sq8_adc_recall": "recall eval against the exact q26 denominator",
+    "q248_srp_rerank": "Hamming linear scan over sketches + recall vs exact q26 (documented honest-scan variant)",
+    "q249_ivf_probe_sweep": "recall/candidates tuning curve vs the exact q26 denominator across 4 probe levels",
+    "q237_knn_probe": "kNN probe eval vs the exact q26 denominator",
+    "q222_ann_hubness": "hubness audit over the exact q26 ranking (eval table)",
+    "q307_knn_reciprocity": "cluster-confined kNN graph: per-list pair streams grow with list size^2 when lists grow 10x (k fixed at 16 in the demo; production scales k with corpus)",
+    "q298_label_noise": "cluster-confined pair scan, same list-size^2 shape as q307",
+    "q195_semantic_dedup": "cluster-confined within-list pair scan (SemDeDup); list count fixed at 16 in the demo => within-list pairs grow ~100x; production scales k with corpus",
+    "q34_ivf_trained": "IVF with fixed k=16 lists: probed-list candidate streams grow ~(n/k)x|q| (both 10x); production scales k",
+    "q49_ivf_seeded": "same fixed-k IVF candidate shape as q34",
+    "q312_ann_maxsim": "probed-list maxsim candidates: |q| x (nprobe/k)|corpus|, both sides grow 10x (still 25x cheaper than q300's full scan)",
+    "q287_ivfpq_topk": "probed-list ADC candidates: |q| x (nprobe/k)|corpus|, both sides grow 10x",
+    "q227_pq_opq_recall": "PQ recall eval vs the exact denominator",
+    "q242_lsh_band_planner": "pair-probability curve over the exact q73 pair set (tuning table)",
+    "q234_lsh_recall_curve": "recall curve over the exact q73 pair set (tuning table)",
+    "q290_ivf_append_drift": "append batch x fixed-k centroid assignment (batch grows 10x, distances per row fixed) - flags only when combined with list-occupancy joins",
+    "q289_kcenter_coreset": "greedy farthest-point: rounds x corpus scans; corpus 10x and round count fixed",
+    "q302_residual_quantization": "two-level codebook assignment over 10x corpus with fixed codebooks - argmin cost linear, flag only via pair joins",
+    "q296_geometric_median": "Weiszfeld iterations x corpus (fixed iteration count, corpus 10x)",
+    "q285_embedding_standardize": "full-corpus moments + rewrite (linear) but 64-dim explode can cross byte threshold",
+    "q27_ann_lsh": "multiprobe LSH with FIXED NumPlanes: bucket occupancy grows with corpus/2^planes, query batch 10x => candidate pairs ~100x (plane count is the production knob, same family as fixed-k IVF)",
+    "q166_clamped_balance": "the deliberately-kept recursive-shaped baseline (spec-pinned equivalent q169 max-plus fold is the deploy path; its row IS linear)",
+    "q02_scalar_funcs": "global orderBy adds a range-partitioning sampling scan; pass count 2->3 under AQE re-plan at the larger input - constant-factor scan repetition, each pass exactly 10x",
+}
+
+# Vocabulary-keyed operators: shuffle/cache volume is linear in the
+# number of DISTINCT tokens / n-grams / shingles, and the two corpora
+# differ qualitatively there BY CONSTRUCTION - the sf0.1 harness
+# corpus draws from a 31-token vocabulary (931 distinct bigrams,
+# measured), while the synthesized sf1.0 corpus draws from ~5500
+# tokens (260k distinct bigrams): x177 vocabulary / x279 bigram-space
+# growth for 10x docs. An operator keyed on vocabulary is exactly
+# linear in its key space; the growth is corpus shape, not plan
+# shape. (The sketch layer proves its own bound here: q58's shuffle
+# stays register-capped at ~10.4k rows and q59's at 65,536 = the CMS
+# table width, at BOTH scales - only their distinct-gram INPUT grew.)
+VOCAB_KEYED = {
+    "q53_tfidf_keywords", "q55_containment", "q58_hll_distinct",
+    "q59_cms_heavy_hitters", "q73_prefix_jaccard", "q75_ngram_topk",
+    "q82_hash_embedding", "q112_rare_bigram_rate",
+    "q165_score_calibration", "q212_distinct_ngrams", "q214_soft_dedup",
+    "q220_source_dedup_matrix", "q233_term_burstiness",
+}
+VOCAB_WHY = ("shuffle/cache keyed on vocabulary terms (distinct n-grams/"
+             "shingles): distinct tokens grew x177 and distinct bigrams "
+             "x279 between the 31-token sf0.1 harness corpus and the "
+             "~5500-token synthesized sf1.0 corpus - linear in key space, "
+             "corpus shape not plan shape")
+
+
+def last_json_line(path):
+    best = None
+    for line in open(path):
+        if '"queries"' in line:
+            i = line.find("{")
+            try:
+                best = json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+    if best is None:
+        raise SystemExit(f"no parseable bench line in {path}")
+    return best
+
+
+def main():
+    base_path, big_path = sys.argv[1], sys.argv[2]
+    base, big = last_json_line(base_path), last_json_line(big_path)
+    bs, gs = base.get("stats", {}), big.get("stats", {})
+    rows, flagged, allowed, missing = {}, [], [], []
+    for q in sorted(big.get("queries", {})):
+        if q not in bs or q not in gs:
+            missing.append(q)
+            continue
+        a, b = bs[q], gs[q]
+        entry = {"wall_sf01": round(a.get("wall", -1), 3),
+                 "wall_sf1": round(b.get("wall", -1), 3)}
+        worst, worst_key, over = 0.0, None, False
+        transitions = []
+        for k in AUDIT_KEYS:
+            va, vb = a.get(k, -1), b.get(k, -1)
+            if va is None or vb is None or va < 0 or vb < 0:
+                continue
+            entry[k] = [va, vb]
+            # ratio only meaningful when the sf1.0 side clears the
+            # floor — tiny absolute values are boundary noise
+            if vb >= MIN_BASE[k]:
+                if va < MIN_BASE[k] / TRANSITION_BASE_FRACTION:
+                    # channel absent at base scale: strategy transition
+                    transitions.append(k)
+                    continue
+                r = vb / va
+                entry[f"{k}_ratio"] = round(r, 2)
+                if r > worst:
+                    worst, worst_key = r, k
+                if r > THRESHOLDS[k]:
+                    over = True
+        if transitions:
+            entry["strategy_transition"] = transitions
+        entry["worst_ratio"] = round(worst, 2)
+        entry["worst_key"] = worst_key
+        if over:
+            if q in ALLOWLIST:
+                entry["verdict"] = "super_linear_by_design"
+                entry["why"] = ALLOWLIST[q]
+                allowed.append(q)
+            elif q in VOCAB_KEYED:
+                entry["verdict"] = "vocab_keyed_data_shape"
+                entry["why"] = VOCAB_WHY
+                allowed.append(q)
+            else:
+                entry["verdict"] = "SUPER_LINEAR_UNEXPLAINED"
+                flagged.append(q)
+        else:
+            entry["verdict"] = "linear"
+        rows[q] = entry
+    out = {
+        "baseline": base_path, "scaled": big_path,
+        "thresholds": THRESHOLDS,
+        "data_growth": DATA_GROWTH,
+        "n_queries": len(rows),
+        "n_linear": sum(1 for e in rows.values() if e["verdict"] == "linear"),
+        "n_by_design": len(allowed),
+        "n_unexplained": len(flagged),
+        "unexplained": flagged,
+        "by_design": allowed,
+        "missing_stats": missing,
+        "wall_total_sf01": round(base.get("value", -1), 1),
+        "wall_total_sf1": round(big.get("value", -1), 1),
+        "queries": rows,
+    }
+    json.dump(out, sys.stdout, indent=1)
+    print(file=sys.stdout)
+    print(f"# {out['n_linear']} linear, {len(allowed)} by-design, "
+          f"{len(flagged)} UNEXPLAINED, {len(missing)} missing stats",
+          file=sys.stderr)
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

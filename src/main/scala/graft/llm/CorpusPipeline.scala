@@ -65,13 +65,19 @@ object CorpusPipeline {
         countDistinct($"source").as("n_sources"),
         countDistinct($"h").as("n_unique"))
     val kept = q39_corpus_curation(spark, dir).agg(count(lit(1)).as("n_curated"))
+    // n_docs = 0 guard (zero-row degenerate-probe finding): an empty
+    // corpus reports NULL rates instead of an ANSI divide-by-zero —
+    // oracle-mirrored CASE
     base.crossJoin(kept)
       .select($"n_docs", $"n_tokens", $"n_chars", $"n_langs", $"n_sources",
         ($"n_docs" - $"n_unique").as("n_exact_dups"),
-        round(lit(10000.0) * ($"n_docs" - $"n_unique") / $"n_docs").cast("long")
-          .as("dup_bp"),
+        when($"n_docs" > 0,
+          round(lit(10000.0) * ($"n_docs" - $"n_unique") / $"n_docs")
+            .cast("long")).as("dup_bp"),
         $"n_curated",
-        round(lit(10000.0) * $"n_curated" / $"n_docs").cast("long").as("kept_bp"))
+        when($"n_docs" > 0,
+          round(lit(10000.0) * $"n_curated" / $"n_docs").cast("long"))
+          .as("kept_bp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,9 +108,11 @@ object CorpusPipeline {
         |         WHERE doc_id NOT IN (SELECT doc_b FROM p))
         |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
         |  n_docs - n_unique AS n_exact_dups,
-        |  CAST(ROUND(10000.0 * (n_docs - n_unique) / n_docs) AS BIGINT) AS dup_bp,
+        |  CASE WHEN n_docs > 0 THEN CAST(ROUND(10000.0 * (n_docs - n_unique)
+        |    / n_docs) AS BIGINT) END AS dup_bp,
         |  kept.n_curated,
-        |  CAST(ROUND(10000.0 * kept.n_curated / n_docs) AS BIGINT) AS kept_bp
+        |  CASE WHEN n_docs > 0 THEN CAST(ROUND(10000.0 * kept.n_curated
+        |    / n_docs) AS BIGINT) END AS kept_bp
         |FROM base CROSS JOIN kept""".stripMargin,
     "q39_corpus_curation" ->
       s"""WITH q AS (SELECT doc_id, text, lang, source,

@@ -120,8 +120,15 @@ object Evaluation {
       round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
     }
 
-    // seed: the minimum vec_id (deterministic, engine-independent)
-    val first = emb.orderBy($"vec_id").limit(1).collect()(0)
+    // seed: the minimum vec_id (deterministic, engine-independent).
+    // Greedy farthest-point has no defined seed on an empty corpus —
+    // fail with the named require, not an index error (zero-row
+    // degenerate-probe finding; the q34 corpus-shape convention).
+    val firstRows = emb.orderBy($"vec_id").limit(1).collect()
+    require(firstRows.nonEmpty,
+      "k-center coreset needs a non-empty embeddings corpus to seed " +
+        "the greedy farthest-point sweep")
+    val first = firstRows(0)
     // head of `centers` is always the center chosen in the CURRENT
     // round: the farthest point found in round r is both round r's
     // coverage radius and round r+1's center (prepended below)

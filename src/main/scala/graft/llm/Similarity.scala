@@ -605,10 +605,18 @@ object Similarity {
   private def pqSeeds(emb: DataFrame): Array[(Int, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.filter($"vec_id" < IvfCentroids)
+    val seeds = emb.filter($"vec_id" < IvfCentroids)
       .select($"vec_id".cast("int").as("cid"), $"v")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // named failure for the whole seeded-quantizer family (q49/q195/
+    // q198/q287/q312/…): an empty or id-sparse corpus cannot derive a
+    // codebook — say so here, instead of the generic argmin dimension
+    // require firing mid-scan (zero-row degenerate-probe finding)
+    require(seeds.nonEmpty,
+      s"seeded quantizer needs vectors with vec_id < $IvfCentroids to " +
+        "derive its codebook (q49 convention) — corpus empty or id-sparse")
+    seeds
   }
 
   def q198_product_quantization(spark: SparkSession, dir: String): DataFrame = {

@@ -873,7 +873,10 @@ object TextAnalysis {
       .select(explode(wsTokens($"text")).as("token"))
       .filter(length($"token") > 0)
       .groupBy($"token").agg(count(lit(1)).as("n")))
-    val total = counts.agg(sum($"n")).as[Long].head()
+    // coalesce: SUM over an empty corpus is NULL, which the Long
+    // encoder rejects (zero-row degenerate-probe finding); the 0
+    // total never divides because `top` is empty in that case
+    val total = counts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
     val top = counts.orderBy($"n".desc, $"token").limit(40)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"n".desc, $"token")
@@ -904,22 +907,30 @@ object TextAnalysis {
     var tx = graft.Caches.tracked(load(spark, dir, "documents")
       .select($"doc_id", concat(lit(" "), $"text", lit(" ")).as("tx")))
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-    for (rank <- 1 to 2) {
-      val (x, y, n) = tx
-        .select(split(trim($"tx"), " ").as("sp"))
+    var exhausted = false
+    for (rank <- 1 to 2 if !exhausted) {
+      // headOption: a corpus with no adjacent pair left (empty table,
+      // or every doc a single token) ends training early with the
+      // merges learned so far — the tokenizer-training convention,
+      // not a crash (zero-row degenerate-probe finding)
+      tx.select(split(trim($"tx"), " ").as("sp"))
         .filter(size($"sp") >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(sp) - 2), i -> struct(sp[i] AS x, sp[i+1] AS y))"))
           .as("p"))
         .groupBy($"p.x", $"p.y").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"x", $"y").limit(1)
-        .as[(String, String, Long)].head()
-      val next = graft.Caches.tracked(tx.select($"doc_id",
-        expr(s"replace(tx, ' $x $y ', ' ${x}_$y ')").as("tx")))
-      val tokensAfter = next
-        .select(sum(size(split(trim($"tx"), " ")))).as[Long].head()
-      out += ((rank.toLong, x, y, n, tokensAfter))
-      tx = next
+        .as[(String, String, Long)].collect().headOption match {
+        case None => exhausted = true
+        case Some((x, y, n)) =>
+          val next = graft.Caches.tracked(tx.select($"doc_id",
+            expr(s"replace(tx, ' $x $y ', ' ${x}_$y ')").as("tx")))
+          val tokensAfter = next
+            .select(coalesce(sum(size(split(trim($"tx"), " "))), lit(0L)))
+            .as[Long].head()
+          out += ((rank.toLong, x, y, n, tokensAfter))
+          tx = next
+      }
     }
     out.result().toDF("rank", "x", "y", "n_pairs", "tokens_after")
       .orderBy($"rank")

@@ -1239,7 +1239,10 @@ object Analytics {
     val rev = graft.Caches.tracked(load(spark, dir, "lineitem")
       .groupBy($"l_partkey".cast("long").as("p"))
       .agg(sum(cents($"l_extendedprice")).as("x")))
-    val total = rev.agg(sum($"x")).as[Long].head()
+    // coalesce: SUM over an empty fact table is NULL, which the Long
+    // encoder rejects (zero-row degenerate-probe finding); with no
+    // rows the classify pass emits nothing, so the 0 never divides
+    val total = rev.agg(coalesce(sum($"x"), lit(0L))).as[Long].head()
     val sorted = rev.repartitionByRange(32, $"x".desc, $"p")
       .sortWithinPartitions($"x".desc, $"p")
       .as[(Long, Long)]

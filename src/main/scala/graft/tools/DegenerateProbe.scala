@@ -110,7 +110,16 @@ object DegenerateProbe {
     * no seeds, and proceeding with an empty codebook would be the
     * silent-corruption path the guards exist to close.
     */
-  val EmptyDocumentedGuards: Set[String] = Set.empty
+  val EmptyDocumentedGuards: Set[String] = Set(
+    // the seeded-quantizer family: an empty corpus cannot derive a
+    // codebook (pqSeeds' named require, the q49 convention)
+    "q49_ivf_seeded", "q195_semantic_dedup", "q198_product_quantization",
+    "q199_pq_adc_topk", "q207_cluster_capped_sample", "q227_cluster_purity",
+    "q249_ivf_probe_sweep", "q287_ivfpq_topk", "q290_ivf_append_drift",
+    "q298_label_noise", "q302_residual_quantization", "q307_knn_reciprocity",
+    "q312_ann_maxsim",
+    // trained/greedy seeds with their own named requires
+    "q34_ann_ivf", "q289_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -128,7 +137,10 @@ object DegenerateProbe {
     buildEmptyFixture(spark, "/root/testdata/sf0.001", emptyDir)
     val emptyFailures = probe(spark, emptyDir)
     def detail(fs: Seq[(String, String)]): String =
-      fs.map { case (n, e) => s""""$n":"${e.replace("\"", "'")}"""" }.mkString(",")
+      fs.map { case (n, e) =>
+        s""""$n":"${e.replace("\\", " ").replace("\"", "'")
+          .replace("\n", " ").replace("\r", " ").replace("\t", " ")}""""
+      }.mkString(",")
     println(s"""{"metric":"degenerate_probe","queries":${graft.SparkEntry.queries.size},""" +
       s""""failures":${failures.size},"detail":{${detail(failures)}},""" +
       s""""empty_failures":${emptyFailures.size},""" +

@@ -27,4 +27,18 @@ class DegenerateProbeSpec extends AnyFunSuite {
         s"$n must fail with its explicit corpus-size require, got: $e")
     }
   }
+
+  test("zero-row corpus never throws, except the documented corpus-derived-codebook requires") {
+    val spark = TestSpark.spark
+    val dir = TestSpark.tempDir("degenerate_empty_gate")
+    DegenerateProbe.buildEmptyFixture(spark, "/root/testdata/sf0.001", dir)
+    val failures = DegenerateProbe.probe(spark, dir)
+    val names = failures.map(_._1).toSet
+    assert(names == DegenerateProbe.EmptyDocumentedGuards,
+      s"unexpected zero-row throwers (or a guard that stopped firing):\n${failures.mkString("\n")}")
+    failures.foreach { case (n, e) =>
+      assert(e.startsWith("IllegalArgumentException: requirement failed"),
+        s"$n must fail with its named corpus-shape require, got: $e")
+    }
+  }
 }

@@ -191,7 +191,15 @@ object GtfsScaleBench {
       val killedAt =
         if (q1.lastProgress == null) -1L else q1.lastProgress.batchId
       q1.stop() // mid-drain kill: ~12 of 20 batches still unprocessed
-      q1.awaitTermination()
+      // The kill interrupts the in-flight micro-batch (observed: inside
+      // Hadoop's file-permission shell exec), and awaitTermination
+      // rethrows that as a StreamingQueryException — that exception IS
+      // the simulated crash. Exactly-once is proven by the resumed
+      // query's exact final count, not by a clean first shutdown.
+      try q1.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
       val q2 = startRelay()
       q2.awaitTermination()
       val resumed = q2.recentProgress.count(_.numInputRows > 0).toLong

@@ -398,8 +398,8 @@ object DataPrep {
     * Returns (group, id, weight, cum0) with cum0 = Σ weight over
     * rows of the same group strictly before id.
     */
-  private[llm] def groupedPrefixSum(rows: DataFrame, group: String, id: String,
-                                    weight: String): DataFrame = {
+  private[graft] def groupedPrefixSum(rows: DataFrame, group: String, id: String,
+                                      weight: String): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val sorted = rows

@@ -134,12 +134,20 @@ object DataQuality {
       sum(when($"val".isNull, 1L).otherwise(0L)).as("n_nulls"),
       countDistinct($"val").as("n_distinct"),
       min($"val").as("min_s"), max($"val").as("max_s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"col_name").orderBy($"cnt".desc, $"val")
-    val mode = melted.filter($"val".isNotNull)
-      .groupBy($"col_name", $"val").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"col_name", $"val".as("top_value"), $"cnt".as("top_count"))
+    // Mode per column WITHOUT a col_name-partitioned window: for a key
+    // column the (col, value) count table has one row per table row, so
+    // `Window.partitionBy(col_name)` would funnel a full column through
+    // one task (|columns| ≈ 5 groups — the low-cardinality trap). Both
+    // aggregates below partial-aggregate map-side (a low-cardinality
+    // groupBy is safe; only the window form is not), and the max count
+    // comes back as a ≤|columns|-row broadcast.
+    val counts = graft.Caches.tracked(melted.filter($"val".isNotNull)
+      .groupBy($"col_name", $"val").agg(count(lit(1)).as("cnt")))
+    val top = counts.groupBy($"col_name").agg(max($"cnt").as("top_count"))
+    val mode = counts.join(broadcast(top), "col_name")
+      .filter($"cnt" === $"top_count")
+      .groupBy($"col_name")
+      .agg(min($"val").as("top_value"), max($"cnt").as("top_count"))
     stats.join(mode, Seq("col_name"), "left")
       .orderBy($"col_name")
   }

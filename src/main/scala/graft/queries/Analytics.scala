@@ -1010,27 +1010,42 @@ object Analytics {
   /** q117 — spend concentration per market segment: Gini coefficient
     * (2Σr·x / nΣx − (n+1)/n over ascending ranks) and top-10-customer
     * revenue share. The fact table reduces to per-(segment, customer)
-    * cents in one shuffle; both windows then run inside segment
-    * partitions of the AGGREGATE (bounded by customers-per-segment,
-    * not orders). Rank·spend sums stay exact 64-bit; the two final
-    * ratios are fixed-tree doubles rounded to e6/bp.
+    * cents in one shuffle — but the ranks do NOT run in a
+    * segment-partitioned window (|segments| = 5 groups each funneling
+    * its full customer set through one task, the exact
+    * low-cardinality trap `PlanLint.lintGroupedWindows` flags):
+    *
+    *  - the ascending rank exists only inside Σ r·x, which is
+    *    tie-permutation-invariant (a tie group at spend x contributes
+    *    x·Σ of a consecutive rank run whatever the order within the
+    *    tie), so it is computed with the two-phase range-partitioned
+    *    prefix scan (`llm.DataPrep.groupedPrefixSum` — segments SPAN
+    *    partitions; parallelism is data-sized, not 5);
+    *  - the top-10 cut is a bounded-heap top-k per segment
+    *    (`TopKPerGroup`): per-partition 10-row heaps before the
+    *    shuffle, never a segment-wide sort.
+    *
+    * Rank·spend sums stay exact 64-bit; the two final ratios are
+    * fixed-tree doubles rounded to e6/bp.
     */
   def q117_concentration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val spend = load(spark, dir, "orders")
+    val spend = graft.Caches.tracked(load(spark, dir, "orders")
       .join(broadcast(load(spark, dir, "customer")
         .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment", $"c_custkey")
-      .agg(sum(cents($"o_totalprice")).as("x"))
-    val asc = Window.partitionBy($"c_mktsegment").orderBy($"x", $"c_custkey")
-    val desc = Window.partitionBy($"c_mktsegment").orderBy($"x".desc, $"c_custkey")
-    spend
-      .withColumn("r", row_number().over(asc).cast("long"))
-      .withColumn("rd", row_number().over(desc).cast("long"))
-      .groupBy($"c_mktsegment")
+      .agg(sum(cents($"o_totalprice")).as("x")))
+    val ranked = graft.llm.DataPrep.groupedPrefixSum(
+      spend.select($"c_mktsegment", $"x".as("id"), lit(1L).as("w")),
+      "c_mktsegment", "id", "w")
+    val gini = ranked.groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
-        sum($"x").as("total"), sum($"r" * $"x").as("rx"),
-        sum(when($"rd" <= 10, $"x").otherwise(0L)).as("top10"))
+        sum($"id").as("total"),
+        sum(($"cum0" + lit(1L)) * $"id").as("rx"))
+    val top10 = graft.plans.TopKPerGroup.topK(spend, Seq("c_mktsegment"),
+        Seq($"x".desc, $"c_custkey".asc), 10, "rd")
+      .groupBy($"c_mktsegment").agg(sum($"x").as("top10"))
+    gini.join(broadcast(top10), Seq("c_mktsegment"))
       .select($"c_mktsegment", $"n_customers",
         round((lit(2.0) * $"rx" / ($"n_customers" * $"total")
           - ($"n_customers" + lit(1L)).cast("double") / $"n_customers") * 1e6)

@@ -298,16 +298,33 @@ object SqlSurface {
     * on tied rows, which is where migrated top-k queries silently
     * change row counts. RANK/DENSE_RANK order by the tied value only
     * (deterministic BY VALUE); ROW_NUMBER gets the unique-key
-    * tie-break it needs. Windows partition by brand — bounded groups
-    * over the dimension table, no global funnel.
+    * tie-break it needs.
+    *
+    * Scale shape: |brands| is ~25 whatever the data size, so brand-
+    * partitioned windows over the RAW part table would funnel each
+    * brand's full row set through one task. A RANK ≤ 3 survivor can
+    * only live in the 3 largest DISTINCT sizes of its brand (every
+    * row ranked above it has a size ≥ its own), and that top-size set
+    * is upward-closed — so all three window functions computed over
+    * the pre-cut equal their full-table values on every surviving
+    * row. The cut reduces window input to roughly the rows the output
+    * must materialize anyway (the tied rows), and the top-size table
+    * itself is a bounded-heap top-k over the ≤|size-domain| distinct
+    * (brand, size) aggregate.
     */
   def q141_ranking_ties(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val part = load(spark, dir, "part")
+    val top3Sizes = graft.plans.TopKPerGroup.topK(
+      part.select($"p_brand", $"p_size").distinct(),
+      Seq("p_brand"), Seq($"p_size".desc), 3, "size_rk")
+      .select($"p_brand", $"p_size")
+    val cut = part.join(broadcast(top3Sizes), Seq("p_brand", "p_size"))
     val byBrand = org.apache.spark.sql.expressions.Window
       .partitionBy($"p_brand")
     val bySize = byBrand.orderBy($"p_size".desc)
     val stable = byBrand.orderBy($"p_size".desc, $"p_partkey")
-    load(spark, dir, "part")
+    cut
       .withColumn("rnk", rank().over(bySize).cast("long"))
       .withColumn("drnk", dense_rank().over(bySize).cast("long"))
       .withColumn("rn", row_number().over(stable).cast("long"))

@@ -93,16 +93,19 @@ object StreamScaleBench {
     }
     // docs: every 10th doc re-delivers the previous doc's payload at
     // the same second -> exactly NDocs/10 in-window duplicates, so
-    // survivors = NDocs - NDocs/10 exactly
+    // survivors = NDocs - NDocs/10 exactly. (Column `/` is DOUBLE
+    // division — the payload id must stay integral or every payload
+    // renders unique and nothing dedups.)
     val (_, tDc) = t {
       (0 until NFiles).foreach { f =>
         val per = NDocs / NFiles
+        val payloadId =
+          when($"id" % 10 === 9, $"id" - 1L).otherwise($"id").cast("long")
         spark.range(f * per, (f + 1) * per, 1, 1)
           .select($"id".as("doc_id"),
             to_timestamp(from_unixtime(lit(base / 1000)
-              + (($"id" - ($"id" % 10) / 9) * 172800L) / 1000000L)).as("ts"),
-            concat(lit("payload "),
-              ($"id" - ($"id" % 10) / 9).cast("string")).as("text"))
+              + (payloadId * 172800L) / 1000000L)).as("ts"),
+            concat(lit("payload "), payloadId.cast("string")).as("text"))
           .write.mode("append").parquet(s"$dir/docs")
       }
     }

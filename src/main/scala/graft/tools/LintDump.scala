@@ -26,6 +26,11 @@ object LintDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Same extensions as Verify/Bench: the lint must judge the plan
+      // the engine actually ships (RankLimitRewrite turns rank-filter
+      // windows into bounded heaps — without it every top-k-per-group
+      // query would flag a funnel the deployed session doesn't have).
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -651,6 +651,96 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Fixed harness acctbal domain in cents ([-1000, 10000) currency
+    * units — TESTDATA.md's generator range), used by q313 to size its
+    * density-adaptive candidate band.
+    */
+  final val BalDomainCents = 1100000L
+
+  /** q313 — Fellegi–Sunter probabilistic record linkage (Fellegi &
+    * Sunter 1969; the Splink-at-scale shape): score candidate record
+    * pairs by summed log2(m/u) agreement weights instead of a single
+    * fuzzy distance — the classical entity-resolution machinery the
+    * edit-distance (q86) and similarity (q23/q24) dedups don't give
+    * you, because it weighs EACH field by how discriminating it is.
+    *
+    *  - Candidate generation is density-adaptive balance banding
+    *    (sorted-neighborhood equivalent, Hernández & Stolfo 1995):
+    *    band width δ = 2·domain/N cents, each record emits its band
+    *    and band+1, pairs join on the band key and keep |Δbal| ≤ δ.
+    *    Expected candidates under the uniform harness balance ≈ 2N —
+    *    LINEAR in table size at every scale factor, never all-pairs,
+    *    and the join shuffles on the band key only.
+    *  - u-probabilities (chance a random NON-match agrees) are
+    *    EXACT corpus statistics, not priors: Σ n_v(n_v−1) / N(N−1)
+    *    per categorical field (nation, segment) from one bounded
+    *    aggregate each; the balance-proximity u is the uniform-model
+    *    (δ/4)/domain. m-probabilities are fixed priors (the EM-fitted
+    *    values in production; constants keep both engines identical).
+    *  - Per-field weights are milli-rounded log2 odds computed ONCE
+    *    on the driver from those exact counts (bounded scalars — the
+    *    same driver-state posture as the IVF codebook seeds); the
+    *    per-pair score is then pure INTEGER addition over agreement
+    *    bits, codegen'd, no per-row transcendentals.
+    *
+    * Output: every candidate pair with its agreement pattern, total
+    * milli-weight and the match/possible/non-match verdict at the
+    * fixed review thresholds. At 100 TB the band join is the only
+    * shuffle and its key count scales with N/δ — no skew (balances
+    * are near-uniform), no funnel, and the weight table is driver
+    * metadata by definition (6 numbers).
+    */
+  def q313_record_linkage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.Caches.tracked(load(spark, dir, "customer")
+      .select($"c_custkey".as("id"), $"c_nationkey".as("nat"),
+        $"c_mktsegment".as("seg"), graft.Tables.cents($"c_acctbal").as("bal")))
+    val n = c.count() // bounded scalar: table cardinality
+    val delta = math.max(1L, 2L * BalDomainCents / math.max(n, 1L))
+    // exact categorical u: P(random pair agrees) = Σ n_v(n_v−1)/(N(N−1))
+    def uCat(field: String): Double = {
+      val num = c.groupBy(col(field)).count()
+        .agg(sum($"count" * ($"count" - 1L))).head.getLong(0)
+      num.toDouble / (n.toDouble * (n - 1L).toDouble)
+    }
+    // n < 2 produces zero candidate pairs; neutral u keeps the driver
+    // weight math finite (zero-row probe: no NPE on the empty SUM)
+    val (uNat, uSeg) = if (n < 2) (0.5, 0.5) else (uCat("nat"), uCat("seg"))
+    val uBal = (delta / 4.0) / BalDomainCents.toDouble
+    val m = Map("nat" -> 0.92, "seg" -> 0.85, "bal" -> 0.88) // fixed priors
+    def w(mf: Double, uf: Double): (Long, Long) = (
+      math.round(1000.0 * math.log(mf / uf) / math.log(2.0)),
+      math.round(1000.0 * math.log((1.0 - mf) / (1.0 - uf)) / math.log(2.0)))
+    val (wNatA, wNatD) = w(m("nat"), uNat)
+    val (wSegA, wSegD) = w(m("seg"), uSeg)
+    val (wBalA, wBalD) = w(m("bal"), uBal)
+    val a = c.select($"id".as("a_id"), $"nat".as("a_nat"),
+      $"seg".as("a_seg"), $"bal".as("a_bal"),
+      explode(array(floor($"bal" / delta), floor($"bal" / delta) + 1)).as("band"))
+    val b = c.select($"id".as("b_id"), $"nat".as("b_nat"),
+      $"seg".as("b_seg"), $"bal".as("b_bal"),
+      floor($"bal" / delta).as("band"))
+    a.join(b, Seq("band"))
+      // each qualifying pair appears exactly once: cross-band pairs
+      // only via the lower record's band+1 emission, same-band pairs
+      // only via the in-band emission with the (bal, id) ordering
+      .filter($"b_bal" - $"a_bal" >= 0 && $"b_bal" - $"a_bal" <= delta &&
+        ($"a_bal" < $"b_bal" || $"a_id" < $"b_id"))
+      .select($"a_id", $"b_id",
+        ($"a_nat" === $"b_nat").as("agree_nat"),
+        ($"a_seg" === $"b_seg").as("agree_seg"),
+        ($"b_bal" - $"a_bal" <= delta / 8).as("agree_bal"))
+      .withColumn("weight_milli",
+        when($"agree_nat", wNatA).otherwise(wNatD) +
+          when($"agree_seg", wSegA).otherwise(wSegD) +
+          when($"agree_bal", wBalA).otherwise(wBalD))
+      .withColumn("verdict",
+        when($"weight_milli" >= 4000L, "match")
+          .when($"weight_milli" >= 0L, "possible")
+          .otherwise("non-match"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** q106 — canonical document selection: dedup that keeps the BEST
     * copy, not the first one. Composes the verified cores — MinHash-
     * LSH pairs (q23) → connected components (q52) → quality score
@@ -1156,6 +1246,7 @@ object Dedup {
     "q106_canonical_docs" -> q106_canonical_docs,
     "q204_substring_spans" -> q204_substring_spans,
     "q86_edit_distance" -> q86_edit_distance,
+    "q313_record_linkage" -> q313_record_linkage,
     "q23_minhash_dedup" -> q23_minhash_dedup,
     "q203_incremental_dedup" -> q203_incremental_dedup,
     "q24_simhash_dedup" -> q24_simhash_dedup,
@@ -1444,6 +1535,42 @@ object Dedup {
         |  AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(a.pre, b.pre) <= 30
         |ORDER BY a_id, b_id""".stripMargin,
+    "q313_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        |dd AS (SELECT n, GREATEST(1, 2200000 // n) AS delta FROM nn),
+        |un AS (SELECT SUM(cnt*(cnt-1)) AS num FROM
+        |  (SELECT COUNT(*) AS cnt FROM c GROUP BY nat)),
+        |us AS (SELECT SUM(cnt*(cnt-1)) AS num FROM
+        |  (SELECT COUNT(*) AS cnt FROM c GROUP BY seg)),
+        |ww AS (SELECT delta,
+        |  CAST(ROUND(1000.0*LN(0.92/(un.num*1.0/(n*1.0*(n-1))))/LN(2)) AS BIGINT) AS wnat_a,
+        |  CAST(ROUND(1000.0*LN((1.0-0.92)/(1.0-un.num*1.0/(n*1.0*(n-1))))/LN(2)) AS BIGINT) AS wnat_d,
+        |  CAST(ROUND(1000.0*LN(0.85/(us.num*1.0/(n*1.0*(n-1))))/LN(2)) AS BIGINT) AS wseg_a,
+        |  CAST(ROUND(1000.0*LN((1.0-0.85)/(1.0-us.num*1.0/(n*1.0*(n-1))))/LN(2)) AS BIGINT) AS wseg_d,
+        |  CAST(ROUND(1000.0*LN(0.88/((delta/4.0)/1100000.0))/LN(2)) AS BIGINT) AS wbal_a,
+        |  CAST(ROUND(1000.0*LN((1.0-0.88)/(1.0-(delta/4.0)/1100000.0))/LN(2)) AS BIGINT) AS wbal_d
+        |  FROM dd, un, us),
+        |pairs AS (SELECT a.id AS a_id, b.id AS b_id,
+        |    (a.nat = b.nat) AS agree_nat, (a.seg = b.seg) AS agree_seg,
+        |    (b.bal - a.bal <= delta // 8) AS agree_bal, ww.*
+        |  FROM c a, c b, ww
+        |  WHERE b.bal - a.bal >= 0 AND b.bal - a.bal <= delta
+        |    AND (a.bal < b.bal OR a.id < b.id))
+        |SELECT a_id, b_id, agree_nat, agree_seg, agree_bal,
+        |  (CASE WHEN agree_nat THEN wnat_a ELSE wnat_d END +
+        |   CASE WHEN agree_seg THEN wseg_a ELSE wseg_d END +
+        |   CASE WHEN agree_bal THEN wbal_a ELSE wbal_d END) AS weight_milli,
+        |  CASE WHEN (CASE WHEN agree_nat THEN wnat_a ELSE wnat_d END +
+        |   CASE WHEN agree_seg THEN wseg_a ELSE wseg_d END +
+        |   CASE WHEN agree_bal THEN wbal_a ELSE wbal_d END) >= 4000 THEN 'match'
+        |    WHEN (CASE WHEN agree_nat THEN wnat_a ELSE wnat_d END +
+        |   CASE WHEN agree_seg THEN wseg_a ELSE wseg_d END +
+        |   CASE WHEN agree_bal THEN wbal_a ELSE wbal_d END) >= 0 THEN 'possible'
+        |    ELSE 'non-match' END AS verdict
+        |FROM pairs ORDER BY a_id, b_id""".stripMargin,
     "q203_incremental_dedup" ->
       s"""WITH $GramIxSql
         |SELECT CASE WHEN da % 2 = 1 THEN da ELSE db END AS batch_doc,

@@ -648,7 +648,62 @@ object Evaluation {
       .orderBy($"q_id")
   }
 
+  /** q314 — inter-rater agreement (Cohen's kappa, 1960): the labeled-
+    * data QA gate that tells you whether two annotation sources agree
+    * beyond chance before you train on their labels. Raters here are
+    * two deterministic heuristic judges every curation stack already
+    * has — a length-bucket rater and a lexical-diversity (type-token
+    * ratio) rater over `documents` — so the machinery is exercised
+    * end-to-end without external annotations; production swaps in real
+    * annotator columns. All agreement math is INTEGER-exact until the
+    * final basis-point divisions: the TTR buckets compare
+    * distinct·100 < tokens·threshold (cross-multiplied, no ratio
+    * doubles), the confusion matrix is one partial+final count
+    * aggregate on the (ra, rb) key — 9 cells regardless of corpus
+    * size — and po/pe/kappa are exact-integer cross products of the
+    * bounded marginals (kappa_bp = 10000·(N·Σdiag − Σrₖcₖ)/(N² −
+    * Σrₖcₖ)). One scan, one 9-cell shuffle; scale cost is the scan.
+    * Undefined ratios (empty corpus, pe = 1) emit NULL, never throw.
+    */
+  def q314_rater_agreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rated = load(spark, dir, "documents").select(
+      when($"n_chars" < 250, 0L).when($"n_chars" < 380, 1L).otherwise(2L)
+        .as("ra"),
+      when(size(array_distinct(split($"text", " "))) * 100L >=
+            size(split($"text", " ")) * 52L, 0L)
+        .when(size(array_distinct(split($"text", " "))) * 100L >=
+            size(split($"text", " ")) * 40L, 1L)
+        .otherwise(2L).as("rb"))
+    val conf = rated.groupBy($"ra", $"rb").agg(count(lit(1)).as("n"))
+    val spine = spark.range(3).select($"id".as("cls"))
+    val perClass = spine
+      .join(conf.groupBy($"ra".as("cls")).agg(sum($"n").as("n_a")),
+        Seq("cls"), "left")
+      .join(conf.groupBy($"rb".as("cls")).agg(sum($"n").as("n_b")),
+        Seq("cls"), "left")
+      .join(conf.filter($"ra" === $"rb")
+        .select($"ra".as("cls"), $"n".as("n_diag")), Seq("cls"), "left")
+      .select($"cls", coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"),
+        coalesce($"n_diag", lit(0L)).as("n_diag"))
+    val tot = perClass.agg(sum($"n_a").as("n"), sum($"n_diag").as("sum_diag"),
+      sum($"n_a" * $"n_b").as("sum_rc"))
+    perClass.crossJoin(broadcast(tot))
+      .select($"cls", $"n_a", $"n_b", $"n_diag",
+        when($"n" > 0,
+          round(lit(10000.0) * $"sum_diag" / $"n").cast("long")).as("po_bp"),
+        when($"n" > 0,
+          round(lit(10000.0) * $"sum_rc" / ($"n" * $"n")).cast("long"))
+          .as("pe_bp"),
+        when($"n" * $"n" - $"sum_rc" =!= 0L,
+          round(lit(10000.0) * ($"n" * $"sum_diag" - $"sum_rc") /
+            ($"n" * $"n" - $"sum_rc")).cast("long")).as("kappa_bp"))
+      .orderBy($"cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_rater_agreement" -> q314_rater_agreement,
     "q311_semihard_negatives" -> q311_semihard_negatives,
     "q307_knn_reciprocity" -> q307_knn_reciprocity,
     "q296_geometric_median" -> q296_geometric_median,
@@ -769,6 +824,36 @@ object Evaluation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q314_rater_agreement" ->
+      """WITH r AS (SELECT
+        |    CASE WHEN n_chars < 250 THEN CAST(0 AS BIGINT)
+        |         WHEN n_chars < 380 THEN 1 ELSE 2 END AS ra,
+        |    CASE WHEN len(list_distinct(string_split(text,' ')))*100
+        |              >= len(string_split(text,' '))*52 THEN CAST(0 AS BIGINT)
+        |         WHEN len(list_distinct(string_split(text,' ')))*100
+        |              >= len(string_split(text,' '))*40 THEN 1
+        |         ELSE 2 END AS rb
+        |  FROM documents),
+        |conf AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2),
+        |spine AS (SELECT unnest(generate_series(0, 2)) AS cls),
+        |pc AS (SELECT s.cls,
+        |    CAST(COALESCE((SELECT SUM(n) FROM conf WHERE ra = s.cls), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE((SELECT SUM(n) FROM conf WHERE rb = s.cls), 0) AS BIGINT) AS n_b,
+        |    CAST(COALESCE((SELECT SUM(n) FROM conf WHERE ra = s.cls AND rb = s.cls), 0) AS BIGINT) AS n_diag
+        |  FROM spine s),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n,
+        |    CAST(SUM(n_diag) AS BIGINT) AS sum_diag,
+        |    CAST(SUM(n_a * n_b) AS BIGINT) AS sum_rc FROM pc)
+        |SELECT cls, n_a, n_b, n_diag,
+        |  CASE WHEN n > 0
+        |    THEN CAST(ROUND(10000.0 * sum_diag / n) AS BIGINT) END AS po_bp,
+        |  CASE WHEN n > 0
+        |    THEN CAST(ROUND(10000.0 * sum_rc / (n * n)) AS BIGINT) END AS pe_bp,
+        |  CASE WHEN n * n - sum_rc <> 0
+        |    THEN CAST(ROUND(10000.0 * (n * sum_diag - sum_rc) /
+        |         (n * n - sum_rc)) AS BIGINT) END AS kappa_bp
+        |FROM pc, tot ORDER BY cls""".stripMargin,
     "q298_label_noise" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e

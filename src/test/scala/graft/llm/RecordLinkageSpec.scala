@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** q313 Fellegi–Sunter linkage and q314 Cohen's kappa against naive
+  * driver-side recomputations of their exact definitions.
+  */
+class RecordLinkageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q313: banded candidates equal the naive all-pairs answer; weights are the FS log-odds sums") {
+    import spark.implicits._
+    val got = Dedup.q313_record_linkage(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getString(6)))
+    graft.Caches.releaseAll()
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .selectExpr("c_custkey", "cast(c_nationkey as long) as c_nationkey",
+        "c_mktsegment", "cast(round(c_acctbal * 100) as long) as bal")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val n = cust.length.toLong
+    val delta = math.max(1L, 2L * Dedup.BalDomainCents / n)
+    // exact u's, same arithmetic as the operator
+    def uCat[T](f: ((Long, Long, String, Long)) => T): Double = {
+      val num = cust.groupBy(f).map { case (_, g) =>
+        g.length.toLong * (g.length - 1L)
+      }.sum
+      num.toDouble / (n.toDouble * (n - 1L).toDouble)
+    }
+    val uNat = uCat(_._2); val uSeg = uCat(_._3)
+    val uBal = (delta / 4.0) / Dedup.BalDomainCents.toDouble
+    def w(m: Double, u: Double): (Long, Long) = (
+      math.round(1000.0 * math.log(m / u) / math.log(2.0)),
+      math.round(1000.0 * math.log((1.0 - m) / (1.0 - u)) / math.log(2.0)))
+    val (wNatA, wNatD) = w(0.92, uNat)
+    val (wSegA, wSegD) = w(0.85, uSeg)
+    val (wBalA, wBalD) = w(0.88, uBal)
+    val naive = (for {
+      a <- cust; b <- cust
+      if b._4 - a._4 >= 0 && b._4 - a._4 <= delta &&
+        (a._4 < b._4 || a._1 < b._1)
+      agreeNat = a._2 == b._2
+      agreeSeg = a._3 == b._3
+      agreeBal = b._4 - a._4 <= delta / 8
+      wt = (if (agreeNat) wNatA else wNatD) +
+        (if (agreeSeg) wSegA else wSegD) +
+        (if (agreeBal) wBalA else wBalD)
+      verdict = if (wt >= 4000L) "match"
+        else if (wt >= 0L) "possible" else "non-match"
+    } yield (a._1, b._1, agreeNat, agreeSeg, agreeBal, wt, verdict)).toSet
+    assert(got.toSet == naive)
+    assert(got.length == naive.size) // each pair emitted exactly once
+    assert(naive.nonEmpty)
+    // agreement on everything must always out-score agreement on nothing
+    assert(wNatA + wSegA + wBalA > wNatD + wSegD + wBalD)
+  }
+
+  test("q314: kappa matches the naive confusion-matrix recomputation; marginals are consistent") {
+    import spark.implicits._
+    val rows = Evaluation.q314_rater_agreement(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("n_chars", "split(text, ' ') as toks").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    def ra(nChars: Long): Long =
+      if (nChars < 250) 0L else if (nChars < 380) 1L else 2L
+    def rb(toks: Seq[String]): Long = {
+      val d = toks.distinct.length.toLong * 100L
+      val t = toks.length.toLong
+      if (d >= t * 52L) 0L else if (d >= t * 40L) 1L else 2L
+    }
+    val rated = docs.map { case (nc, ts) => (ra(nc), rb(ts)) }
+    val n = rated.length.toLong
+    val nA = (0L to 2L).map(k => rated.count(_._1 == k).toLong)
+    val nB = (0L to 2L).map(k => rated.count(_._2 == k).toLong)
+    val nDiag = (0L to 2L).map(k => rated.count(p => p._1 == k && p._2 == k).toLong)
+    val sumDiag = nDiag.sum
+    val sumRc = (0 to 2).map(k => nA(k) * nB(k)).sum
+    val kappaBp =
+      math.round(10000.0 * (n * sumDiag - sumRc) / (n * n - sumRc))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      assert(r.getLong(1) == nA(k) && r.getLong(2) == nB(k) &&
+        r.getLong(3) == nDiag(k))
+      assert(r.getLong(4) == math.round(10000.0 * sumDiag / n))
+      assert(r.getLong(5) == math.round(10000.0 * sumRc / (n * n)))
+      assert(r.getLong(6) == kappaBp)
+    }
+    assert(nA.sum == n && nB.sum == n)
+  }
+}

@@ -90,6 +90,7 @@ ALLOWLIST = {
     "q27_ann_lsh": "multiprobe LSH with FIXED NumPlanes: bucket occupancy grows with corpus/2^planes, query batch 10x => candidate pairs ~100x (plane count is the production knob, same family as fixed-k IVF)",
     "q166_clamped_balance": "the deliberately-kept recursive-shaped baseline (spec-pinned equivalent q169 max-plus fold is the deploy path; its row IS linear)",
     "q02_scalar_funcs": "global orderBy adds a range-partitioning sampling scan; pass count 2->3 under AQE re-plan at the larger input - constant-factor scan repetition, each pass exactly 10x",
+    "q313_record_linkage": "FS candidate stream = banded near-pairs (density-adaptive delta=2*domain/N keeps those ~2N, linear) + exact-balance-tie pairs; the tiled sf1.0 generator repeats every sf0.1 balance 10x so tie pairs grow with value multiplicity (C(10,2)*ties) - exact ties ARE linkage candidates by definition (strongest agreement signal), and on organically-growing data value multiplicity is bounded by cents precision, not by N",
 }
 
 # Vocabulary-keyed operators: shuffle/cache volume is linear in the

@@ -1636,6 +1636,44 @@ object DataPrep {
       .orderBy($"lang")
   }
 
+  /** q315 — UCB1 source-selection scores (Auer et al. 2002, the
+    * online-data-mixing readout of Albalak et al. 2023): treat each
+    * corpus source as a bandit arm, reward = the quality-gate pass
+    * rate of its documents, plays = documents seen, and emit each
+    * arm's UCB score mean + √(2·ln N / n) — the "which source should
+    * the sampler draw from next" table that sits beside the OFFLINE
+    * mixers (q221 temperature reweighting, q238 excess-loss weights).
+    * The quality gate is the deterministic cross-multiplied band the
+    * funnel family uses (length band + distinct-token ratio ≥ 0.40),
+    * so the reward is integer-exact; the single transcendental
+    * exploration bonus is basis-point-rounded, the established
+    * cross-engine treatment (q201's ln, q26's cosine). One scan to a
+    * |sources|-row aggregate — scale cost is the scan; the bonus math
+    * runs on the bounded arm table. Exploration dominance is visible
+    * by construction: an under-sampled source outranks an
+    * equally-good heavily-sampled one.
+    */
+  def q315_ucb_source_selection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = load(spark, dir, "documents")
+      .select($"source",
+        when($"n_chars" >= 200L && $"n_chars" <= 450L &&
+          size(array_distinct(split($"text", " "))) * 100L >=
+            size(split($"text", " ")) * 40L, 1L).otherwise(0L).as("pass"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("plays"), sum($"pass").as("rewards"))
+    val tot = arms.agg(sum($"plays").as("n_total"))
+    arms.crossJoin(broadcast(tot))
+      .select($"source", $"plays", $"rewards",
+        round(lit(10000.0) * $"rewards" / $"plays").cast("long")
+          .as("mean_bp"),
+        round(lit(10000.0) *
+          sqrt(lit(2.0) * log($"n_total") / $"plays")).cast("long")
+          .as("bonus_bp"))
+      .withColumn("ucb_bp", $"mean_bp" + $"bonus_bp")
+      .orderBy($"ucb_bp".desc, $"source")
+  }
+
   /** q223 — context-window truncation loss: per source, the token
     * mass and document count lost if every document is cut at a
     * 48-token window (sized to this corpus's ~55-token mean; a
@@ -1776,6 +1814,7 @@ object DataPrep {
     "q236_split_leakage" -> q236_split_leakage,
     "q230_epoch_schedule" -> q230_epoch_schedule,
     "q221_temperature_mixture" -> q221_temperature_mixture,
+    "q315_ucb_source_selection" -> q315_ucb_source_selection,
     "q223_truncation_loss" -> q223_truncation_loss,
     "q224_dp_noisy_topk" -> q224_dp_noisy_topk,
     "q218_ngram_novelty" -> q218_ngram_novelty,
@@ -1899,6 +1938,22 @@ object DataPrep {
         |          CAST((grant_tokens + u_tokens - 1) // u_tokens AS INT))) AS e
         |      FROM g WHERE grant_tokens > 0)
         |ORDER BY source, epoch""".stripMargin,
+    "q315_ucb_source_selection" ->
+      """WITH arms AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS plays,
+        |    CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 450
+        |      AND len(list_distinct(string_split(text,' ')))*100
+        |          >= len(string_split(text,' '))*40
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS rewards
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(plays) AS BIGINT) AS n_total FROM arms)
+        |SELECT source, plays, rewards,
+        |  CAST(ROUND(10000.0 * rewards / plays) AS BIGINT) AS mean_bp,
+        |  CAST(ROUND(10000.0 * SQRT(2.0 * LN(n_total) / plays)) AS BIGINT) AS bonus_bp,
+        |  CAST(ROUND(10000.0 * rewards / plays) AS BIGINT) +
+        |  CAST(ROUND(10000.0 * SQRT(2.0 * LN(n_total) / plays)) AS BIGINT) AS ucb_bp
+        |FROM arms, tot
+        |ORDER BY ucb_bp DESC, source""".stripMargin,
     "q221_temperature_mixture" ->
       """WITH m AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |             AS mass FROM documents GROUP BY 1),

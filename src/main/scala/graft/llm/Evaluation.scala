@@ -648,6 +648,97 @@ object Evaluation {
       .orderBy($"q_id")
   }
 
+  /** Number of facilities q316 greedily selects. */
+  final val FLRounds = 6
+
+  /** q316 — facility-location greedy subset selection: the OTHER
+    * canonical submodular coreset objective beside q289's k-center
+    * (max-min coverage radius) — maximize F(S) = Σ_v max_{s∈S}
+    * sim(v, s), the CRAIG/coreset-selection objective that picks the
+    * subset best REPRESENTING the corpus rather than best SPREAD over
+    * it. Exact greedy needs every candidate's marginal gain per round
+    * (all-pairs at corpus scale), so the candidate pool is the
+    * bounded cluster-representative set (the q49 seeded-quantizer
+    * codebook — the production shape: facilities are chosen among
+    * cluster reps, not raw points). Per round: ONE corpus scan
+    * computing every remaining candidate's covered mass as parallel
+    * sum-aggregate columns (≤16 codegen'd VectorDots per row — the
+    * q198 envelope), argmax on the driver from the 1-row result.
+    * Cost = rounds × linear scans; nothing pairwise ever shuffles.
+    * Similarities are clamped-at-zero micro-rounded inner products;
+    * the 1e6-scaled coverage sums hold in int64 to ~9e12 corpus
+    * mass (decimal(38,0) past that). Greedy guarantees (1−1/e)
+    * of the optimum (Nemhauser 1978); the spec pins monotone
+    * coverage and diminishing marginal gains — submodularity made
+    * observable.
+    */
+  def q316_facility_location(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (seeds, _) = Similarity.seededAssignment(emb)
+    def simTo(c: Array[Double]): Column = {
+      val cv = array(c.map(lit).toSeq: _*)
+      greatest(lit(0L), round(dot($"v", cv) * 1e6).cast("long"))
+    }
+    var chosen = List.empty[(Int, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val rounds = math.min(FLRounds, seeds.length)
+    for (r <- 1 to rounds) {
+      val remaining = seeds.filterNot(s => chosen.exists(_._1 == s._1))
+      val cover = chosen.map(c => simTo(c._2))
+        .foldLeft(lit(0L): Column)(greatest(_, _))
+      val sumCols = remaining.map(c =>
+        sum(greatest(cover, simTo(c._2))).as(s"c${c._1}"))
+      val row = emb.agg(sumCols.head, sumCols.tail: _*).collect()(0)
+      val best = remaining.zipWithIndex
+        .map { case (c, i) => (c, row.getLong(i)) }
+        .maxBy { case (c, g) => (g, -c._1.toLong) }
+      out += ((r.toLong, best._1._1.toLong, best._2))
+      chosen = best._1 :: chosen
+    }
+    spark.createDataFrame(out.toList)
+      .toDF("round", "facility_cid", "coverage_micro")
+      .orderBy($"round")
+  }
+
+  /** Oracle for q316: the same greedy unrolled round-by-round — the
+    * N×16 similarity table materialized once, each round an argmax
+    * over the remaining candidates' covered-mass sums against the
+    * accumulated per-vector cover.
+    */
+  private def facilitySql: String = {
+    val rounds = (2 to FLRounds).map { r =>
+      val excl = (1 until r).map(i => s"(SELECT cid FROM p$i)")
+        .mkString("sim.cid NOT IN ", " AND sim.cid NOT IN ", "")
+      s"""g$r AS (SELECT sim.cid,
+         |    CAST(SUM(GREATEST(cov${r - 1}.cover, sim.s)) AS BIGINT) AS gain
+         |  FROM sim JOIN cov${r - 1} USING (vec_id)
+         |  WHERE $excl GROUP BY sim.cid),
+         |p$r AS (SELECT cid, gain FROM g$r ORDER BY gain DESC, cid LIMIT 1),
+         |cov$r AS (SELECT cov${r - 1}.vec_id,
+         |    GREATEST(cov${r - 1}.cover, sim.s) AS cover
+         |  FROM cov${r - 1} JOIN sim USING (vec_id), p$r
+         |  WHERE sim.cid = p$r.cid)""".stripMargin
+    }.mkString(",\n")
+    val untied = (1 to FLRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, cid AS facility_cid, gain AS coverage_micro FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $ESql,
+       |cand AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |sim AS MATERIALIZED (SELECT e.vec_id, c.cid,
+       |    GREATEST(0, CAST(ROUND(list_inner_product(e.v, c.cv) * 1e6) AS BIGINT)) AS s
+       |  FROM e, cand c),
+       |g1 AS (SELECT cid, CAST(SUM(s) AS BIGINT) AS gain FROM sim GROUP BY cid),
+       |p1 AS (SELECT cid, gain FROM g1 ORDER BY gain DESC, cid LIMIT 1),
+       |cov1 AS (SELECT sim.vec_id, sim.s AS cover FROM sim, p1
+       |  WHERE sim.cid = p1.cid),
+       |$rounds
+       |$untied
+       |ORDER BY round""".stripMargin
+  }
+
   /** q314 — inter-rater agreement (Cohen's kappa, 1960): the labeled-
     * data QA gate that tells you whether two annotation sources agree
     * beyond chance before you train on their labels. Raters here are
@@ -704,6 +795,7 @@ object Evaluation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q314_rater_agreement" -> q314_rater_agreement,
+    "q316_facility_location" -> q316_facility_location,
     "q311_semihard_negatives" -> q311_semihard_negatives,
     "q307_knn_reciprocity" -> q307_knn_reciprocity,
     "q296_geometric_median" -> q296_geometric_median,
@@ -824,6 +916,7 @@ object Evaluation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q316_facility_location" -> facilitySql,
     "q314_rater_agreement" ->
       """WITH r AS (SELECT
         |    CASE WHEN n_chars < 250 THEN CAST(0 AS BIGINT)

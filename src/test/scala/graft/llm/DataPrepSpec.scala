@@ -559,4 +559,36 @@ class DataPrepSpec extends AnyFunSuite {
       assert(b.getLong(3) > s.getLong(3) - 2 * contrib(1L),
         "sanity: contributions are bounded by the rank-1 value")
   }
+
+  test("q315 UCB1: scores match the naive recomputation; fewer plays at equal mean => higher UCB") {
+    import spark.implicits._
+    val rows = DataPrep.q315_ucb_source_selection(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("source", "n_chars", "split(text, ' ') as toks").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    def pass(nc: Long, ts: Seq[String]): Long =
+      if (nc >= 200L && nc <= 450L &&
+        ts.distinct.length.toLong * 100L >= ts.length.toLong * 40L) 1L else 0L
+    val byArm = docs.groupBy(_._1).map { case (src, g) =>
+      (src, g.length.toLong, g.map(d => pass(d._2, d._3)).sum)
+    }
+    val nTotal = byArm.map(_._2).sum
+    val naive = byArm.map { case (src, plays, rewards) =>
+      val mean = math.round(10000.0 * rewards / plays)
+      val bonus = math.round(10000.0 *
+        math.sqrt(2.0 * math.log(nTotal.toDouble) / plays))
+      (src, plays, rewards, mean, bonus, mean + bonus)
+    }.toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet == naive)
+    assert(rows.nonEmpty)
+    // descending ucb order, source tie-break
+    val ucbs = rows.map(r => (-r.getLong(5), r.getString(0))).toSeq
+    assert(ucbs == ucbs.sorted)
+    // exploration dominance: at equal mean reward, the less-played arm
+    // must score strictly higher (UCB1's defining property)
+    val b1 = math.round(10000.0 * math.sqrt(2.0 * math.log(100.0) / 10.0))
+    val b2 = math.round(10000.0 * math.sqrt(2.0 * math.log(100.0) / 50.0))
+    assert(b1 > b2)
+  }
 }

@@ -466,4 +466,42 @@ class EvaluationSpec extends AnyFunSuite {
       s"semi-hard must skip the margin-violating id 11, got ${r.getLong(4)}")
     assert(r.getLong(5) < 1000000L && r.getLong(6) > 0L)
   }
+
+  test("q316 facility location: greedy matches an independent Scala replay; coverage monotone, marginal gains diminishing") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Evaluation.q316_facility_location(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay: same clamped micro-rounded inner products,
+    // same left-to-right dot fold, same (gain, cid) tie-break
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cands = emb.filter(_._1 < 16).sortBy(_._1)
+    val sim = emb.map { case (_, v) =>
+      cands.map { case (_, cv) => math.max(0L, math.round(dot(v, cv) * 1e6)) }
+    }
+    var chosen = List.empty[Int]
+    val replay = (1 to Evaluation.FLRounds).map { _ =>
+      val rem = cands.indices.filterNot(chosen.contains)
+      val best = rem.map { ci =>
+        val cov = sim.map(row =>
+          math.max(row(ci), chosen.map(row).foldLeft(0L)(math.max))).sum
+        (ci, cov)
+      }.maxBy { case (ci, g) => (g, -ci.toLong) }
+      chosen = best._1 :: chosen
+      (cands(best._1)._1, best._2)
+    }
+    assert(rows.map(r => (r._2, r._3)).toSeq == replay)
+    // monotone coverage, diminishing marginal gains (submodularity)
+    val cov = rows.map(_._3)
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a })
+    val gains = cov.head +: cov.zip(cov.tail).map { case (a, b) => b - a }
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a })
+  }
 }

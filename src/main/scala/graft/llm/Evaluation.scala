@@ -674,9 +674,10 @@ object Evaluation {
     */
   def q316_facility_location(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = load(spark, dir, "embeddings")
+    // cached: the greedy re-scans the corpus once per round
+    val emb = graft.Caches.tracked(load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
+      .withColumn("nrm", norm($"v")))
     val (seeds, _) = Similarity.seededAssignment(emb)
     def simTo(c: Array[Double]): Column = {
       val cv = array(c.map(lit).toSeq: _*)

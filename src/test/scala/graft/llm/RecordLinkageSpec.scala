@@ -92,4 +92,36 @@ class RecordLinkageSpec extends AnyFunSuite {
     }
     assert(nA.sum == n && nB.sum == n)
   }
+
+  test("q313: planted near-identical records classify as match; unrelated same-band records do not") {
+    import spark.implicits._
+    // 400 background customers spread across nations/segments/balances,
+    // plus two planted pairs: same nation+segment, balances 3 cents
+    // apart (full agreement on every comparison field).
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+    val bg = (0L until 400L).map { i =>
+      (i, i % 25L, segs((i % 5L).toInt), -900.0 + i * 27.13)
+    }
+    val planted = Seq(
+      (1000L, 7L, "BUILDING", 5000.00), (1001L, 7L, "BUILDING", 5000.03),
+      (1002L, 3L, "MACHINERY", 8000.00), (1003L, 3L, "MACHINERY", 8000.03))
+    val dir = graft.TestSpark.tempDir("fs_linkage")
+    (bg ++ planted).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .selectExpr("c_custkey", "'x' as c_name", "cast(c_nationkey as int) as c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = Dedup.q313_record_linkage(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(6))).toMap
+    graft.Caches.releaseAll()
+    assert(rows.get((1000L, 1001L)).contains("match"))
+    assert(rows.get((1002L, 1003L)).contains("match"))
+    // no unrelated pair with zero field agreements may reach "match"
+    val naiveFields = (bg ++ planted).map(c => (c._1, (c._2, c._3))).toMap
+    val falseMatches = rows.collect { case ((a, b), "match")
+      if !Set((1000L, 1001L), (1002L, 1003L)).contains((a, b)) &&
+        naiveFields(a)._1 != naiveFields(b)._1 &&
+        naiveFields(a)._2 != naiveFields(b)._2 => (a, b) }
+    assert(falseMatches.isEmpty,
+      s"zero-agreement pairs classified as match: $falseMatches")
+  }
 }

@@ -109,6 +109,10 @@ object PlanLint {
     // construction) with the ≠-source exclusion in the BNLJ
     // condition — the rank-indexed sampler's only non-equi join
     "q122_negative_sampling" -> Set("cartesian-product"),
+    // BH rank window + the totals/m/kstar 1-row broadcast attaches,
+    // all over the |sources|-bounded arm table (≤ tens of rows)
+    "q317_bh_fdr" ->
+      Set("single-partition-window", "cartesian-product"),
     "q83_ntile_dist" -> Set("single-partition-window"),
     // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table
     "q159_lift_curve" -> Set("single-partition-window"),

@@ -1083,6 +1083,65 @@ object Analytics {
           .cast("long").as("z_e6"))
   }
 
+  /** q317 — Benjamini–Hochberg FDR control (1995) over the per-source
+    * quality z-test battery: the multiple-testing correction the
+    * audit family (q115 χ², q118 z-test, q135 KS, q252 Mann-Whitney)
+    * needs the moment it runs across MANY slices — at 20 sources and
+    * α=0.05, one uncorrected "significant" slice is expected by pure
+    * chance. Each source gets a two-proportion z-test of its
+    * quality-gate pass rate (the q315 gate) against the rest of the
+    * corpus; p-values come from the Zelen–Severo 26.2.17 normal-CDF
+    * polynomial — pure arithmetic both engines evaluate identically
+    * (constants inlined, Horner form), micro-rounded like every
+    * transcendental in the suite; then the BH step-up: sort p
+    * ascending, reject all ranks ≤ k* = max{i : p_i ≤ (i/m)·α}.
+    * Everything after the one corpus scan runs on the bounded
+    * |sources|-row table (ranking window included); degenerate
+    * corpora (single source, all-pass, all-fail) emit zero rows — the
+    * test is undefined there, filtered identically in both engines.
+    */
+  def q317_bh_fdr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = load(spark, dir, "documents")
+      .select($"source",
+        when($"n_chars" >= 200L && $"n_chars" <= 450L &&
+          size(array_distinct(split($"text", " "))) * 100L >=
+            size(split($"text", " ")) * 40L, 1L).otherwise(0L).as("pass"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"pass").as("x"))
+    val tot = arms.agg(sum($"n").as("nn"), sum($"x").as("xx"))
+    val tested = arms.crossJoin(broadcast(tot))
+      .filter($"n" < $"nn" && $"xx" > 0L && $"xx" < $"nn")
+      .withColumn("nr", $"nn" - $"n")
+      .withColumn("xr", $"xx" - $"x")
+    val phat = $"xx".cast("double") / $"nn"
+    val z = (($"x".cast("double") / $"n") - ($"xr".cast("double") / $"nr")) /
+      sqrt(phat * (lit(1.0) - phat) * (lit(1.0) / $"n" + lit(1.0) / $"nr"))
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val pdf = lit(0.3989422804014327) * exp(az * az * lit(-0.5))
+    val tail = pdf * (kk * (lit(0.319381530) + kk * (lit(-0.356563782) +
+      kk * (lit(1.781477937) + kk * (lit(-1.821255978) +
+        kk * lit(1.330274429))))))
+    val scored = tested.select($"source", $"n", $"x",
+      round(z * 1e6).cast("long").as("z_micro"),
+      round(lit(2000000.0) * tail).cast("long").as("p_micro"))
+    val m = scored.agg(count(lit(1)).as("m"))
+    val ranked = scored.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"p_micro", $"source"))
+        .cast("long"))
+      .withColumn("crit_micro",
+        round(lit(50000.0) * $"rank" / $"m").cast("long"))
+    val kstar = ranked.filter($"p_micro" <= $"crit_micro")
+      .agg(max($"rank").as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select($"source", $"n", $"x", $"z_micro", $"p_micro", $"rank",
+        $"crit_micro",
+        coalesce($"rank" <= $"kstar", lit(false)).as("rejected"))
+      .orderBy($"rank")
+  }
+
   /** q119 — conversion latency percentiles: per user, first view →
     * first subsequent purchase; p50/p90 of that latency. Each stage is
     * a min-aggregate on the user key (the q77 funnel shape); the
@@ -2066,6 +2125,7 @@ object Analytics {
     "q125_cohort_ltv" -> q125_cohort_ltv,
     "q123_equifreq_binning" -> q123_equifreq_binning,
     "q118_ab_ztest" -> q118_ab_ztest,
+    "q317_bh_fdr" -> q317_bh_fdr,
     "q119_conversion_latency" -> q119_conversion_latency,
     "q117_concentration" -> q117_concentration,
     "q115_chi_square" -> q115_chi_square,
@@ -2740,6 +2800,41 @@ object Analytics {
         |  CAST(MAX(c) AS BIGINT) AS max_cents
         |FROM ev JOIN b USING (event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q317_bh_fdr" ->
+      """WITH arms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 450
+        |      AND len(list_distinct(string_split(text,' ')))*100
+        |          >= len(string_split(text,' '))*40
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(x) AS BIGINT) AS xx FROM arms),
+        |t1 AS (SELECT arms.source, arms.n, arms.x, nn, xx,
+        |    nn - n AS nr, xx - x AS xr FROM arms, tot
+        |  WHERE n < nn AND xx > 0 AND xx < nn),
+        |zz AS (SELECT source, n, x,
+        |    ((CAST(x AS DOUBLE)/n) - (CAST(xr AS DOUBLE)/nr)) /
+        |      SQRT((CAST(xx AS DOUBLE)/nn) * (1.0 - CAST(xx AS DOUBLE)/nn) *
+        |        (1.0/n + 1.0/nr)) AS z
+        |  FROM t1),
+        |pp AS (SELECT source, n, x, z, ABS(z) AS az,
+        |    1.0/(1.0 + 0.2316419*ABS(z)) AS kk FROM zz),
+        |sc AS (SELECT source, n, x,
+        |    CAST(ROUND(z * 1e6) AS BIGINT) AS z_micro,
+        |    CAST(ROUND(2000000.0 * (0.3989422804014327 * EXP(az*az*(-0.5)) *
+        |      (kk*(0.319381530 + kk*(-0.356563782 + kk*(1.781477937 +
+        |       kk*(-1.821255978 + kk*1.330274429))))))) AS BIGINT) AS p_micro
+        |  FROM pp),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sc),
+        |rk AS (SELECT sc.*, m,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_micro, source) AS BIGINT) AS "rank"
+        |  FROM sc, mm),
+        |cr AS (SELECT *, CAST(ROUND(50000.0 * "rank" / m) AS BIGINT) AS crit_micro
+        |  FROM rk),
+        |ks AS (SELECT MAX("rank") AS kstar FROM cr WHERE p_micro <= crit_micro)
+        |SELECT source, n, x, z_micro, p_micro, "rank", crit_micro,
+        |  COALESCE("rank" <= kstar, false) AS rejected
+        |FROM cr, ks ORDER BY "rank" """.stripMargin,
     "q118_ab_ztest" ->
       """WITH arms AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
         |    CAST(COUNT(*) AS BIGINT) AS n,

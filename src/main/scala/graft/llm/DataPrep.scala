@@ -1657,9 +1657,7 @@ object DataPrep {
     import spark.implicits._
     val arms = load(spark, dir, "documents")
       .select($"source",
-        when($"n_chars" >= 200L && $"n_chars" <= 450L &&
-          size(array_distinct(split($"text", " "))) * 100L >=
-            size(split($"text", " ")) * 40L, 1L).otherwise(0L).as("pass"))
+        TextAnalysis.qualityGatePass($"n_chars", $"text").as("pass"))
       .groupBy($"source")
       .agg(count(lit(1)).as("plays"), sum($"pass").as("rewards"))
     val tot = arms.agg(sum($"plays").as("n_total"))
@@ -1939,12 +1937,9 @@ object DataPrep {
         |      FROM g WHERE grant_tokens > 0)
         |ORDER BY source, epoch""".stripMargin,
     "q315_ucb_source_selection" ->
-      """WITH arms AS (SELECT source,
+      s"""WITH arms AS (SELECT source,
         |    CAST(COUNT(*) AS BIGINT) AS plays,
-        |    CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 450
-        |      AND len(list_distinct(string_split(text,' ')))*100
-        |          >= len(string_split(text,' '))*40
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS rewards
+        |    CAST(SUM(${TextAnalysis.QualityGateSql}) AS BIGINT) AS rewards
         |  FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(SUM(plays) AS BIGINT) AS n_total FROM arms)
         |SELECT source, plays, rewards,

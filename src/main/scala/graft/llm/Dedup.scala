@@ -667,10 +667,21 @@ object Dedup {
     *  - Candidate generation is density-adaptive balance banding
     *    (sorted-neighborhood equivalent, Hernández & Stolfo 1995):
     *    band width δ = 2·domain/N cents, each record emits its band
-    *    and band+1, pairs join on the band key and keep |Δbal| ≤ δ.
+    *    and band+1, pairs join on the band key and keep 0 < Δbal ≤ δ.
     *    Expected candidates under the uniform harness balance ≈ 2N —
     *    LINEAR in table size at every scale factor, never all-pairs,
     *    and the join shuffles on the band key only.
+    *  - EXACT-TIE groups (Δbal = 0) link as a CHAIN — each record
+    *    pairs with its id-successor inside the tie group (one lead
+    *    window keyed on the high-cardinality balance) — so a value
+    *    repeated m times contributes m−1 pairs, not C(m,2). Chains
+    *    are transitively equivalent for linkage (the downstream
+    *    match-cluster closure connects the whole group through its
+    *    chain), and they bound the worst case BY CONSTRUCTION: a
+    *    degenerate constant-balance table yields exactly N−1 tie
+    *    pairs — linear, where the round-13 all-tie-pairs form grew
+    *    with value multiplicity (the one scaling-audit allowlist
+    *    entry this operator needed; retired by this cap).
     *  - u-probabilities (chance a random NON-match agrees) are
     *    EXACT corpus statistics, not priors: Σ n_v(n_v−1) / N(N−1)
     *    per categorical field (nation, segment) from one bounded
@@ -720,12 +731,25 @@ object Dedup {
     val b = c.select($"id".as("b_id"), $"nat".as("b_nat"),
       $"seg".as("b_seg"), $"bal".as("b_bal"),
       floor($"bal" / delta).as("band"))
-    a.join(b, Seq("band"))
-      // each qualifying pair appears exactly once: cross-band pairs
-      // only via the lower record's band+1 emission, same-band pairs
-      // only via the in-band emission with the (bal, id) ordering
-      .filter($"b_bal" - $"a_bal" >= 0 && $"b_bal" - $"a_bal" <= delta &&
-        ($"a_bal" < $"b_bal" || $"a_id" < $"b_id"))
+    // near-pairs: strictly increasing balance — each qualifying pair
+    // appears exactly once (cross-band only via the lower record's
+    // band+1 emission, same-band via the strict balance order)
+    val near = a.join(b, Seq("band"))
+      .filter($"b_bal" - $"a_bal" > 0 && $"b_bal" - $"a_bal" <= delta)
+      .select($"a_id", $"b_id", $"a_nat", $"b_nat", $"a_seg", $"b_seg",
+        $"a_bal", $"b_bal")
+    // exact ties: id-successor chain inside the tie group (see
+    // scaladoc) — linear under ANY multiplicity, incl. the
+    // constant-balance degenerate table
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bal").orderBy($"id")
+    val ties = c.select($"id".as("a_id"),
+        lead($"id", 1).over(tw).as("b_id"),
+        $"nat".as("a_nat"), lead($"nat", 1).over(tw).as("b_nat"),
+        $"seg".as("a_seg"), lead($"seg", 1).over(tw).as("b_seg"),
+        $"bal".as("a_bal"), $"bal".as("b_bal"))
+      .filter($"b_id".isNotNull)
+    near.unionByName(ties)
       .select($"a_id", $"b_id",
         ($"a_nat" === $"b_nat").as("agree_nat"),
         ($"a_seg" === $"b_seg").as("agree_seg"),
@@ -1540,7 +1564,7 @@ object Dedup {
         |    c_mktsegment AS seg,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
-        |dd AS (SELECT n, GREATEST(1, 2200000 // n) AS delta FROM nn),
+        |dd AS (SELECT n, GREATEST(1, 2200000 // GREATEST(n, 1)) AS delta FROM nn),
         |un AS (SELECT SUM(cnt*(cnt-1)) AS num FROM
         |  (SELECT COUNT(*) AS cnt FROM c GROUP BY nat)),
         |us AS (SELECT SUM(cnt*(cnt-1)) AS num FROM
@@ -1553,12 +1577,22 @@ object Dedup {
         |  CAST(ROUND(1000.0*LN(0.88/((delta/4.0)/1100000.0))/LN(2)) AS BIGINT) AS wbal_a,
         |  CAST(ROUND(1000.0*LN((1.0-0.88)/(1.0-(delta/4.0)/1100000.0))/LN(2)) AS BIGINT) AS wbal_d
         |  FROM dd, un, us),
-        |pairs AS (SELECT a.id AS a_id, b.id AS b_id,
-        |    (a.nat = b.nat) AS agree_nat, (a.seg = b.seg) AS agree_seg,
-        |    (b.bal - a.bal <= delta // 8) AS agree_bal, ww.*
-        |  FROM c a, c b, ww
-        |  WHERE b.bal - a.bal >= 0 AND b.bal - a.bal <= delta
-        |    AND (a.bal < b.bal OR a.id < b.id))
+        |near AS (SELECT a.id AS a_id, b.id AS b_id, a.nat AS a_nat,
+        |    b.nat AS b_nat, a.seg AS a_seg, b.seg AS b_seg,
+        |    a.bal AS a_bal, b.bal AS b_bal
+        |  FROM c a, c b, dd
+        |  WHERE b.bal - a.bal > 0 AND b.bal - a.bal <= delta),
+        |ties AS (SELECT id AS a_id, LEAD(id) OVER w AS b_id,
+        |    nat AS a_nat, LEAD(nat) OVER w AS b_nat,
+        |    seg AS a_seg, LEAD(seg) OVER w AS b_seg,
+        |    bal AS a_bal, bal AS b_bal
+        |  FROM c WINDOW w AS (PARTITION BY bal ORDER BY id)),
+        |pu AS (SELECT * FROM near
+        |  UNION ALL SELECT * FROM ties WHERE b_id IS NOT NULL),
+        |pairs AS (SELECT a_id, b_id,
+        |    (a_nat = b_nat) AS agree_nat, (a_seg = b_seg) AS agree_seg,
+        |    (b_bal - a_bal <= delta // 8) AS agree_bal, ww.*
+        |  FROM pu, ww)
         |SELECT a_id, b_id, agree_nat, agree_seg, agree_bal,
         |  (CASE WHEN agree_nat THEN wnat_a ELSE wnat_d END +
         |   CASE WHEN agree_seg THEN wseg_a ELSE wseg_d END +

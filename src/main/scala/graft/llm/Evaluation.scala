@@ -163,9 +163,12 @@ object Evaluation {
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-    val (_, assigned) = Similarity.seededAssignment(emb)
+    val (seeds, assigned) = Similarity.seededAssignment(emb)
+    // the frozen quantizer is the first-k seed set; "new" = any later
+    // id — seeds.length IS ivfK(N) (dense ids), the same bound the
+    // oracle re-derives from the data
     val flagged = assigned.select($"centroid",
-      when($"vec_id" >= Similarity.IvfCentroids && $"vec_id" % 10 === 7, 1L)
+      when($"vec_id" >= seeds.length && $"vec_id" % 10 === 7, 1L)
         .otherwise(0L).as("isn"))
     val g = flagged.groupBy($"centroid")
       .agg(sum(lit(1L) - $"isn").as("n_base"), sum($"isn").as("n_new"))
@@ -541,7 +544,10 @@ object Evaluation {
     val assigned = graft.Caches.tracked(assignedRaw
       .withColumn("rv", zip_with($"v",
         element_at(cvArr, $"centroid" + 1), (a, b) => a - b)))
-    val k = Similarity.IvfCentroids
+    // residual CODEBOOK size is the fixed PqCodes design constant
+    // (codebooks never scale with the corpus — only the coarse LIST
+    // COUNT above does, via seededAssignment's ivfK)
+    val k = Similarity.PqCodes
     val rseeds = assigned
       .filter($"vec_id" >= k && $"vec_id" < 2L * k)
       .select($"vec_id", $"rv").collect()
@@ -658,12 +664,15 @@ object Evaluation {
     * subset best REPRESENTING the corpus rather than best SPREAD over
     * it. Exact greedy needs every candidate's marginal gain per round
     * (all-pairs at corpus scale), so the candidate pool is the
-    * bounded cluster-representative set (the q49 seeded-quantizer
-    * codebook — the production shape: facilities are chosen among
-    * cluster reps, not raw points). Per round: ONE corpus scan
-    * computing every remaining candidate's covered mass as parallel
-    * sum-aggregate columns (≤16 codegen'd VectorDots per row — the
-    * q198 envelope), argmax on the driver from the 1-row result.
+    * bounded representative set — the FIXED PqCodes-sized rep pool
+    * (a pool-size design constant like FLRounds, NOT the corpus-
+    * derived IVF list count: the per-round scan carries one sum
+    * column per candidate, so the pool must stay O(constant); the
+    * production shape picks facilities among a bounded rep sample,
+    * not raw points). Per round: ONE corpus scan computing every
+    * remaining candidate's covered mass as parallel sum-aggregate
+    * columns (≤PqCodes codegen'd VectorDots per row — the q198
+    * envelope), argmax on the driver from the 1-row result.
     * Cost = rounds × linear scans; nothing pairwise ever shuffles.
     * Similarities are clamped-at-zero micro-rounded inner products;
     * the 1e6-scaled coverage sums hold in int64 to ~9e12 corpus
@@ -678,7 +687,7 @@ object Evaluation {
     val emb = graft.Caches.tracked(load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v")))
-    val (seeds, _) = Similarity.seededAssignment(emb)
+    val seeds = Similarity.pqSeeds(emb)
     def simTo(c: Array[Double]): Column = {
       val cv = array(c.map(lit).toSeq: _*)
       greatest(lit(0L), round(dot($"v", cv) * 1e6).cast("long"))
@@ -705,9 +714,12 @@ object Evaluation {
   }
 
   /** Oracle for q316: the same greedy unrolled round-by-round — the
-    * N×16 similarity table materialized once, each round an argmax
-    * over the remaining candidates' covered-mass sums against the
-    * accumulated per-vector cover.
+    * N×PqCodes similarity table materialized once, each round an
+    * argmax over the remaining candidates' covered-mass sums against
+    * the accumulated per-vector cover. The candidate-pool bound
+    * interpolates the SAME PqCodes constant the engine's pqSeeds
+    * uses, so a change to the constant can never diverge the two
+    * (round-13 ADVICE).
     */
   private def facilitySql: String = {
     val rounds = (2 to FLRounds).map { r =>
@@ -727,7 +739,7 @@ object Evaluation {
       s"SELECT CAST($r AS BIGINT) AS round, cid AS facility_cid, gain AS coverage_micro FROM p$r")
       .mkString("\nUNION ALL ")
     s"""WITH $ESql,
-       |cand AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |cand AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${Similarity.PqCodes}),
        |sim AS MATERIALIZED (SELECT e.vec_id, c.cid,
        |    GREATEST(0, CAST(ROUND(list_inner_product(e.v, c.cv) * 1e6) AS BIGINT)) AS s
        |  FROM e, cand c),
@@ -951,7 +963,7 @@ object Evaluation {
     "q298_label_noise" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
-        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, e.label, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v)
         |      - 2.0 * list_inner_product(e.v, s.cv)
@@ -1007,7 +1019,7 @@ object Evaluation {
     "q312_ann_maxsim" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
-        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v)
         |      - 2.0 * list_inner_product(e.v, s.cv)
@@ -1076,7 +1088,7 @@ object Evaluation {
     "q307_knn_reciprocity" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
-        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v)
         |      - 2.0 * list_inner_product(e.v, s.cv)
@@ -1106,7 +1118,7 @@ object Evaluation {
     "q302_residual_quantization" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
-        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v)
         |      - 2.0 * list_inner_product(e.v, s.cv)
@@ -1118,10 +1130,10 @@ object Evaluation {
         |rvs AS (SELECT a.vec_id, a.centroid,
         |    list_transform(generate_series(1, 64), j -> a.v[j] - s.cv[j]) AS rv
         |  FROM asg a JOIN s ON s.cid = a.centroid),
-        |rs AS (SELECT CAST(vec_id - ${Similarity.IvfCentroids} AS INT) AS rcid,
+        |rs AS (SELECT CAST(vec_id - ${Similarity.PqCodes} AS INT) AS rcid,
         |    rv AS rsv FROM rvs
-        |  WHERE vec_id >= ${Similarity.IvfCentroids}
-        |    AND vec_id < ${2 * Similarity.IvfCentroids}),
+        |  WHERE vec_id >= ${Similarity.PqCodes}
+        |    AND vec_id < ${2 * Similarity.PqCodes}),
         |ad2 AS (SELECT r.vec_id, r.centroid, r.rv, rs.rcid,
         |    CAST(ROUND((list_inner_product(r.rv, r.rv)
         |      - 2.0 * list_inner_product(r.rv, rs.rsv)
@@ -1176,7 +1188,7 @@ object Evaluation {
     "q290_ivf_append_drift" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
-        |      WHERE vec_id < ${Similarity.IvfCentroids}),
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
         |ad AS (SELECT e.vec_id, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v)
         |      - 2.0 * list_inner_product(e.v, s.cv)
@@ -1186,7 +1198,7 @@ object Evaluation {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
         |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
         |fl AS (SELECT centroid,
-        |    CASE WHEN vec_id >= ${Similarity.IvfCentroids} AND vec_id % 10 = 7
+        |    CASE WHEN vec_id >= ${Similarity.IvfKSql} AND vec_id % 10 = 7
         |         THEN 1 ELSE 0 END AS isn FROM asg),
         |g AS (SELECT centroid, SUM(1 - isn) AS n_base, SUM(isn) AS n_new
         |      FROM fl GROUP BY 1),

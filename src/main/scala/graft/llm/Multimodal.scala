@@ -152,6 +152,18 @@ object Multimodal {
     java.lang.Long.parseLong(hexOf(digest).substring(0, 15), 16)
   }
 
+  /** Rebalance the narrow id stream onto every core before the codec
+    * stage. The parquet scan packs small files into very few splits
+    * (16 × 640 KB ≈ one split under the default open-cost packing),
+    * so without this the per-row encode/decode — the expensive stage,
+    * ~200 µs/asset — inherits a near-single-threaded layout. The
+    * exchange moves only longs; at 100 TB the same principle applies
+    * (a cheap scan feeding an expensive per-row codec must rebalance
+    * to the executor count, or tune maxPartitionBytes down).
+    */
+  private def spreadIds(ds: Dataset[Long]): Dataset[Long] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+
   /** Synthesize the image table from `documents`: one real PNG per
     * doc_id, metadata struct alongside. At 100 TB this column would
     * come from `spark.read.format("binaryFile")` or parquet
@@ -161,8 +173,8 @@ object Multimodal {
     */
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    load(spark, dir, "documents")
-      .select($"doc_id".cast("long")).as[Long]
+    spreadIds(load(spark, dir, "documents")
+      .select($"doc_id".cast("long")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h) = dimsOf(id)
         (id, syntheticPng(id), w.toLong, h.toLong)
@@ -264,21 +276,54 @@ object Multimodal {
   private[llm] def samplesOf(id: Long): Int = (id % 50 + 20).toInt
   private[llm] def rateOf(id: Long): Int = (8000 + (id % 3) * 4000).toInt
 
+  /** The JDK's WAVE codec SPI, resolved ONCE per JVM. Going through
+    * `AudioSystem.write`/`getAudioInputStream` per clip funnels every
+    * call through the sound registry's synchronized provider lookup —
+    * measured on local[32]: 50k clips decode at the single-thread rate
+    * (~9 s) no matter how many partitions, because all 32 threads
+    * serialize on that lock. Resolving the stateless provider objects
+    * up front (public `ServiceLoader` over the `javax.sound.sampled.spi`
+    * interfaces — the exact same `java.desktop` WAVE classes
+    * AudioSystem dispatches to) and calling them directly keeps the
+    * codec real and makes the mapPartitions stage actually parallel.
+    * The writer is picked by its declared WAVE support; the reader by
+    * probing it with a WAVE container.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = syntheticWav(0L)
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader provider"))
+  }
+
   /** Deterministic synthetic WAV for id: a REAL RIFF/WAVE container
     * (RIFF header, fmt chunk, PCM data chunk) written by the JDK's
-    * `AudioSystem` WAVE writer — 8-bit unsigned PCM mono, sample i =
+    * WAVE writer ([[wavWriter]]) — 8-bit unsigned PCM mono, sample i =
     * `channel(id, i)` (the same arithmetic the image raster uses, so
     * an SQL engine can rebuild the decoded stream without a codec).
     */
   private[llm] def syntheticWav(id: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val n = samplesOf(id)
     val data = Array.tabulate[Byte](n)(i => channel(id, i).toByte)
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
       rateOf(id).toFloat, 8, 1, 1, rateOf(id).toFloat, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -287,15 +332,17 @@ object Multimodal {
     */
   private[llm] case class DecodedAudio(sampleRate: Int, samples: Array[Byte])
 
-  /** REAL decode via `AudioSystem.getAudioInputStream`: parses the
-    * RIFF chunk structure and fmt header, then streams the PCM frames.
-    * Only the layout this pipeline produces (8-bit mono PCM) is
-    * accepted — anything else is an honest codec-boundary error, not
-    * silently misinterpreted bytes.
+  /** REAL decode via the JDK WAVE reader ([[wavReader]] — the same
+    * provider `AudioSystem.getAudioInputStream` dispatches to, minus
+    * its per-call synchronized registry walk): parses the RIFF chunk
+    * structure and fmt header, then streams the PCM frames. Only the
+    * layout this pipeline produces (8-bit mono PCM) is accepted —
+    * anything else is an honest codec-boundary error, not silently
+    * misinterpreted bytes.
     */
   private[llm] def decodeAudio(content: Array[Byte]): DecodedAudio = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    import javax.sound.sampled.AudioFormat
+    val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(content))
     val fmt = ais.getFormat
     // Encoding is part of the guard: an 8-bit mono ALAW/ULAW (or
     // signed PCM) WAV has the same size/channel shape but different
@@ -324,8 +371,8 @@ object Multimodal {
     */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    load(spark, dir, "documents")
-      .select($"doc_id".cast("long")).as[Long]
+    spreadIds(load(spark, dir, "documents")
+      .select($"doc_id".cast("long")).as[Long])
       .mapPartitions(_.map(id => (id, syntheticWav(id), rateOf(id).toLong, samplesOf(id).toLong)))
       .toDF("clip_id", "content", "rate", "n")
       .select($"clip_id", $"content",
@@ -400,9 +447,9 @@ object Multimodal {
     */
   def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    load(spark, dir, "documents")
+    spreadIds(load(spark, dir, "documents")
       .select($"doc_id".cast("long")).as[Long]
-      .filter(_ % 5 == 0)
+      .filter(_ % 5 == 0))
       .mapPartitions(_.map(id => (id, Avi.syntheticAvi(id), Avi.framesOf(id).toLong)))
       .toDF("vid_id", "content", "nf")
       .select($"vid_id", $"content",

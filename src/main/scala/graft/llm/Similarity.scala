@@ -121,16 +121,42 @@ object Similarity {
   final val ProbeRadius = 2
   final val Dim = 64
 
+  /** Target LSH bucket occupancy for q27: the plane count is
+    * CORPUS-DERIVED — the smallest p in [NumPlanes, LshMaxPlanes]
+    * with 2^p · LshBucketTarget ≥ N — so expected occupancy N/2^p
+    * stays ≤ LshBucketTarget as the corpus grows and the candidate
+    * stream is |q| · |probes(p)| · occupancy: linear in |q| with a
+    * p² multiprobe factor that grows only logarithmically in N (the
+    * production knob the fixed-8-planes demo only named in prose —
+    * round-13 directive #2). At N=500/2000 the floor keeps p=8
+    * (bit-identical to the historical behavior); N=20000 derives
+    * p=12. Pure integer derivation (shift-and-compare) so the DuckDB
+    * replay in [[LshPlanesSql]] can never diverge on a log boundary.
+    */
+  final val LshBucketTarget = 8
+  final val LshMaxPlanes = 24
+
+  def lshPlanes(n: Long): Int = {
+    var p = NumPlanes
+    while (p < LshMaxPlanes && (1L << p) * LshBucketTarget < n) p += 1
+    p
+  }
+
+  /** DuckDB replay of [[lshPlanes]] over the embeddings CTE `e`. */
+  private lazy val LshPlanesSql: String =
+    s"(SELECT COALESCE(MIN(p), $LshMaxPlanes) FROM generate_series($NumPlanes, $LshMaxPlanes) t(p) " +
+      s"WHERE (CAST(1 AS BIGINT) << p) * $LshBucketTarget >= (SELECT COUNT(*) FROM e))"
+
   /** ±1 hyperplane matrix, engine-independent and deterministic:
     * plane p, dimension d → sign from the parity of an md5 byte.
     * Materialized as a literal array-of-arrays column (8×64 ints) —
     * constant-folded by Catalyst, broadcast with the plan.
     */
-  private def planesLit(firstPlane: Int): Column = {
+  private def planesLit(firstPlane: Int, nPlanes: Int = NumPlanes): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // Double literals so the per-plane projection runs through the
     // native vector_dot (x·1.0 == x·1 bit-for-bit, oracle unchanged).
-    val rows = (firstPlane until firstPlane + NumPlanes).map { p =>
+    val rows = (firstPlane until firstPlane + nPlanes).map { p =>
       (0 until Dim).map { d =>
         val h = md.digest(s"graft_plane_${p}_$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1.0 else -1.0
@@ -139,25 +165,24 @@ object Similarity {
     array(rows.map(r => array(r.map(lit): _*)): _*)
   }
 
-  /** 8-bit sketch from planes [firstPlane, firstPlane+8):
+  /** nPlanes-bit sketch from planes [firstPlane, firstPlane+nPlanes):
     * bit i = sign of v·plane_{firstPlane+i}.
     */
-  private def sketchWith(firstPlane: Int, v: Column): Column =
+  private def sketchWith(firstPlane: Int, v: Column,
+                         nPlanes: Int = NumPlanes): Column =
     aggregate(
-      zip_with(planesLit(firstPlane), sequence(lit(0), lit(NumPlanes - 1)), (plane, p) =>
+      zip_with(planesLit(firstPlane, nPlanes), sequence(lit(0), lit(nPlanes - 1)), (plane, p) =>
         when(dot(v, plane) > 0,
           pow(lit(2), p).cast("int")).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
 
-  private def sketch(v: Column): Column = sketchWith(0, v)
-
   /** All sketch values within Hamming distance ≤ 2 (multiprobe set:
     * the bucket itself, all 1-bit flips, all 2-bit flips).
     */
-  private val probeSet: Seq[Int] = {
+  private def probeSetFor(nPlanes: Int): Seq[Int] = {
     val masks = Seq(0) ++
-      (0 until NumPlanes).map(1 << _) ++
-      (for (i <- 0 until NumPlanes; j <- i + 1 until NumPlanes) yield (1 << i) | (1 << j))
+      (0 until nPlanes).map(1 << _) ++
+      (for (i <- 0 until nPlanes; j <- i + 1 until nPlanes) yield (1 << i) | (1 << j))
     masks
   }
 
@@ -169,14 +194,25 @@ object Similarity {
     */
   def q27_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val p = lshPlanes(load(spark, dir, "embeddings").select($"vec_id").count())
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-      .withColumn("bucket", sketch($"v"))
+      .withColumn("bucket", sketchWith(0, $"v", p))
 
-    val queries = emb.filter($"vec_id" % 50 === 0)
+    // query side from its OWN scan, not a filter of `emb`: the sketch
+    // is a pure row function so both sides derive identical buckets,
+    // and independent lineage sidesteps the self-join attribute-dedup
+    // landmine (isolated q27 runs hit INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    // when the generator's inlined bucket kept a stale id — latent at
+    // HEAD, exposed by exprId allocation order)
+    val queries = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .filter($"vec_id" % 50 === 0)
+      .withColumn("nrm", norm($"v"))
+      .withColumn("bucket", sketchWith(0, $"v", p))
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
-        explode(transform(array(probeSet.map(lit): _*), m => $"bucket".bitwiseXOR(m)))
+        explode(transform(array(probeSetFor(p).map(lit): _*), m => $"bucket".bitwiseXOR(m)))
           .as("probe_bucket"))
 
     val cands = emb.join(broadcast(queries),
@@ -228,11 +264,48 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  final val IvfCentroids = 16
+  /** PQ/RQ codebook size — a DESIGN constant (16 codewords per
+    * subspace → 4-bit codes), the q316 candidate-pool bound, and the
+    * floor of [[ivfK]]. Codebook size never scales with the corpus —
+    * that is what distinguishes it from the IVF LIST COUNT below.
+    */
+  final val PqCodes = 16
   final val IvfProbes = 4
+
+  /** Target inverted-list occupancy for the IVF family. The list
+    * count k = ⌈N / IvfListTarget⌉ (clamped to [PqCodes, IvfTrainCap])
+    * is CORPUS-DERIVED so list SIZE stays constant as the corpus
+    * grows: probed-candidate streams are |q|·nprobe·IvfListTarget and
+    * within-list pair scans are N·IvfListTarget — both linear in N,
+    * which is the production posture the fixed k=16 demo only claimed
+    * in prose (round-13 directive #2). At the correctness scales
+    * (N=500 sf0.01, N=2000 sf0.1) the clamp floor gives k=16 —
+    * bit-identical to the historical fixed-k behavior — while sf1.0
+    * (N=20000) runs k=157. Flat nearest-centroid assignment costs
+    * k·Dim per row (O(N²/IvfListTarget) total); past the IvfTrainCap
+    * clamp a production deployment swaps in a two-level coarse
+    * quantizer or HNSW-assign, which changes only [[assignTo]].
+    */
+  final val IvfListTarget = 128
 
   final val IvfTrainCap = 1024
   final val IvfTrainIters = 5
+
+  /** Corpus-derived IVF list count (see [[IvfListTarget]]). */
+  def ivfK(n: Long): Int =
+    math.min(IvfTrainCap.toLong,
+      math.max(PqCodes.toLong, (n + IvfListTarget - 1) / IvfListTarget)).toInt
+
+  /** DuckDB replay of [[ivfK]] over the embeddings CTE `e` — every
+    * seeded/trained-quantizer oracle derives its seed-set bound from
+    * the data with this scalar subquery, so engine and oracle can
+    * never disagree on k at any scale. `//` is DuckDB integer floor
+    * division; both sides compute ⌈N/target⌉ as (N + target−1) ÷
+    * target in exact integers.
+    */
+  private[llm] lazy val IvfKSql: String =
+    s"(SELECT LEAST($IvfTrainCap, GREATEST($PqCodes, " +
+      s"(COUNT(*) + ${IvfListTarget - 1}) // $IvfListTarget)) FROM e)"
 
   /** HALF_UP rounding to a Long, bit-identical to Spark SQL's
     * `round()` and DuckDB's `ROUND()` on doubles (both round ties
@@ -272,24 +345,25 @@ object Similarity {
   private[llm] def trainedCentroids(emb: DataFrame): Array[(Int, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val k = ivfK(emb.select($"vec_id").count())
     val sample: Array[Array[Double]] = emb
       .select(md5($"vec_id".cast("string").cast("binary")).as("h"), $"v")
       .orderBy($"h").limit(IvfTrainCap)
       .collect().sortBy(_.getString(0))
       .map(_.getSeq[Double](1).toArray)
-    require(sample.length >= IvfCentroids,
-      s"IVF training needs ≥ $IvfCentroids rows, got ${sample.length}")
+    require(sample.length >= k,
+      s"IVF training needs ≥ $k rows, got ${sample.length}")
     val xq: Array[Array[Long]] = sample.map(_.map(x => halfUp(x * 1e6)))
-    var centers: Array[Array[Long]] = xq.take(IvfCentroids).map(_.clone())
+    var centers: Array[Array[Long]] = xq.take(k).map(_.clone())
     for (_ <- 1 to IvfTrainIters) {
-      val sums = Array.ofDim[Long](IvfCentroids, Dim)
-      val counts = new Array[Int](IvfCentroids)
+      val sums = Array.ofDim[Long](k, Dim)
+      val counts = new Array[Int](k)
       var p = 0
       while (p < xq.length) {
         val x = xq(p)
         var best = 0; var bestD = Long.MaxValue
         var c = 0
-        while (c < IvfCentroids) {
+        while (c < k) {
           val ctr = centers(c)
           var d = 0L; var j = 0
           while (j < Dim) { val t = x(j) - ctr(j); d += t * t; j += 1 }
@@ -301,7 +375,7 @@ object Similarity {
         counts(best) += 1
         p += 1
       }
-      centers = Array.tabulate(IvfCentroids) { c =>
+      centers = Array.tabulate(k) { c =>
         if (counts(c) == 0) centers(c)
         else Array.tabulate(Dim)(j => halfUp(sums(c)(j).toDouble / counts(c)))
       }
@@ -364,7 +438,7 @@ object Similarity {
   }
 
   private[llm] def seededAssignment(emb: DataFrame): (Array[(Int, Array[Double])], DataFrame) = {
-    val seeds = pqSeeds(emb)
+    val seeds = ivfSeeds(emb)
     (seeds, assignTo(emb, seeds))
   }
 
@@ -429,7 +503,7 @@ object Similarity {
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-    ivfTopK(emb, pqSeeds(emb))
+    ivfTopK(emb, ivfSeeds(emb))
   }
 
   final val SemDedupThresholdMicro = 950000L // cosine ≥ 0.95
@@ -602,10 +676,14 @@ object Similarity {
     }): _*)
   }
 
-  private def pqSeeds(emb: DataFrame): Array[(Int, Array[Double])] = {
+  /** First-`bound` vectors as a (cid, vector) quantizer, cids dense
+    * from 0 — the shared derivation behind both seed families below.
+    */
+  private def firstSeeds(emb: DataFrame, bound: Int,
+                         family: String): Array[(Int, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val seeds = emb.filter($"vec_id" < IvfCentroids)
+    val seeds = emb.filter($"vec_id" < bound)
       .select($"vec_id".cast("int").as("cid"), $"v")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -614,9 +692,27 @@ object Similarity {
     // codebook — say so here, instead of the generic argmin dimension
     // require firing mid-scan (zero-row degenerate-probe finding)
     require(seeds.nonEmpty,
-      s"seeded quantizer needs vectors with vec_id < $IvfCentroids to " +
+      s"$family needs vectors with vec_id < $bound to " +
         "derive its codebook (q49 convention) — corpus empty or id-sparse")
     seeds
+  }
+
+  /** PQ codebook seeds: the first [[PqCodes]] vectors — FIXED size,
+    * a codebook is a design constant (see PqCodes), never ∝ corpus.
+    * Public for q316's bounded candidate pool.
+    */
+  private[llm] def pqSeeds(emb: DataFrame): Array[(Int, Array[Double])] =
+    firstSeeds(emb, PqCodes, "PQ codebook")
+
+  /** IVF coarse-quantizer seeds: the first [[ivfK]](N) vectors — the
+    * corpus-derived list count that keeps list size ≈ IvfListTarget
+    * at every scale. The count scans one pruned column; callers that
+    * re-derive seeds repeatedly should hold the returned array.
+    */
+  private[llm] def ivfSeeds(emb: DataFrame): Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    firstSeeds(emb, ivfK(emb.select($"vec_id").count()), "seeded quantizer")
   }
 
   def q198_product_quantization(spark: SparkSession, dir: String): DataFrame = {
@@ -1041,6 +1137,10 @@ object Similarity {
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
+    // two seed sets with different scaling laws: the coarse LIST
+    // COUNT is corpus-derived (ivfK — constant list size), the PQ
+    // CODEBOOK stays the fixed PqCodes design constant
+    val cSeeds = ivfSeeds(emb)
     val seeds = pqSeeds(emb)
 
     // the stored index: coarse list id + 8-byte PQ code per vector
@@ -1049,11 +1149,11 @@ object Similarity {
     val codes = pqAssigned(emb, seeds).select($"vec_id",
       array((0 until PqSubspaces).map(m => col(s"a$m").getField("cid")): _*)
         .as("codes"))
-    val index = graft.Caches.tracked(assignTo(emb, seeds).join(codes, "vec_id"))
+    val index = graft.Caches.tracked(assignTo(emb, cSeeds).join(codes, "vec_id"))
 
     // query batch: probe ranking over the coarse centroids + the ADC
     // LUT of exact micro-distances to every codeword
-    val centArr = array(seeds.map { case (cid, c) =>
+    val centArr = array(cSeeds.map { case (cid, c) =>
       struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
     }.toSeq: _*)
     def dist2Micro(v: Column, cv: Column): Column =
@@ -1321,7 +1421,8 @@ object Similarity {
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q287_ivfpq_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
+        |ps AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $PqCodes),
         |ad AS MATERIALIZED (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
         |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
@@ -1330,16 +1431,16 @@ object Similarity {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn
         |    FROM ad) WHERE rn = 1),
         |sub AS MATERIALIZED (
-        |  SELECT e.vec_id, m.m, s.cid,
+        |  SELECT e.vec_id, m.m, ps.cid,
         |    CAST(ROUND((
         |      list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
         |                         e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
         |      - 2.0 * list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
-        |                                 s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
-        |      + list_inner_product(s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
-        |                           s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
+        |                                 ps.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      + list_inner_product(ps.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                           ps.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
         |      AS BIGINT) AS dmicro
-        |  FROM e CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN s),
+        |  FROM e CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN ps),
         |pasg AS (SELECT vec_id, m, cid AS code FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
         |    FROM sub) WHERE rn = 1),
@@ -1454,7 +1555,7 @@ object Similarity {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q249_ivf_probe_sweep" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
         |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
@@ -1506,7 +1607,7 @@ object Similarity {
         |ORDER BY p.q_id""".stripMargin,
     "q227_cluster_purity" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
         |ad AS (SELECT e.vec_id, e.label, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
         |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
@@ -1552,7 +1653,7 @@ object Similarity {
         |WHERE rk = 1 ORDER BY x_id""".stripMargin,
     "q198_product_quantization" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $PqCodes),
         |sub AS (
         |  SELECT e.vec_id, m.m, s.cid,
         |    CAST(ROUND((
@@ -1576,7 +1677,7 @@ object Similarity {
     // exact integer sum over the 8 matched entries.
     "q199_pq_adc_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $PqCodes),
         |sub AS (
         |  SELECT e.vec_id, m.m, s.cid,
         |    CAST(ROUND((
@@ -1605,7 +1706,7 @@ object Similarity {
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q207_cluster_capped_sample" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
         |ad AS (SELECT e.vec_id, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
         |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
@@ -1620,7 +1721,7 @@ object Similarity {
         |WHERE crank <= $ClusterSampleCap ORDER BY centroid, vec_id""".stripMargin,
     "q49_ivf_seeded" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
         |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
@@ -1641,7 +1742,7 @@ object Similarity {
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q195_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
         |ad AS (SELECT e.vec_id, e.v, s.cid,
         |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
         |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
@@ -1665,20 +1766,22 @@ object Similarity {
         |ORDER BY centroid""".stripMargin,
     "q27_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |np AS (SELECT ${LshPlanesSql} AS np),
+        |pr AS (SELECT p FROM generate_series(0, ${LshMaxPlanes - 1}) t(p)
+        |       WHERE p < (SELECT np FROM np)),
         |planes AS (
         |  SELECT p, list_transform(generate_series(0, ${Dim - 1}), d ->
         |    CASE WHEN CAST('0x'||substring(md5('graft_plane_'||p||'_'||d),1,2) AS INT) % 2 = 0
         |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS plane
-        |  FROM generate_series(0, ${NumPlanes - 1}) t(p)),
+        |  FROM pr),
         |sk AS (
         |  SELECT e.vec_id, e.v,
         |    CAST(SUM(CASE WHEN list_inner_product(e.v, pl.plane) > 0 THEN (1<<pl.p) ELSE 0 END) AS INT) AS bucket
         |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, e.v),
         |masks AS (
         |  SELECT 0 AS m
-        |  UNION ALL SELECT (1<<i.i) FROM generate_series(0, ${NumPlanes - 1}) i(i)
-        |  UNION ALL SELECT (1<<i.i)|(1<<j.j) FROM generate_series(0, ${NumPlanes - 1}) i(i),
-        |    generate_series(0, ${NumPlanes - 1}) j(j) WHERE i.i < j.j),
+        |  UNION ALL SELECT (1<<i.p) FROM pr i
+        |  UNION ALL SELECT (1<<i.p)|(1<<j.p) FROM pr i, pr j WHERE i.p < j.p),
         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM sk WHERE vec_id % 50 = 0),
         |cand AS (
         |  SELECT DISTINCT q.q_id, s.vec_id AS neighbor_id,
@@ -1733,7 +1836,7 @@ object Similarity {
       |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h,
       |      list_transform(v, x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS xq
       |    FROM e ORDER BY h LIMIT $IvfTrainCap) t),
-      |c0 AS (SELECT CAST(sid - 1 AS INT) AS cid, xq AS c FROM samp WHERE sid <= $IvfCentroids),
+      |c0 AS (SELECT CAST(sid - 1 AS INT) AS cid, xq AS c FROM samp WHERE sid <= ${IvfKSql}),
       |$iters,
       |s AS (SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE) / 1e6) AS cv
       |      FROM c$IvfTrainIters)""".stripMargin

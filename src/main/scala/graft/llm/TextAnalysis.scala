@@ -73,6 +73,26 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The q315/q317 quality GATE (0/1 pass) — length band 200–450
+    * chars + cross-multiplied distinct-token ratio ≥ 0.40 — as ONE
+    * shared Column helper with its DuckDB twin below. q317's spec
+    * explicitly tests "the q315 gate", so the two queries must share
+    * this definition, not carry copies (round-13 ADVICE).
+    */
+  private[graft] def qualityGatePass(nChars: org.apache.spark.sql.Column,
+                                     text: Column): Column =
+    when(nChars >= 200L && nChars <= 450L &&
+      size(array_distinct(split(text, " "))) * 100L >=
+        size(split(text, " ")) * 40L, 1L).otherwise(0L)
+
+  /** DuckDB replay of [[qualityGatePass]] over columns
+    * (n_chars, text). */
+  private[graft] val QualityGateSql: String =
+    """CASE WHEN n_chars >= 200 AND n_chars <= 450
+      |      AND len(list_distinct(string_split(text,' ')))*100
+      |          >= len(string_split(text,' '))*40
+      |      THEN 1 ELSE 0 END""".stripMargin
+
   /** The q21 quality formula as a standalone column — reused by
     * CorpusPipeline's filter stage. Must stay in lockstep with q21's
     * inline computation and QualityBpSql below.

@@ -278,16 +278,28 @@ object PlanLint {
   def lintGroupedWindows(df: DataFrame, minGroups: Long = 64,
                          minRowsPerGroup: Long = 512): Seq[Finding] = {
     val spark = df.sparkSession
+    // a group-limit below the window (same partition keys) caps what
+    // any group's task sees at ~k rows — not a funnel. The search
+    // descends ONLY through row-preserving/reducing unary nodes
+    // (project/filter/sort/repartition): a WindowGroupLimit below an
+    // intervening join or explode re-expands rows, so it no longer
+    // bounds THIS window's input and must not suppress the finding
+    // (round-13 ADVICE).
+    @annotation.tailrec
+    def boundedByGroupLimit(p: logical.LogicalPlan,
+                            spec: Seq[Int]): Boolean = p match {
+      case g: logical.WindowGroupLimit
+          if g.partitionSpec.map(_.semanticHash()) == spec => true
+      case u @ (_: logical.Project | _: logical.Filter | _: logical.Sort |
+                _: logical.Repartition | _: logical.RepartitionByExpression |
+                _: logical.WindowGroupLimit) =>
+        boundedByGroupLimit(u.children.head, spec)
+      case _ => false
+    }
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: logical.Window if w.partitionSpec.nonEmpty &&
-          // a group-limit below the window (same partition keys) caps
-          // what any group's task sees at ~k rows — not a funnel
-          !w.child.exists {
-            case g: logical.WindowGroupLimit =>
-              g.partitionSpec.map(_.semanticHash()) ==
-                w.partitionSpec.map(_.semanticHash())
-            case _ => false
-          } => w
+          !boundedByGroupLimit(w.child,
+            w.partitionSpec.map(_.semanticHash())) => w
     }
     windows.flatMap { w =>
       val child = ColumnGlue.ofRows(spark, w.child)

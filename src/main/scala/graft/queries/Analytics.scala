@@ -1104,9 +1104,7 @@ object Analytics {
     import spark.implicits._
     val arms = load(spark, dir, "documents")
       .select($"source",
-        when($"n_chars" >= 200L && $"n_chars" <= 450L &&
-          size(array_distinct(split($"text", " "))) * 100L >=
-            size(split($"text", " ")) * 40L, 1L).otherwise(0L).as("pass"))
+        graft.llm.TextAnalysis.qualityGatePass($"n_chars", $"text").as("pass"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n"), sum($"pass").as("x"))
     val tot = arms.agg(sum($"n").as("nn"), sum($"x").as("xx"))
@@ -2801,11 +2799,8 @@ object Analytics {
         |FROM ev JOIN b USING (event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q317_bh_fdr" ->
-      """WITH arms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 450
-        |      AND len(list_distinct(string_split(text,' ')))*100
-        |          >= len(string_split(text,' '))*40
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+      s"""WITH arms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(${graft.llm.TextAnalysis.QualityGateSql}) AS BIGINT) AS x
         |  FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
         |    CAST(SUM(x) AS BIGINT) AS xx FROM arms),

@@ -361,11 +361,11 @@ class LlmSpec extends AnyFunSuite {
     // clean corpus: the audit covers all 16 clusters, and nothing
     // clears the 0.95 semantic threshold (this space tops out ~0.53)
     val clean = Similarity.q195_semantic_dedup(spark, dir).collect()
-    // one audit row per NONEMPTY cluster (≤ IvfCentroids — whether all
-    // 16 fill is a property of the SF, not of q195) and every corpus
-    // member accounted for exactly once across them
-    assert(clean.length <= Similarity.IvfCentroids && clean.nonEmpty)
+    // one audit row per NONEMPTY cluster (≤ ivfK(N) — whether every
+    // list fills is a property of the SF, not of q195) and every
+    // corpus member accounted for exactly once across them
     val corpusN = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(clean.length <= Similarity.ivfK(corpusN) && clean.nonEmpty)
     assert(clean.map(_.getLong(1)).sum == corpusN,
       "cluster member counts must partition the corpus")
     assert(clean.forall(_.getLong(4) == 0L), "clean corpus must drop nothing")

@@ -39,19 +39,28 @@ class RecordLinkageSpec extends AnyFunSuite {
     val (wNatA, wNatD) = w(0.92, uNat)
     val (wSegA, wSegD) = w(0.85, uSeg)
     val (wBalA, wBalD) = w(0.88, uBal)
-    val naive = (for {
+    // near-pairs: all pairs with strictly increasing balance within
+    // delta; exact ties: the id-successor CHAIN inside each tie group
+    // (the operator's linear-by-construction tie convention)
+    val nearPairs = for {
       a <- cust; b <- cust
-      if b._4 - a._4 >= 0 && b._4 - a._4 <= delta &&
-        (a._4 < b._4 || a._1 < b._1)
-      agreeNat = a._2 == b._2
-      agreeSeg = a._3 == b._3
-      agreeBal = b._4 - a._4 <= delta / 8
-      wt = (if (agreeNat) wNatA else wNatD) +
+      if b._4 - a._4 > 0 && b._4 - a._4 <= delta
+    } yield (a, b)
+    val tiePairs = cust.groupBy(_._4).values.flatMap { g =>
+      val sorted = g.sortBy(_._1)
+      sorted.zip(sorted.drop(1))
+    }
+    val naive = (nearPairs ++ tiePairs).map { case (a, b) =>
+      val agreeNat = a._2 == b._2
+      val agreeSeg = a._3 == b._3
+      val agreeBal = b._4 - a._4 <= delta / 8
+      val wt = (if (agreeNat) wNatA else wNatD) +
         (if (agreeSeg) wSegA else wSegD) +
         (if (agreeBal) wBalA else wBalD)
-      verdict = if (wt >= 4000L) "match"
+      val verdict = if (wt >= 4000L) "match"
         else if (wt >= 0L) "possible" else "non-match"
-    } yield (a._1, b._1, agreeNat, agreeSeg, agreeBal, wt, verdict)).toSet
+      (a._1, b._1, agreeNat, agreeSeg, agreeBal, wt, verdict)
+    }.toSet
     assert(got.toSet == naive)
     assert(got.length == naive.size) // each pair emitted exactly once
     assert(naive.nonEmpty)
@@ -91,6 +100,28 @@ class RecordLinkageSpec extends AnyFunSuite {
       assert(r.getLong(6) == kappaBp)
     }
     assert(nA.sum == n && nB.sum == n)
+  }
+
+  test("q313: constant-balance degenerate table stays linear — N-1 chained tie pairs, never C(N,2)") {
+    import spark.implicits._
+    // the round-13 allowlist scenario: every record shares ONE exact
+    // balance. All-tie-pairs would emit C(500,2)=124,750 rows; the
+    // chain convention must emit exactly 499.
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+    val dir = graft.TestSpark.tempDir("fs_constbal")
+    (0L until 500L).map(i => (i, i % 25L, segs((i % 5L).toInt), 1234.56))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .selectExpr("c_custkey", "'x' as c_name", "cast(c_nationkey as int) as c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = Dedup.q313_record_linkage(spark, dir).collect()
+    graft.Caches.releaseAll()
+    assert(rows.length == 499, s"expected the 499-pair chain, got ${rows.length}")
+    // the chain is consecutive ids, each pair emitted once, all exact
+    // ties agree on balance
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      (0L until 499L).map(i => (i, i + 1)))
+    assert(rows.forall(_.getBoolean(4)), "exact ties must agree on balance")
   }
 
   test("q313: planted near-identical records classify as match; unrelated same-band records do not") {

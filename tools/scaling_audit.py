@@ -20,11 +20,20 @@ boundary slack). Growth beyond the threshold is either
 
 Usage:
     python3 tools/scaling_audit.py BENCH_LOCAL.json BENCH_SF1_r13.json \
-        > SCALING_r13.json
+        [BENCH_SF1_FLOORS.json] > SCALING_r13.json
 
 Exit code 1 if any non-allowlisted query grows faster than THRESHOLD
-in any audited actual. Wall-time is reported but never flagged on its
-own: the referee for wall is actuals, same as tools/actuals_diff.py.
+in any audited actual. Wall-time is never the referee when actuals
+exist - but a query whose audited actuals ALL sit below their floors
+(worst_key null) used to pass vacuously, which is how q194 (19.1x
+wall, AudioSystem registry-lock serialization) and q274 (18.4x wall,
+single-rep suite wobble) slipped through round 13. Those rows now get
+a WALL BACKSTOP: wall growth > WALL_BACKSTOP with no qualifying
+actual fails unless the query is named in WALL_ALLOWLIST with a
+printed why. The optional third argument is a reps>=2 sf1.0 floors
+artifact (BENCH_SF1_rN_floors.json): for queries present in it the
+backstop judges the FLOOR wall instead of the single-rep suite wall,
+so suite-level cache/GC wobble cannot fail a measured-linear query.
 Dev tool only - not part of the shipped library.
 """
 import json
@@ -54,6 +63,20 @@ MIN_BASE = {"stage_in_recs": 100_000, "stage_in_bytes": 10_000_000,
 # from sf1.0 on; the row is judged on its remaining metrics and the
 # transition recorded informationally.
 TRANSITION_BASE_FRACTION = 10
+# Wall-ratio backstop for queries whose audited actuals are ALL below
+# their MIN_BASE floors (worst_key null): such a row has no actuals
+# evidence, so a wall blow-up is the only scale signal available.
+# 14x sits between the worst measured-linear null-key row (12.2x,
+# q222 - itself actuals-allowlisted) and the two rows round 13 missed
+# (18.4x, 19.1x). Wall floors (reps>=2) override the single-rep suite
+# wall when provided, so the backstop judges compute, not wobble.
+WALL_BACKSTOP = 14.0
+# Named justifications for null-actuals rows whose wall legitimately
+# grows past the backstop. Empty today: q194's 19.1x was a real bug
+# (fixed - per-call AudioSystem provider lookup serialized all 32
+# threads; the SPI is now resolved once per JVM) and q274's 18.4x was
+# suite wobble (isolated reps-2: 1.9x for 10x rows).
+WALL_ALLOWLIST = {}
 
 # Documented super-linear-by-design operators: the pair/eval layer
 # where the query batch AND the corpus both grow 10x, so the pair
@@ -72,25 +95,22 @@ ALLOWLIST = {
     "q249_ivf_probe_sweep": "recall/candidates tuning curve vs the exact q26 denominator across 4 probe levels",
     "q237_knn_probe": "kNN probe eval vs the exact q26 denominator",
     "q222_ann_hubness": "hubness audit over the exact q26 ranking (eval table)",
-    "q307_knn_reciprocity": "cluster-confined kNN graph: per-list pair streams grow with list size^2 when lists grow 10x (k fixed at 16 in the demo; production scales k with corpus)",
-    "q298_label_noise": "cluster-confined pair scan, same list-size^2 shape as q307",
-    "q195_semantic_dedup": "cluster-confined within-list pair scan (SemDeDup); list count fixed at 16 in the demo => within-list pairs grow ~100x; production scales k with corpus",
-    "q34_ivf_trained": "IVF with fixed k=16 lists: probed-list candidate streams grow ~(n/k)x|q| (both 10x); production scales k",
-    "q49_ivf_seeded": "same fixed-k IVF candidate shape as q34",
-    "q312_ann_maxsim": "probed-list maxsim candidates: |q| x (nprobe/k)|corpus|, both sides grow 10x (still 25x cheaper than q300's full scan)",
-    "q287_ivfpq_topk": "probed-list ADC candidates: |q| x (nprobe/k)|corpus|, both sides grow 10x",
+    # ROUND 14: the whole fixed-k family (q34/q49/q195/q298/q307/q312/
+    # q287/q290/q27 + q313's tie pairs) is RETIRED from this list — the
+    # IVF list count is now corpus-derived (Similarity.ivfK: k =ceil(
+    # N/128), constant list size), the LSH plane count follows the
+    # corpus (Similarity.lshPlanes), and q313's exact-tie groups link
+    # as id-successor chains. Their candidate streams are measured-
+    # linear; an unlisted regression fails this audit.
     "q227_pq_opq_recall": "PQ recall eval vs the exact denominator",
     "q242_lsh_band_planner": "pair-probability curve over the exact q73 pair set (tuning table)",
     "q234_lsh_recall_curve": "recall curve over the exact q73 pair set (tuning table)",
-    "q290_ivf_append_drift": "append batch x fixed-k centroid assignment (batch grows 10x, distances per row fixed) - flags only when combined with list-occupancy joins",
     "q289_kcenter_coreset": "greedy farthest-point: rounds x corpus scans; corpus 10x and round count fixed",
     "q302_residual_quantization": "two-level codebook assignment over 10x corpus with fixed codebooks - argmin cost linear, flag only via pair joins",
     "q296_geometric_median": "Weiszfeld iterations x corpus (fixed iteration count, corpus 10x)",
     "q285_embedding_standardize": "full-corpus moments + rewrite (linear) but 64-dim explode can cross byte threshold",
-    "q27_ann_lsh": "multiprobe LSH with FIXED NumPlanes: bucket occupancy grows with corpus/2^planes, query batch 10x => candidate pairs ~100x (plane count is the production knob, same family as fixed-k IVF)",
     "q166_clamped_balance": "the deliberately-kept recursive-shaped baseline (spec-pinned equivalent q169 max-plus fold is the deploy path; its row IS linear)",
     "q02_scalar_funcs": "global orderBy adds a range-partitioning sampling scan; pass count 2->3 under AQE re-plan at the larger input - constant-factor scan repetition, each pass exactly 10x",
-    "q313_record_linkage": "FS candidate stream = banded near-pairs (density-adaptive delta=2*domain/N keeps those ~2N, linear) + exact-balance-tie pairs; the tiled sf1.0 generator repeats every sf0.1 balance 10x so tie pairs grow with value multiplicity (C(10,2)*ties) - exact ties ARE linkage candidates by definition (strongest agreement signal), and on organically-growing data value multiplicity is bounded by cents precision, not by N",
 }
 
 # Vocabulary-keyed operators: shuffle/cache volume is linear in the
@@ -135,6 +155,10 @@ def last_json_line(path):
 def main():
     base_path, big_path = sys.argv[1], sys.argv[2]
     base, big = last_json_line(base_path), last_json_line(big_path)
+    floors_path = sys.argv[3] if len(sys.argv) > 3 else None
+    wall_floors = {}
+    if floors_path:
+        wall_floors = last_json_line(floors_path).get("queries", {})
     bs, gs = base.get("stats", {}), big.get("stats", {})
     rows, flagged, allowed, missing = {}, [], [], []
     for q in sorted(big.get("queries", {})):
@@ -144,6 +168,8 @@ def main():
         a, b = bs[q], gs[q]
         entry = {"wall_sf01": round(a.get("wall", -1), 3),
                  "wall_sf1": round(b.get("wall", -1), 3)}
+        if q in wall_floors:
+            entry["wall_sf1_floor"] = round(wall_floors[q], 3)
         worst, worst_key, over = 0.0, None, False
         transitions = []
         for k in AUDIT_KEYS:
@@ -180,11 +206,30 @@ def main():
             else:
                 entry["verdict"] = "SUPER_LINEAR_UNEXPLAINED"
                 flagged.append(q)
+        elif worst_key is None:
+            # No audited actual cleared its floor: the row would pass
+            # vacuously. Judge the wall (floor wall when measured).
+            w0 = a.get("wall", -1)
+            w1 = wall_floors.get(q, b.get("wall", -1))
+            wr = (w1 / w0) if w0 and w0 > 0 else 0.0
+            entry["wall_backstop_ratio"] = round(wr, 2)
+            if wr > WALL_BACKSTOP:
+                if q in WALL_ALLOWLIST:
+                    entry["verdict"] = "wall_super_linear_by_design"
+                    entry["why"] = WALL_ALLOWLIST[q]
+                    allowed.append(q)
+                else:
+                    entry["verdict"] = "WALL_SUPER_LINEAR_NO_ACTUALS"
+                    flagged.append(q)
+            else:
+                entry["verdict"] = "linear"
         else:
             entry["verdict"] = "linear"
         rows[q] = entry
     out = {
         "baseline": base_path, "scaled": big_path,
+        "scaled_wall_floors": floors_path,
+        "wall_backstop": WALL_BACKSTOP,
         "thresholds": THRESHOLDS,
         "data_growth": DATA_GROWTH,
         "n_queries": len(rows),

@@ -26,7 +26,10 @@ timeout_s = float(os.environ.get("SELFCHECK_ORACLE_TIMEOUT", "0") or 0)
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # Spark-written tables (e.g. target/sf1.0) are DIRECTORIES of
+    # part files; the driver's testdata tables are single files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 

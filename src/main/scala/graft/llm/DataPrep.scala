@@ -1672,6 +1672,143 @@ object DataPrep {
       .orderBy($"ucb_bp".desc, $"source")
   }
 
+  /** Importance-weight clip for q319 (micro units): w̃ = min(w, 10).
+    * The standard IPS variance control — unclipped weights explode on
+    * rare sources, and the clip is exactly what makes IPS ≠ SNIPS.
+    */
+  final val IpsClipMicro = 10000000L
+
+  /** q319 — off-policy evaluation of a data-mixing policy (IPS and
+    * SNIPS, Horvitz–Thompson / self-normalized importance sampling;
+    * Swaminathan & Joachims 2015): the OFFLINE dual of q315's online
+    * UCB — given documents logged under the historical sampler (each
+    * corpus doc = one logged draw, propensity 1/N), estimate the mean
+    * quality-gate reward the UNIFORM-OVER-SOURCES target policy would
+    * have earned, without re-sampling. Per-doc importance weight
+    * w = π/p = N/(|S|·n_s) collapses to ONE weight per source, so the
+    * whole estimator runs on the bounded arms table: micro-rounded
+    * per-source weights clipped at [[IpsClipMicro]] (the clip is the
+    * variance control that makes the two estimators differ), exact
+    * long term sums Σw̃·x and Σw̃·n, one closing division each —
+    * ips_micro = Σw̃x/N, snips_micro = 1e6·Σw̃x/Σw̃n. Reward is the
+    * SAME shared gate as q315/q317 ([[TextAnalysis.qualityGatePass]]).
+    * One scan to a |sources|-row aggregate; scale cost is the scan.
+    */
+  def q319_ips_offpolicy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = load(spark, dir, "documents")
+      .select($"source",
+        TextAnalysis.qualityGatePass($"n_chars", $"text").as("pass"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"pass").as("x"))
+    val tot = arms.agg(sum($"n").as("nn"),
+      count(lit(1)).cast("long").as("ns"))
+    val w = arms.crossJoin(broadcast(tot))
+      .withColumn("w_raw_micro",
+        round(lit(1e6) * $"nn" / ($"ns" * $"n")).cast("long"))
+      .withColumn("w_micro", least($"w_raw_micro", lit(IpsClipMicro)))
+      .withColumn("clipped", $"w_raw_micro" > lit(IpsClipMicro))
+      .withColumn("term_x", $"w_micro" * $"x")
+      .withColumn("term_n", $"w_micro" * $"n")
+    val est = w.agg(sum($"term_x").as("sx"), sum($"term_n").as("sn"),
+      max($"nn").as("nn2"))
+    w.crossJoin(broadcast(est))
+      .select($"source", $"n", $"x", $"w_micro", $"clipped",
+        round($"sx".cast("double") / $"nn2").cast("long").as("ips_micro"),
+        round(lit(1e6) * $"sx" / $"sn").cast("long").as("snips_micro"))
+      .orderBy($"source")
+  }
+
+  /** Group-DRO exponentiated-gradient rounds (fixed, oracle-unrolled
+    * like the q34 Lloyd replay) and step size η = 1. */
+  final val DroIters = 5
+
+  /** q321 — Group-DRO mixture weights (Sagawa et al. 2020, "group
+    * distributionally robust optimization"): upweight the WORST
+    * groups' share of the training mix instead of the average — the
+    * robustness counterpoint to q315's regret-minimizing UCB and
+    * q221's temperature mixing. Groups are sources, per-group loss is
+    * the quality-gate FAILURE rate (1 − pass rate, micro-exact, the
+    * shared q315/q317 gate), and [[DroIters]] exponentiated-gradient
+    * rounds run on the bounded |sources| arm table collected to the
+    * driver (the codebook-seed posture): w ← w·exp(η·loss), then
+    * normalize to Σ = 1e6 — each step micro-rounded HALF_UP with the
+    * exponential evaluated once per (source, round) on identical
+    * expressions in both engines (the q317 EXP treatment). One corpus
+    * scan; everything after is |sources|-bounded arithmetic.
+    */
+  def q321_group_dro(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = load(spark, dir, "documents")
+      .select($"source",
+        TextAnalysis.qualityGatePass($"n_chars", $"text").as("pass"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"pass").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // bounded: one row per source
+    def halfUp(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val loss = arms.map { case (s, n, x) =>
+      s -> (1000000L - halfUp(1e6 * x / n)) }.toMap
+    var w = arms.map(a => a._1 -> 1000000L).toMap
+    for (_ <- 1 to DroIters) {
+      val raw = arms.map { case (s, _, _) =>
+        s -> halfUp(w(s) * math.exp(loss(s) / 1e6)) }.toMap
+      val tot = raw.values.sum
+      w = arms.map { case (s, _, _) =>
+        s -> math.max(1L, halfUp(1e6 * raw(s) / tot)) }.toMap
+    }
+    arms.map { case (s, n, x) => (s, n, loss(s), w(s)) }.toSeq
+      .toDF("source", "n", "loss_micro", "w_micro")
+      .withColumn("dro_rank", row_number().over(
+        Window.orderBy($"w_micro".desc, $"source")).cast("long"))
+      .orderBy($"source")
+  }
+
+  /** Quality-histogram bin width for q322 (bp // 1000 → 11 bins) and
+    * the micro-scaled keep-probability cap. */
+  final val QmBinBp = 1000L
+
+  /** q322 — quantile-matched downsampling: reshape every source's
+    * quality DISTRIBUTION to match a reference source's (src0), not
+    * just its mean — the distribution-matching curation step beside
+    * the size-equalizer q42 and the temperature mixer q221. Per
+    * (source, quality-bin): keep probability p = min(1, target-share/
+    * source-share) from exact integer cross-products (t_b·n_s vs
+    * n_t·s_b — the q135 trick) with one micro-rounding; the keep rule
+    * is q201's deterministic integer hash draw (md5-derived
+    * u < p — reproducible, partitioning-independent). Output is the
+    * bounded per-(source, bin) audit: n, p, kept. Scale cost: one
+    * stats scan + one filter scan; only |sources|·11 rows shuffle.
+    */
+  def q322_quantile_match(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        (TextAnalysis.qualityBp($"text") / QmBinBp).cast("long").as("bin"))
+    val hist = docs.groupBy($"source", $"bin").agg(count(lit(1)).as("sb"))
+    val tgt = hist.filter($"source" === "src0")
+      .select($"bin", $"sb".as("tb"))
+    val nS = hist.groupBy($"source").agg(sum($"sb").as("ns"))
+    val nT = tgt.agg(sum($"tb").as("nt"))
+    val p = hist.join(broadcast(tgt), Seq("bin"), "left")
+      .join(broadcast(nS), "source").crossJoin(broadcast(nT))
+      .select($"source", $"bin", $"sb",
+        least(lit(1000000L),
+          round(lit(1e6) * (coalesce($"tb", lit(0L)) * $"ns")
+            / ($"nt" * $"sb")).cast("long")).as("p_micro"))
+    val kept = docs
+      .withColumn("u",
+        hash60(concat(lit("graft_qmatch_"), $"doc_id".cast("string")))
+          % 1000000L)
+      .join(broadcast(p), Seq("source", "bin"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n"), max($"p_micro").as("p_micro"),
+        sum(when($"u" < $"p_micro", 1L).otherwise(0L)).as("kept"))
+    kept.orderBy($"source", $"bin")
+  }
+
   /** q223 — context-window truncation loss: per source, the token
     * mass and document count lost if every document is cut at a
     * 48-token window (sized to this corpus's ~55-token mean; a
@@ -1813,6 +1950,9 @@ object DataPrep {
     "q230_epoch_schedule" -> q230_epoch_schedule,
     "q221_temperature_mixture" -> q221_temperature_mixture,
     "q315_ucb_source_selection" -> q315_ucb_source_selection,
+    "q319_ips_offpolicy" -> q319_ips_offpolicy,
+    "q321_group_dro" -> q321_group_dro,
+    "q322_quantile_match" -> q322_quantile_match,
     "q223_truncation_loss" -> q223_truncation_loss,
     "q224_dp_noisy_topk" -> q224_dp_noisy_topk,
     "q218_ngram_novelty" -> q218_ngram_novelty,
@@ -1936,6 +2076,70 @@ object DataPrep {
         |          CAST((grant_tokens + u_tokens - 1) // u_tokens AS INT))) AS e
         |      FROM g WHERE grant_tokens > 0)
         |ORDER BY source, epoch""".stripMargin,
+    "q321_group_dro" -> {
+      val iters = (1 to DroIters).map { t =>
+        s"""r$t AS MATERIALIZED (SELECT a.source,
+           |    CAST(ROUND(p${t - 1}.w * EXP(a.loss_micro / 1e6)) AS BIGINT) AS raw
+           |  FROM arms a JOIN p${t - 1} ON p${t - 1}.source = a.source),
+           |s$t AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM r$t),
+           |p$t AS MATERIALIZED (SELECT source,
+           |    GREATEST(1, CAST(ROUND(1e6 * raw / tot) AS BIGINT)) AS w
+           |  FROM r$t, s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH arms0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(${TextAnalysis.QualityGateSql}) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |arms AS MATERIALIZED (SELECT source, n, x,
+        |    1000000 - CAST(ROUND(1e6 * x / n) AS BIGINT) AS loss_micro
+        |  FROM arms0),
+        |p0 AS (SELECT source, CAST(1000000 AS BIGINT) AS w FROM arms),
+        |$iters
+        |SELECT a.source, a.n, a.loss_micro, pf.w AS w_micro,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY pf.w DESC, a.source) AS BIGINT)
+        |    AS dro_rank
+        |FROM arms a JOIN p$DroIters pf ON pf.source = a.source
+        |ORDER BY a.source""".stripMargin
+    },
+    "q322_quantile_match" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |    ${TextAnalysis.QualityBpSql} // $QmBinBp AS bin
+        |  FROM documents),
+        |hist AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS sb
+        |  FROM d GROUP BY 1, 2),
+        |tgt AS (SELECT bin, sb AS tb FROM hist WHERE source = 'src0'),
+        |ns AS (SELECT source, CAST(SUM(sb) AS BIGINT) AS ns FROM hist GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(tb) AS BIGINT) AS nt FROM tgt),
+        |p AS (SELECT hist.source, hist.bin, hist.sb,
+        |    LEAST(1000000, CAST(ROUND(1e6 * (COALESCE(tgt.tb, 0) * ns.ns)
+        |      / (nt.nt * hist.sb)) AS BIGINT)) AS p_micro
+        |  FROM hist LEFT JOIN tgt ON tgt.bin = hist.bin
+        |  JOIN ns ON ns.source = hist.source, nt)
+        |SELECT d.source, d.bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(p.p_micro) AS BIGINT) AS p_micro,
+        |  CAST(SUM(CASE WHEN
+        |      CAST('0x' || substring(md5('graft_qmatch_' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 1000000 < p.p_micro
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM d JOIN p ON p.source = d.source AND p.bin = d.bin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q319_ips_offpolicy" ->
+      s"""WITH arms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(${TextAnalysis.QualityGateSql}) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(COUNT(*) AS BIGINT) AS ns FROM arms),
+        |w AS (SELECT source, n, x, nn,
+        |    LEAST(CAST(ROUND(1e6 * nn / (ns * n)) AS BIGINT), $IpsClipMicro)
+        |      AS w_micro,
+        |    (CAST(ROUND(1e6 * nn / (ns * n)) AS BIGINT) > $IpsClipMicro)
+        |      AS clipped
+        |  FROM arms, tot),
+        |est AS (SELECT CAST(SUM(w_micro * x) AS BIGINT) AS sx,
+        |    CAST(SUM(w_micro * n) AS BIGINT) AS sn FROM w)
+        |SELECT source, n, x, w_micro, clipped,
+        |  CAST(ROUND(CAST(sx AS DOUBLE) / nn) AS BIGINT) AS ips_micro,
+        |  CAST(ROUND(1e6 * sx / sn) AS BIGINT) AS snips_micro
+        |FROM w, est ORDER BY source""".stripMargin,
     "q315_ucb_source_selection" ->
       s"""WITH arms AS (SELECT source,
         |    CAST(COUNT(*) AS BIGINT) AS plays,

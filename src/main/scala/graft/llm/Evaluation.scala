@@ -752,6 +752,157 @@ object Evaluation {
        |ORDER BY round""".stripMargin
   }
 
+  /** MMR list size and the λ split as exact integers: score =
+    * MmrLamNum·rel − (10−MmrLamNum)·max-pairwise-sim (λ = 0.7 scaled
+    * ×10 — no division, so scores and tie-breaks are integer-exact).
+    */
+  final val MmrK = 5
+  final val MmrLamNum = 7L
+
+  /** q318 — MMR diversified rerank (maximal marginal relevance,
+    * Carbonell & Goldstein 1998): greedily re-rank each query's exact
+    * top-[[TopK]] into an [[MmrK]]-item list trading relevance against
+    * redundancy — score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    * the standard answer to near-duplicate hits crowding a RAG
+    * context window (and the retrieval-side dual of the corpus-side
+    * SemDeDup q195).
+    *
+    * Scale design: the greedy is a PER-QUERY LOCAL computation over a
+    * bounded ≤[[TopK]] candidate list, so it runs as ONE
+    * `flatMapGroups` over the query key — embarrassingly parallel
+    * across queries, no driver round-trips, no per-round shuffles (a
+    * plan-unrolled formulation was measured at 5.5 s from round-join
+    * overhead alone; this shape is sub-second). This is the
+    * documented per-partition-imperative exception: the greedy is
+    * genuinely sequential WITHIN a query and bounded by TopK² sims.
+    * Determinism: candidate order is (sim desc, id), pairwise sims
+    * micro-round through the same left-to-right dot fold + HALF_UP
+    * the columnar path uses, ties break to the lower neighbor id —
+    * the DuckDB oracle replays the identical unrolled rounds. The
+    * exact top-k input is the memoized q26 run (the documented eval
+    * denominator); a production retriever feeds the serving
+    * candidates (q34/q312) through the same group stage unchanged.
+    */
+  def q318_mmr_rerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cands = Similarity.exactTopK(spark, dir)
+      .join(emb.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .select($"q_id", $"neighbor_id", $"sim_micro", $"v", $"nrm")
+      .as[(Long, Long, Long, Seq[Double], Double)]
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    cands.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cs.length
+        // pairwise candidate sims, the same micro-rounded cosine the
+        // columnar path computes (left-to-right dot fold)
+        val ps = Array.tabulate(n, n) { (i, j) =>
+          if (i == j) 0L
+          else {
+            val (a, b) = (cs(i)._4, cs(j)._4)
+            var d = 0.0; var k = 0
+            while (k < a.length) { d += a(k) * b(k); k += 1 }
+            halfUp(d / (cs(i)._5 * cs(j)._5) * 1e6)
+          }
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var r = 1
+        while (r <= MmrK && chosen.length < n) {
+          var best = -1; var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!chosen.contains(i)) {
+              val pen = if (chosen.isEmpty) 0L
+                else chosen.map(c => ps(i)(c)).max
+              val score = MmrLamNum * cs(i)._3 -
+                (if (chosen.isEmpty) 0L else (10L - MmrLamNum) * pen)
+              // ties to the lower neighbor id (cs is id-sorted within
+              // equal sims, scan order preserves it via strict >)
+              if (score > bestScore ||
+                  (score == bestScore && cs(i)._2 < cs(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          out += ((q, r.toLong, cs(best)._2, bestScore))
+          chosen += best
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "mmr_rank", "neighbor_id", "mmr_score")
+      .orderBy($"q_id", $"mmr_rank")
+  }
+
+  /** Bradley–Terry MM iteration count (fixed, unrolled in the oracle
+    * exactly like the q34 Lloyd's replay). */
+  final val BtIters = 5
+
+  /** q320 — Bradley–Terry source-strength fit (Bradley & Terry 1952;
+    * Hunter 2004's MM algorithm): turn pairwise quality preferences
+    * into a per-source strength scale — the model behind reward-model
+    * data curation and chatbot-arena-style rankings, and the
+    * inferential step q260's raw preference PAIRS stop short of.
+    * Comparisons are deterministic from the corpus: adjacent-id
+    * cross-source document pairs judged by the shared quality score
+    * (higher [[TextAnalysis.qualityBp]] wins; exact ties are dropped)
+    * — one equi-join on doc_id+1, no window, no all-pairs. The win
+    * matrix is ≤|sources|² rows (bounded driver state, the codebook-
+    * seed posture), and the MM fixed point runs [[BtIters]] rounds in
+    * exact micro-integer arithmetic: per-pair denominator terms
+    * round(1e12·n_ij/(π_i+π_j)) sum as longs (order-independent),
+    * π′ = max(1, halfUp(wins·1e12/Σ)) — every step the DuckDB oracle
+    * replays bit-for-bit with unrolled CTE iterations.
+    */
+  def q320_bradley_terry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select($"doc_id", $"source", TextAnalysis.qualityBp($"text").as("q"))
+    val duels = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1L &&
+          col("a.source") =!= col("b.source") &&
+          col("a.q") =!= col("b.q"))
+      .select(
+        when(col("a.q") > col("b.q"), col("a.source"))
+          .otherwise(col("b.source")).as("winner"),
+        when(col("a.q") > col("b.q"), col("b.source"))
+          .otherwise(col("a.source")).as("loser"))
+      .groupBy($"winner", $"loser").agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap // bounded: ≤ |sources|² cells
+    val sources = duels.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val wins = sources.map(s =>
+      s -> duels.collect { case ((w, _), n) if w == s => n }.sum).toMap
+    val games = sources.map(i => i -> sources.map(j =>
+      j -> (duels.getOrElse((i, j), 0L) + duels.getOrElse((j, i), 0L))).toMap).toMap
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var pi = sources.map(_ -> 1000000L).toMap
+    for (_ <- 1 to BtIters) {
+      pi = sources.map { i =>
+        val den = sources.filter(j => j != i && games(i)(j) > 0L)
+          .map(j => halfUp(1e12 * games(i)(j) / (pi(i) + pi(j)))).sum
+        i -> (if (den == 0L) pi(i)
+              else math.max(1L, halfUp(wins(i).toDouble * 1e12 / den)))
+      }.toMap
+    }
+    val rows = sources.map { s =>
+      (s, games(s).values.sum, wins(s), pi(s))
+    }
+    rows.toDF("source", "games", "wins", "pi_micro")
+      .withColumn("bt_rank", row_number().over(
+        Window.orderBy($"pi_micro".desc, $"source")).cast("long"))
+      .orderBy($"source")
+  }
+
   /** q314 — inter-rater agreement (Cohen's kappa, 1960): the labeled-
     * data QA gate that tells you whether two annotation sources agree
     * beyond chance before you train on their labels. Raters here are
@@ -807,6 +958,8 @@ object Evaluation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_mmr_rerank" -> q318_mmr_rerank,
+    "q320_bradley_terry" -> q320_bradley_terry,
     "q314_rater_agreement" -> q314_rater_agreement,
     "q316_facility_location" -> q316_facility_location,
     "q311_semihard_negatives" -> q311_semihard_negatives,
@@ -928,7 +1081,106 @@ object Evaluation {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Oracle for q318: the exact top-k and the candidate-pair sim table
+    * materialize once; each MMR round is one penalty aggregate + one
+    * ranked selection, unrolled exactly like the engine's loop.
+    */
+  private def mmrSql: String = {
+    val lam = MmrLamNum
+    val rounds = (2 to MmrK).map { r =>
+      s"""pen$r AS (SELECT p.q_id, p.a, MAX(p.ps) AS pen
+         |  FROM ps p JOIN all${r - 1} s ON s.q_id = p.q_id AND s.neighbor_id = p.b
+         |  GROUP BY 1, 2),
+         |sc$r AS (SELECT t.q_id, t.neighbor_id,
+         |    $lam * t.sim_micro - ${10 - lam} * pen.pen AS score
+         |  FROM tk t JOIN pen$r pen ON pen.q_id = t.q_id AND pen.a = t.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${r - 1} s
+         |    WHERE s.q_id = t.q_id AND s.neighbor_id = t.neighbor_id)),
+         |sel$r AS (SELECT q_id, neighbor_id, score AS mmr_score,
+         |    CAST($r AS BIGINT) AS mmr_rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, neighbor_id) AS rn FROM sc$r) WHERE rn = 1),
+         |all$r AS (SELECT * FROM all${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $ESql,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
+       |  FROM q JOIN e ON e.vec_id <> q.q_id),
+       |tk AS MATERIALIZED (SELECT q_id, neighbor_id, sim_micro FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM s) WHERE rk <= $TopK),
+       |ps AS MATERIALIZED (SELECT t1.q_id, t1.neighbor_id AS a, t2.neighbor_id AS b,
+       |    CAST(ROUND(list_cosine_similarity(e1.v, e2.v) * 1e6) AS BIGINT) AS ps
+       |  FROM tk t1 JOIN tk t2 ON t1.q_id = t2.q_id
+       |    AND t1.neighbor_id <> t2.neighbor_id
+       |  JOIN e e1 ON e1.vec_id = t1.neighbor_id
+       |  JOIN e e2 ON e2.vec_id = t2.neighbor_id),
+       |sel1 AS (SELECT q_id, neighbor_id, $lam * sim_micro AS mmr_score,
+       |    CAST(1 AS BIGINT) AS mmr_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim_micro DESC, neighbor_id) AS rn FROM tk) WHERE rn = 1),
+       |all1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT q_id, mmr_rank, neighbor_id, mmr_score FROM all$MmrK
+       |ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
+  /** Oracle for q320: the duel derivation (adjacent-id cross-source
+    * pairs under the shared quality score) and BtIters unrolled MM
+    * iterations in the engine's exact micro-integer arithmetic.
+    */
+  private def btSql: String = {
+    val iters = (1 to BtIters).map { t =>
+      s"""d$t AS (SELECT s.source,
+         |    CAST(SUM(CAST(ROUND(1e12 * g.n / (pa.pi + pb.pi)) AS BIGINT)) AS BIGINT) AS den
+         |  FROM srcs s JOIN g ON g.i = s.source
+         |  JOIN p${t - 1} pa ON pa.source = g.i
+         |  JOIN p${t - 1} pb ON pb.source = g.j
+         |  WHERE g.n > 0 GROUP BY 1),
+         |p$t AS MATERIALIZED (SELECT s.source,
+         |    CASE WHEN d.den IS NULL OR d.den = 0 THEN pp.pi
+         |         ELSE GREATEST(1, CAST(ROUND(w.wins * 1e12 / d.den) AS BIGINT))
+         |    END AS pi
+         |  FROM srcs s JOIN p${t - 1} pp ON pp.source = s.source
+         |  JOIN wn w ON w.source = s.source
+         |  LEFT JOIN d$t d ON d.source = s.source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, source, ${TextAnalysis.QualityBpSql} AS q
+       |  FROM documents),
+       |duel AS (SELECT
+       |    CASE WHEN a.q > b.q THEN a.source ELSE b.source END AS winner,
+       |    CASE WHEN a.q > b.q THEN b.source ELSE a.source END AS loser
+       |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |    AND a.source <> b.source AND a.q <> b.q),
+       |wm AS MATERIALIZED (SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM duel GROUP BY 1, 2),
+       |srcs AS MATERIALIZED (SELECT DISTINCT source FROM (
+       |    SELECT winner AS source FROM wm UNION SELECT loser FROM wm)),
+       |g AS MATERIALIZED (SELECT i.source AS i, j.source AS j,
+       |    COALESCE(ij.w, 0) + COALESCE(ji.w, 0) AS n
+       |  FROM srcs i JOIN srcs j ON i.source <> j.source
+       |  LEFT JOIN wm ij ON ij.winner = i.source AND ij.loser = j.source
+       |  LEFT JOIN wm ji ON ji.winner = j.source AND ji.loser = i.source),
+       |wn AS MATERIALIZED (SELECT s.source, CAST(COALESCE(SUM(wm.w), 0) AS BIGINT) AS wins
+       |  FROM srcs s LEFT JOIN wm ON wm.winner = s.source GROUP BY 1),
+       |gt AS (SELECT i AS source, CAST(SUM(n) AS BIGINT) AS games
+       |  FROM g GROUP BY 1),
+       |p0 AS (SELECT source, CAST(1000000 AS BIGINT) AS pi FROM srcs),
+       |$iters
+       |SELECT s.source, gt.games, wn.wins, pf.pi AS pi_micro,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY pf.pi DESC, s.source) AS BIGINT)
+       |    AS bt_rank
+       |FROM srcs s JOIN gt ON gt.source = s.source
+       |  JOIN wn ON wn.source = s.source
+       |  JOIN p$BtIters pf ON pf.source = s.source
+       |ORDER BY s.source""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q318_mmr_rerank" -> mmrSql,
+    "q320_bradley_terry" -> btSql,
     "q316_facility_location" -> facilitySql,
     "q314_rater_agreement" ->
       """WITH r AS (SELECT

@@ -97,7 +97,7 @@ object TextAnalysis {
     * CorpusPipeline's filter stage. Must stay in lockstep with q21's
     * inline computation and QualityBpSql below.
     */
-  private[llm] def qualityBp(text: Column): Column = {
+  private[graft] def qualityBp(text: Column): Column = {
     val toks = wsTokens(text)
     val stopHits = size(filter(toks, w => w.isInCollection(StopWords)))
     val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0)))
@@ -107,7 +107,7 @@ object TextAnalysis {
   }
 
   /** DuckDB rendering of the same formula. */
-  private[llm] val QualityBpSql: String =
+  private[graft] val QualityBpSql: String =
     """LEAST(10000, GREATEST(0,
       |  5000 + len(list_filter(string_split(text, ' '),
       |           w -> w IN ('the','a','of','and','to','in','is'))) * 120

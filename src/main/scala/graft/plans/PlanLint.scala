@@ -113,6 +113,13 @@ object PlanLint {
     // all over the |sources|-bounded arm table (≤ tens of rows)
     "q317_bh_fdr" ->
       Set("single-partition-window", "cartesian-product"),
+    // q320's bt_rank window runs over the |sources|-bounded BT
+    // strength table (the q317 convention; the duel scan itself is
+    // one doc_id+1 equi-join, never windowed)
+    "q320_bradley_terry" -> Set("single-partition-window"),
+    // q321's dro_rank window ranks the |sources|-bounded weight
+    // table (same convention); the corpus contributes one scan
+    "q321_group_dro" -> Set("single-partition-window"),
     "q83_ntile_dist" -> Set("single-partition-window"),
     // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table
     "q159_lift_curve" -> Set("single-partition-window"),

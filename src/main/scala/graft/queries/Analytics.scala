@@ -1100,6 +1100,60 @@ object Analytics {
     * corpora (single source, all-pass, all-fail) emit zero rows — the
     * test is undefined there, filtered identically in both engines.
     */
+  /** q323 — prediction-powered inference (PPI; Angelopoulos et al.
+    * 2023): estimate a per-source "gold quality" rate from a SMALL
+    * labeled slice plus a cheap predictor on the FULL corpus —
+    * θ̂ = mean(f, all) − mean(f, labeled) + mean(y, labeled) — the
+    * modern eval recipe when gold labels are scarce and model
+    * predictions are plentiful. Here the predictor f is the shared
+    * quality gate (q315/q317/q319/q321) and the "gold" label y is the
+    * richer q21 quality score ≥ 5500 bp, observed only on the
+    * deterministic doc_id % 20 = 0 slice; production swaps in real
+    * annotations. The rectifier (y − f on the labeled slice) both
+    * debiases the prediction mean and drives the CI: sums, squared
+    * sums and counts are exact long aggregates (y, f ∈ {0,1}), the
+    * two variance terms and the z·se half-width close with one
+    * micro-rounded sqrt (IEEE sqrt — bit-identical in both engines).
+    * One corpus scan to a |sources|-row table; everything after is
+    * bounded arithmetic. Sources whose labeled slice is empty emit
+    * NULL estimates (honest "cannot rectify here"), never throw.
+    */
+  def q323_ppi_estimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select($"source", ($"doc_id" % 20L === 0L).as("lab"),
+        graft.llm.TextAnalysis.qualityGatePass($"n_chars", $"text").as("f"),
+        when(graft.llm.TextAnalysis.qualityBp($"text") >= 5500L, 1L)
+          .otherwise(0L).as("y"))
+    val g = d.groupBy($"source").agg(
+      count(lit(1)).as("n_all"), sum($"f").as("f_all"),
+      sum(when($"lab", 1L).otherwise(0L)).as("n_lab"),
+      sum(when($"lab", $"f").otherwise(0L)).as("f_lab"),
+      sum(when($"lab", $"y").otherwise(0L)).as("y_lab"),
+      // rectifier moments on the labeled slice: r = y − f ∈ {−1,0,1}
+      sum(when($"lab", $"y" - $"f").otherwise(0L)).as("r_sum"),
+      sum(when($"lab", ($"y" - $"f") * ($"y" - $"f")).otherwise(0L))
+        .as("r_sq"))
+    val fbar = $"f_all".cast("double") / $"n_all"
+    val rbar = $"r_sum".cast("double") / $"n_lab"
+    val varF = fbar * (lit(1.0) - fbar) / $"n_all"
+    val varR = ($"r_sq".cast("double") / $"n_lab" - rbar * rbar) / $"n_lab"
+    val se = sqrt(varF + varR)
+    g.select($"source", $"n_all", $"n_lab",
+        when($"n_lab" > 0L,
+          round(lit(1e6) * (fbar - $"f_lab".cast("double") / $"n_lab"
+            + $"y_lab".cast("double") / $"n_lab")).cast("long"))
+          .as("ppi_micro"),
+        when($"n_lab" > 0L,
+          round(lit(1e6) * $"y_lab" / $"n_lab").cast("long"))
+          .as("classical_micro"),
+        when($"n_lab" > 0L, round(lit(1e6) * se).cast("long"))
+          .as("se_micro"),
+        when($"n_lab" > 0L,
+          round(lit(1.96e6) * se).cast("long")).as("ci_half_micro"))
+      .orderBy($"source")
+  }
+
   def q317_bh_fdr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val arms = load(spark, dir, "documents")
@@ -2124,6 +2178,7 @@ object Analytics {
     "q123_equifreq_binning" -> q123_equifreq_binning,
     "q118_ab_ztest" -> q118_ab_ztest,
     "q317_bh_fdr" -> q317_bh_fdr,
+    "q323_ppi_estimate" -> q323_ppi_estimate,
     "q119_conversion_latency" -> q119_conversion_latency,
     "q117_concentration" -> q117_concentration,
     "q115_chi_square" -> q115_chi_square,
@@ -2798,6 +2853,38 @@ object Analytics {
         |  CAST(MAX(c) AS BIGINT) AS max_cents
         |FROM ev JOIN b USING (event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q323_ppi_estimate" -> {
+      val seSql =
+        """SQRT((CAST(f_all AS DOUBLE) / n_all)
+          |      * (1.0 - CAST(f_all AS DOUBLE) / n_all) / n_all
+          |    + (CAST(r_sq AS DOUBLE) / n_lab
+          |       - (CAST(r_sum AS DOUBLE) / n_lab)
+          |         * (CAST(r_sum AS DOUBLE) / n_lab)) / n_lab)""".stripMargin
+      s"""WITH d AS (SELECT source, (doc_id % 20 = 0) AS lab,
+        |    ${graft.llm.TextAnalysis.QualityGateSql} AS f,
+        |    CASE WHEN ${graft.llm.TextAnalysis.QualityBpSql} >= 5500
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(f) AS BIGINT) AS f_all,
+        |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_lab,
+        |    CAST(SUM(CASE WHEN lab THEN f ELSE 0 END) AS BIGINT) AS f_lab,
+        |    CAST(SUM(CASE WHEN lab THEN y ELSE 0 END) AS BIGINT) AS y_lab,
+        |    CAST(SUM(CASE WHEN lab THEN y - f ELSE 0 END) AS BIGINT) AS r_sum,
+        |    CAST(SUM(CASE WHEN lab THEN (y - f) * (y - f) ELSE 0 END) AS BIGINT) AS r_sq
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_all, n_lab,
+        |  CASE WHEN n_lab > 0 THEN CAST(ROUND(1e6 *
+        |    (CAST(f_all AS DOUBLE) / n_all - CAST(f_lab AS DOUBLE) / n_lab
+        |     + CAST(y_lab AS DOUBLE) / n_lab)) AS BIGINT) END AS ppi_micro,
+        |  CASE WHEN n_lab > 0 THEN CAST(ROUND(1e6 * y_lab / n_lab) AS BIGINT)
+        |    END AS classical_micro,
+        |  CASE WHEN n_lab > 0 THEN CAST(ROUND(1e6 * $seSql) AS BIGINT)
+        |    END AS se_micro,
+        |  CASE WHEN n_lab > 0 THEN CAST(ROUND(1.96e6 * $seSql) AS BIGINT)
+        |    END AS ci_half_micro
+        |FROM g ORDER BY source""".stripMargin
+    },
     "q317_bh_fdr" ->
       s"""WITH arms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(${graft.llm.TextAnalysis.QualityGateSql}) AS BIGINT) AS x

@@ -59,12 +59,23 @@ object StreamScaleBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    // `rocksdb` arg: run EVERY stateful stage on the RocksDB state
+    // store — the production posture at 100 TB/day, where keyed state
+    // outgrows executor heaps and needs native-memory + spill-to-disk
+    // (round-13 directive #5). Default stays the HDFS-backed store so
+    // the two stanzas in STRESS20X can be compared for max-state
+    // parity: the BOUND is a property of watermark × arrival rate,
+    // not of the store backend.
+    val rocks = args.contains("rocksdb")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocks) builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -184,6 +195,12 @@ object StreamScaleBench {
       s"quota gate stream (${qg._1}) must equal its batch dual ($batchQuota)")
     require(qg._3 <= NUsers + NUsers / 10,
       s"quota state is one counter per user (≤ $NUsers), got ${qg._3}")
+    // QuotaGate forces RocksDB on the session (transformWithState
+    // requires it); in the default-store run, put the HDFS-backed
+    // provider back so stage 4 measures the store it claims to
+    if (!rocks) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
 
     // ---- stage 4: StreamJoin (stream-stream interval join) -----------
     val (sj, tJoin) = t {
@@ -231,7 +248,9 @@ object StreamScaleBench {
         (if (batches >= 0) s""","batches":$batches,"max_state_rows":$st}"""
          else "}")
     }
-    println(s"""{"metric":"stream_scale","events":$NEvents,"docs":$NDocs,""" +
+    val store = if (rocks) "rocksdb" else "hdfs"
+    println(s"""{"metric":"stream_scale","state_store":"$store",""" +
+      s""""events":$NEvents,"docs":$NDocs,""" +
       s""""stages":{${json.mkString(",")}}}""")
     spark.stop()
   }

@@ -863,8 +863,10 @@ object Evaluation {
     */
   def q320_bradley_terry(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = load(spark, dir, "documents")
-      .select($"doc_id", $"source", TextAnalysis.qualityBp($"text").as("q"))
+    // cached: the self-join's two sides must not each re-run the
+    // string-heavy quality pass (measured 4.5 s → ~2.5 s at sf1.0)
+    val d = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", $"source", TextAnalysis.qualityBp($"text").as("q")))
     val duels = d.as("a").join(d.as("b"),
         col("b.doc_id") === col("a.doc_id") + 1L &&
           col("a.source") =!= col("b.source") &&

@@ -21,19 +21,84 @@ import org.apache.spark.sql.functions._
   *    the source scale point-for-point.
   *  - `region`/`nation` are fixed dimensions — copied once, as at
   *    every TPC-H SF.
-  *  - `documents`/`embeddings` SYNTHESIZE at 10× with the
-  *    LlmScaleBench planted-near-dup structure instead of replicating:
-  *    text replicas of the same doc would make every doc a 10-way
-  *    near-dup cluster, turning the dedup operators' true-pair output
-  *    superlinear — not a fair scale-up. The planted corpus keeps
-  *    true pairs at 10% of n, the same linear shape as the harness
-  *    testdata.
+  *  - `documents` SYNTHESIZE at 10× with a HARNESS-SHAPED corpus
+  *    (round-14 directive #1) instead of replicating: text replicas
+  *    of the same doc would make every doc a 10-way near-dup cluster,
+  *    turning the dedup operators' true-pair output superlinear — not
+  *    a fair scale-up. [[synthHarnessDocuments]] holds the PER-DOC
+  *    token distribution of the sf0.1 harness corpus constant and
+  *    grows only the doc COUNT, so vocabulary-keyed shuffles scale
+  *    with corpus SIZE, not corpus shape (the previous LlmScaleBench
+  *    corpus drew from ~5 500 distinct tokens vs the harness's 31 —
+  *    ×177 vocabulary growth that needed its own scaling-audit
+  *    allowlist family; this generator retires it).
+  *  - `embeddings` SYNTHESIZE at 10× with the LlmScaleBench
+  *    deterministic pseudo-random vectors (dimension and label shape
+  *    match the harness).
   *
   * Writes nothing outside the repo (default target/sf1.0 is
   * git-ignored build output).
   */
 object Sf1Gen {
   final val KeyOffset = 100000000L
+
+  /** The sf0.1 harness corpus vocabulary, measured: 30 fixed words
+    * (plus the `dup` near-dup marker = 31 distinct tokens at every
+    * scale factor). Token-keyed operators' key spaces stay CONSTANT
+    * across scale, exactly as in the driver's testdata.
+    */
+  final val HarnessVocab: Array[String] = Array(
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch")
+
+  /** Harness-shaped document synthesis (round-14 directive #1): mimic
+    * the /root/testdata documents tables point-for-point so sf0.1 →
+    * sf1.0 is a pure 10× row scale-up with IDENTICAL per-doc shape —
+    *
+    *  - the fixed 30-word vocabulary + `dup` marker (31 distinct
+    *    tokens, ~931 distinct bigrams, at EVERY scale),
+    *  - uniform 10..100 tokens/doc (avg ~54 tokens / ~297 chars),
+    *  - source = src{id%20} uniform, en-heavy lang mix
+    *    (en≈41%, de/es/fr/zh ≈15% each — harness sf0.1 measured
+    *    2059/702/744/742/753 of 5000),
+    *  - 5% planted near-dup PAIRS, the harness rate (250 `dup` docs
+    *    of 5000 at sf0.1): id ≡ 11 (mod 20) replays id−7's token
+    *    stream with ONE token replaced by the `dup` marker — mutant
+    *    odd, seed even (the q203 cross-parity contract), pairs
+    *    disjoint, true-pair count linear in n.
+    *
+    * Deterministic (splitmix/LCG over the doc id), partition-shape
+    * independent, no RNG state.
+    */
+  def synthHarnessDocuments(spark: SparkSession, nDocs: Long, path: String): Unit = {
+    import spark.implicits._
+    val vocab = HarnessVocab
+    spark.range(nDocs).as[Long]
+      .mapPartitions(_.map { id =>
+        val isDup = id % 20 == 11
+        val seed = if (isDup) id - 7 else id
+        var h = seed * 0x9e3779b97f4a7c15L + 0x1405d2f0a3c1e7b9L
+        h = h * 6364136223846793005L + 1442695040888963407L
+        val n = 10 + ((h >>> 33) % 91).toInt
+        val words = new Array[String](n)
+        var j = 0
+        while (j < n) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          words(j) = vocab(((h >>> 33) % vocab.length).toInt)
+          j += 1
+        }
+        if (isDup) words((id % n).toInt) = "dup"
+        val lm = (id % 34).toInt
+        val lang =
+          if (lm < 14) "en" else if (lm < 19) "de"
+          else if (lm < 24) "es" else if (lm < 29) "fr" else "zh"
+        (id, words.mkString(" "), lang, "src" + (id % 20))
+      }).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(path)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,7 +134,7 @@ object Sf1Gen {
 
     val nDocs = spark.read.parquet(s"$src/documents.parquet").count() * reps
     val nVecs = spark.read.parquet(s"$src/embeddings.parquet").count() * reps
-    graft.llm.LlmScaleBench.synthDocuments(spark, nDocs, s"$dst/documents.parquet")
+    synthHarnessDocuments(spark, nDocs, s"$dst/documents.parquet")
     graft.llm.LlmScaleBench.synthEmbeddings(spark, nVecs, s"$dst/embeddings.parquet")
 
     val counts = Seq("region", "nation", "customer", "supplier", "part",

@@ -523,10 +523,15 @@ object Evaluation {
     * subspaces can't, because the second stage sees the full-dim
     * leftover. Completes the stored-index compression suite beside
     * PQ (q198), SQ8 (q247) and SRP (q248). Codebooks stay
-    * oracle-replayable: coarse = q49's seeds, residual codebook = the
-    * ENGINE-assigned residuals of vectors 16..31 (collected — 16·64
-    * doubles, bounded driver state), so both engines derive identical
-    * codebooks from the data alone. Output: per coarse list, mean
+    * oracle-replayable: coarse = q49's seeds (the first ivfK(N)
+    * vectors), residual codebook = the ENGINE-assigned residuals of
+    * the first [[Similarity.PqCodes]] NON-centroid vectors — ids in
+    * [ivfK(N), ivfK(N)+PqCodes) (collected — 16·64 doubles, bounded
+    * driver state) — so both engines derive identical codebooks from
+    * the data alone AND the seeds are never coarse centroids (a
+    * centroid's residual is exactly zero, which would degenerate the
+    * residual codebook to zeros whenever ivfK(N) ≥ 32 and nullify the
+    * second stage). Output: per coarse list, mean
     * quantization error after stage 1 vs stage 2 — the bytes-vs-
     * recall evidence an index planner reads. One scan + one bounded
     * aggregate; both argmins are the native codegen'd expression.
@@ -546,15 +551,18 @@ object Evaluation {
         element_at(cvArr, $"centroid" + 1), (a, b) => a - b)))
     // residual CODEBOOK size is the fixed PqCodes design constant
     // (codebooks never scale with the corpus — only the coarse LIST
-    // COUNT above does, via seededAssignment's ivfK)
+    // COUNT above does, via seededAssignment's ivfK). Seeds start at
+    // the first NON-centroid id: ids < seeds.length ARE the coarse
+    // centroids, whose residuals are exactly zero.
     val k = Similarity.PqCodes
+    val lo = seeds.length.toLong
     val rseeds = assigned
-      .filter($"vec_id" >= k && $"vec_id" < 2L * k)
+      .filter($"vec_id" >= lo && $"vec_id" < lo + k)
       .select($"vec_id", $"rv").collect()
       .sortBy(_.getLong(0))
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     require(rseeds.nonEmpty,
-      s"residual quantization needs vectors with ids in [$k, ${2 * k}) to seed " +
+      s"residual quantization needs vectors with ids in [$lo, ${lo + k}) to seed " +
         s"the residual codebook (q49 convention) — corpus too small/sparse")
     assigned
       .withColumn("err0", round(dot($"rv", $"rv") * 1e6).cast("long"))
@@ -792,6 +800,19 @@ object Evaluation {
       .join(emb.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
       .select($"q_id", $"neighbor_id", $"sim_micro", $"v", $"nrm")
       .as[(Long, Long, Long, Seq[Double], Double)]
+    mmrGreedy(cands)
+  }
+
+  /** The shared per-query MMR greedy (q318's flatMapGroups core —
+    * see that scaladoc for the scale rationale): candidates in,
+    * (q_id, mmr_rank, neighbor_id, mmr_score) out. Candidate tuple =
+    * (q_id, neighbor_id, sim_micro, vector, norm).
+    */
+  private def mmrGreedy(
+      cands: org.apache.spark.sql.Dataset[(Long, Long, Long, Seq[Double], Double)])
+      : DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     def halfUp(x: Double): Long =
       java.math.BigDecimal.valueOf(x)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
@@ -823,8 +844,10 @@ object Evaluation {
               val score = MmrLamNum * cs(i)._3 -
                 (if (chosen.isEmpty) 0L else (10L - MmrLamNum) * pen)
               // ties to the lower neighbor id (cs is id-sorted within
-              // equal sims, scan order preserves it via strict >)
-              if (score > bestScore ||
+              // equal sims, scan order preserves it via strict >);
+              // best < 0 initializes the argmax from the first unchosen
+              // candidate — no Long.MinValue sentinel equality to rely on
+              if (best < 0 || score > bestScore ||
                   (score == bestScore && cs(i)._2 < cs(best)._2)) {
                 best = i; bestScore = score
               }
@@ -841,6 +864,31 @@ object Evaluation {
       .orderBy($"q_id", $"mmr_rank")
   }
 
+  /** q325 — two-stage serving rerank (retrieve-then-rerank, the
+    * production RAG shape): stage 1 bounds the candidate set with the
+    * stored-index IVF probe (q49's oracle-verified coarse quantizer →
+    * multiprobe → exact cosine top-k), stage 2 diversifies it with
+    * q318's MMR greedy — the full serving composition the q318
+    * scaladoc promised ("a production retriever feeds the serving
+    * candidates through the same group stage unchanged"). Differs
+    * from the eval-side q318 exactly where serving differs from eval:
+    * candidates come from the probed inverted lists (linear candidate
+    * stream, |q|·probes·list-size), never the exact |q|×|corpus|
+    * denominator. Both stages reuse the verified cores; the oracle
+    * replays the q49 chain and the unrolled MMR rounds end-to-end.
+    */
+  def q325_twostage_rerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cands = Similarity.q49_ivf_seeded(spark, dir)
+      .join(emb.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .select($"q_id", $"neighbor_id", $"sim_micro", $"v", $"nrm")
+      .as[(Long, Long, Long, Seq[Double], Double)]
+    mmrGreedy(cands)
+  }
+
   /** Bradley–Terry MM iteration count (fixed, unrolled in the oracle
     * exactly like the q34 Lloyd's replay). */
   final val BtIters = 5
@@ -853,7 +901,17 @@ object Evaluation {
     * Comparisons are deterministic from the corpus: adjacent-id
     * cross-source document pairs judged by the shared quality score
     * (higher [[TextAnalysis.qualityBp]] wins; exact ties are dropped)
-    * — one equi-join on doc_id+1, no window, no all-pairs. The win
+    * — one equi-join on doc_id+1, no window, no all-pairs.
+    *
+    * DENSE-ID CONTRACT: a duel exists only where BOTH doc_id i and
+    * i+1 are present, so on a sparse-id corpus each id gap silently
+    * removes its duel — never mispairs across the gap. The fit stays
+    * valid (Bradley–Terry is consistent on any comparison subset;
+    * fewer duels only widen the implicit error bars), and the harness
+    * corpora are dense by construction. A gap-proof successor would
+    * need a global id sort (single-partition window) — rejected at
+    * 100 TB; spec pins the gapped-id behavior (PreferenceRankSpec).
+    * The win
     * matrix is ≤|sources|² rows (bounded driver state, the codebook-
     * seed posture), and the MM fixed point runs [[BtIters]] rounds in
     * exact micro-integer arithmetic: per-pair denominator terms
@@ -922,6 +980,38 @@ object Evaluation {
     * Σrₖcₖ)). One scan, one 9-cell shuffle; scale cost is the scan.
     * Undefined ratios (empty corpus, pe = 1) emit NULL, never throw.
     */
+  /** q326 — expected calibration error (ECE, Naeini et al. 2015;
+    * Guo et al. 2017): the reliability-diagram audit for a score used
+    * as a PROBABILITY — does "quality 0.83" mean an 83% chance of
+    * passing the gate? Complements q314 (do raters agree) and q164
+    * (threshold metrics) with the calibration question reward-model
+    * and filter-score pipelines act on. Confidence = the q21 quality
+    * score read as a probability (bp), outcome = the shared quality
+    * gate; 10 equal-width bins, per-bin confidence vs accuracy, and
+    * ECE = Σ (n_b/N)·|conf_b − acc_b| computed from the micro-rounded
+    * per-bin values (exact integer weights, one closing division) so
+    * both engines agree bit-for-bit. One scan to a ≤10-row table;
+    * empty corpora emit zero rows, never throw.
+    */
+  def q326_calibration_ece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select(TextAnalysis.qualityBp($"text").as("p"),
+        TextAnalysis.qualityGatePass($"n_chars", $"text").as("y"))
+    // cached: the ≤10-row bin table feeds both the ECE total and the
+    // final readout — never re-run the string-heavy scan twice
+    val bins = graft.Caches.tracked(
+      d.groupBy(least(expr("p div 1000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum($"p").as("sp"), sum($"y").as("sy"))
+        .select($"bin", $"n",
+          round($"sp".cast("double") / $"n").cast("long").as("conf_bp"),
+          round(lit(10000.0) * $"sy" / $"n").cast("long").as("acc_bp"))
+        .withColumn("gap_bp", abs($"conf_bp" - $"acc_bp")))
+    val tot = bins.agg(sum($"n").as("nn"), sum($"n" * $"gap_bp").as("w"))
+      .select(round($"w".cast("double") / $"nn").cast("long").as("ece_bp"))
+    bins.crossJoin(broadcast(tot)).orderBy($"bin")
+  }
+
   def q314_rater_agreement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rated = load(spark, dir, "documents").select(
@@ -961,8 +1051,10 @@ object Evaluation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q318_mmr_rerank" -> q318_mmr_rerank,
+    "q325_twostage_rerank" -> q325_twostage_rerank,
     "q320_bradley_terry" -> q320_bradley_terry,
     "q314_rater_agreement" -> q314_rater_agreement,
+    "q326_calibration_ece" -> q326_calibration_ece,
     "q316_facility_location" -> q316_facility_location,
     "q311_semihard_negatives" -> q311_semihard_negatives,
     "q307_knn_reciprocity" -> q307_knn_reciprocity,
@@ -1087,7 +1179,46 @@ object Evaluation {
     * materialize once; each MMR round is one penalty aggregate + one
     * ranked selection, unrolled exactly like the engine's loop.
     */
-  private def mmrSql: String = {
+  private def mmrSql: String = mmrRoundsSql(
+    s"""q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |sq AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
+       |  FROM q JOIN e ON e.vec_id <> q.q_id),
+       |tk AS MATERIALIZED (SELECT q_id, neighbor_id, sim_micro FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM sq) WHERE rk <= $TopK)"""
+      .stripMargin)
+
+  /** Oracle for q325: the q49 seeded-IVF probe chain supplies the
+    * candidate top-k; the MMR rounds replay unchanged on top.
+    */
+  private def twoStageSql: String = mmrRoundsSql(
+    s"""s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+       |      WHERE vec_id < ${Similarity.IvfKSql}),
+       |ad AS (SELECT e.vec_id, e.v, s.cid,
+       |    CAST(ROUND((list_inner_product(e.v, e.v)
+       |      - 2.0 * list_inner_product(e.v, s.cv)
+       |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+       |  FROM e CROSS JOIN s),
+       |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, cid AS probe FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dmicro, cid) AS crank
+       |    FROM ad WHERE vec_id % 50 = 0) WHERE crank <= ${Similarity.IvfProbes}),
+       |cand AS (SELECT qp.q_id, a.vec_id AS neighbor_id,
+       |    CAST(ROUND(list_cosine_similarity(qp.qv, a.v) * 1e6) AS BIGINT) AS sim_micro
+       |  FROM asg a JOIN qp ON a.centroid = qp.probe AND a.vec_id <> qp.q_id),
+       |tk AS MATERIALIZED (SELECT q_id, neighbor_id, sim_micro FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM cand) WHERE rk <= $TopK)"""
+      .stripMargin)
+
+  /** Shared MMR-round unroll: `tkCtes` must define a CTE `tk`
+    * (q_id, neighbor_id, sim_micro) over the embeddings CTE `e`.
+    */
+  private def mmrRoundsSql(tkCtes: String): String = {
     val lam = MmrLamNum
     val rounds = (2 to MmrK).map { r =>
       s"""pen$r AS (SELECT p.q_id, p.a, MAX(p.ps) AS pen
@@ -1106,13 +1237,7 @@ object Evaluation {
         .stripMargin
     }.mkString(",\n")
     s"""WITH $ESql,
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-       |s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
-       |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim_micro
-       |  FROM q JOIN e ON e.vec_id <> q.q_id),
-       |tk AS MATERIALIZED (SELECT q_id, neighbor_id, sim_micro FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-       |      ORDER BY sim_micro DESC, neighbor_id) AS rk FROM s) WHERE rk <= $TopK),
+       |$tkCtes,
        |ps AS MATERIALIZED (SELECT t1.q_id, t1.neighbor_id AS a, t2.neighbor_id AS b,
        |    CAST(ROUND(list_cosine_similarity(e1.v, e2.v) * 1e6) AS BIGINT) AS ps
        |  FROM tk t1 JOIN tk t2 ON t1.q_id = t2.q_id
@@ -1182,8 +1307,23 @@ object Evaluation {
 
   val oracle: Map[String, String] = Map(
     "q318_mmr_rerank" -> mmrSql,
+    "q325_twostage_rerank" -> twoStageSql,
     "q320_bradley_terry" -> btSql,
     "q316_facility_location" -> facilitySql,
+    "q326_calibration_ece" ->
+      s"""WITH d AS (SELECT ${TextAnalysis.QualityBpSql} AS p,
+        |    ${TextAnalysis.QualityGateSql} AS y FROM documents),
+        |b AS (SELECT CAST(LEAST(p // 1000, 9) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM(y) AS BIGINT) AS sy FROM d GROUP BY 1),
+        |g AS (SELECT bin, n,
+        |    CAST(ROUND(CAST(sp AS DOUBLE) / n) AS BIGINT) AS conf_bp,
+        |    CAST(ROUND(10000.0 * sy / n) AS BIGINT) AS acc_bp FROM b),
+        |g2 AS (SELECT *, ABS(conf_bp - acc_bp) AS gap_bp FROM g),
+        |t AS (SELECT CAST(ROUND(CAST(SUM(n * gap_bp) AS DOUBLE) / SUM(n))
+        |    AS BIGINT) AS ece_bp FROM g2)
+        |SELECT bin, n, conf_bp, acc_bp, gap_bp, ece_bp
+        |FROM g2, t ORDER BY bin""".stripMargin,
     "q314_rater_agreement" ->
       """WITH r AS (SELECT
         |    CASE WHEN n_chars < 250 THEN CAST(0 AS BIGINT)
@@ -1384,10 +1524,10 @@ object Evaluation {
         |rvs AS (SELECT a.vec_id, a.centroid,
         |    list_transform(generate_series(1, 64), j -> a.v[j] - s.cv[j]) AS rv
         |  FROM asg a JOIN s ON s.cid = a.centroid),
-        |rs AS (SELECT CAST(vec_id - ${Similarity.PqCodes} AS INT) AS rcid,
+        |rs AS (SELECT CAST(vec_id - ${Similarity.IvfKSql} AS INT) AS rcid,
         |    rv AS rsv FROM rvs
-        |  WHERE vec_id >= ${Similarity.PqCodes}
-        |    AND vec_id < ${2 * Similarity.PqCodes}),
+        |  WHERE vec_id >= ${Similarity.IvfKSql}
+        |    AND vec_id < ${Similarity.IvfKSql} + ${Similarity.PqCodes}),
         |ad2 AS (SELECT r.vec_id, r.centroid, r.rv, rs.rcid,
         |    CAST(ROUND((list_inner_product(r.rv, r.rv)
         |      - 2.0 * list_inner_product(r.rv, rs.rsv)

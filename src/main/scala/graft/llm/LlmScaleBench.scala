@@ -32,10 +32,14 @@ object LlmScaleBench {
   /** Deterministic synthetic corpus with planted near-dups: ids ≡ 1
     * (mod 10) are one-word mutations of their predecessor (3-gram
     * Jaccard ≈ 0.9). Same column shape as the harness `documents`
-    * table; shared by the 20× stress and the sf1.0 bench generator
-    * (replicating REAL docs 10× would make every doc a 10-way
-    * near-dup cluster — superlinear pair output, not a fair scale-up;
-    * planted structure keeps true pairs linear in n).
+    * table; used by the 20× stress ONLY — the sf1.0 bench generator
+    * uses [[graft.Sf1Gen.synthHarnessDocuments]] instead, which holds
+    * the harness corpus's per-doc token distribution constant
+    * (round-14 directive #1: this corpus's ~5 500-token vocabulary vs
+    * the harness's 31 made vocabulary-keyed shuffles grow ×177 with
+    * corpus SHAPE, not size). The wider vocab stays right for the
+    * stress: its detection-rate invariants need long docs and
+    * high-Jaccard mutants.
     */
   def synthDocuments(spark: SparkSession, nDocs: Long, path: String): Unit = {
     import spark.implicits._

@@ -120,6 +120,11 @@ object PlanLint {
     // q321's dro_rank window ranks the |sources|-bounded weight
     // table (same convention); the corpus contributes one scan
     "q321_group_dro" -> Set("single-partition-window"),
+    // q324's cumulative-count window runs over the DISTINCT
+    // nonconformity-value table — bounded by the bp value space
+    // (≤10 001 rows) at ANY corpus size, the q308/q68 value-domain
+    // convention; the corpus contributes one cached scan
+    "q324_conformal_coverage" -> Set("single-partition-window"),
     "q83_ntile_dist" -> Set("single-partition-window"),
     // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table
     "q159_lift_curve" -> Set("single-partition-window"),

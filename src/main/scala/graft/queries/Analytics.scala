@@ -1154,6 +1154,58 @@ object Analytics {
       .orderBy($"source")
   }
 
+  /** q324 — split-conformal prediction coverage (Vovk et al. 2005;
+    * Angelopoulos & Bates 2023 gentle-intro recipe): the
+    * distribution-free CI companion to q323's PPI — calibrate ONE
+    * quantile of a nonconformity score on a held-out slice, then
+    * audit the finite-sample coverage guarantee (≥ 1−α marginally)
+    * per source. Predictor ŷ = the length component of the q21
+    * quality score (5000 + 10·min(tokens,100) bp), gold y = the full
+    * q21 score; nonconformity = |y − ŷ| (the stopword/punctuation
+    * part the cheap predictor can't see). Calibration slice is the
+    * deterministic doc_id % 10 = 3; q̂ = the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest score at α = 0.1, selected EXACTLY by integer rank —
+    * not by sorting rows, but by a cumulative count over the BOUNDED
+    * nonconformity value space (bp scale ⇒ ≤ 10 001 distinct values
+    * at any corpus size, so the one unpartitioned window is
+    * value-bounded by construction, never corpus-bounded). Output:
+    * per-source test coverage at q̂ — the per-slice audit that shows
+    * WHERE the marginal guarantee hides under-coverage. One cached
+    * scan + bounded aggregates; corpora with an empty or too-small
+    * calibration slice (rank beyond n_cal) emit zero rows, never
+    * throw.
+    */
+  def q324_conformal_coverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // cached: calibration quantile + test coverage both consume the
+    // string-heavy quality scan (the q322 convention)
+    val d = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        graft.llm.TextAnalysis.qualityBp($"text").as("y"),
+        (lit(5000L) +
+          least(size(split($"text", " ")).cast("long"), lit(100L)) * 10L)
+          .as("yhat"))
+      .select($"doc_id", $"source", abs($"y" - $"yhat").as("nc"),
+        ($"doc_id" % 10L === 3L).as("cal")))
+    val calN = d.filter($"cal").agg(count(lit(1)).as("n_cal"))
+    // exact order statistic over ≤10 001 value rows (see scaladoc)
+    val cum = d.filter($"cal").groupBy($"nc").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"nc")))
+    val qh = cum.crossJoin(broadcast(calN))
+      .filter($"cum" >= expr("((n_cal + 1) * 9 + 9) div 10"))
+      .agg(min($"nc").as("qhat_bp"), max($"n_cal").as("n_cal"))
+      .filter($"qhat_bp".isNotNull)
+    d.filter(!$"cal").crossJoin(broadcast(qh))
+      .groupBy($"source", $"n_cal", $"qhat_bp")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"nc" <= $"qhat_bp", 1L).otherwise(0L)).as("n_covered"))
+      .select($"source", $"n_cal", $"qhat_bp", $"n_test", $"n_covered",
+        round(lit(10000.0) * $"n_covered" / $"n_test").cast("long")
+          .as("coverage_bp"))
+      .orderBy($"source")
+  }
+
   def q317_bh_fdr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val arms = load(spark, dir, "documents")
@@ -2179,6 +2231,7 @@ object Analytics {
     "q118_ab_ztest" -> q118_ab_ztest,
     "q317_bh_fdr" -> q317_bh_fdr,
     "q323_ppi_estimate" -> q323_ppi_estimate,
+    "q324_conformal_coverage" -> q324_conformal_coverage,
     "q119_conversion_latency" -> q119_conversion_latency,
     "q117_concentration" -> q117_concentration,
     "q115_chi_square" -> q115_chi_square,
@@ -2885,6 +2938,27 @@ object Analytics {
         |    END AS ci_half_micro
         |FROM g ORDER BY source""".stripMargin
     },
+    "q324_conformal_coverage" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |    ${graft.llm.TextAnalysis.QualityBpSql} AS y,
+        |    5000 + LEAST(len(string_split(text, ' ')), 100) * 10 AS yhat
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, ABS(y - yhat) AS nc,
+        |    (doc_id % 10 = 3) AS cal FROM d),
+        |ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM n WHERE cal),
+        |cum AS (SELECT nc, SUM(COUNT(*)) OVER (ORDER BY nc) AS cum
+        |  FROM n WHERE cal GROUP BY nc),
+        |qh AS (SELECT CAST(MIN(nc) AS BIGINT) AS qhat_bp,
+        |    CAST(MAX(n_cal) AS BIGINT) AS n_cal
+        |  FROM cum, ca WHERE cum >= ((n_cal + 1) * 9 + 9) // 10)
+        |SELECT source, n_cal, qhat_bp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN nc <= qhat_bp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN nc <= qhat_bp THEN 1 ELSE 0 END)
+        |    / COUNT(*)) AS BIGINT) AS coverage_bp
+        |FROM n, qh WHERE NOT cal AND qhat_bp IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
     "q317_bh_fdr" ->
       s"""WITH arms AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(${graft.llm.TextAnalysis.QualityGateSql}) AS BIGINT) AS x

@@ -117,7 +117,7 @@ object DegenerateProbe {
     "q199_pq_adc_topk", "q207_cluster_capped_sample", "q227_cluster_purity",
     "q249_ivf_probe_sweep", "q287_ivfpq_topk", "q290_ivf_append_drift",
     "q298_label_noise", "q302_residual_quantization", "q307_knn_reciprocity",
-    "q312_ann_maxsim", "q316_facility_location",
+    "q312_ann_maxsim", "q316_facility_location", "q325_twostage_rerank",
     // trained/greedy seeds with their own named requires
     "q34_ann_ivf", "q289_kcenter_coreset")
 

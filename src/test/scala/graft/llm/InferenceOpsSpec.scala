@@ -61,9 +61,14 @@ class InferenceOpsSpec extends AnyFunSuite {
     val sum = got.values.map(_._3).sum
     assert(math.abs(sum - 1000000L) <= arms.size,
       s"weights must normalize to ~1e6, got $sum")
-    val worst = arms.maxBy(a => (loss(a._1), a._1))._1
-    assert(got(worst)._4 == 1L || loss.values.toSeq.distinct.length == 1,
-      "the worst-loss group must carry dro_rank 1 (unless all losses tie)")
+    // tie-robust: dro_rank 1 must belong to the SET of max-loss sources
+    // (a partial tie on max loss is broken by source name inside the
+    // operator's window; asserting membership avoids replaying that order)
+    val maxLoss = loss.values.max
+    val rank1 = got.collect { case (s, v) if v._4 == 1L => s }
+    assert(rank1.size == 1, s"exactly one dro_rank 1 row expected, got $rank1")
+    assert(loss(rank1.head) == maxLoss,
+      s"dro_rank 1 (${rank1.head}) must be a max-loss group")
   }
 
   test("q322: the reference source keeps everything; probabilities are capped and kept<=n") {

@@ -118,4 +118,57 @@ class PreferenceRankSpec extends AnyFunSuite {
     assert(rows("srcC")._2 == 0L, "srcC must win nothing")
     assert(rows("srcA")._1 > 0L && rows("srcB")._1 > 0L)
   }
+
+  test("q320: gapped ids drop their duel, never mispair across the gap (dense-id contract)") {
+    import spark.implicits._
+    val hi = ("the a of and to in is " * 12).trim
+    val lo = "!!! ??? ;;; ### $$$ %%% &&& ***"
+    // three adjacent (A,B) pairs separated by wide id gaps, plus a
+    // lone trailing id with no successor: exactly 3 duels may form —
+    // (0,1),(100,101),(200,201) — and ids across a gap (1,100) must
+    // NOT pair even though they are consecutive in id order.
+    val docs = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L).map { i =>
+      val (src, text) = if (i % 2 == 0) ("srcA", hi) else ("srcB", lo)
+      (i, src, text, text.length.toLong)
+    }
+    val tmp = TestSpark.tempDir("btgap")
+    docs.toDF("doc_id", "source", "text", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Evaluation.q320_bradley_terry(spark, tmp).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set("srcA", "srcB"))
+    // tuple = (games, wins, pi_micro, bt_rank)
+    assert(rows("srcA")._1 == 3L && rows("srcB")._1 == 3L,
+      s"exactly the 3 intra-gap duels must form (no cross-gap pairs), got $rows")
+    assert(rows("srcA")._2 == 3L && rows("srcB")._2 == 0L,
+      s"srcA (stopword-rich) wins every duel, got $rows")
+    assert(rows("srcA")._4 == 1L && rows("srcB")._4 == 2L)
+  }
+
+  test("q325: reranks ONLY the IVF-probed candidates; rank 1 is their relevance argmax; list sizes and distinctness hold") {
+    val stage1 = Similarity.q49_ivf_seeded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // q_id, neighbor, sim
+    graft.Caches.releaseAll()
+    Similarity.releaseShared()
+    val got = Evaluation.q325_twostage_rerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // q_id, rank, neighbor
+    graft.Caches.releaseAll()
+    Similarity.releaseShared()
+    assert(got.nonEmpty)
+    val candSet = stage1.groupBy(_._1).map { case (q, g) =>
+      q -> g.map(_._2).toSet }
+    got.groupBy(_._1).foreach { case (q, g) =>
+      // stage 2 must be a pure rerank of stage 1's bounded candidates
+      assert(g.map(_._3).toSet.subsetOf(candSet(q)),
+        s"q $q reranked a non-candidate")
+      assert(g.length == math.min(Evaluation.MmrK, candSet(q).size),
+        s"q $q list size")
+      assert(g.map(_._3).distinct.length == g.length, s"q $q duplicates")
+      // round 1 is pure relevance: max sim, neighbor-id tie-break
+      val best = stage1.filter(_._1 == q).maxBy(c => (c._3, -c._2))
+      assert(g.find(_._2 == 1L).get._3 == best._2, s"q $q rank-1 pick")
+    }
+  }
 }

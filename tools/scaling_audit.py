@@ -219,7 +219,17 @@ def main():
             # vacuously. Judge the wall (floor wall when measured).
             w0 = a.get("wall", -1)
             w1 = wall_floors.get(q, b.get("wall", -1))
-            wr = (w1 / w0) if w0 and w0 > 0 else 0.0
+            if not w0 or w0 <= 0:
+                # No usable sf0.1 wall baseline: the backstop cannot
+                # judge this row. A distinct verdict (never a silent
+                # 'linear') so a null-actuals query without a wall
+                # baseline can't pass vacuously.
+                entry["wall_backstop_ratio"] = None
+                entry["verdict"] = "NO_WALL_BASELINE"
+                flagged.append(q)
+                rows[q] = entry
+                continue
+            wr = w1 / w0
             entry["wall_backstop_ratio"] = round(wr, 2)
             if wr > WALL_BACKSTOP:
                 if q in WALL_ALLOWLIST:

@@ -11,8 +11,30 @@ import pandas as pd
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # optional: comma-separated query-name filter (substring match) to
-# spot-check single queries without the slow all-pairs oracles
+# spot-check single queries without the slow all-pairs oracles.
+# Entries of the form ">=NNN" auto-enroll every query whose qid is
+# >= NNN (round-14 directive #2: every operator added in round N joins
+# the sf1.0 named sample in round N — pass ">=318" alongside the named
+# list and new queries can never silently miss their at-scale point).
 only = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] else None
+min_qids = []
+if only:
+    min_qids = [int(e[2:]) for e in only if e.startswith(">=")]
+    only = [e for e in only if not e.startswith(">=")] or None
+
+
+def qid_of(name: str) -> int:
+    import re
+    m = re.match(r"q(\d+)_", name)
+    return int(m.group(1)) if m else -1
+
+
+def selected(name: str) -> bool:
+    if not min_qids and only is None:
+        return True
+    if min_qids and qid_of(name) >= min(min_qids):
+        return True
+    return bool(only) and any(f in name for f in only)
 # optional 4th arg: comma-separated EXCLUDE substrings — for the sf0.1
 # sweep, where the deliberately-O(n²) all-pairs oracles are intractable
 # but everything else should replay
@@ -71,7 +93,7 @@ fails = 0
 skips = 0
 oks = 0
 for name in sorted(oracle):
-    if only and not any(f in name for f in only):
+    if not selected(name):
         continue
     if any(e and e in name for e in exclude):
         print(f"SKIP {name} (excluded)")

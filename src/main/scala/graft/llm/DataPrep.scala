@@ -1813,6 +1813,57 @@ object DataPrep {
     kept.orderBy($"source", $"bin")
   }
 
+  /** q328 — 1-D earth mover's distance between quality distributions
+    * (Wasserstein-1 via the closed form W₁ = Σ|F_s − F_ref| over the
+    * ordered bins): HOW FAR each source's quality distribution sits
+    * from the reference source's, in quality-bin units — the
+    * magnitude statistic the existence tests don't give (q135 KS =
+    * max gap, q208 TV = unordered mass diff; EMD respects the ORDER
+    * of the quality axis, so "all mass one bin low" scores less than
+    * "all mass ten bins low"). The natural companion readout to
+    * q322's quantile matching: it measures exactly the distance q322
+    * then removes, against the same src0 reference and the same
+    * [[QmBinBp]] bins. Exact integers end-to-end: CDF gaps
+    * cross-multiply (|cum_s·n_ref − cum_ref·n_s|), one milli-rounded
+    * closing division; at 100 TB promote the two products to
+    * decimal(38,0), the q208 note. One scan to a |sources|·11 grid;
+    * the per-source cumulative window is 11 rows per group by
+    * construction. Corpora without the reference source emit zero
+    * rows, never throw.
+    */
+  def q328_emd_quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"source",
+        (TextAnalysis.qualityBp($"text") / QmBinBp).cast("long").as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("c")))
+    // dense 0..10 grid per source: missing bins carry zero mass but
+    // still propagate the running CDF gap
+    val grid = hist.select($"source").distinct()
+      .select($"source", explode(sequence(lit(0L), lit(10L))).as("bin"))
+    val cum = graft.Caches.tracked(grid
+      .join(hist, Seq("source", "bin"), "left")
+      .select($"source", $"bin", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"bin"))))
+    val tot = cum.filter($"bin" === 10L).select($"source", $"cum".as("ns"))
+    val ref = cum.filter($"source" === "src0")
+      .select($"bin", $"cum".as("rcum"))
+    val nr = tot.filter($"source" === "src0").select($"ns".as("nr"))
+    cum.filter($"bin" <= 9L)
+      .join(broadcast(ref), "bin")
+      .join(broadcast(tot), "source")
+      .crossJoin(broadcast(nr))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_docs"), max($"nr").as("n_ref"),
+        sum(abs($"cum" * $"nr" - $"rcum" * $"ns")).as("a"))
+      .select($"source", $"n_docs",
+        round(lit(1000.0) * $"a" / ($"n_docs" * $"n_ref")).cast("long")
+          .as("emd_milli"))
+      .orderBy($"source")
+  }
+
   /** q223 — context-window truncation loss: per source, the token
     * mass and document count lost if every document is cut at a
     * 48-token window (sized to this corpus's ~55-token mean; a
@@ -1957,6 +2008,7 @@ object DataPrep {
     "q319_ips_offpolicy" -> q319_ips_offpolicy,
     "q321_group_dro" -> q321_group_dro,
     "q322_quantile_match" -> q322_quantile_match,
+    "q328_emd_quality" -> q328_emd_quality,
     "q223_truncation_loss" -> q223_truncation_loss,
     "q224_dp_noisy_topk" -> q224_dp_noisy_topk,
     "q218_ngram_novelty" -> q218_ngram_novelty,
@@ -2104,6 +2156,26 @@ object DataPrep {
         |FROM arms a JOIN p$DroIters pf ON pf.source = a.source
         |ORDER BY a.source""".stripMargin
     },
+    "q328_emd_quality" ->
+      s"""WITH d AS (SELECT source,
+        |    ${TextAnalysis.QualityBpSql} // $QmBinBp AS bin FROM documents),
+        |h AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |grid AS (SELECT s.source, t.b AS bin
+        |  FROM (SELECT DISTINCT source FROM h) s, generate_series(0, 10) t(b)),
+        |cum AS (SELECT g.source, g.bin,
+        |    CAST(SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.source
+        |      ORDER BY g.bin) AS BIGINT) AS cum
+        |  FROM grid g LEFT JOIN h ON h.source = g.source AND h.bin = g.bin),
+        |tot AS (SELECT source, cum AS ns FROM cum WHERE bin = 10),
+        |ref AS (SELECT bin, cum AS rcum FROM cum WHERE source = 'src0'),
+        |nr AS (SELECT ns AS nr FROM tot WHERE source = 'src0')
+        |SELECT c.source, MAX(t.ns) AS n_docs,
+        |  CAST(ROUND(1000.0 * SUM(ABS(c.cum * nr.nr - r.rcum * t.ns))
+        |    / (MAX(t.ns) * MAX(nr.nr))) AS BIGINT) AS emd_milli
+        |FROM cum c JOIN ref r ON r.bin = c.bin
+        |  JOIN tot t ON t.source = c.source CROSS JOIN nr
+        |WHERE c.bin <= 9 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q322_quantile_match" ->
       s"""WITH d AS (SELECT doc_id, source,
         |    ${TextAnalysis.QualityBpSql} // $QmBinBp AS bin

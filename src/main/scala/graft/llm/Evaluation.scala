@@ -620,6 +620,68 @@ object Evaluation {
       .orderBy($"cid")
   }
 
+  /** q327 — Davies–Bouldin cluster-validity index (Davies & Bouldin
+    * 1979): the LABEL-FREE internal-validity statistic beside the
+    * labeled purity (q227), hubness (q222) and reciprocity (q307)
+    * audits — per cluster, the worst (scatter_i + scatter_j) /
+    * separation(i,j) ratio over all other clusters; a high row means
+    * that list overlaps a neighbor and ANN probes will leak across
+    * the boundary. Clusters are the oracle-verified seeded quantizer
+    * (q49 convention); scatter is the mean member→centroid L2
+    * distance with every member's sqrt micro-rounded BEFORE the mean
+    * (exact long sums, one closing division); centroid separations
+    * and the final max run on the DRIVER over the bounded k-row
+    * scatter table + k seed vectors (codebook-seed posture, ≤1024²
+    * 64-dim dots — driver metadata by definition). One corpus scan;
+    * clusters emptied by duplicate seeds simply have no row, and a
+    * single-cluster corpus reports NULL db_micro (no neighbor),
+    * never throws.
+    */
+  def q327_davies_bouldin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (seeds, assigned) = Similarity.seededAssignment(emb)
+    val cvArr = array(seeds.map(s =>
+      array(s._2.map(lit).toIndexedSeq: _*)): _*)
+    val withC = assigned.withColumn("cv", element_at(cvArr, $"centroid" + 1))
+    val d2 = dot($"v", $"v") - lit(2.0) * dot($"v", $"cv") + dot($"cv", $"cv")
+    val scatter = withC
+      .withColumn("d", round(sqrt(greatest(d2, lit(0.0))) * 1e6).cast("long"))
+      .groupBy($"centroid".cast("long").as("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"d").cast("double") / count(lit(1))).cast("long")
+          .as("s_micro"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap // bounded: ≤ k rows (codebook-seed posture)
+    def halfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val seedMap = seeds.map { case (cid, c) => cid.toLong -> c }.toMap
+    def sepMicro(i: Long, j: Long): Long = {
+      val (a, b) = (seedMap(i), seedMap(j))
+      halfUp(math.sqrt(math.max(
+        dotL(a, a) - 2.0 * dotL(a, b) + dotL(b, b), 0.0)) * 1e6)
+    }
+    val cids = scatter.keys.toSeq.sorted
+    val rows = cids.map { i =>
+      val (n, si) = scatter(i)
+      val ratios = cids.filter(_ != i).map { j =>
+        halfUp(1e6 * (si + scatter(j)._2).toDouble
+          / math.max(sepMicro(i, j), 1L).toDouble)
+      }
+      (i, n, si,
+        if (ratios.isEmpty) None else Some(ratios.max): Option[Long])
+    }
+    rows.toDF("cid", "n", "s_micro", "db_micro").orderBy($"cid")
+  }
+
   /** q311 — semi-hard negative mining (Schroff et al. 2015, FaceNet):
     * the negative that is CLOSER than margin-random but still farther
     * than the positive — sim(a,n) < sim(a,p) — the regime that trains
@@ -1058,6 +1120,7 @@ object Evaluation {
     "q316_facility_location" -> q316_facility_location,
     "q311_semihard_negatives" -> q311_semihard_negatives,
     "q307_knn_reciprocity" -> q307_knn_reciprocity,
+    "q327_davies_bouldin" -> q327_davies_bouldin,
     "q296_geometric_median" -> q296_geometric_median,
     "q298_label_noise" -> q298_label_noise,
     "q300_maxsim_retrieval" -> q300_maxsim_retrieval,
@@ -1479,6 +1542,40 @@ object Evaluation {
         |  pos.pos_sim_micro - shn.semihard_sim_micro AS margin_micro
         |FROM pos LEFT JOIN shn ON shn.q_id = pos.q_id
         |ORDER BY pos.q_id""".stripMargin,
+    "q327_davies_bouldin" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
+        |ad AS (SELECT e.vec_id, e.v, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, v, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |sc AS (SELECT a.centroid, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ROUND(CAST(SUM(CAST(ROUND(SQRT(GREATEST(
+        |      list_inner_product(a.v, a.v)
+        |      - 2.0 * list_inner_product(a.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv), 0.0)) * 1e6) AS BIGINT))
+        |      AS DOUBLE) / COUNT(*)) AS BIGINT) AS s_micro
+        |  FROM asg a JOIN s ON s.cid = a.centroid GROUP BY 1),
+        |m AS (SELECT s1.cid AS i, s2.cid AS j,
+        |    CAST(ROUND(SQRT(GREATEST(list_inner_product(s1.cv, s1.cv)
+        |      - 2.0 * list_inner_product(s1.cv, s2.cv)
+        |      + list_inner_product(s2.cv, s2.cv), 0.0)) * 1e6) AS BIGINT)
+        |      AS m_micro
+        |  FROM s s1 JOIN s s2 ON s1.cid <> s2.cid),
+        |db AS (SELECT sc1.centroid AS cid,
+        |    MAX(CAST(ROUND(1e6 * (sc1.s_micro + sc2.s_micro)
+        |      / GREATEST(m.m_micro, 1)) AS BIGINT)) AS db_micro
+        |  FROM sc sc1 JOIN m ON m.i = sc1.centroid
+        |  JOIN sc sc2 ON sc2.centroid = m.j GROUP BY 1)
+        |SELECT CAST(sc.centroid AS BIGINT) AS cid, sc.n, sc.s_micro,
+        |  db.db_micro
+        |FROM sc LEFT JOIN db ON db.cid = sc.centroid
+        |ORDER BY cid""".stripMargin,
     "q307_knn_reciprocity" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e

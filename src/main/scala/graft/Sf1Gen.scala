@@ -89,7 +89,15 @@ object Sf1Gen {
           words(j) = vocab(((h >>> 33) % vocab.length).toInt)
           j += 1
         }
-        if (isDup) words((id % n).toInt) = "dup"
+        // the harness convention: `dup` REPLACES THE LAST token
+        // (measured: 246/250 sf0.1 dup docs end in `dup`), so a
+        // planted pair differs in exactly ONE 3-gram shingle —
+        // J = (s−1)/(s+1) ≥ 0.78 even for the shortest docs, inside
+        // the 16×4 banding's ~certain-recall region. A mid-doc
+        // replacement alters 3 shingles and pushes 10-token pairs to
+        // J ≈ 0.54, where banded LSH recall is ~0.76 and the exact
+        // oracle visibly diverges (found live at sf1.0, round 15).
+        if (isDup) words(n - 1) = "dup"
         val lm = (id % 34).toInt
         val lang =
           if (lm < 14) "en" else if (lm < 19) "de"

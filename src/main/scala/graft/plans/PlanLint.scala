@@ -123,8 +123,11 @@ object PlanLint {
     // q324's cumulative-count window runs over the DISTINCT
     // nonconformity-value table — bounded by the bp value space
     // (≤10 001 rows) at ANY corpus size, the q308/q68 value-domain
-    // convention; the corpus contributes one cached scan
-    "q324_conformal_coverage" -> Set("single-partition-window"),
+    // convention; the corpus contributes one cached scan. Its
+    // n_cal/q̂ scalars attach as 1-row broadcast cross joins (the
+    // q317 totals/kstar convention)
+    "q324_conformal_coverage" ->
+      Set("single-partition-window", "cartesian-product"),
     "q83_ntile_dist" -> Set("single-partition-window"),
     // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table
     "q159_lift_curve" -> Set("single-partition-window"),

@@ -759,6 +759,15 @@ object Analytics {
       .select($"event_type",
         (epochS($"ts") / lit(86400L)).cast("long").as("x"),
         cents($"value").as("y"))
+    // cross products n·sxx, sx², n·sxy, sx·sy exceed int64 at ~5e5
+    // rows/group (x ≈ 19 700 days: n·sxx ≈ 9.7e19 — overflowed live
+    // at sf1.0, round 15): the q40 treatment — exact decimal(38,0)
+    // products, double only for the two closing divides (both
+    // engines cast the SAME exact integer, so the doubles agree)
+    val d = ($"n".cast("decimal(38,0)") * $"sxx" -
+      $"sx".cast("decimal(38,0)") * $"sx")
+    val num = ($"n".cast("decimal(38,0)") * $"sxy" -
+      $"sx".cast("decimal(38,0)") * $"sy")
     ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
@@ -767,13 +776,13 @@ object Analytics {
       // intercept instead of an ANSI division error (degenerate-probe
       // finding; mirrored in the oracle)
       .select($"event_type", $"n",
-        when($"n" * $"sxx" - $"sx" * $"sx" =!= 0L,
-          round(lit(1e6) * ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-            ($"n" * $"sxx" - $"sx" * $"sx")).cast("long"))
+        when(d =!= 0,
+          round(lit(1e6) * num.cast("double") / d.cast("double"))
+            .cast("long"))
           .otherwise(0L).as("slope_e6"),
-        when($"n" * $"sxx" - $"sx" * $"sx" =!= 0L,
-          round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-            ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").cast("long"))
+        when(d =!= 0,
+          round(($"sy" - num.cast("double") / d.cast("double") * $"sx")
+            / $"n").cast("long"))
           .otherwise(round($"sy".cast("double") / $"n").cast("long"))
           .as("intercept_cents"))
       .orderBy($"event_type")
@@ -3076,17 +3085,21 @@ object Analytics {
         |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
         |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
-        |      FROM ev GROUP BY 1)
+        |      FROM ev GROUP BY 1),
+        |s2 AS (SELECT event_type, n, sx, sy,
+        |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS d
+        |      FROM s)
         |SELECT event_type, n,
-        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
-        |    CAST(ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / (n * sxx - sx * sx)) AS BIGINT) ELSE 0 END AS slope_e6,
-        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
-        |    CAST(ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / (n * sxx - sx * sx) * sx) / n) AS BIGINT)
+        |  CASE WHEN d <> 0 THEN
+        |    CAST(ROUND(1e6 * CAST(num AS DOUBLE)
+        |      / CAST(d AS DOUBLE)) AS BIGINT) ELSE 0 END AS slope_e6,
+        |  CASE WHEN d <> 0 THEN
+        |    CAST(ROUND((sy - CAST(num AS DOUBLE)
+        |      / CAST(d AS DOUBLE) * sx) / n) AS BIGINT)
         |  ELSE CAST(ROUND(CAST(sy AS DOUBLE) / n) AS BIGINT)
         |  END AS intercept_cents
-        |FROM s ORDER BY event_type""".stripMargin,
+        |FROM s2 ORDER BY event_type""".stripMargin,
     "q105_week_over_week" ->
       """WITH wk AS (SELECT event_type,
         |    CAST(FLOOR(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s,

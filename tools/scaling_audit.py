@@ -40,17 +40,18 @@ import json
 import sys
 
 AUDIT_KEYS = ("stage_in_recs", "stage_in_bytes", "shuffle_recs", "scan_rows")
-# Per-metric growth thresholds for 10x table rows. Row-shaped metrics
-# get 12 (10x + partition/boundary slack). Byte- and shuffle-record
-# metrics get 18 because the sf1.0 documents corpus is SYNTHESIZED
-# (LlmScaleBench planted structure), not replicated, and its per-doc
-# shape is larger than the sf0.1 harness corpus - measured growth:
-# doc rows x10.0, total chars x12.75 (avg doc 297 -> 379 chars),
-# total tokens x14.67 (54 -> 79 tokens/doc). A token- or char-stream
-# operator therefore grows ~13-15x while being exactly row-linear.
+# Per-metric growth thresholds for 10x table rows. Since round 15 the
+# sf1.0 documents corpus is HARNESS-SHAPED (Sf1Gen.synthHarnessDocuments:
+# same 31-token vocabulary, same 10..100 token/doc distribution, same
+# 5% planted near-dup rate) so every axis grows ~10x together -
+# measured: doc rows x10.000, total chars x10.14, total tokens x10.16,
+# distinct bigrams 931 -> 960 (~constant). Row-shaped metrics get 12
+# (10x + partition/boundary slack); byte and shuffle-record metrics get
+# 13 (the extra point covers parquet encoding differences across more
+# files and AQE partition-count effects, no longer corpus shape).
 THRESHOLDS = {"stage_in_recs": 12.0, "scan_rows": 12.0,
-              "stage_in_bytes": 18.0, "shuffle_recs": 18.0}
-DATA_GROWTH = {"table_rows": 10.0, "doc_chars": 12.75, "doc_tokens": 14.67}
+              "stage_in_bytes": 13.0, "shuffle_recs": 13.0}
+DATA_GROWTH = {"table_rows": 10.0, "doc_chars": 10.14, "doc_tokens": 10.16}
 # Floor below which a ratio is meaningless (a 12-row -> 200-row
 # growth is boundary noise, not a scale signal).
 MIN_BASE = {"stage_in_recs": 100_000, "stage_in_bytes": 10_000_000,
@@ -111,8 +112,34 @@ ALLOWLIST = {
     # as id-successor chains. Their candidate streams are measured-
     # linear; an unlisted regression fails this audit.
     "q227_pq_opq_recall": "PQ recall eval vs the exact denominator",
-    "q242_lsh_band_planner": "pair-probability curve over the exact q73 pair set (tuning table)",
-    "q234_lsh_recall_curve": "recall curve over the exact q73 pair set (tuning table)",
+    "q242_lsh_band_planner": "pair-probability curve over the exact q73 pair set (tuning table; inherits q73's closed-shingle-universe candidate saturation)",
+    "q234_lsh_recall_curve": "recall curve over the exact q73 pair set (tuning table; inherits q73's closed-shingle-universe candidate saturation)",
+    # closed-shingle-universe pair saturation (see module comment):
+    # candidate stream ~N^2 on a saturated ~30k 3-gram space, true-pair
+    # OUTPUT exactly linear (2,500 planted pairs at sf1.0, verified)
+    "q73_prefix_jaccard": "exact J>=0.5 prefix-filter join on the closed ~30k-shingle harness universe: shingle df grows with N so candidate buckets saturate toward N^2 pairs while the output stays the linear planted-pair set; open-vocab text keeps prefix selectivity, banded LSH (q23) is the recall-tolerant scale path and measures linear here",
+    "q165_score_calibration": "consumes the exact q73 pair set (calibration labels must be recall-independent) - inherits the closed-shingle-universe candidate saturation",
+    "q220_source_dedup_matrix": "consumes the exact q73 pair set (cross-source matrix must be recall-independent) - inherits the closed-shingle-universe candidate saturation",
+    # saturating partial-aggregate key spaces (see module comment):
+    # shuffle rows = partitions x per-partition-distinct over a FIXED
+    # <=~30k key space; x13-16 at the sf0.1->sf1.0 transition, then
+    # capped at partitions x |keyspace| forever
+    "q53_tfidf_keywords": "per-partition distinct (token,doc-bucket) partial-agg keys saturate the fixed 31-token vocabulary between scales; bounded above by partitions x keyspace",
+    "q75_ngram_topk": "per-partition distinct 3-grams saturate the fixed <=29,791-gram space (27k -> 437k shuffle rows = 32 partitions x ~13.7k distinct each, within 2x of the hard cap); zero further growth with N",
+    "q212_distinct_ngrams": "per-partition distinct (source, n-gram) partial-agg keys saturate the fixed gram space between scales; bounded above by partitions x keyspace",
+    "q214_soft_dedup": "per-partition distinct shingle-bucket partial-agg keys saturate the fixed ~30k shingle space between scales; bounded above by partitions x keyspace",
+    # probe-scaling ANN family: corpus-derived index knobs grow with N
+    # by design (ivfK = ceil(N/128) clamped [16,1024]; lshPlanes targets
+    # constant bucket occupancy), so probe-side streams carry a k(N) or
+    # p(N) factor that is logarithmic-or-capped, never quadratic
+    "q27_ann_lsh": "multiprobe candidate stream is |q| x probes(p) x occupancy with p = lshPlanes(N) growing logarithmically (8 -> 12 here): x15 for x10 data is the documented log-probe factor, capped at LshMaxPlanes=24",
+    "q312_ann_maxsim": "probe RANKING stream is |q| x ivfK(N) rows per query part (k = 16 -> 157 with constant-occupancy lists); grows until the IvfTrainCap=1024 clamp then linear forever; the candidate stream itself is |q| x probes x occupancy, linear",
+    # iterative graph family: shuffle records EXACTLY linear (q87
+    # 20,032 -> 200,032 = rounds x nodes); only localCheckpoint block
+    # bytes exceed the byte threshold (x13.1 for x10 rows) from
+    # serialization framing at larger partitions
+    "q107_bfs_hops": "fixed-round BFS over the memoized edge list: shuffle records sub-linear (x7.8), stage bytes x13.1 from localCheckpoint block framing at larger partitions - rows are the scale truth",
+    "q87_pagerank": "fixed-round PageRank over the memoized edge list: shuffle records exactly x10 (20,032 -> 200,032 = rounds x nodes), stage bytes x13.1 from localCheckpoint block framing - rows are the scale truth",
     "q289_kcenter_coreset": "greedy farthest-point: rounds x corpus scans; corpus 10x and round count fixed",
     "q302_residual_quantization": "two-level codebook assignment over 10x corpus with fixed codebooks - argmin cost linear, flag only via pair joins",
     "q296_geometric_median": "Weiszfeld iterations x corpus (fixed iteration count, corpus 10x)",
@@ -121,29 +148,28 @@ ALLOWLIST = {
     "q02_scalar_funcs": "global orderBy adds a range-partitioning sampling scan; pass count 2->3 under AQE re-plan at the larger input - constant-factor scan repetition, each pass exactly 10x",
 }
 
-# Vocabulary-keyed operators: shuffle/cache volume is linear in the
-# number of DISTINCT tokens / n-grams / shingles, and the two corpora
-# differ qualitatively there BY CONSTRUCTION - the sf0.1 harness
-# corpus draws from a 31-token vocabulary (931 distinct bigrams,
-# measured), while the synthesized sf1.0 corpus draws from ~5500
-# tokens (260k distinct bigrams): x177 vocabulary / x279 bigram-space
-# growth for 10x docs. An operator keyed on vocabulary is exactly
-# linear in its key space; the growth is corpus shape, not plan
-# shape. (The sketch layer proves its own bound here: q58's shuffle
-# stays register-capped at ~10.4k rows and q59's at 65,536 = the CMS
-# table width, at BOTH scales - only their distinct-gram INPUT grew.)
-VOCAB_KEYED = {
-    "q53_tfidf_keywords", "q55_containment", "q58_hll_distinct",
-    "q59_cms_heavy_hitters", "q73_prefix_jaccard", "q75_ngram_topk",
-    "q82_hash_embedding", "q112_rare_bigram_rate",
-    "q165_score_calibration", "q212_distinct_ngrams", "q214_soft_dedup",
-    "q220_source_dedup_matrix", "q233_term_burstiness",
-}
-VOCAB_WHY = ("shuffle/cache keyed on vocabulary terms (distinct n-grams/"
-             "shingles): distinct tokens grew x177 and distinct bigrams "
-             "x279 between the 31-token sf0.1 harness corpus and the "
-             "~5500-token synthesized sf1.0 corpus - linear in key space, "
-             "corpus shape not plan shape")
+# ROUND 15: the x177-vocabulary VOCAB_KEYED family is RETIRED. The
+# sf1.0 corpus is now harness-shaped (Sf1Gen.synthHarnessDocuments),
+# so vocabulary-keyed key spaces are IDENTICAL at both scales and the
+# operators that only grew with vocabulary (q55/q58/q59/q82/q112/
+# q233/...) measure LINEAR with no allowlist row. What remains on the
+# closed 31-token vocabulary are two honest corpus-shape mechanisms,
+# named per query in ALLOWLIST below:
+#  - SATURATING PARTIAL-AGG KEYS (q53/q75/q212/q214): shuffle rows =
+#    partitions x per-partition-distinct keys over a FIXED key space
+#    (<=31-token vocab -> <=~30k n-grams/shingles); per-partition
+#    distincts saturate toward |keyspace| between sf0.1 and sf1.0
+#    (x13-16 at this transition), then CAP at partitions x |keyspace|
+#    - bounded above by construction, zero further growth as N->inf.
+#  - SHINGLE-UNIVERSE PAIR SATURATION (q73 and its exact-pair
+#    consumers q165/q220/q234): the exact J>=0.5 prefix-filter join's
+#    candidate buckets key on shingle hashes whose df grows with N
+#    when the shingle universe is closed (~30k possible 3-grams), so
+#    candidate pairs grow toward N^2 while the TRUE-PAIR OUTPUT stays
+#    exactly linear (2,500 = the planted pairs at sf1.0, verified).
+#    Open-vocabulary text keeps prefix selectivity (df of rare
+#    shingles stays O(1)); the recall-tolerant scale path is banded
+#    LSH (q23), which measures LINEAR on this same corpus.
 
 
 def last_json_line(path):
@@ -206,10 +232,6 @@ def main():
             if q in ALLOWLIST:
                 entry["verdict"] = "super_linear_by_design"
                 entry["why"] = ALLOWLIST[q]
-                allowed.append(q)
-            elif q in VOCAB_KEYED:
-                entry["verdict"] = "vocab_keyed_data_shape"
-                entry["why"] = VOCAB_WHY
                 allowed.append(q)
             else:
                 entry["verdict"] = "SUPER_LINEAR_UNEXPLAINED"

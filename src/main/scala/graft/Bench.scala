@@ -145,7 +145,7 @@ object Bench {
     // code-level explanation. Baseline defaults to the committed
     // quiet record; override with SPARK_GRAFT_BENCH_BASELINE.
     val baselinePath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r12.json")
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r14.json")
     val attribution: String = try {
       val src = scala.io.Source.fromFile(baselinePath)
       val line =

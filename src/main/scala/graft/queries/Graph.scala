@@ -741,10 +741,15 @@ object Graph {
         |SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_parts
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_market_basket" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      // li/ab MATERIALIZED: li feeds three consumers (n, pc, both
+      // join sides of ab) — unmaterialized, DuckDB re-inlines the
+      // DISTINCT scan per reference and the replay exceeded a 300 s
+      // budget at sf1.0; materialized it runs in ~3 s (the q320
+      // exponential-inlining lesson). Result set identical.
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT o) AS c FROM li),
         |pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM li GROUP BY 1),
-        |ab AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |ab AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
         |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
         |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
         |SELECT pa, pb, n_ab,

@@ -35,7 +35,18 @@ object Bench {
     // walls wobbled ±0.9 s and every regression audit needed per-query
     // floor adjudication; the second pass deletes that step. Override
     // with SPARK_GRAFT_BENCH_REPS=1 for quick iteration.
-    var reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Defensive parse: a malformed or non-positive SPARK_GRAFT_BENCH_REPS
+    // must not crash the bench (or silently run zero reps) — fall back
+    // to the min-of-2 default and say so on stderr.
+    var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
+      case None => 2
+      case Some(v) =>
+        scala.util.Try(v.trim.toInt).toOption.filter(_ >= 1).getOrElse {
+          System.err.println(
+            s"SPARK_GRAFT_BENCH_REPS='$v' is not a positive int; using 2")
+          2
+        }
+    }
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {

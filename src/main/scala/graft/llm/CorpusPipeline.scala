@@ -97,13 +97,10 @@ object CorpusPipeline {
         |      FROM documents),
         |s AS (SELECT * FROM q WHERE quality_bp >= $QualityThresholdBp),
         |e AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM s),
-        |ek AS (SELECT * FROM e WHERE doc_id = keep_id),
-        |d AS (SELECT doc_id, ${Dedup.Shingle3Sql} AS sh FROM ek),
-        |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-        |p AS (SELECT DISTINCT b.doc_id AS doc_b
-        |      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |      WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |                  / len(list_distinct(a.sh || b.sh))) >= 5000),
+        |ek AS MATERIALIZED (SELECT * FROM e WHERE doc_id = keep_id),
+        |${Dedup.gramIxOver("ek")},
+        |p AS (SELECT DISTINCT db AS doc_b FROM ix
+        |      WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000),
         |kept AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_curated FROM ek
         |         WHERE doc_id NOT IN (SELECT doc_b FROM p))
         |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
@@ -119,13 +116,10 @@ object CorpusPipeline {
         |    ${TextAnalysis.QualityBpSql} AS quality_bp FROM documents),
         |  s AS (SELECT * FROM q WHERE quality_bp >= $QualityThresholdBp),
         |  e AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM s),
-        |  ek AS (SELECT * FROM e WHERE doc_id = keep_id),
-        |  d AS (SELECT doc_id, ${Dedup.Shingle3Sql} AS sh FROM ek),
-        |  d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-        |  p AS (SELECT DISTINCT b.doc_id AS doc_b
-        |        FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
-        |        WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |                    / len(list_distinct(a.sh || b.sh))) >= 5000)
+        |  ek AS MATERIALIZED (SELECT * FROM e WHERE doc_id = keep_id),
+        |  ${Dedup.gramIxOver("ek")},
+        |  p AS (SELECT DISTINCT db AS doc_b FROM ix
+        |        WHERE ROUND(10000.0 * i / (la + lb - i)) >= 5000)
         |SELECT doc_id, lang, source, quality_bp FROM ek
         |WHERE doc_id NOT IN (SELECT doc_b FROM p)
         |ORDER BY doc_id""".stripMargin)

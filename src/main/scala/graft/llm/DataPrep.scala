@@ -1825,8 +1825,12 @@ object DataPrep {
     * then removes, against the same src0 reference and the same
     * [[QmBinBp]] bins. Exact integers end-to-end: CDF gaps
     * cross-multiply (|cum_s·n_ref − cum_ref·n_s|), one milli-rounded
-    * closing division; at 100 TB promote the two products to
-    * decimal(38,0), the q208 note. One scan to a |sources|·11 grid;
+    * closing division; ALL THREE cross products (the two CDF gaps
+    * AND the n_docs·n_ref denominator) are exact decimal(38,0) /
+    * HUGEINT so nothing overflows int64 at ~3e9 docs/side — the q104
+    * treatment, doubles only in the one closing division with an
+    * identical expression tree on both engines. One scan to a
+    * |sources|·11 grid;
     * the per-source cumulative window is 11 rows per group by
     * construction. Corpora without the reference source emit zero
     * rows, never throw.
@@ -1857,10 +1861,12 @@ object DataPrep {
       .crossJoin(broadcast(nr))
       .groupBy($"source")
       .agg(max($"ns").as("n_docs"), max($"nr").as("n_ref"),
-        sum(abs($"cum" * $"nr" - $"rcum" * $"ns")).as("a"))
+        sum(abs($"cum".cast("decimal(38,0)") * $"nr" -
+          $"rcum".cast("decimal(38,0)") * $"ns")).as("a"))
       .select($"source", $"n_docs",
-        round(lit(1000.0) * $"a" / ($"n_docs" * $"n_ref")).cast("long")
-          .as("emd_milli"))
+        round(lit(1000.0) * $"a".cast("double") /
+          ($"n_docs".cast("decimal(38,0)") * $"n_ref").cast("double"))
+          .cast("long").as("emd_milli"))
       .orderBy($"source")
   }
 
@@ -2171,8 +2177,10 @@ object DataPrep {
         |ref AS (SELECT bin, cum AS rcum FROM cum WHERE source = 'src0'),
         |nr AS (SELECT ns AS nr FROM tot WHERE source = 'src0')
         |SELECT c.source, MAX(t.ns) AS n_docs,
-        |  CAST(ROUND(1000.0 * SUM(ABS(c.cum * nr.nr - r.rcum * t.ns))
-        |    / (MAX(t.ns) * MAX(nr.nr))) AS BIGINT) AS emd_milli
+        |  CAST(ROUND(1000.0 * CAST(SUM(ABS(CAST(c.cum AS HUGEINT) * nr.nr
+        |      - CAST(r.rcum AS HUGEINT) * t.ns)) AS DOUBLE)
+        |    / CAST(CAST(MAX(t.ns) AS HUGEINT) * MAX(nr.nr) AS DOUBLE))
+        |    AS BIGINT) AS emd_milli
         |FROM cum c JOIN ref r ON r.bin = c.bin
         |  JOIN tot t ON t.source = c.source CROSS JOIN nr
         |WHERE c.bin <= 9 GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1315,14 +1315,37 @@ object Dedup {
     * len(list_distinct(a.sh || b.sh)) = la+lb−i. MATERIALIZED hints
     * keep DuckDB from re-inlining the stage into every consumer CTE.
     */
-  private[llm] val GramIxSql: String =
+  private[llm] def gramIxOver(rel: String): String =
     s"""dx AS MATERIALIZED (SELECT doc_id, len(sh) AS ln, sh FROM
-      |  (SELECT doc_id, $Shingle3Sql AS sh FROM documents) WHERE len(sh) > 0),
+      |  (SELECT doc_id, $Shingle3Sql AS sh FROM $rel) WHERE len(sh) > 0),
       |gx AS (SELECT doc_id, ln, unnest(sh) AS g FROM dx),
       |ix AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
       |        a.ln AS la, b.ln AS lb, CAST(COUNT(*) AS BIGINT) AS i
       |      FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private[llm] val GramIxSql: String = gramIxOver("documents")
+
+  /** q25's 2-shingle, source-blocked analog of [[GramIxSql]]: the
+    * inverted index carries `source` in the gram-join key so only
+    * same-source pairs are generated — exactly the engine's blocking
+    * rule — and the rest is the same lossless rewrite (pairs sharing
+    * no bigram have J = 0, below every threshold in use). This is
+    * what makes the q25 sf1.0 replay affordable: |docs/source|² list
+    * intersections (~62M at 2.5k docs/source) become one COUNT(*)
+    * per qualifying pair off a vectorized gram equi-join.
+    */
+  private[llm] val Gram2IxSql: String =
+    s"""dx2 AS MATERIALIZED (SELECT doc_id, source, len(sh) AS ln, sh FROM
+      |  (SELECT doc_id, source, $Shingle2Sql AS sh FROM documents)
+      |  WHERE len(sh) > 0),
+      |gx2 AS (SELECT doc_id, source, ln, unnest(sh) AS g FROM dx2),
+      |ix2 AS MATERIALIZED (SELECT a.source AS source,
+      |        a.doc_id AS da, b.doc_id AS db,
+      |        a.ln AS la, b.ln AS lb, CAST(COUNT(*) AS BIGINT) AS i
+      |      FROM gx2 a JOIN gx2 b ON a.g = b.g AND a.source = b.source
+      |        AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q282_cluster_split" ->
@@ -1645,14 +1668,10 @@ object Dedup {
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM cl ORDER BY doc_id""".stripMargin,
     "q25_ngram_jaccard_blocked" ->
-      s"""WITH d AS (SELECT doc_id, source, $Shingle2Sql AS sh FROM documents),
-        |     d2 AS (SELECT * FROM d WHERE len(sh) > 0)
-        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |             / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j_bp
-        |FROM d2 a JOIN d2 b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE ROUND(10000.0 * len(list_intersect(a.sh, b.sh))
-        |            / len(list_distinct(a.sh || b.sh))) >= 3000
+      s"""WITH $Gram2IxSql
+        |SELECT source, da AS doc_a, db AS doc_b,
+        |  CAST(ROUND(10000.0 * i / (la + lb - i)) AS BIGINT) AS j_bp
+        |FROM ix2 WHERE ROUND(10000.0 * i / (la + lb - i)) >= 3000
         |ORDER BY source, doc_a, doc_b""".stripMargin,
     "q73_prefix_jaccard" ->
       s"""WITH $GramIxSql

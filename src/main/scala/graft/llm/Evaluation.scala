@@ -1042,38 +1042,6 @@ object Evaluation {
     * Σrₖcₖ)). One scan, one 9-cell shuffle; scale cost is the scan.
     * Undefined ratios (empty corpus, pe = 1) emit NULL, never throw.
     */
-  /** q326 — expected calibration error (ECE, Naeini et al. 2015;
-    * Guo et al. 2017): the reliability-diagram audit for a score used
-    * as a PROBABILITY — does "quality 0.83" mean an 83% chance of
-    * passing the gate? Complements q314 (do raters agree) and q164
-    * (threshold metrics) with the calibration question reward-model
-    * and filter-score pipelines act on. Confidence = the q21 quality
-    * score read as a probability (bp), outcome = the shared quality
-    * gate; 10 equal-width bins, per-bin confidence vs accuracy, and
-    * ECE = Σ (n_b/N)·|conf_b − acc_b| computed from the micro-rounded
-    * per-bin values (exact integer weights, one closing division) so
-    * both engines agree bit-for-bit. One scan to a ≤10-row table;
-    * empty corpora emit zero rows, never throw.
-    */
-  def q326_calibration_ece(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d = load(spark, dir, "documents")
-      .select(TextAnalysis.qualityBp($"text").as("p"),
-        TextAnalysis.qualityGatePass($"n_chars", $"text").as("y"))
-    // cached: the ≤10-row bin table feeds both the ECE total and the
-    // final readout — never re-run the string-heavy scan twice
-    val bins = graft.Caches.tracked(
-      d.groupBy(least(expr("p div 1000"), lit(9L)).as("bin"))
-        .agg(count(lit(1)).as("n"), sum($"p").as("sp"), sum($"y").as("sy"))
-        .select($"bin", $"n",
-          round($"sp".cast("double") / $"n").cast("long").as("conf_bp"),
-          round(lit(10000.0) * $"sy" / $"n").cast("long").as("acc_bp"))
-        .withColumn("gap_bp", abs($"conf_bp" - $"acc_bp")))
-    val tot = bins.agg(sum($"n").as("nn"), sum($"n" * $"gap_bp").as("w"))
-      .select(round($"w".cast("double") / $"nn").cast("long").as("ece_bp"))
-    bins.crossJoin(broadcast(tot)).orderBy($"bin")
-  }
-
   def q314_rater_agreement(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rated = load(spark, dir, "documents").select(
@@ -1109,6 +1077,38 @@ object Evaluation {
           round(lit(10000.0) * ($"n" * $"sum_diag" - $"sum_rc") /
             ($"n" * $"n" - $"sum_rc")).cast("long")).as("kappa_bp"))
       .orderBy($"cls")
+  }
+
+  /** q326 — expected calibration error (ECE, Naeini et al. 2015;
+    * Guo et al. 2017): the reliability-diagram audit for a score used
+    * as a PROBABILITY — does "quality 0.83" mean an 83% chance of
+    * passing the gate? Complements q314 (do raters agree) and q164
+    * (threshold metrics) with the calibration question reward-model
+    * and filter-score pipelines act on. Confidence = the q21 quality
+    * score read as a probability (bp), outcome = the shared quality
+    * gate; 10 equal-width bins, per-bin confidence vs accuracy, and
+    * ECE = Σ (n_b/N)·|conf_b − acc_b| computed from the micro-rounded
+    * per-bin values (exact integer weights, one closing division) so
+    * both engines agree bit-for-bit. One scan to a ≤10-row table;
+    * empty corpora emit zero rows, never throw.
+    */
+  def q326_calibration_ece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select(TextAnalysis.qualityBp($"text").as("p"),
+        TextAnalysis.qualityGatePass($"n_chars", $"text").as("y"))
+    // cached: the ≤10-row bin table feeds both the ECE total and the
+    // final readout — never re-run the string-heavy scan twice
+    val bins = graft.Caches.tracked(
+      d.groupBy(least(expr("p div 1000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum($"p").as("sp"), sum($"y").as("sy"))
+        .select($"bin", $"n",
+          round($"sp".cast("double") / $"n").cast("long").as("conf_bp"),
+          round(lit(10000.0) * $"sy" / $"n").cast("long").as("acc_bp"))
+        .withColumn("gap_bp", abs($"conf_bp" - $"acc_bp")))
+    val tot = bins.agg(sum($"n").as("nn"), sum($"n" * $"gap_bp").as("w"))
+      .select(round($"w".cast("double") / $"nn").cast("long").as("ece_bp"))
+    bins.crossJoin(broadcast(tot)).orderBy($"bin")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -251,6 +251,15 @@ def main():
                 flagged.append(q)
                 rows[q] = entry
                 continue
+            if not w1 or w1 <= 0:
+                # Same hole on the scaled side: a missing/negative
+                # sf1.0 wall gives wr <= 0 which would sail under the
+                # backstop and record 'linear' vacuously.
+                entry["wall_backstop_ratio"] = None
+                entry["verdict"] = "NO_SCALED_WALL"
+                flagged.append(q)
+                rows[q] = entry
+                continue
             wr = w1 / w0
             entry["wall_backstop_ratio"] = round(wr, 2)
             if wr > WALL_BACKSTOP:

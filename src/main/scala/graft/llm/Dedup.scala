@@ -144,7 +144,7 @@ object Dedup {
     * Caches.tracked (MEMORY_AND_DISK, released by the driver loop
     * after the consuming action) is the analog.
     */
-  private def sketches(docs: DataFrame): DataFrame = {
+  private[graft] def sketches(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.Caches.tracked(docs
@@ -162,16 +162,30 @@ object Dedup {
     * Jaccard ≥ minJBp. The reusable core of q23 — CorpusPipeline runs
     * it over its quality-filtered survivor set.
     */
-  def minhashPairs(docs: DataFrame, minJBp: Long = 5000L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sk = sketches(docs)
+  def minhashPairs(docs: DataFrame, minJBp: Long = 5000L): DataFrame =
+    sketchSelfPairs(sketches(docs), minJBp)
 
-    // 16 bands of 4 signature slots; band key = slots joined. The
-    // band fan-out (16 rows/doc) is the LSH bucket key.
-    val bands = sk.selectExpr("doc_id",
+  /** Band fan-out of a sketch frame: 16 rows/doc keyed by
+    * (band_idx, band_key) — the LSH bucket key.
+    */
+  private def bandsOf(sk: DataFrame): DataFrame = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    sk.selectExpr("doc_id",
         s"explode(transform(sequence(0, ${NumBands - 1}), b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) as band_key))) as bk")
       .select($"doc_id", $"bk.band_idx", $"bk.band_key")
+  }
+
+  /** [[minhashPairs]]'s core over an ALREADY-SKETCHED frame
+    * (doc_id, sh, sig): banded-LSH self-join candidates, exact-Jaccard
+    * verified, (doc_a, doc_b, j_bp) with doc_a < doc_b. Exposed at
+    * sketch level so the streaming gate can run it over the
+    * micro-batch's survivor sketches without re-shingling.
+    */
+  private[graft] def sketchSelfPairs(sk: DataFrame, minJBp: Long = 5000L): DataFrame = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val bands = bandsOf(sk)
 
     // Bucket self-join: pairs sharing any band — equi-join on the
     // bucket key, shuffle-partitioned, never cartesian.
@@ -193,6 +207,31 @@ object Dedup {
       .filter($"j_bp" >= minJBp)
   }
 
+  /** [[incrementalMinhashPairs]]'s core over two ALREADY-SKETCHED
+    * frames: band buckets equi-join ACROSS the frames only (the index
+    * is never paired with itself), exact Jaccard verifies candidates.
+    * (batch_doc, index_doc, j_bp). This is the form the streaming
+    * gate calls with the PERSISTED index signatures — at 100 TB the
+    * index side is a stored sketch table, never recomputed from text.
+    */
+  private[graft] def sketchCrossPairs(skB: DataFrame, skI: DataFrame,
+                                      minJBp: Long = 5000L): DataFrame = {
+    val spark = skB.sparkSession
+    import spark.implicits._
+    val cand = bandsOf(skB).as("a").join(bandsOf(skI).as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key")
+      .select($"a.doc_id".as("batch_doc"), $"b.doc_id".as("index_doc"))
+      .distinct()
+    cand
+      .join(skB.select($"doc_id".as("batch_doc"), $"sh".as("sh_a")), "batch_doc")
+      .join(skI.select($"doc_id".as("index_doc"), $"sh".as("sh_b")), "index_doc")
+      .select($"batch_doc", $"index_doc", $"sh_a", $"sh_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) => (a, b, jBp(sa, sb)) }
+      .toDF("batch_doc", "index_doc", "j_bp")
+      .filter($"j_bp" >= minJBp)
+  }
+
   def q23_minhash_dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     minhashPairs(load(spark, dir, "documents").select($"doc_id", $"text"))
@@ -210,27 +249,8 @@ object Dedup {
     * harness has no state between queries).
     */
   def incrementalMinhashPairs(batch: DataFrame, index: DataFrame,
-                              minJBp: Long = 5000L): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val skB = sketches(batch)
-    val skI = sketches(index)
-    def bandsOf(sk: DataFrame): DataFrame = sk.selectExpr("doc_id",
-        s"explode(transform(sequence(0, ${NumBands - 1}), b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) as band_key))) as bk")
-      .select($"doc_id", $"bk.band_idx", $"bk.band_key")
-    val cand = bandsOf(skB).as("a").join(bandsOf(skI).as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key")
-      .select($"a.doc_id".as("batch_doc"), $"b.doc_id".as("index_doc"))
-      .distinct()
-    cand
-      .join(skB.select($"doc_id".as("batch_doc"), $"sh".as("sh_a")), "batch_doc")
-      .join(skI.select($"doc_id".as("index_doc"), $"sh".as("sh_b")), "index_doc")
-      .select($"batch_doc", $"index_doc", $"sh_a", $"sh_b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, sa, sb) => (a, b, jBp(sa, sb)) }
-      .toDF("batch_doc", "index_doc", "j_bp")
-      .filter($"j_bp" >= minJBp)
-  }
+                              minJBp: Long = 5000L): DataFrame =
+    sketchCrossPairs(sketches(batch), sketches(index), minJBp)
 
   /** q203 — incremental dedup against a persisted corpus (the
     * daily-crawl shape): the arriving batch (odd doc_ids here) is

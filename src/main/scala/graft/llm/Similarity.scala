@@ -1339,7 +1339,120 @@ object Similarity {
           .otherwise(lit(null).cast("long")).as("top_share_micro"))
   }
 
+  /** q329 — whitening APPLY-side readout (the "did whitening help"
+    * answer q278's anisotropy report and q285's fitted parameters
+    * motivate): standardize every embedding with q285's per-dim
+    * mean/variance (diagonal whitening), re-run the exact cosine
+    * top-k, and report per query how much of the RAW exact top-k
+    * (the memoized q26 denominator) survives the rescaling —
+    * overlap@k = k means whitening didn't change retrieval; a low
+    * overlap means high-variance dims were dominating the cosine and
+    * the whitened ranking is genuinely different. Determinism: the
+    * whitened coordinates derive from q285's oracle-verified INTEGER
+    * stats (w = (round(x·1e6) − mean_e6)/√var_e12 — identical
+    * integers → identical doubles in both engines), similarities
+    * micro-round before ranking, ties break on vec_id; zero-variance
+    * dims contribute 0 and the norm PRODUCT takes a GREATEST(·,
+    * 1e-300) floor (degenerate-probe posture: constant corpora whiten
+    * to all-zero vectors and emit sim 0, never NaN or an ANSI
+    * divide — flooring each factor separately would underflow
+    * 1e-300² to 0.0). Scale shape: the 64-row stats
+    * collect is bounded driver state (codebook-seed posture); the
+    * whitened ranking is one broadcast |q|×|corpus| eval scan beside
+    * the memoized raw one — the eval-table family (allowlisted like
+    * q293), not a serving path.
+    */
+  def q329_whitened_recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = q285_embedding_standardize(spark, dir)
+      .select($"i", $"mean_e6", $"var_e12")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // ≤ Dim rows, never ∝ corpus
+    val byDim = stats.map(s => s._1 -> s).toMap
+    val means = Array.tabulate(Dim)(i => byDim.get(i).map(_._2.toDouble).getOrElse(0.0))
+    val sds = Array.tabulate(Dim)(i =>
+      byDim.get(i).map(s => math.sqrt(s._3.toDouble)).getOrElse(1.0))
+    val wn = graft.Caches.tracked(load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("m", array(means.toIndexedSeq.map(lit): _*))
+      .withColumn("sd", array(sds.toIndexedSeq.map(lit): _*))
+      .withColumn("w", expr(
+        """transform(v, (x, i) ->
+          |  IF(element_at(sd, i + 1) = 0D, 0D,
+          |     (round(x * 1e6) - element_at(m, i + 1)) / element_at(sd, i + 1)))""".stripMargin))
+      .select($"vec_id", $"w", norm($"w").as("nrm")))
+    val q = wn.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"w".as("qw"), $"nrm".as("qn"))
+    val sims = wn.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        // the norm PRODUCT takes the floor (not each factor): two
+        // zero norms would otherwise underflow 1e-300·1e-300 to 0.0
+        // and trip the ANSI divide — the all-zero-whitened constant
+        // corpus emits sim 0, never throws (degenerate-probe posture)
+        round(dot($"qw", $"w")
+          / greatest($"qn" * $"nrm", lit(1e-300))
+          * 1e6).cast("long").as("sim_micro"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    val wtop = graft.Caches.tracked(sims
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK))
+    val raw = exactTopK(spark, dir).select($"q_id", $"neighbor_id")
+    val ov = wtop.join(raw, Seq("q_id", "neighbor_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_overlap"))
+    wtop.filter($"rank" === 1)
+      .select($"q_id", $"neighbor_id".as("w_top1_id"),
+        $"sim_micro".as("w_top1_sim_micro"))
+      .join(ov, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        $"w_top1_id", $"w_top1_sim_micro")
+      .orderBy($"q_id")
+  }
+
+  /** q330 — OPQ-style dimension-allocation audit for the PQ family
+    * (Ge et al. 2013's eigenvalue allocation, in its permutation
+    * form): product quantization splits the 64 dims into
+    * [[PqSubspaces]] contiguous blocks, and its error concentrates
+    * wherever one block hoards the variance. This audit compares the
+    * per-subspace variance mass under (a) the natural contiguous
+    * split q198 uses and (b) the OPQ-style balanced allocation —
+    * dims sorted by variance, round-robined across subspaces — plus
+    * the max/min imbalance ratio of each, the "would a rotation/
+    * permutation help before re-training codebooks" readout. All
+    * arithmetic is exact integers off q285's variance table (64
+    * rows) until the two closing ratio divisions; corpora with a
+    * zero-variance subspace emit NULL ratios, never throw. One
+    * corpus scan (the q285 aggregate); everything after is 64 rows.
+    */
+  def q330_opq_allocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = q285_embedding_standardize(spark, dir)
+      .select($"i", $"var_e12")
+      .withColumn("nat_sub", expr(s"i div $PqSubDim"))
+      // value-bounded window: exactly Dim = 64 rows by construction
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"var_e12".desc, $"i")).cast("long"))
+      .withColumn("rr_sub", ($"rnk" - 1) % PqSubspaces)
+    val nat = st.groupBy($"nat_sub".as("subspace"))
+      .agg(sum($"var_e12").as("nat_var_e12"))
+    val rr = st.groupBy($"rr_sub".as("subspace"))
+      .agg(sum($"var_e12").as("rr_var_e12"))
+    val j = nat.join(rr, "subspace")
+    val t = j.agg(max($"nat_var_e12").as("natmax"), min($"nat_var_e12").as("natmin"),
+      max($"rr_var_e12").as("rrmax"), min($"rr_var_e12").as("rrmin"))
+    j.crossJoin(broadcast(t))
+      .select($"subspace", $"nat_var_e12", $"rr_var_e12",
+        when($"natmin" > 0,
+          round(lit(10000.0) * $"natmax" / $"natmin").cast("long"))
+          .as("nat_imbalance_bp"),
+        when($"rrmin" > 0,
+          round(lit(10000.0) * $"rrmax" / $"rrmin").cast("long"))
+          .as("rr_imbalance_bp"))
+      .orderBy($"subspace")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_whitened_recall" -> q329_whitened_recall,
+    "q330_opq_allocation" -> q330_opq_allocation,
     "q287_ivfpq_topk" -> q287_ivfpq_topk,
     "q281_hard_negatives" -> q281_hard_negatives,
     "q285_embedding_standardize" -> q285_embedding_standardize,
@@ -1362,6 +1475,74 @@ object Similarity {
     "q195_semantic_dedup" -> q195_semantic_dedup)
 
   val oracle: Map[String, String] = Map(
+    "q329_whitened_recall" ->
+      s"""WITH ex AS (SELECT vec_id, g.i AS i,
+        |    CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |st AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        |      FROM ex GROUP BY 1),
+        |pm AS (SELECT i, CAST(ROUND(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_e6,
+        |        CAST(ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |            - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e12
+        |      FROM st),
+        |wv AS MATERIALIZED (SELECT e.vec_id,
+        |        list(CASE WHEN pm.var_e12 = 0 THEN 0.0
+        |          ELSE (ROUND(CAST(e.embedding[pm.i] AS DOUBLE) * 1e6) - pm.mean_e6)
+        |               / sqrt(CAST(pm.var_e12 AS DOUBLE)) END ORDER BY pm.i) AS w
+        |      FROM embeddings e, pm GROUP BY e.vec_id),
+        |wn AS MATERIALIZED (SELECT vec_id, w,
+        |        sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm FROM wv),
+        |q AS (SELECT vec_id AS q_id, w AS qw, nrm AS qn FROM wn WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+        |        CAST(ROUND(list_sum(list_transform(generate_series(1, 64),
+        |            k -> q.qw[k] * e.w[k]))
+        |          / GREATEST(q.qn * e.nrm, 1e-300) * 1e6)
+        |          AS BIGINT) AS sim_micro
+        |      FROM q JOIN wn e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor_id, sim_micro,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY sim_micro DESC, neighbor_id) AS rank FROM s),
+        |wt AS MATERIALIZED (SELECT * FROM r WHERE rank <= $TopK),
+        |etop AS (SELECT q_id, neighbor_id FROM ($Q26Sql) zz),
+        |ov AS (SELECT wt.q_id, CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_overlap
+        |      FROM wt LEFT JOIN etop e ON e.q_id = wt.q_id
+        |        AND e.neighbor_id = wt.neighbor_id GROUP BY 1)
+        |SELECT w1.q_id, ov.n_overlap, w1.neighbor_id AS w_top1_id,
+        |  w1.sim_micro AS w_top1_sim_micro
+        |FROM (SELECT * FROM wt WHERE rank = 1) w1 JOIN ov ON ov.q_id = w1.q_id
+        |ORDER BY w1.q_id""".stripMargin,
+    "q330_opq_allocation" ->
+      s"""WITH ex AS (SELECT vec_id, g.i - 1 AS i,
+        |    CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |st AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        |      FROM ex GROUP BY 1),
+        |pm AS (SELECT i, CAST(ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |            - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e12
+        |      FROM st),
+        |al AS (SELECT i, var_e12, i // $PqSubDim AS nat_sub,
+        |        (ROW_NUMBER() OVER (ORDER BY var_e12 DESC, i) - 1)
+        |          % $PqSubspaces AS rr_sub FROM pm),
+        |nat AS (SELECT nat_sub AS subspace,
+        |        CAST(SUM(var_e12) AS BIGINT) AS nat_var_e12 FROM al GROUP BY 1),
+        |rr AS (SELECT rr_sub AS subspace,
+        |        CAST(SUM(var_e12) AS BIGINT) AS rr_var_e12 FROM al GROUP BY 1),
+        |j AS (SELECT nat.subspace, nat_var_e12, rr_var_e12
+        |      FROM nat JOIN rr USING (subspace)),
+        |t AS (SELECT MAX(nat_var_e12) AS natmax, MIN(nat_var_e12) AS natmin,
+        |        MAX(rr_var_e12) AS rrmax, MIN(rr_var_e12) AS rrmin FROM j)
+        |SELECT CAST(subspace AS BIGINT) AS subspace, nat_var_e12, rr_var_e12,
+        |  CASE WHEN natmin > 0
+        |    THEN CAST(ROUND(10000.0 * natmax / natmin) AS BIGINT) END
+        |    AS nat_imbalance_bp,
+        |  CASE WHEN rrmin > 0
+        |    THEN CAST(ROUND(10000.0 * rrmax / rrmin) AS BIGINT) END
+        |    AS rr_imbalance_bp
+        |FROM j CROSS JOIN t ORDER BY subspace""".stripMargin,
     "q278_anisotropy" ->
       """WITH ex AS (SELECT vec_id, g.i - 1 AS i,
         |    CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq

@@ -128,6 +128,13 @@ object PlanLint {
     // q317 totals/kstar convention)
     "q324_conformal_coverage" ->
       Set("single-partition-window", "cartesian-product"),
+    // q329 is q26's broadcast query-batch-attach shape over the
+    // whitened vectors (self-exclusion ≠ predicate in the BNLJ
+    // condition — the documented exact-eval family)
+    "q329_whitened_recall" -> Set("cartesian-product"),
+    // q330's variance-rank window runs over q285's 64-row per-dim
+    // stats table — bounded by Dim at ANY corpus size
+    "q330_opq_allocation" -> Set("single-partition-window"),
     "q83_ntile_dist" -> Set("single-partition-window"),
     // q83's global-NTILE-on-bounded-aggregate form + 10-row cum table
     "q159_lift_curve" -> Set("single-partition-window"),

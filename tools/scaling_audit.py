@@ -98,6 +98,7 @@ ALLOWLIST = {
     "q311_semihard_negatives": "exact |q|x|corpus| mining scan beside q281",
     "q288_knn_shapley": "exact |q|x|corpus| valuation scan (closed-form KNN-Shapley is defined on the full ranking)",
     "q293_matryoshka_recall": "per-prefix-dim exact eval joins vs the q26 denominator (eval table, not a serving path)",
+    "q329_whitened_recall": "whitened exact |q|x|corpus| eval scan beside the memoized exact q26 denominator (the did-whitening-help readout; eval table, not a serving path)",
     "q292_retrieval_metrics": "eval metrics over the exact q26 ranking (denominator family)",
     "q247_sq8_adc_recall": "recall eval against the exact q26 denominator",
     "q248_srp_rerank": "Hamming linear scan over sketches + recall vs exact q26 (documented honest-scan variant)",

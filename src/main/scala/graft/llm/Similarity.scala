@@ -1450,7 +1450,68 @@ object Similarity {
       .orderBy($"subspace")
   }
 
+  /** q331 — OPQ-style reallocation APPLY side (the payoff metric
+    * q330's variance audit only predicts): quantize the corpus twice
+    * with the SAME 16-codeword-per-subspace PQ convention (q198's
+    * seeded codebook, micro-rounded expand-identity distances,
+    * codeword-id tie-breaks) — once on the natural contiguous dim
+    * order, once with the dims PERMUTED by q330's variance-sorted
+    * round-robin allocation (the permutation applies to data AND
+    * codebook, exactly as OPQ applies its rotation) — and report the
+    * per-subspace quantization-error mass of each plus the total
+    * error reduction in basis points: the measured "did reallocation
+    * help" answer. The permutation derives from q285's oracle-
+    * verified integer variance table (64 rows, driver-side — the
+    * codebook-seed posture), so both engines build the identical
+    * permutation. Scale shape: two map-side assignment projections
+    * over one corpus scan each (codebooks constant-folded into the
+    * plan), one ≤ 8×16-key exchange each — linear, nothing
+    * corpus-quadratic. Zero-total-error corpora emit NULL gain.
+    */
+  def q331_opq_reallocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val seeds = pqSeeds(emb)
+    // variance-ranked round-robin permutation: the dim with rank r
+    // (var desc, dim asc) lands in subspace (r−1)%8, slot (r−1)/8 —
+    // output position j therefore reads the dim ranked (j%8)·8+(j/8)+1
+    val stats = q285_embedding_standardize(spark, dir)
+      .select($"i", $"var_e12").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).toSeq
+    val ranked = stats.sortBy { case (i, v) => (-v, i) }.map(_._1) // rank→dim
+    val perm = Array.tabulate(Dim)(j => ranked((j % PqSubspaces) * PqSubDim
+      + j / PqSubspaces))
+    def permute(v: Array[Double]): Array[Double] = perm.map(v)
+    val permCol = array(perm.toIndexedSeq.map(p =>
+      element_at($"v", p + 1)): _*)
+
+    def errBySub(assigned: DataFrame, tag: String): DataFrame =
+      assigned.select(explode(array((0 until PqSubspaces).map(m =>
+          struct(lit(m.toLong).as("subspace"),
+            col(s"a$m").getField("d").as("dmicro"))): _*)).as("x"))
+        .select($"x.subspace".as("subspace"), $"x.dmicro".as("dmicro"))
+        .groupBy($"subspace")
+        .agg(count(lit(1)).as(s"n_$tag"), sum($"dmicro").as(s"${tag}_err"))
+
+    val nat = errBySub(pqAssigned(emb, seeds), "nat")
+      .select($"subspace", $"n_nat".as("n_vecs"), $"nat_err".as("nat_err_sum"))
+    val rr = errBySub(
+      pqAssigned(emb.select($"vec_id", permCol.as("v")),
+        seeds.map { case (cid, c) => (cid, permute(c)) }), "rr")
+      .select($"subspace", $"rr_err".as("rr_err_sum"))
+    val j = nat.join(rr, "subspace")
+    val tot = j.agg(sum($"nat_err_sum").as("nt"), sum($"rr_err_sum").as("rt"))
+    j.crossJoin(broadcast(tot))
+      .select($"subspace", $"n_vecs", $"nat_err_sum", $"rr_err_sum",
+        when($"nt" > 0,
+          round(lit(10000.0) * ($"nt" - $"rt") / $"nt").cast("long"))
+          .as("gain_bp"))
+      .orderBy($"subspace")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_opq_reallocation" -> q331_opq_reallocation,
     "q329_whitened_recall" -> q329_whitened_recall,
     "q330_opq_allocation" -> q330_opq_allocation,
     "q287_ivfpq_topk" -> q287_ivfpq_topk,
@@ -1475,6 +1536,66 @@ object Similarity {
     "q195_semantic_dedup" -> q195_semantic_dedup)
 
   val oracle: Map[String, String] = Map(
+    "q331_opq_reallocation" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, g.i - 1 AS i,
+        |    CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |st AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        |      FROM ex GROUP BY 1),
+        |pm AS (SELECT i, CAST(ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |            - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e12
+        |      FROM st),
+        |rk AS (SELECT i, ROW_NUMBER() OVER (ORDER BY var_e12 DESC, i) AS r FROM pm),
+        |pos AS (SELECT j.j, rk.i + 1 AS src
+        |      FROM generate_series(1, 64) j(j)
+        |      JOIN rk ON rk.r = ((j.j - 1) % $PqSubspaces) * $PqSubDim
+        |                       + (j.j - 1) // $PqSubspaces + 1),
+        |perm AS (SELECT list(src ORDER BY j) AS p FROM pos),
+        |pe AS MATERIALIZED (SELECT vec_id,
+        |        list_transform(generate_series(1, 64), j -> v[p[j]]) AS v
+        |      FROM e, perm),
+        |sN AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $PqCodes),
+        |sR AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM pe WHERE vec_id < $PqCodes),
+        |subN AS (
+        |  SELECT e.vec_id, m.m, s.cid,
+        |    CAST(ROUND((
+        |      list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                         e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      - 2.0 * list_inner_product(e.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                                 s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      + list_inner_product(s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                           s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
+        |      AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN sN s),
+        |subR AS (
+        |  SELECT pe.vec_id, m.m, s.cid,
+        |    CAST(ROUND((
+        |      list_inner_product(pe.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                         pe.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      - 2.0 * list_inner_product(pe.v[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                                 s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])
+        |      + list_inner_product(s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim],
+        |                           s.cv[m.m*$PqSubDim+1 : m.m*$PqSubDim+$PqSubDim])) * 1e6)
+        |      AS BIGINT) AS dmicro
+        |  FROM pe CROSS JOIN generate_series(0, ${PqSubspaces - 1}) m(m) CROSS JOIN sR s),
+        |aN AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |        CAST(SUM(dmicro) AS BIGINT) AS nat_err_sum FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dmicro, cid) AS rn FROM subN) WHERE rn = 1 GROUP BY m),
+        |aR AS (SELECT m, CAST(SUM(dmicro) AS BIGINT) AS rr_err_sum FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dmicro, cid) AS rn FROM subR) WHERE rn = 1 GROUP BY m),
+        |j AS (SELECT aN.m, n_vecs, nat_err_sum, rr_err_sum
+        |      FROM aN JOIN aR ON aR.m = aN.m),
+        |t AS (SELECT CAST(SUM(nat_err_sum) AS BIGINT) AS nt,
+        |        CAST(SUM(rr_err_sum) AS BIGINT) AS rt FROM j)
+        |SELECT CAST(m AS BIGINT) AS subspace, n_vecs, nat_err_sum, rr_err_sum,
+        |  CASE WHEN nt > 0
+        |    THEN CAST(ROUND(10000.0 * (nt - rt) / nt) AS BIGINT) END AS gain_bp
+        |FROM j CROSS JOIN t ORDER BY subspace""".stripMargin,
     "q329_whitened_recall" ->
       s"""WITH ex AS (SELECT vec_id, g.i AS i,
         |    CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT) AS xq

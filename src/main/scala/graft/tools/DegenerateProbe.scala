@@ -114,6 +114,7 @@ object DegenerateProbe {
     // the seeded-quantizer family: an empty corpus cannot derive a
     // codebook (pqSeeds' named require, the q49 convention)
     "q49_ivf_seeded", "q195_semantic_dedup", "q198_product_quantization",
+    "q331_opq_reallocation",
     "q199_pq_adc_topk", "q207_cluster_capped_sample", "q227_cluster_purity",
     "q249_ivf_probe_sweep", "q287_ivfpq_topk", "q290_ivf_append_drift",
     "q298_label_noise", "q302_residual_quantization", "q307_knn_reciprocity",

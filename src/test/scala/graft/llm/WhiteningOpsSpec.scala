@@ -132,6 +132,79 @@ class WhiteningOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Naive q331 replay: permutation from integer variance ranks,
+    * q198's seeded codebook + micro-rounded expand-identity argmin
+    * (ties to the lowest codeword id) on both dim orders.
+    */
+  private def naiveOpqApply(vecs: Array[(Long, Array[Double])])
+      : (Map[Long, (Long, Long)], Map[Long, Long]) = {
+    val dim = vecs.head._2.length
+    val n = vecs.length.toLong
+    val vars = Array.tabulate(dim) { dd =>
+      val xs = vecs.map(v => rnd(v._2(dd) * 1e6))
+      val sx = xs.sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      rnd((BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble / (n.toDouble * n))
+    }
+    val ranked = vars.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
+    val perm = Array.tabulate(dim)(j => ranked((j % 8) * 8 + j / 8))
+    def assignErr(vs: Array[(Long, Array[Double])]): Map[Long, (Long, Long)] = {
+      val seeds = vs.filter(_._1 < 16).sortBy(_._1).map(_._2)
+      (0 until 8).map { m =>
+        var cnt = 0L; var err = 0L
+        vs.foreach { case (_, v) =>
+          val s = v.slice(m * 8, m * 8 + 8)
+          val best = seeds.zipWithIndex.map { case (c, cid) =>
+            val cs = c.slice(m * 8, m * 8 + 8)
+            (rnd((dotLR(s, s) - 2.0 * dotLR(s, cs) + cs.map(x => x * x).sum) * 1e6), cid)
+          }.min
+          cnt += 1; err += best._1
+        }
+        m.toLong -> (cnt, err)
+      }.toMap
+    }
+    val nat = assignErr(vecs)
+    val rr = assignErr(vecs.map { case (id, v) => (id, perm.map(v)) })
+    (nat, rr.map { case (m, (_, e)) => m -> e })
+  }
+
+  test("q331: per-subspace error mass matches the naive replay on the harness corpus") {
+    val got = Similarity.q331_opq_reallocation(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.Caches.releaseAll()
+    val (nat, rr) = naiveOpqApply(loadVecs(dir))
+    assert(got.keySet == nat.keySet)
+    got.foreach { case (m, (nv, ne, re)) =>
+      assert((nv, ne) == nat(m) && re == rr(m), s"subspace $m")
+    }
+  }
+
+  test("q331: live dims confined to one subspace -> reallocation quantizes exactly (gain 10000 bp)") {
+    import spark.implicits._
+    val d = TestSpark.tempDir("opq_apply_fix")
+    // 40 vectors; 8 live dims with ±0.5 period-24 shift patterns (24
+    // distinct patterns, only 16 in the seed codebook -> natural
+    // error > 0), dead dims 0. Round-robin puts ONE live dim per
+    // subspace; every 1-live-dim slice matches a seed slice of the
+    // same sign exactly -> reallocated error is exactly 0.
+    val rows = (0L until 40L).map { j =>
+      val v = Array.tabulate(64)(dd =>
+        if (dd < 8) { if ((dd + j) % 24 < 12) 0.5f else -0.5f } else 0.0f)
+      (j, v.toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.q331_opq_reallocation(spark, d).collect()
+    graft.Caches.releaseAll()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getLong(3) == 0L, s"reallocated subspace must quantize exactly: $r")
+      assert(r.getLong(4) == 10000L, s"total gain must be 10000 bp: $r")
+    }
+    assert(out.map(_.getLong(2)).sum > 0L, "natural split must have error")
+  }
+
   test("q330: variance confined to the first natural subspace balances under round-robin") {
     import spark.implicits._
     val d = TestSpark.tempDir("opq_fix")

@@ -106,6 +106,106 @@ case class QuantizerArgmin(child: Expression,
     copy(child = newChild)
 }
 
+/** `quantizer_top2(v)`: the two nearest centroids in one generated
+  * call — STRUCT(d1: BIGINT, c1: INT, d2: BIGINT, c2: INT), micro-
+  * rounded squared distances with [[QuantizerArgmin]]'s exact float
+  * tree, rounding and lower-cid tie-break (d1/c1 is bit-identical to
+  * `quantizer_argmin`; d2/c2 is the runner-up under the same (d, cid)
+  * order). Consumers: the simplified-silhouette validity index
+  * (q333), whose per-point `b` term is the distance to the nearest
+  * OTHER centroid — with nearest-centroid assignment that is exactly
+  * the second-smallest distance, so one pass yields both terms and
+  * nothing k-fold ever materializes per row. A single-centroid
+  * codebook nulls d2/c2 (no runner-up — the q327 single-cluster
+  * posture), never throws.
+  */
+case class QuantizerTop2(child: Expression,
+    centers: Seq[Seq[Double]], cc: Seq[Double]) extends UnaryExpression {
+  require(centers.nonEmpty && centers.length == cc.length,
+    "quantizer_top2 needs aligned centers and Σc² constants")
+
+  @transient private lazy val cArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val ccArr: Array[Double] = cc.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("c1", IntegerType, nullable = false),
+    StructField("d2", LongType, nullable = true),
+    StructField("c2", IntegerType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantizer_top2"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantizer_top2 requires ARRAY<DOUBLE>, got ${t.sql}")
+  }
+
+  private def halfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val v = new Array[Double](n)
+    i = 0
+    while (i < n) { v(i) = a.getDouble(i); i += 1 }
+    var vv = 0.0
+    i = 0
+    while (i < n) { vv += v(i) * v(i); i += 1 }
+    var d1 = Long.MaxValue; var c1 = -1
+    var d2 = Long.MaxValue; var c2 = -1
+    var c = 0
+    while (c < cArr.length) {
+      val ctr = cArr(c)
+      require(ctr.length == n,
+        s"quantizer_top2: vector dim $n != centroid dim ${ctr.length} (cid $c)")
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v(i) * ctr(i); i += 1 }
+      val d = halfUp(((vv - 2.0 * dot) + ccArr(c)) * 1e6)
+      // ascending cid scan with strict < keeps both slots on the
+      // lowest cid among ties — the (d, cid) struct order
+      if (d < d1) { d2 = d1; c2 = c1; d1 = d; c1 = c }
+      else if (d < d2) { d2 = d; c2 = c }
+      c += 1
+    }
+    if (c2 < 0) new GenericInternalRow(Array[Any](d1, c1, null, null))
+    else new GenericInternalRow(Array[Any](d1, c1, d2, c2))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qt2", this, classOf[QuantizerTop2].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizerTop2 =
+    copy(child = newChild)
+}
+
+object QuantizerTop2 {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{column, expression}
+
+  /** Column-API entry — same dense-ordered-cid seed contract as
+    * [[QuantizerArgmin.argmin]].
+    */
+  def top2(v: Column, seeds: Array[(Int, Array[Double])]): Column = {
+    require(seeds.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "quantizer_top2 expects dense ordered cids 0..k-1")
+    column(QuantizerTop2(expression(v),
+      seeds.map(_._2.toSeq).toSeq,
+      seeds.map(_._2.map(x => x * x).sum).toSeq))
+  }
+}
+
 object QuantizerArgmin {
   import org.apache.spark.sql.graftglue.ColumnGlue.{column, expression}
 

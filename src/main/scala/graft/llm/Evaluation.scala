@@ -682,6 +682,102 @@ object Evaluation {
     rows.toDF("cid", "n", "s_micro", "db_micro").orderBy($"cid")
   }
 
+  /** q332 — adjusted Rand index (Hubert & Arabie 1985) between the
+    * seeded quantizer's clustering and the embeddings' own labels:
+    * the EXTERNAL chance-corrected agreement statistic beside the
+    * internal validity pair (q327 Davies–Bouldin, q333 silhouette)
+    * and the share-based purity (q227) — purity rewards shattering
+    * (k singleton clusters score 1.0), ARI's pair-counting correction
+    * does not. Everything is exact integer combinatorics on the
+    * bounded k·|labels| contingency table after the one assignment
+    * scan: Σᵢⱼ C(nᵢⱼ,2), row/column-margin pair sums and C(N,2), with
+    * the expected-index cross-products promoted to decimal(38,0)/
+    * HUGEINT (C(N,2)² clears int64 at ~N=9e4 — the q328 promotion
+    * rule) and ONE closing double division micro-rounded:
+    * ari = 2(S·C − A·B) / ((A+B)·C − 2AB). A degenerate partition
+    * (one cluster, or all-singleton labels — denominator 0) reports
+    * NULL, never throws.
+    */
+  def q332_adjusted_rand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val (_, assigned) = Similarity.seededAssignment(emb)
+    // C(n,2) in exact longs: n(n−1) is always even, shiftright keeps
+    // the integer type (Column./ on longs would promote to double)
+    def c2(c: Column): Column = shiftright(c * (c - 1), 1)
+    val ct = graft.Caches.tracked(assigned
+      .join(load(spark, dir, "embeddings").select($"vec_id", $"label"), "vec_id")
+      .groupBy($"centroid", $"label").agg(count(lit(1)).as("n")))
+    val core = ct.agg(sum(c2($"n")).as("sij"),
+      countDistinct($"centroid").as("n_clusters"),
+      countDistinct($"label").as("n_labels"),
+      sum($"n").as("nn"))
+    val a = ct.groupBy($"centroid").agg(sum($"n").as("na"))
+      .agg(sum(c2($"na")).as("sa"))
+    val b = ct.groupBy($"label").agg(sum($"n").as("nb"))
+      .agg(sum(c2($"nb")).as("sb"))
+    // C(N,2) never materializes as its own long (N(N−1) clears int64
+    // only to N≈3e9 — a real 100 TB row count): both sides of the
+    // ratio are doubled so cn2 appears only as N(N−1) inside the
+    // decimal products — num/den = 2(S·C − AB)/((A+B)·C − 2AB)
+    val dec = "decimal(38,0)"
+    core.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .withColumn("num", lit(2).cast(dec) * $"sij".cast(dec)
+        * $"nn".cast(dec) * ($"nn" - 1).cast(dec)
+        - lit(4).cast(dec) * $"sa".cast(dec) * $"sb".cast(dec))
+      .withColumn("den",
+        ($"sa".cast(dec) + $"sb".cast(dec))
+          * $"nn".cast(dec) * ($"nn" - 1).cast(dec)
+          - lit(4).cast(dec) * $"sa".cast(dec) * $"sb".cast(dec))
+      .select($"nn".as("n"), $"n_clusters".cast("long").as("n_clusters"),
+        $"n_labels".cast("long").as("n_labels"), $"sij", $"sa", $"sb",
+        when($"den" === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e6) * $"num".cast("double")
+            / $"den".cast("double")).cast("long")).as("ari_micro"))
+  }
+
+  /** q333 — simplified silhouette (Hruschka et al. 2004): per point,
+    * a = distance to its OWN centroid and b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) — the centroid-based form
+    * of Rousseeuw's silhouette whose cost is the assignment scan
+    * itself, not the O(N²) pairwise original (which cannot run at
+    * 100 TB; the centroid form is the production validity readout).
+    * With nearest-centroid assignment, a and b are exactly the two
+    * smallest centroid distances, so ONE generated `quantizer_top2`
+    * call per row yields both — nothing k-fold materializes and no
+    * corpus-sized shuffle happens (contrast: an explode-over-
+    * centroids formulation shuffles k× the corpus into a min
+    * aggregate). Distances micro-round the sqrt of the micro-rounded
+    * d² (one deterministic IEEE tree both engines share); each
+    * point's s micro-rounds with ONE division before the exact
+    * integer per-cluster sum, mirroring q327's scatter treatment.
+    * Single-centroid corpora (no runner-up) report NULL silhouette,
+    * never throw.
+    */
+  def q333_simplified_silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val seeds = Similarity.ivfSeeds(emb.withColumn("nrm", norm($"v")))
+    def eu(d2: Column): Column =
+      round(sqrt(greatest(d2.cast("double") / 1e6, lit(0.0))) * 1e6).cast("long")
+    val t2 = graft.functions.QuantizerTop2.top2($"v", seeds)
+    emb.withColumn("t", t2)
+      .select($"t.c1".cast("long").as("cid"),
+        eu($"t.d1").as("a_micro"), eu($"t.d2").as("b_micro"))
+      .withColumn("s_micro",
+        round(lit(1e6) * ($"b_micro" - $"a_micro").cast("double")
+          / greatest(greatest($"a_micro", $"b_micro"), lit(1L)).cast("double"))
+          .cast("long"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"s_micro").cast("double") / count(lit(1))).cast("long")
+          .as("sil_micro"))
+      .orderBy($"cid")
+  }
+
   /** q311 — semi-hard negative mining (Schroff et al. 2015, FaceNet):
     * the negative that is CLOSER than margin-random but still farther
     * than the positive — sim(a,n) < sim(a,p) — the regime that trains
@@ -1121,6 +1217,8 @@ object Evaluation {
     "q311_semihard_negatives" -> q311_semihard_negatives,
     "q307_knn_reciprocity" -> q307_knn_reciprocity,
     "q327_davies_bouldin" -> q327_davies_bouldin,
+    "q332_adjusted_rand" -> q332_adjusted_rand,
+    "q333_simplified_silhouette" -> q333_simplified_silhouette,
     "q296_geometric_median" -> q296_geometric_median,
     "q298_label_noise" -> q298_label_noise,
     "q300_maxsim_retrieval" -> q300_maxsim_retrieval,
@@ -1576,6 +1674,66 @@ object Evaluation {
         |  db.db_micro
         |FROM sc LEFT JOIN db ON db.cid = sc.centroid
         |ORDER BY cid""".stripMargin,
+    "q332_adjusted_rand" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
+        |ad AS (SELECT e.vec_id, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |asg AS (SELECT vec_id, cid AS centroid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dmicro, cid) AS rn FROM ad) WHERE rn = 1),
+        |ct AS (SELECT a.centroid, e.label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM asg a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+        |core AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sij,
+        |    CAST(COUNT(DISTINCT centroid) AS BIGINT) AS n_clusters,
+        |    CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+        |    CAST(SUM(n) AS BIGINT) AS nn FROM ct),
+        |aa AS (SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT) AS sa FROM
+        |  (SELECT CAST(SUM(n) AS BIGINT) AS na FROM ct GROUP BY centroid)),
+        |bb AS (SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS sb FROM
+        |  (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM ct GROUP BY label)),
+        |f AS (SELECT nn, n_clusters, n_labels, sij, sa, sb,
+        |    2 * CAST(sij AS HUGEINT) * nn * (nn - 1)
+        |      - 4 * CAST(sa AS HUGEINT) * sb AS num,
+        |    (CAST(sa AS HUGEINT) + sb) * nn * (nn - 1)
+        |      - 4 * CAST(sa AS HUGEINT) * sb AS den
+        |  FROM core, aa, bb)
+        |SELECT nn AS n, n_clusters, n_labels, sij, sa, sb,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(ROUND(1e6 * CAST(num AS DOUBLE)
+        |      / CAST(den AS DOUBLE)) AS BIGINT)
+        |  END AS ari_micro
+        |FROM f""".stripMargin,
+    "q333_simplified_silhouette" ->
+      s"""WITH $ESql,
+        |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+        |      WHERE vec_id < ${Similarity.IvfKSql}),
+        |ad AS (SELECT e.vec_id, s.cid,
+        |    CAST(ROUND((list_inner_product(e.v, e.v)
+        |      - 2.0 * list_inner_product(e.v, s.cv)
+        |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
+        |  FROM e CROSS JOIN s),
+        |r AS (SELECT vec_id, cid, dmicro, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dmicro, cid) AS rn FROM ad),
+        |ab AS (SELECT r1.vec_id, r1.cid,
+        |    CAST(ROUND(SQRT(GREATEST(CAST(r1.dmicro AS DOUBLE) / 1e6, 0.0))
+        |      * 1e6) AS BIGINT) AS a_micro,
+        |    CAST(ROUND(SQRT(GREATEST(CAST(r2.dmicro AS DOUBLE) / 1e6, 0.0))
+        |      * 1e6) AS BIGINT) AS b_micro
+        |  FROM r r1 LEFT JOIN r r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+        |  WHERE r1.rn = 1),
+        |sm AS (SELECT cid, CAST(ROUND(
+        |    1e6 * CAST(b_micro - a_micro AS DOUBLE)
+        |    / CAST(GREATEST(GREATEST(a_micro, b_micro), 1) AS DOUBLE))
+        |    AS BIGINT) AS s_micro FROM ab)
+        |SELECT CAST(cid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS sil_micro
+        |FROM sm GROUP BY 1 ORDER BY cid""".stripMargin,
     "q307_knn_reciprocity" ->
       s"""WITH $ESql,
         |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e

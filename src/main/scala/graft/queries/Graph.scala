@@ -594,7 +594,63 @@ object Graph {
     census.toSeq.toDF("round", "n_vertices", "n_edges")
   }
 
+  /** q334 — Newman–Girvan modularity of the brand partition over the
+    * support-≥2 co-purchase backbone: Q = Σ_c [e_c/m − (d_c/2m)²],
+    * the "do co-purchases concentrate within brands" statistic — the
+    * partition-quality readout that completes the community pair
+    * (q251 finds communities, q334 scores a given partition; the
+    * brand attribute is the natural fixed partition, so no iterative
+    * label state enters the oracle). All counting runs on the
+    * DIRECTED both-ways edge list D = 2m (no halving anywhere:
+    * Q = Σ_c (D·intra_c − d_c²)/D²); the part→brand map is a
+    * broadcast dim join, so the edge list never shuffles, and
+    * everything after the two |brands|-bounded aggregates is
+    * dimension-sized. The squares/cross-products are decimal(38,0)/
+    * HUGEINT (d_c ≤ D, and D² clears int64 only to D≈3e9 — a real
+    * 100 TB edge count), each output ONE micro-rounded division.
+    * Per-brand rows carry their own contribution plus the global Q,
+    * so a single anti-community brand is ITS row, not a diluted
+    * average.
+    */
+  def q334_brand_modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pb = load(spark, dir, "part")
+      .select($"p_partkey".cast("long").as("p"), $"p_brand".as("brand"))
+    val eb = graft.Caches.tracked(supportBackboneEdges(spark, dir)
+      .join(broadcast(pb.select($"p".as("u"), $"brand".as("bu"))), "u")
+      .join(broadcast(pb.select($"p".as("v"), $"brand".as("bv"))), "v"))
+    val deg = eb.groupBy($"bu".as("brand"))
+      .agg(count(lit(1)).as("deg_sum"), countDistinct($"u").as("n_nodes"))
+    val intra = eb.filter($"bu" === $"bv").groupBy($"bu".as("brand"))
+      .agg(count(lit(1)).as("intra_dir"))
+    val tot = eb.agg(count(lit(1)).as("dd"))
+    val dec = "decimal(38,0)"
+    val rows = graft.Caches.tracked(deg
+      .join(intra, Seq("brand"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"brand", $"n_nodes", $"deg_sum",
+        coalesce($"intra_dir", lit(0L)).as("intra_dir"), $"dd"))
+    val q = rows.agg(
+        sum($"intra_dir").as("si"),
+        sum($"deg_sum".cast(dec) * $"deg_sum".cast(dec)).as("sd2"),
+        max($"dd").as("d"))
+      .select(round(lit(1e6)
+        * ($"d".cast(dec) * $"si".cast(dec) - $"sd2").cast("double")
+        / ($"d".cast(dec) * $"d".cast(dec)).cast("double"))
+        .cast("long").as("q_micro"))
+    rows.crossJoin(broadcast(q))
+      .select($"brand", $"n_nodes", $"deg_sum", $"intra_dir",
+        round(lit(1e6)
+          * ($"dd".cast(dec) * $"intra_dir".cast(dec)
+            - $"deg_sum".cast(dec) * $"deg_sum".cast(dec)).cast("double")
+          / ($"dd".cast(dec) * $"dd".cast(dec)).cast("double"))
+          .cast("long").as("contrib_micro"),
+        $"q_micro")
+      .orderBy($"brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_brand_modularity" -> q334_brand_modularity,
     "q261_kcore_peel" -> q261_kcore_peel,
     "q251_label_propagation" -> q251_label_propagation,
     "q131_link_prediction" -> q131_link_prediction,
@@ -607,6 +663,37 @@ object Graph {
     "q107_bfs_hops" -> q107_bfs_hops)
 
   val oracle: Map[String, String] = Map(
+    "q334_brand_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |pb AS (SELECT p_partkey AS p, p_brand AS brand FROM part),
+        |eb AS MATERIALIZED (SELECT e.u, e.v, bu.brand AS bu, bv.brand AS bv
+        |  FROM e JOIN pb bu ON bu.p = e.u JOIN pb bv ON bv.p = e.v),
+        |deg AS (SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS deg_sum,
+        |    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes FROM eb GROUP BY 1),
+        |intra AS (SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS intra_dir
+        |  FROM eb WHERE bu = bv GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM eb),
+        |r AS MATERIALIZED (SELECT deg.brand, n_nodes, deg_sum,
+        |    COALESCE(intra_dir, 0) AS intra_dir, dd
+        |  FROM deg LEFT JOIN intra ON intra.brand = deg.brand CROSS JOIN tot),
+        |q AS (SELECT CAST(ROUND(1e6
+        |    * CAST(CAST(MAX(dd) AS HUGEINT) * SUM(intra_dir)
+        |      - SUM(CAST(deg_sum AS HUGEINT) * deg_sum) AS DOUBLE)
+        |    / CAST(CAST(MAX(dd) AS HUGEINT) * MAX(dd) AS DOUBLE)) AS BIGINT)
+        |    AS q_micro FROM r)
+        |SELECT brand, n_nodes, deg_sum, intra_dir,
+        |  CAST(ROUND(1e6
+        |    * CAST(CAST(dd AS HUGEINT) * intra_dir
+        |      - CAST(deg_sum AS HUGEINT) * deg_sum AS DOUBLE)
+        |    / CAST(CAST(dd AS HUGEINT) * dd AS DOUBLE)) AS BIGINT)
+        |    AS contrib_micro,
+        |  q.q_micro
+        |FROM r, q ORDER BY brand""".stripMargin,
     "q261_kcore_peel" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

@@ -946,6 +946,51 @@ object DataPrep {
       .orderBy($"nation", $"segment")
   }
 
+  /** q335 — entropy and recursive ℓ-diversity (Machanavajjhala et al.
+    * 2006, the PUBLISHED stronger forms of the distinct-ℓ count q209
+    * already reports): per equivalence class, the Shannon entropy of
+    * the sensitive-attribute distribution with its effective
+    * ℓ = exp(H) (an entropy-ℓ-diverse class needs H ≥ ln ℓ — distinct
+    * counting calls a 99 %/1 % class 2-diverse; entropy does not),
+    * plus the recursive (c,ℓ) = (3,2) check r₁ < c·(n − r₁) in EXACT
+    * integers (4·r₁ < 3·n). Entropy follows the house ln convention
+    * (q263/q232): each (class, sensitive) term micro-rounds its own
+    * identically-evaluated float tree, then the per-class sum is
+    * exact integer addition — never an order-dependent double sum;
+    * exp() is the q118/q317 in-engine EXP treatment. Both aggregates
+    * are |classes|·|sensitive| bounded after the one fact join; the
+    * customer side broadcasts.
+    */
+  def q335_l_diversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val j = load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"))
+      .join(load(spark, dir, "orders")
+        .select($"o_custkey", $"o_orderpriority".as("s")),
+        $"c_custkey" === $"o_custkey")
+      .select($"nation", $"segment", $"s")
+    val cls = graft.Caches.tracked(j.groupBy($"nation", $"segment", $"s")
+      .agg(count(lit(1)).as("ncs")))
+    val csz = cls.groupBy($"nation", $"segment")
+      .agg(sum($"ncs").as("nc"), count(lit(1)).as("distinct_l"),
+        max($"ncs").as("r1"))
+    val ent = cls.join(csz.select($"nation", $"segment", $"nc"),
+        Seq("nation", "segment"))
+      .select($"nation", $"segment",
+        round(lit(1e6) * ($"ncs".cast("double") / $"nc")
+          * log($"nc".cast("double") / $"ncs")).cast("long").as("term"))
+      .groupBy($"nation", $"segment")
+      .agg(sum($"term").as("entropy_micro"))
+    csz.join(ent, Seq("nation", "segment"))
+      .select($"nation", $"segment", $"nc".as("class_size"), $"distinct_l",
+        $"entropy_micro",
+        round(lit(1e6) * exp($"entropy_micro".cast("double") / lit(1e6)))
+          .cast("long").as("eff_l_micro"),
+        ($"r1" * 4 < $"nc" * 3).cast("int").as("recursive_ok"))
+      .orderBy($"nation", $"segment")
+  }
+
   /** q263 — population stability index between two sources' quality
     * distributions over FIXED bins (bp div 1000 — data-driven decile
     * edges would make bin membership itself float-dependent): the
@@ -2035,6 +2080,7 @@ object DataPrep {
     "q259_fim_transform" -> q259_fim_transform,
     "q260_preference_pairs" -> q260_preference_pairs,
     "q262_t_closeness" -> q262_t_closeness,
+    "q335_l_diversity" -> q335_l_diversity,
     "q263_psi_drift" -> q263_psi_drift,
     "q273_robust_mean" -> q273_robust_mean,
     "q274_robust_scale" -> q274_robust_scale,
@@ -2648,6 +2694,32 @@ object DataPrep {
         |LEFT JOIN cls ON cls.nation = csz.nation
         |  AND cls.segment = csz.segment AND cls.s = g.s
         |GROUP BY csz.nation, csz.segment, csz.nc, tot.n
+        |ORDER BY 1, 2""".stripMargin,
+    "q335_l_diversity" ->
+      """WITH j AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment, o_orderpriority AS s
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        |cls AS (SELECT nation, segment, s, CAST(COUNT(*) AS BIGINT) AS ncs
+        |  FROM j GROUP BY 1, 2, 3),
+        |csz AS (SELECT nation, segment, CAST(SUM(ncs) AS BIGINT) AS nc,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_l,
+        |    CAST(MAX(ncs) AS BIGINT) AS r1
+        |  FROM cls GROUP BY 1, 2),
+        |ent AS (SELECT cls.nation, cls.segment,
+        |    CAST(SUM(CAST(ROUND(1e6 * (CAST(ncs AS DOUBLE) / csz.nc)
+        |      * LN(CAST(csz.nc AS DOUBLE) / ncs)) AS BIGINT)) AS BIGINT)
+        |      AS entropy_micro
+        |  FROM cls JOIN csz ON csz.nation = cls.nation
+        |    AND csz.segment = cls.segment
+        |  GROUP BY 1, 2)
+        |SELECT csz.nation, csz.segment, csz.nc AS class_size, distinct_l,
+        |  entropy_micro,
+        |  CAST(ROUND(1e6 * EXP(CAST(entropy_micro AS DOUBLE) / 1e6))
+        |    AS BIGINT) AS eff_l_micro,
+        |  CAST(CASE WHEN 4 * r1 < 3 * csz.nc THEN 1 ELSE 0 END AS INT)
+        |    AS recursive_ok
+        |FROM csz JOIN ent ON ent.nation = csz.nation
+        |  AND ent.segment = csz.segment
         |ORDER BY 1, 2""".stripMargin,
     "q263_psi_drift" ->
       s"""WITH d AS (SELECT source, ${TextAnalysis.QualityBpSql} // 1000 AS b

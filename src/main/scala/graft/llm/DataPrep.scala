@@ -1764,6 +1764,68 @@ object DataPrep {
       .orderBy($"source")
   }
 
+  /** q336 — doubly-robust off-policy estimate (Dudík, Langford & Li
+    * 2011): V_DR = Σ_s π(s)·q̂_s + (1/N)Σ w_s·(r − q̂_s) — the
+    * estimator that is unbiased if EITHER the direct model OR the
+    * propensities are right, completing the q319 IPS/SNIPS pair. The
+    * direct model q̂ is fitted on the doc_id-parity MODEL half (per-
+    * arm pass rate, one rounded division) and evaluated against the
+    * EVAL half with q319's clipped uniform-target weights, so the
+    * model is never scored on its own fitting data. An arm missing
+    * the model half degrades to q̂ = 0 (pure IPS for that arm — the
+    * DR fallback, not an error); an arm with no eval rows contributes
+    * its DM term with zero correction. ONE corpus scan into the
+    * |sources|-row conditional aggregate; the per-arm correction
+    * cross-product w·(x·1e6 − n·q̂) is decimal(38,0)/HUGEINT (clip ×
+    * count × 1e6 clears int64 only to ~9e5 rows/arm) with exact
+    * integer sums and one closing division per estimate. The readout
+    * carries DM, correction, DR and the eval-half IPS side by side —
+    * |DR − IPS| is the "was the model worth it" variance diagnostic.
+    */
+  def q336_doubly_robust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = load(spark, dir, "documents")
+      .select($"source", ($"doc_id" % 2 === 0).as("m"),
+        TextAnalysis.qualityGatePass($"n_chars", $"text").as("pass"))
+    val arms = d.groupBy($"source").agg(
+      sum(when($"m", 1L).otherwise(0L)).as("n_model"),
+      sum(when($"m", $"pass").otherwise(0L)).as("x_model"),
+      sum(when(!$"m", 1L).otherwise(0L)).as("n_eval"),
+      sum(when(!$"m", $"pass").otherwise(0L)).as("x_eval"))
+    val q = arms.withColumn("qhat_micro",
+      when($"n_model" === 0, lit(null).cast("long"))
+        .otherwise(round(lit(1e6) * $"x_model" / $"n_model").cast("long")))
+    val tot = q.agg(sum($"n_eval").as("nn"),
+      count(lit(1)).cast("long").as("ns"))
+    val dec = "decimal(38,0)"
+    val w = graft.Caches.tracked(q.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        when($"n_eval" === 0, lit(null).cast("long"))
+          .otherwise(least(round(lit(1e6) * $"nn" / ($"ns" * $"n_eval"))
+            .cast("long"), lit(IpsClipMicro))))
+      .withColumn("qhat0", coalesce($"qhat_micro", lit(0L)))
+      .withColumn("corr_e12",
+        when($"n_eval" === 0, lit(0L).cast(dec))
+          .otherwise($"w_micro".cast(dec)
+            * ($"x_eval".cast(dec) * lit(1000000L).cast(dec)
+              - $"n_eval".cast(dec) * $"qhat0".cast(dec))))
+      .withColumn("sx_term",
+        when($"n_eval" === 0, lit(0L).cast(dec))
+          .otherwise($"w_micro".cast(dec) * $"x_eval".cast(dec))))
+    val est = w.agg(sum($"qhat0").as("sq"), sum($"corr_e12").as("sc"),
+      sum($"sx_term").as("sx"), max($"nn").as("nn2"), max($"ns").as("ns2"))
+    w.crossJoin(broadcast(est))
+      .withColumn("dm_micro",
+        round($"sq".cast("double") / $"ns2").cast("long"))
+      .withColumn("corr_micro",
+        round($"sc".cast("double") / (lit(1e6) * $"nn2")).cast("long"))
+      .select($"source", $"n_model", $"qhat_micro", $"n_eval", $"x_eval",
+        $"w_micro", $"dm_micro", $"corr_micro",
+        ($"dm_micro" + $"corr_micro").as("dr_micro"),
+        round($"sx".cast("double") / $"nn2").cast("long").as("ips_micro"))
+      .orderBy($"source")
+  }
+
   /** Group-DRO exponentiated-gradient rounds (fixed, oracle-unrolled
     * like the q34 Lloyd replay) and step size η = 1. */
   final val DroIters = 5
@@ -2057,6 +2119,7 @@ object DataPrep {
     "q221_temperature_mixture" -> q221_temperature_mixture,
     "q315_ucb_source_selection" -> q315_ucb_source_selection,
     "q319_ips_offpolicy" -> q319_ips_offpolicy,
+    "q336_doubly_robust" -> q336_doubly_robust,
     "q321_group_dro" -> q321_group_dro,
     "q322_quantile_match" -> q322_quantile_match,
     "q328_emd_quality" -> q328_emd_quality,
@@ -2270,6 +2333,45 @@ object DataPrep {
         |  CAST(ROUND(CAST(sx AS DOUBLE) / nn) AS BIGINT) AS ips_micro,
         |  CAST(ROUND(1e6 * sx / sn) AS BIGINT) AS snips_micro
         |FROM w, est ORDER BY source""".stripMargin,
+    "q336_doubly_robust" ->
+      s"""WITH d AS (SELECT source, doc_id % 2 = 0 AS m,
+        |    ${TextAnalysis.QualityGateSql} AS pass FROM documents),
+        |arms AS (SELECT source,
+        |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_model,
+        |    CAST(SUM(CASE WHEN m THEN pass ELSE 0 END) AS BIGINT) AS x_model,
+        |    CAST(SUM(CASE WHEN m THEN 0 ELSE 1 END) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN m THEN 0 ELSE pass END) AS BIGINT) AS x_eval
+        |  FROM d GROUP BY 1),
+        |q AS (SELECT *, CASE WHEN n_model = 0 THEN NULL
+        |    ELSE CAST(ROUND(1e6 * x_model / n_model) AS BIGINT) END
+        |    AS qhat_micro FROM arms),
+        |tot AS (SELECT CAST(SUM(n_eval) AS BIGINT) AS nn,
+        |    CAST(COUNT(*) AS BIGINT) AS ns FROM q),
+        |w AS (SELECT q.*, nn, ns,
+        |    CASE WHEN n_eval = 0 THEN NULL
+        |      ELSE LEAST(CAST(ROUND(1e6 * nn / (ns * n_eval)) AS BIGINT),
+        |        $IpsClipMicro) END AS w_micro,
+        |    COALESCE(qhat_micro, 0) AS qhat0
+        |  FROM q, tot),
+        |terms AS (SELECT *,
+        |    CASE WHEN n_eval = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE CAST(w_micro AS HUGEINT)
+        |        * (x_eval * CAST(1000000 AS HUGEINT) - n_eval * qhat0)
+        |    END AS corr_e12,
+        |    CASE WHEN n_eval = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE CAST(w_micro AS HUGEINT) * x_eval END AS sx_term
+        |  FROM w),
+        |est AS (SELECT CAST(SUM(qhat0) AS BIGINT) AS sq, SUM(corr_e12) AS sc,
+        |    SUM(sx_term) AS sx, MAX(nn) AS nn2, MAX(ns) AS ns2 FROM terms)
+        |SELECT source, n_model, qhat_micro, n_eval, x_eval, w_micro,
+        |  CAST(ROUND(CAST(sq AS DOUBLE) / ns2) AS BIGINT) AS dm_micro,
+        |  CAST(ROUND(CAST(sc AS DOUBLE) / (1e6 * nn2)) AS BIGINT)
+        |    AS corr_micro,
+        |  CAST(ROUND(CAST(sq AS DOUBLE) / ns2) AS BIGINT)
+        |    + CAST(ROUND(CAST(sc AS DOUBLE) / (1e6 * nn2)) AS BIGINT)
+        |    AS dr_micro,
+        |  CAST(ROUND(CAST(sx AS DOUBLE) / nn2) AS BIGINT) AS ips_micro
+        |FROM terms, est ORDER BY source""".stripMargin,
     "q315_ucb_source_selection" ->
       s"""WITH arms AS (SELECT source,
         |    CAST(COUNT(*) AS BIGINT) AS plays,

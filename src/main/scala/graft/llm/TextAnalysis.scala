@@ -423,6 +423,46 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  /** q337 — interpolated Kneser–Ney bigram smoothing (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form, d = 0.75): the
+    * smoothing q193's raw count-ratio LM lacks — P(w₂|w₁) =
+    * max(c₁₂−d,0)/c₁• + d·N₁₊(w₁•)/c₁• · N₁₊(•w₂)/N₁₊(••), where the
+    * continuation probability counts CONTEXT TYPES, not tokens (the
+    * "San Francisco" correction: a word frequent in one context only
+    * gets low continuation mass). Everything derives from the ONE
+    * vocabulary-bounded bigram-count table: context totals and
+    * continuation-type counts are two bounded re-aggregations, the
+    * type total a 1-row broadcast; the context normalizer is Σc₂
+    * (never the raw unigram token count — doc-final tokens start no
+    * bigram, and KN must normalize over continuations, or Σ_w₂ P
+    * misses 1). Counts stay exact longs into ONE shared micro-rounded
+    * float tree; top-30 by (count, w₁, w₂) via TakeOrdered — no
+    * global window, nothing past the bigram aggregate ever exceeds
+    * vocabulary size.
+    */
+  def q337_kneser_ney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = load(spark, dir, "documents")
+      .select(wsTokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val c2 = graft.Caches.tracked(
+      bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2")))
+    val cw = c2.groupBy($"w1")
+      .agg(sum($"c2").as("cw1"), count(lit(1)).as("n1w"))
+    val nb = c2.groupBy($"w2").agg(count(lit(1)).as("nb"))
+    val nt = c2.agg(count(lit(1)).as("nt"))
+    c2.join(cw, "w1").join(nb, "w2").crossJoin(broadcast(nt))
+      .select($"w1", $"w2", $"c2", $"cw1", $"n1w", $"nb",
+        round(lit(1e6) * (greatest($"c2" - lit(0.75), lit(0.0)) / $"cw1"
+          + (lit(0.75) * $"n1w" / $"cw1") * ($"nb".cast("double") / $"nt")))
+          .cast("long").as("pkn_micro"))
+      .orderBy($"c2".desc, $"w1", $"w2")
+      .limit(30)
+  }
+
   /** q193 — corpus-trained bigram-LM surprisal: the perplexity-style
     * quality filter (the canonical corpus-curation step the heuristic
     * q21 score approximates). The corpus is its own LM: unigram and
@@ -1670,6 +1710,7 @@ object TextAnalysis {
     "q164_classifier_metrics" -> q164_classifier_metrics,
     "q165_score_calibration" -> q165_score_calibration,
     "q193_lm_surprisal" -> q193_lm_surprisal,
+    "q337_kneser_ney" -> q337_kneser_ney,
     "q171_bm25_lite" -> q171_bm25_lite,
     "q295_ql_retrieval" -> q295_ql_retrieval,
     "q301_rank_correlation" -> q301_rank_correlation,
@@ -2098,6 +2139,23 @@ object TextAnalysis {
         |SELECT doc_id, n_bigrams, total_bits,
         |  CAST(ROUND(1000.0 * total_bits / n_bigrams) AS BIGINT) AS bpb_milli
         |FROM d ORDER BY bpb_milli DESC, doc_id LIMIT 30""".stripMargin,
+    "q337_kneser_ney" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |cw AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cw1,
+        |    CAST(COUNT(*) AS BIGINT) AS n1w FROM c2 GROUP BY 1),
+        |nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c2 GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c2, cw.cw1, cw.n1w, nb.nb,
+        |  CAST(ROUND(1e6 * (GREATEST(c2.c2 - 0.75, 0.0) / cw.cw1
+        |    + (0.75 * cw.n1w / cw.cw1) * (CAST(nb.nb AS DOUBLE) / nt.nt)))
+        |    AS BIGINT) AS pkn_micro
+        |FROM c2 JOIN cw USING (w1) JOIN nb USING (w2) CROSS JOIN nt
+        |ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT 30""".stripMargin,
     "q116_source_overlap" ->
       """WITH st AS (SELECT DISTINCT source, tok FROM (
         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -1275,6 +1275,59 @@ object Similarity {
       .orderBy($"i")
   }
 
+  /** q339 — diagonal-covariance Fréchet distance per label slice vs
+    * the whole corpus (the FID functional of Heusel et al. 2017,
+    * restricted to diagonal Gaussians — the form whose statistics a
+    * distributed scan can actually produce): d² = ‖μ_ℓ − μ‖² +
+    * Σ_d (σ²_ℓ + σ² − 2·√(σ²_ℓ·σ²)) — the DISTRIBUTION-level drift
+    * readout beside the mean-only q219 (two slices can share a mean
+    * and still differ wildly in spread; Fréchet sees it, a mean delta
+    * cannot). Statistics follow q285's integer posture: per-element
+    * micro-quantization, exact long/decimal sums, each per-dim
+    * mean/variance ONE rounded division; the per-dim geometric term
+    * micro-rounds its own √ tree before the exact integer sum over
+    * the 64-dim axis (never an order-dependent double sum). Two
+    * aggregations over the one exploded scan — |labels|·64 and
+    * 64-row tables; the global side broadcasts. Per-dim variance
+    * products run in DOUBLE (1e12·1e12 overflows int64; the double
+    * product is one deterministic IEEE rounding both engines share).
+    */
+  def q339_frechet_labels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val ex = graft.Caches.tracked(load(spark, dir, "embeddings")
+      .select($"label", posexplode(toDouble($"embedding")))
+      .select($"label".cast("long").as("label"),
+        $"pos".cast("long").as("i"),
+        round($"col" * 1e6).cast("long").as("xq")))
+    def moments(grouped: DataFrame): DataFrame = grouped
+      .select(grouped.columns.dropRight(3).map(col) :+
+        col("n") :+
+        round(col("sx").cast("double") / col("n")).cast("long").as("mean_e6") :+
+        round((col("n").cast(dec) * col("sxx")
+          - col("sx").cast(dec) * col("sx")).cast("double")
+          / (col("n").cast("double") * col("n"))).cast("long").as("var_e12"): _*)
+    val sl = moments(ex.groupBy($"label", $"i")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sx"),
+        sum($"xq" * $"xq").as("sxx")))
+    val sg = moments(ex.groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sx"),
+        sum($"xq" * $"xq").as("sxx")))
+      .select($"i", $"mean_e6".as("gmean_e6"), $"var_e12".as("gvar_e12"))
+    sl.join(broadcast(sg), "i")
+      .withColumn("dm", $"mean_e6" - $"gmean_e6")
+      .withColumn("term_var", $"var_e12" + $"gvar_e12"
+        - round(lit(2.0) * sqrt($"var_e12".cast("double") * $"gvar_e12"))
+          .cast("long"))
+      .groupBy($"label")
+      .agg(max($"n").as("n_vecs"),
+        sum($"dm" * $"dm").as("mean_gap_e12"),
+        sum($"term_var").as("var_gap_e12"))
+      .select($"label", $"n_vecs", $"mean_gap_e12", $"var_gap_e12",
+        ($"mean_gap_e12" + $"var_gap_e12").as("frechet_e12"))
+      .orderBy($"label")
+  }
+
   /** q278 — embedding anisotropy (Ethayarajh 2019): the share of
     * total variance on the top principal component — the "is my
     * embedding space collapsing into a cone" diagnostic that decides
@@ -1517,6 +1570,7 @@ object Similarity {
     "q287_ivfpq_topk" -> q287_ivfpq_topk,
     "q281_hard_negatives" -> q281_hard_negatives,
     "q285_embedding_standardize" -> q285_embedding_standardize,
+    "q339_frechet_labels" -> q339_frechet_labels,
     "q278_anisotropy" -> q278_anisotropy,
     "q247_sq8_adc_recall" -> q247_sq8_adc_recall,
     "q248_srp_rerank" -> q248_srp_rerank,
@@ -1802,6 +1856,38 @@ object Similarity {
         |    / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e12,
         |  min_e6, max_e6
         |FROM s ORDER BY i""".stripMargin,
+    "q339_frechet_labels" ->
+      """WITH ex AS (SELECT label, g.i - 1 AS i,
+        |    CAST(ROUND(1e6 * embedding[g.i]) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |sl AS (SELECT CAST(label AS BIGINT) AS label, i,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xq) AS BIGINT) AS sx,
+        |    CAST(SUM(xq * xq) AS BIGINT) AS sxx FROM ex GROUP BY 1, 2),
+        |sg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xq) AS BIGINT) AS sx,
+        |    CAST(SUM(xq * xq) AS BIGINT) AS sxx FROM ex GROUP BY 1),
+        |ml AS (SELECT label, i, n,
+        |    CAST(ROUND(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_e6,
+        |    CAST(ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_e12 FROM sl),
+        |mg AS (SELECT i,
+        |    CAST(ROUND(CAST(sx AS DOUBLE) / n) AS BIGINT) AS gmean_e6,
+        |    CAST(ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS gvar_e12 FROM sg),
+        |t AS (SELECT ml.label, ml.n,
+        |    (ml.mean_e6 - mg.gmean_e6) AS dm,
+        |    ml.var_e12 + mg.gvar_e12
+        |      - CAST(ROUND(2.0 * SQRT(CAST(ml.var_e12 AS DOUBLE)
+        |        * mg.gvar_e12)) AS BIGINT) AS term_var
+        |  FROM ml JOIN mg USING (i))
+        |SELECT label, MAX(n) AS n_vecs,
+        |  CAST(SUM(dm * dm) AS BIGINT) AS mean_gap_e12,
+        |  CAST(SUM(term_var) AS BIGINT) AS var_gap_e12,
+        |  CAST(SUM(dm * dm) AS BIGINT) + CAST(SUM(term_var) AS BIGINT)
+        |    AS frechet_e12
+        |FROM t GROUP BY 1 ORDER BY label""".stripMargin,
     "q247_sq8_adc_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |st AS (SELECT g.i AS pos, MIN(v[g.i]) AS mn, MAX(v[g.i]) AS mx

@@ -423,6 +423,46 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  /** q338 — Good–Turing frequency re-estimation (Good 1953; the
+    * Gale–Sampson "simple GT" readout): from the count-of-counts
+    * table N_r, the discounted count r* = (r+1)·N_{r+1}/N_r and the
+    * unseen-mass estimate p₀ = N₁/N — the OTHER classical smoothing
+    * beside q337's Kneser–Ney (GT discounts by how often counts of
+    * that size occur; KN by continuation diversity) and the
+    * vocabulary-growth dual of q231's Heaps law (N₁ is the hapax
+    * count both share). Two nested vocabulary-bounded aggregates
+    * (token counts → count-of-counts); every statistic is an exact
+    * integer until the one micro-rounded division per row; the
+    * readout is the 10 SMALLEST frequency ranks present (TakeOrdered,
+    * never a fixed r ≤ 10 cut — a corpus whose rarest word occurs 40
+    * times still reports its low-rank zone) — the zone where GT
+    * discounting is actually used; sparse high ranks show up as
+    * N_{r+1} = 0 → r* = 0 rows rather than being hidden.
+    */
+  def q338_good_turing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c1 = graft.Caches.tracked(load(spark, dir, "documents")
+      .select(explode(wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c")))
+    val nr = graft.Caches.tracked(
+      c1.groupBy($"c".as("r")).agg(count(lit(1)).as("n_r")))
+    val tot = c1.agg(sum($"c").as("n_tokens"), count(lit(1)).as("v"))
+    // 1-row hapax count, 0 when no word occurs exactly once
+    val n1 = nr.agg(coalesce(sum(when($"r" === 1, $"n_r")), lit(0L)).as("n_1"))
+    nr.join(nr.select(($"r" - 1).as("r"), $"n_r".as("n_r_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select($"r", $"n_r", coalesce($"n_r_next", lit(0L)).as("n_r_next"),
+        $"n_tokens", $"v", $"n_1")
+      .select($"r", $"n_r", $"n_r_next",
+        round(lit(1e6) * ($"r" + 1) * $"n_r_next" / $"n_r").cast("long")
+          .as("rstar_micro"),
+        round(lit(1e6) * $"n_1" / $"n_tokens").cast("long").as("p0_micro"),
+        $"n_tokens", $"v")
+      .orderBy($"r")
+      .limit(10)
+  }
+
   /** q337 — interpolated Kneser–Ney bigram smoothing (Kneser & Ney
     * 1995; Chen & Goodman 1999's interpolated form, d = 0.75): the
     * smoothing q193's raw count-ratio LM lacks — P(w₂|w₁) =
@@ -1711,6 +1751,7 @@ object TextAnalysis {
     "q165_score_calibration" -> q165_score_calibration,
     "q193_lm_surprisal" -> q193_lm_surprisal,
     "q337_kneser_ney" -> q337_kneser_ney,
+    "q338_good_turing" -> q338_good_turing,
     "q171_bm25_lite" -> q171_bm25_lite,
     "q295_ql_retrieval" -> q295_ql_retrieval,
     "q301_rank_correlation" -> q301_rank_correlation,
@@ -2156,6 +2197,24 @@ object TextAnalysis {
         |    AS BIGINT) AS pkn_micro
         |FROM c2 JOIN cw USING (w1) JOIN nb USING (w2) CROSS JOIN nt
         |ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT 30""".stripMargin,
+    "q338_good_turing" ->
+      """WITH c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        |  FROM c1 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+        |n1 AS (SELECT CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0)
+        |    AS BIGINT) AS n_1 FROM nr)
+        |SELECT nr.r, nr.n_r, COALESCE(nx.n_r, 0) AS n_r_next,
+        |  CAST(ROUND(1e6 * (nr.r + 1) * COALESCE(nx.n_r, 0) / nr.n_r)
+        |    AS BIGINT) AS rstar_micro,
+        |  CAST(ROUND(1e6 * n_1 / n_tokens) AS BIGINT) AS p0_micro,
+        |  n_tokens, v
+        |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
+        |CROSS JOIN tot CROSS JOIN n1
+        |ORDER BY nr.r LIMIT 10""".stripMargin,
     "q116_source_overlap" ->
       """WITH st AS (SELECT DISTINCT source, tok FROM (
         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -423,6 +423,45 @@ object TextAnalysis {
       .orderBy($"bucket")
   }
 
+  /** q340 — nucleus (top-p) vocabulary coverage per source (the
+    * corpus-side dual of Holtzman et al. 2020's nucleus sampling):
+    * the smallest head of the frequency-sorted vocabulary whose mass
+    * reaches p = 0.9 — the "how top-heavy is this source's token
+    * distribution" readout that complements q117's concentration
+    * (share of a FIXED top-k) and q232's Zipf fit (a PARAMETRIC
+    * slope) with the nonparametric mass-quantile the sampling
+    * literature actually uses. The crossing test is the exact
+    * integer cross-multiply cum·10 ≥ total·9 — no float threshold
+    * anywhere; ranks and cumulative sums are windows over the
+    * |sources|·vocab-bounded count table (never the corpus), and the
+    * readout is one row per source: vocabulary size, token count,
+    * nucleus size and its share of the vocabulary in bp.
+    */
+  def q340_nucleus_coverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.Caches.tracked(load(spark, dir, "documents")
+      .select($"source", explode(wsTokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c")))
+    val wOrd = Window.partitionBy($"source")
+      .orderBy($"c".desc, $"w")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"source")
+    c.withColumn("cum", sum($"c").over(wOrd))
+      .withColumn("tot", sum($"c").over(wAll))
+      .withColumn("v", count(lit(1)).over(wAll))
+      .withColumn("in_nucleus",
+        // a word is inside the nucleus iff the cumulative mass BEFORE
+        // it has not yet reached p — the first crossing is included
+        when(($"cum" - $"c") * 10 < $"tot" * 9, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(max($"v").as("vocab"), max($"tot").as("n_tokens"),
+        sum($"in_nucleus").as("nucleus_k"))
+      .select($"source", $"vocab", $"n_tokens", $"nucleus_k",
+        round(lit(10000.0) * $"nucleus_k" / $"vocab").cast("long")
+          .as("nucleus_share_bp"))
+      .orderBy($"source")
+  }
+
   /** q338 — Good–Turing frequency re-estimation (Good 1953; the
     * Gale–Sampson "simple GT" readout): from the count-of-counts
     * table N_r, the discounted count r* = (r+1)·N_{r+1}/N_r and the
@@ -1752,6 +1791,7 @@ object TextAnalysis {
     "q193_lm_surprisal" -> q193_lm_surprisal,
     "q337_kneser_ney" -> q337_kneser_ney,
     "q338_good_turing" -> q338_good_turing,
+    "q340_nucleus_coverage" -> q340_nucleus_coverage,
     "q171_bm25_lite" -> q171_bm25_lite,
     "q295_ql_retrieval" -> q295_ql_retrieval,
     "q301_rank_correlation" -> q301_rank_correlation,
@@ -2215,6 +2255,24 @@ object TextAnalysis {
         |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
         |CROSS JOIN tot CROSS JOIN n1
         |ORDER BY nr.r LIMIT 10""".stripMargin,
+    "q340_nucleus_coverage" ->
+      """WITH c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source, w, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS v
+        |  FROM c)
+        |SELECT source, MAX(v) AS vocab, MAX(tot) AS n_tokens,
+        |  CAST(SUM(CASE WHEN (cum - c) * 10 < tot * 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nucleus_k,
+        |  CAST(ROUND(10000.0 * SUM(CASE WHEN (cum - c) * 10 < tot * 9
+        |      THEN 1 ELSE 0 END) / MAX(v)) AS BIGINT) AS nucleus_share_bp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q116_source_overlap" ->
       """WITH st AS (SELECT DISTINCT source, tok FROM (
         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -119,7 +119,7 @@ object DegenerateProbe {
     "q249_ivf_probe_sweep", "q287_ivfpq_topk", "q290_ivf_append_drift",
     "q298_label_noise", "q302_residual_quantization", "q307_knn_reciprocity",
     "q312_ann_maxsim", "q316_facility_location", "q325_twostage_rerank",
-    "q327_davies_bouldin",
+    "q327_davies_bouldin", "q332_adjusted_rand", "q333_simplified_silhouette",
     // trained/greedy seeds with their own named requires
     "q34_ann_ivf", "q289_kcenter_coreset")
 

@@ -122,6 +122,17 @@ object Bench {
       val dtNs = System.nanoTime() - t0
       // blocking: eviction must not overlap the next query's timing
       Caches.releaseAll(blocking = true)
+      // Collect the query's garbage on ITS OWN clock, not the next
+      // query's: Spark's ContextCleaner reclaims unreferenced
+      // broadcast/RDD blocks only when the JVM GC reports the weak
+      // refs dead, so without a forced collection here the blocks
+      // pile up and whichever query runs next pays the predecessor's
+      // collection debt as wall time (measured at sf1.0: q238 34 s
+      // in-suite vs 3.3 s isolated floor — the whole gap was carried
+      // GC/cleaner work). One System.gc() per measured query makes
+      // in-suite walls track isolated floors and retires the
+      // per-round "in-suite contention, not compute" adjudications.
+      System.gc()
       val internal = try obs.drain(spark) catch { case _: Throwable => Seq.empty }
       val direct = if (ok) {
         try Seq(Observability.statsOf(name, df.queryExecution, dtNs, failed = false))

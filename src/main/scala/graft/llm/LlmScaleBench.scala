@@ -64,17 +64,44 @@ object LlmScaleBench {
 
   /** Deterministic 64-dim pseudo-random embeddings, label decorrelated
     * from vec_id mod 5 (testdata parity: int labels, 10 of them).
+    *
+    * PLANTED near-dup family (round-16 directive #3 — pure
+    * pseudo-random vectors gave the ≥ 0.99-cosine detector q30
+    * nothing to find, so its sf1.0 oracle row passed vacuously on
+    * empty): id ≡ 49 (mod 2500) replays id−7's vector plus a tiny
+    * own-id perturbation (±0.005/dim vs ‖v‖ ≈ 2.31 → cosine
+    * ≈ 0.99995, comfortably above the 0.99 gate AND far inside the
+    * 4×8-plane SRP sketch family's certain-recall region — the q30
+    * oracle is exact all-pairs, so a planted pair the deterministic
+    * sketches missed would be a gate mismatch, not a recall stat).
+    * id−7 ≡ 42 (mod 2500) is never itself planted; pairs are
+    * disjoint; the family is n/2500 pairs — linear, and invisible to
+    * every operator that doesn't look for ≥ 0.99 cosine (for
+    * top-k/IVF/PQ consumers the mutant is just one more corpus
+    * point whose exact scores both engines recompute).
     */
   def synthEmbeddings(spark: SparkSession, nVecs: Long, path: String): Unit = {
     import spark.implicits._
     spark.range(nVecs).as[Long].mapPartitions(_.map { id =>
+      val isNd = id % 2500 == 49
+      val seed = if (isNd) id - 7 else id
       val v = new Array[Float](64)
-      var h = id * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+      var h = seed * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
       var j = 0
       while (j < 64) {
         h = h * 6364136223846793005L + 1442695040888963407L
         v(j) = ((h >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
         j += 1
+      }
+      if (isNd) {
+        var p = id * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+        j = 0
+        while (j < 64) {
+          p = p * 6364136223846793005L + 1442695040888963407L
+          v(j) = (v(j) +
+            0.01 * ((p >>> 33).toDouble / (1L << 31).toDouble - 0.5)).toFloat
+          j += 1
+        }
       }
       (id, v, ((id / 7) % 10).toInt)
     }).toDF("vec_id", "embedding", "label")

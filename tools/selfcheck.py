@@ -83,6 +83,34 @@ def run_sql(sql: str) -> pd.DataFrame:
     finally:
         done.set()
 
+# Cross-scale vacuity check (round-16 directive #3): an OK on ZERO rows
+# where a SMALLER scale produced >0 is the signature of a structurally
+# denied positive path (q25's 7 -> 0 inverse-scaling shape) - both
+# engines agreeing on empty verifies the filter, not the pipeline.
+# Point SELFCHECK_BASELINE_DIR at a smaller scale's verify output and
+# any such row gets a visible WARN (non-fatal - the gate stays green,
+# the sweep log carries the signal).
+baseline_dir = os.environ.get("SELFCHECK_BASELINE_DIR", "")
+warns = 0
+
+
+def vacuity_warn(name: str, got_rows: int) -> str:
+    global warns
+    if got_rows > 0 or not baseline_dir:
+        return ""
+    base = f"{baseline_dir}/{name}"
+    if not os.path.isdir(base):
+        return ""
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{base}/*.parquet'").fetchone()[0]
+    except Exception:
+        return ""
+    if n > 0:
+        warns += 1
+        return f"  WARN vacuous: 0 rows here, {n} at baseline"
+    return ""
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # Normalize timestamp-ish dtypes to ns for fair compare
@@ -122,7 +150,8 @@ for name in sorted(oracle):
               f"(CAST the oracle aggregate AS BIGINT)"); fails += 1; continue
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-        print(f"OK   {name} ({len(got)} rows)"); oks += 1
+        vac = vacuity_warn(name, len(got))
+        print(f"OK   {name} ({len(got)} rows){vac}"); oks += 1
     except AssertionError as e:
         print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); fails += 1
 
@@ -133,6 +162,7 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
         print(f"ROWS {name}: {n} rows (no oracle)")
 
-print(f"\n{oks} OK, {skips} skipped (timeout/excluded), "
+wtag = f", {warns} vacuity warnings" if warns else ""
+print(f"\n{oks} OK, {skips} skipped (timeout/excluded){wtag}, "
       f"{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)

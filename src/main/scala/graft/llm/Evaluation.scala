@@ -766,7 +766,14 @@ object Evaluation {
     val t2 = graft.functions.QuantizerTop2.top2($"v", seeds)
     emb.withColumn("t", t2)
       .select($"t.c1".cast("long").as("cid"),
-        eu($"t.d1").as("a_micro"), eu($"t.d2").as("b_micro"))
+        eu($"t.d1").as("a_micro"),
+        // explicit NULL guard: Spark's greatest() SKIPS nulls, so a
+        // null d2 (single-centroid corpus, no runner-up) would
+        // otherwise surface as b_micro = 0 / s_micro = -1e6 instead
+        // of the documented NULL; s_micro then null-propagates and
+        // the cluster's sil_micro reports NULL, never throwing
+        when($"t.d2".isNull, lit(null).cast("long"))
+          .otherwise(eu($"t.d2")).as("b_micro"))
       .withColumn("s_micro",
         round(lit(1e6) * ($"b_micro" - $"a_micro").cast("double")
           / greatest(greatest($"a_micro", $"b_micro"), lit(1L)).cast("double"))

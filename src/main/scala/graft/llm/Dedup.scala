@@ -442,6 +442,58 @@ object Dedup {
           .as("precision_bp"))
   }
 
+  /** q342 — banded-LSH candidate-funnel audit: q341's probabilistic
+    * twin, pointed at q23's MinHash core. Stage census docs → band
+    * rows → distinct bucket-join candidate pairs → verified (J ≥ ½)
+    * pairs, with the two numbers a capacity plan needs that q341
+    * cannot give: candidate PRECISION (how much of the bucket-join
+    * fan-out survives verify) and measured RECALL against the exact
+    * prefix-join dual (q73's core on the same corpus — banded LSH is
+    * the scale path precisely because it trades certain recall for
+    * bounded candidates, so the trade must be a measured number, not
+    * a formula). Fully DuckDB-replayable: the signature is the affine
+    * family sig(k) = min over shingles of a + k·b under SIGNED
+    * comparison, with (a, b) mix64 avalanches of the shingle hash —
+    * the oracle re-derives both from [[FnvMix64Sql]]'s hash replay
+    * and the same split-multiply HUGEINT arithmetic, then rebuilds
+    * the 16×4 comma-joined band keys byte-for-byte. Each stage is a
+    * 1-row aggregate broadcast into the single output row.
+    */
+  def q342_lshband_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val input = load(spark, dir, "documents").select($"doc_id", $"text")
+    val sk = sketches(input)
+    val bands = graft.Caches.tracked(bandsOf(sk))
+    val cand = graft.Caches.tracked(
+      bands.as("a").join(bands.as("b"),
+          $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct())
+    val verified = cand
+      .join(sk.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(sk.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .select($"sha", $"shb").as[(Array[Long], Array[Long])]
+      .map { case (sa, sb) =>
+        val i = intersectSize(sa, sb)
+        if (2L * i >= sa.length + sb.length - i) 1L else 0L
+      }
+      .toDF("hit").agg(sum($"hit").as("verified_pairs"))
+    val truth = prefixJaccardPairs(input).agg(count(lit(1)).as("truth_pairs"))
+    sk.agg(count(lit(1)).as("n_docs"), sum(size($"sh")).as("n_shingles"))
+      .crossJoin(broadcast(bands.agg(count(lit(1)).as("band_rows"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("cand_pairs"))))
+      .crossJoin(broadcast(verified))
+      .crossJoin(broadcast(truth))
+      .select($"n_docs", $"n_shingles", $"band_rows", $"cand_pairs",
+        coalesce($"verified_pairs", lit(0L)).as("verified_pairs"),
+        $"truth_pairs",
+        round(lit(10000.0) * coalesce($"verified_pairs", lit(0L))
+          / greatest($"cand_pairs", lit(1L))).cast("long").as("precision_bp"),
+        round(lit(10000.0) * coalesce($"verified_pairs", lit(0L))
+          / greatest($"truth_pairs", lit(1L))).cast("long").as("recall_bp"))
+  }
+
   /** The reusable deterministic core of q73 over any (doc_id, text)
     * frame: every J ≥ 0.5 pair, guaranteed (no-miss spec-pinned) —
     * the candidate generator to reach for when a consumer needs
@@ -1388,7 +1440,8 @@ object Dedup {
     "q304_pair_mutation_map" -> q304_pair_mutation_map,
     "q306_survivor_bias" -> q306_survivor_bias,
     "q73_prefix_jaccard" -> q73_prefix_jaccard,
-    "q341_simjoin_funnel" -> q341_simjoin_funnel)
+    "q341_simjoin_funnel" -> q341_simjoin_funnel,
+    "q342_lshband_funnel" -> q342_lshband_funnel)
 
   // Oracles recompute the *exact* similarity ground truth from the
   // raw strings — independently of the Spark side's LSH/banding/prefix
@@ -1489,6 +1542,102 @@ object Dedup {
       |         (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
       |       FROM dg)))))))""".stripMargin
 
+  /** One mix64 finalizer application as a nested-subquery fragment:
+    * reads column `in`, emits everything plus `out`, dropping the
+    * five intermediates — the same split-multiply HUGEINT arithmetic
+    * as [[FnvMix64Sql]], factored so q342's oracle can avalanche the
+    * shingle hash twice (the a/b affine-minhash parameters) without
+    * repeating the chain inline.
+    */
+  private def mix64StepSql(src: String, in: String, out: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val H = "4294967296::HUGEINT"
+    def mul(x: String, c: String) =
+      s"(($x % $H) * $c::HUGEINT + (($x // $H) * $c::HUGEINT % $H) * $H) % $M"
+    s"""SELECT * EXCLUDE (t1$out, t2$out, t3$out, t4$out, t5$out),
+       |    xor(t5$out, t5$out >> 31) AS $out FROM (
+       |  SELECT *, ${mul(s"t4$out", "10723151780598845931")} AS t5$out FROM (
+       |   SELECT *, xor(t3$out, t3$out >> 27) AS t4$out FROM (
+       |    SELECT *, ${mul(s"t2$out", "13787848793156543929")} AS t3$out FROM (
+       |     SELECT *, xor(t1$out, t1$out >> 30) AS t2$out FROM (
+       |      SELECT *, ($in + 11400714819323198485::HUGEINT) % $M AS t1$out
+       |      FROM $src)))))""".stripMargin
+  }
+
+  /** q342's full-funnel DuckDB replay: shingle hashes via
+    * [[FnvMix64Sql]], then the affine minhash family re-derived
+    * exactly — a = mix64(h ⊕ C₁), b = mix64(h ⊕ C₂) | 1 (the OR is
+    * the arithmetic +1-if-even), sig(k) = SIGNED min over the doc's
+    * shingles of (a + k·b) mod 2⁶⁴ for k < 64 — the 16×4
+    * comma-joined band keys, the distinct bucket-join pairs, and the
+    * exact-Jaccard verify/truth counts off the hash equi-join. The
+    * heavy stage is the |doc shingle instances| × 64 signature
+    * aggregate (~170M rows at sf1.0) — a flat vectorized GROUP BY.
+    */
+  private val LshFunnelSql: String = {
+    val abChain = mix64StepSql(
+      s"(${mix64StepSql("abx", "xa", "a")}) ab_half", "xb", "b0")
+    s"""WITH dx AS MATERIALIZED (SELECT doc_id, sh FROM
+      |  (SELECT doc_id, $Shingle3Sql AS sh FROM documents) WHERE len(sh) > 0),
+      |gs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM dx),
+      |dg AS MATERIALIZED (SELECT DISTINCT g FROM gs),
+      |gh AS MATERIALIZED (
+      | $FnvMix64Sql),
+      |dh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gs JOIN gh USING (g)),
+      |dn AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dh GROUP BY 1),
+      |abx AS (SELECT h,
+      |  xor(hu, 15485907386658061715::HUGEINT) AS xa,
+      |  xor(hu, 11935578914440803537::HUGEINT) AS xb FROM (
+      |  SELECT h, CASE WHEN h < 0
+      |    THEN h::HUGEINT + 18446744073709551616::HUGEINT
+      |    ELSE h::HUGEINT END AS hu FROM (SELECT DISTINCT h FROM dh))),
+      |ab AS MATERIALIZED (SELECT h, a, b0 + (1 - b0 % 2) AS b FROM (
+      | $abChain) ab_full),
+      |sg AS MATERIALIZED (
+      |  SELECT doc_id, k,
+      |    MIN(CASE WHEN sv >= 9223372036854775808::HUGEINT
+      |        THEN CAST(sv - 18446744073709551616::HUGEINT AS BIGINT)
+      |        ELSE CAST(sv AS BIGINT) END) AS v
+      |  FROM (
+      |    SELECT d.doc_id, ks.k,
+      |      (ab.a + ks.k::HUGEINT * ab.b) % 18446744073709551616::HUGEINT AS sv
+      |    FROM dh d JOIN ab USING (h)
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) ks)
+      |  GROUP BY 1, 2),
+      |sigl AS (SELECT doc_id, list(v ORDER BY k) AS sig FROM sg GROUP BY 1),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, bs.bi AS band_idx,
+      |    array_to_string(sig[bs.bi*4+1 : bs.bi*4+4], ',') AS band_key
+      |  FROM sigl, (SELECT unnest(generate_series(0, 15)) AS bi) bs),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+      |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pj AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i,
+      |    any_value(na.n) AS la, any_value(nb.n) AS lb
+      |  FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |    JOIN dn na ON na.doc_id = a.doc_id JOIN dn nb ON nb.doc_id = b.doc_id
+      |  GROUP BY 1, 2),
+      |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM pj
+      |  WHERE 2*i >= la + lb - i),
+      |vf AS (SELECT CAST(COUNT(*) AS BIGINT) AS verified_pairs
+      |  FROM cand c JOIN pj ON pj.da = c.da AND pj.db = c.db
+      |  WHERE 2*pj.i >= pj.la + pj.lb - pj.i),
+      |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_shingles FROM dn),
+      |br AS (SELECT CAST(COUNT(*) AS BIGINT) AS band_rows FROM bands),
+      |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs FROM cand)
+      |SELECT n_docs, n_shingles, band_rows, cand_pairs, verified_pairs,
+      |  truth_pairs,
+      |  CAST(ROUND(10000.0 * verified_pairs
+      |    / greatest(cand_pairs, 1)) AS BIGINT) AS precision_bp,
+      |  CAST(ROUND(10000.0 * verified_pairs
+      |    / greatest(truth_pairs, 1)) AS BIGINT) AS recall_bp
+      |FROM base, br, cc, vf, tr""".stripMargin
+  }
+
   /** q341's full-funnel DuckDB replay: re-derive the shingle hashes
     * ([[FnvMix64Sql]]), rebuild the (df, h)-ordered positional prefix
     * via ROW_NUMBER (a total order — h is unique per doc), count
@@ -1544,6 +1693,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q341_simjoin_funnel" -> SimjoinFunnelSql,
+    "q342_lshband_funnel" -> LshFunnelSql,
     "q282_cluster_split" ->
       s"""WITH RECURSIVE $GramIxSql,
         |pairs AS (SELECT da AS u, db AS v FROM ix

@@ -3,9 +3,12 @@ package graft.llm
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-/** q341 similarity-join funnel + the PPJoin positional filter's
-  * losslessness — the property a DuckDB oracle cannot replay (candidate
-  * sets depend on engine hash tie-order), pinned here instead.
+/** The q341/q342 funnel audits + the PPJoin positional filter's
+  * losslessness. Since round 17 both funnels also carry full DuckDB
+  * oracles (the shingle hash and the affine minhash family are
+  * replayed in SQL); this spec pins the properties the oracles use as
+  * axioms — the positional filter's losslessness and funnel-verified
+  * ≡ q73 — plus the banded funnel's internal consistency.
   */
 class PpjoinFunnelSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -52,5 +55,24 @@ class PpjoinFunnelSpec extends AnyFunSuite {
     assert(verified == q73n, s"funnel verified=$verified vs q73=$q73n")
     val docs = graft.Tables.load(spark, dir, "documents").count()
     assert(nDocs <= docs && nDocs > 0)
+  }
+
+  test("q342 banded funnel: stages consistent, verified ⊆ candidates ∩ truth, truth equals q73") {
+    val row = Dedup.q342_lshband_funnel(spark, dir).collect()
+    graft.Caches.releaseAll()
+    assert(row.length == 1)
+    val r = row(0)
+    val (nDocs, bandRows, cand, verified, truth) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(bandRows == nDocs * Dedup.NumBands, "16 band rows per doc")
+    assert(verified <= cand, "verified pairs are a subset of candidates")
+    assert(verified <= truth, "banded recall can never exceed the exact dual")
+    assert(r.getLong(6) == math.round(10000.0 * verified / math.max(cand, 1L)),
+      "precision bp")
+    assert(r.getLong(7) == math.round(10000.0 * verified / math.max(truth, 1L)),
+      "recall bp")
+    val q73n = Dedup.q73_prefix_jaccard(spark, dir).count()
+    graft.Caches.releaseAll()
+    assert(truth == q73n, s"truth=$truth vs q73=$q73n")
   }
 }

@@ -365,6 +365,16 @@ object Graph {
     * prunes before any output. The 100 TB lever is the same as q99's:
     * one shuffle on the basket key, one on the (bounded-support)
     * triple key.
+    *
+    * KNOWN INVERSE SCALING (the selfcheck vacuity WARN at sf0.1+ is
+    * expected): with TPC-H-shaped data the part catalog grows with
+    * SF while basket size stays bounded, so the probability that two
+    * orders share the same 3 parts falls ~cubically in |parts| —
+    * 12 support-≥2 triples at sf0.01, zero at sf0.1/sf1.0, in BOTH
+    * engines (the sf0.1 corpus is driver-generated and unplantable).
+    * The positive path is oracle-verified at sf0.01 and spec-pinned;
+    * a real retail corpus, unlike a key-uniform synthetic one, keeps
+    * popular triples at every scale.
     */
   def q121_frequent_triples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -120,6 +120,8 @@ ALLOWLIST = {
     # OUTPUT exactly linear (2,500 planted pairs at sf1.0, verified)
     "q73_prefix_jaccard": "exact J>=0.5 prefix-filter join on the closed ~30k-shingle harness universe: shingle df grows with N so candidate buckets saturate toward N^2 pairs while the output stays the linear planted-pair set; open-vocab text keeps prefix selectivity, banded LSH (q23) is the recall-tolerant scale path and measures linear here",
     "q165_score_calibration": "consumes the exact q73 pair set (calibration labels must be recall-independent) - inherits the closed-shingle-universe candidate saturation",
+    "q341_simjoin_funnel": "the funnel audit OF q73's candidate space: its whole point is to count the saturating candidate stages (40.65M distinct pairs at sf1.0 vs 310k at sf0.1), so its actuals inherit q73's closed-shingle-universe N^2 saturation while the OUTPUT is one fixed-schema row at every scale",
+    "q342_lshband_funnel": "the funnel audit OF q23's banded candidate space: bucket-join pairs saturate with band-bucket occupancy on the closed shingle universe (19.6k candidates at sf1.0 vs 397 at sf0.1) and the truth stage replays q73's exact dual - actuals inherit both saturations, OUTPUT is one fixed-schema row",
     "q220_source_dedup_matrix": "consumes the exact q73 pair set (cross-source matrix must be recall-independent) - inherits the closed-shingle-universe candidate saturation",
     # saturating partial-aggregate key spaces (see module comment):
     # shuffle rows = partitions x per-partition-distinct over a FIXED

@@ -121,6 +121,47 @@ object StreamScaleBench {
       }
     }
 
+    // near-dup landing: real multi-token texts (the exact-dedup docs
+    // above are 2-word payloads — no 3-gram shingles), 12..20 tokens
+    // from the 30-word harness vocabulary via the doc-id LCG. Every
+    // id ≡ 9 (mod 20) past the first two files replays id−100001's
+    // stream with the trailing token → `dup` (J₃ = (s−1)/(s+1) ≥
+    // 0.846 — banding miss ~1e-5/pair): the offset is > 2 file
+    // widths, so the pair always lands in DIFFERENT micro-batches
+    // (FilesPerTrigger = 2) and EITHER arrival order emits exactly
+    // one cross-batch pair — whichever side arrives first has no
+    // index partner, survives into the index, and the later side
+    // verifies against it. The seed class id ≡ 8 (mod 20) is never
+    // itself a mutant, so no chains.
+    val vocab = graft.Sf1Gen.HarnessVocab
+    val ndText = udf { id: Long =>
+      val isMut = id % 20 == 9 && id >= 100001L
+      val seed = if (isMut) id - 100001L else id
+      var h = seed * 0x9e3779b97f4a7c15L + 0x1405d2f0a3c1e7b9L
+      h = h * 6364136223846793005L + 1442695040888963407L
+      val n = 12 + ((h >>> 33) % 9).toInt
+      val words = new Array[String](n)
+      var j = 0
+      while (j < n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        words(j) = vocab(((h >>> 33) % vocab.length).toInt)
+        j += 1
+      }
+      if (isMut) words(n - 1) = "dup"
+      words.mkString(" ")
+    }
+    val (_, tNdSynth) = t {
+      (0 until NFiles).foreach { f =>
+        val per = NDocs / NFiles
+        spark.range(f * per, (f + 1) * per, 1, 1)
+          .select($"id".as("doc_id"),
+            to_timestamp(from_unixtime(lit(base / 1000)
+              + ($"id" * 144000L) / 1000000L)).as("ts"),
+            ndText($"id").as("text"))
+          .write.mode("append").parquet(s"$dir/docs_nd")
+      }
+    }
+
     // ---- stage 1: StreamDedup over 1.2M docs -------------------------
     val (dedup, tDedup) = t {
       val src = spark.readStream
@@ -236,13 +277,48 @@ object StreamScaleBench {
     require(sj._3 < NEvents / 20,
       s"join state must stay bounded by the in-window slices, got ${sj._3}")
 
+    // ---- stage 5: StreamNearDup gate over 1.2M real-text docs --------
+    // (round-15 directive #7 composed into the 20× stress: the
+    // quota-gated streaming family plus the near-dup gate in ONE
+    // drive). Its keyed "state" is the persisted signature INDEX, not
+    // store-backed operator state — reported as index_rows; bounded
+    // by survivors, touched per batch only through the band-bucket
+    // equi-join (never |index|²).
+    val (nd, tNd) = t {
+      val q = StreamNearDup.start(spark, s"$dir/docs_nd",
+        s"$dir/nd_index", s"$dir/nd_pairs", s"$dir/nd_ck",
+        maxFilesPerTrigger = Some(FilesPerTrigger))
+      val (batches, _) = drain(q)
+      val pairs = StreamNearDup.loadPairs(spark, s"$dir/nd_pairs").count()
+      val index = StreamNearDup.loadIndex(spark, s"$dir/nd_index").count()
+      (pairs, batches, index)
+    }
+    // ids ≡ 9 (mod 20) in [100001, NDocs): first 100009, step 20
+    val planted = (NDocs - 1 - 100009L) / 20 + 1
+    require(nd._2 >= NFiles / FilesPerTrigger / 2,
+      s"near-dup gate must run many micro-batches, got ${nd._2}")
+    // every emitted pair is exact-verified J ≥ 0.5; accidental pairs
+    // are ~impossible (sharing ≥ half of ~15 specific 3-grams from a
+    // 27k space), so emitted ≈ planted with only the deterministic
+    // banding tail (J ≥ 0.846 ⇒ miss ~1e-5/pair) allowed to shave it
+    require(nd._1 <= planted,
+      s"near-dup gate emitted ${nd._1} pairs > planted $planted — " +
+        "accidental pairs should not exist in this corpus")
+    require(nd._1 >= planted - planted / 100,
+      s"near-dup recall too low: ${nd._1} of $planted planted pairs")
+    require(nd._3 == NDocs - nd._1,
+      s"index conservation: ${nd._3} index rows + ${nd._1} dropped " +
+        s"losers must equal $NDocs docs")
+
     val stages = Seq(
       ("synth_events", NEvents, tEv, -1L, -1L),
       ("synth_docs", NDocs, tDc, -1L, -1L),
+      ("synth_docs_nd", NDocs, tNdSynth, -1L, -1L),
       ("stream_dedup", dedup._1, tDedup, dedup._2, dedup._3),
       ("windowed_sketch", sk._1, tSketch, sk._2, sk._3),
       ("quota_gate", qg._1, tQuota, qg._2, qg._3),
-      ("stream_join", sj._1, tJoin, sj._2, sj._3))
+      ("stream_join", sj._1, tJoin, sj._2, sj._3),
+      ("neardup_gate", nd._1, tNd, nd._2, nd._3))
     val json = stages.map { case (n, rows, sec, batches, st) =>
       s""""$n":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}""" +
         (if (batches >= 0) s""","batches":$batches,"max_state_rows":$st}"""

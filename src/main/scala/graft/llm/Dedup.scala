@@ -1538,8 +1538,13 @@ object Dedup {
     * overflow HUGEINT's 127 value bits, and the final value maps to
     * the signed two's-complement BIGINT the engine sorts and joins
     * by. Byte extraction uses ord(substr(g,i,1)), which IS the UTF-8
-    * byte on the all-ASCII harness corpora (asserted: zero rows with
-    * octet_length(encode(text)) <> length(text) at every scale).
+    * byte only on ASCII text — so the assumption is ENFORCED, not
+    * assumed: every consumer feeds this fragment through
+    * [[AsciiGuardedDgSql]], whose dg CTE error()s the whole oracle
+    * run on the first gram with octet_length(encode(g)) <> length(g).
+    * On a non-ASCII corpus the q341/q342 replays therefore fail
+    * self-diagnosing ("non-ASCII gram breaks FnvMix64Sql") instead of
+    * silently diverging into a value-mismatch FAIL (round-18 ADVICE).
     * Expects a relation exposing distinct gram strings as `g`.
     */
   private val FnvMix64Sql: String =
@@ -1560,6 +1565,18 @@ object Dedup {
       |           list_transform(generate_series(1, length(g)), i -> ord(substr(g, i, 1))::HUGEINT)),
       |         (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
       |       FROM dg)))))))""".stripMargin
+
+  /** The distinct-gram CTE every [[FnvMix64Sql]] consumer uses, with
+    * the ASCII precondition embedded as an error() so a non-ASCII
+    * corpus fails the oracle run loudly and self-diagnosing (the
+    * byte replay reads code points, which equal UTF-8 bytes only on
+    * ASCII) instead of hash-mismatching downstream.
+    */
+  private val AsciiGuardedDgSql: String =
+    """dg AS MATERIALIZED (SELECT CASE
+      |    WHEN octet_length(encode(g)) <> length(g)
+      |    THEN error('non-ASCII gram breaks FnvMix64Sql byte replay: ' || g)
+      |    ELSE g END AS g FROM (SELECT DISTINCT g FROM gs))""".stripMargin
 
   /** One mix64 finalizer application as a nested-subquery fragment:
     * reads column `in`, emits everything plus `out`, dropping the
@@ -1599,7 +1616,7 @@ object Dedup {
     s"""WITH dx AS MATERIALIZED (SELECT doc_id, sh FROM
       |  (SELECT doc_id, $Shingle3Sql AS sh FROM documents) WHERE len(sh) > 0),
       |gs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM dx),
-      |dg AS MATERIALIZED (SELECT DISTINCT g FROM gs),
+      |$AsciiGuardedDgSql,
       |gh AS MATERIALIZED (
       | $FnvMix64Sql),
       |dh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gs JOIN gh USING (g)),
@@ -1671,7 +1688,7 @@ object Dedup {
     s"""WITH dx AS MATERIALIZED (SELECT doc_id, sh FROM
       |  (SELECT doc_id, $Shingle3Sql AS sh FROM documents) WHERE len(sh) > 0),
       |gs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM dx),
-      |dg AS MATERIALIZED (SELECT DISTINCT g FROM gs),
+      |$AsciiGuardedDgSql,
       |gh AS MATERIALIZED (
       | $FnvMix64Sql),
       |dh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gs JOIN gh USING (g)),

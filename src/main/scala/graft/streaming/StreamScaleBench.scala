@@ -150,15 +150,32 @@ object StreamScaleBench {
       if (isMut) words(n - 1) = "dup"
       words.mkString(" ")
     }
+    // The cross-batch invariants below (emitted ≤ planted, index
+    // conservation) need the seed file to be DELIVERED ≥ 2 files
+    // before its mutant. FileStreamSource orders by modification time
+    // with PATH tiebreak — so the guarantee is made structural: each
+    // id-range lands as ONE file with a lexicographically ascending
+    // name (nd-00000.parquet, …), and an mtime tie between appends
+    // (coarse-granularity filesystems) resolves to id order instead
+    // of uuid-random part names that could co-batch a seed with its
+    // mutant (round-18 ADVICE).
     val (_, tNdSynth) = t {
+      val ndDir = new java.io.File(s"$dir/docs_nd")
+      ndDir.mkdirs()
       (0 until NFiles).foreach { f =>
         val per = NDocs / NFiles
+        val stage = new java.io.File(s"$dir/nd_stage")
         spark.range(f * per, (f + 1) * per, 1, 1)
           .select($"id".as("doc_id"),
             to_timestamp(from_unixtime(lit(base / 1000)
               + ($"id" * 144000L) / 1000000L)).as("ts"),
             ndText($"id").as("text"))
-          .write.mode("append").parquet(s"$dir/docs_nd")
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles()
+          .filter(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(ndDir, f"nd-$f%05d.parquet").toPath)
       }
     }
 

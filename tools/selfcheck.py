@@ -92,6 +92,24 @@ def run_sql(sql: str) -> pd.DataFrame:
 # the sweep log carries the signal).
 baseline_dir = os.environ.get("SELFCHECK_BASELINE_DIR", "")
 warns = 0
+_baseline_notice_emitted = False
+
+
+def _baseline_notice(msg: str) -> None:
+    # One-time visible notice when the baseline pointer is dead — a
+    # mistyped SELFCHECK_BASELINE_DIR or unreadable baseline parquet
+    # must not be indistinguishable from a genuinely clean run
+    # (round-18 ADVICE: vacuity_warn used to swallow every failure).
+    global _baseline_notice_emitted
+    if not _baseline_notice_emitted:
+        print(f"NOTICE vacuity baseline unusable: {msg} "
+              f"(SELFCHECK_BASELINE_DIR={baseline_dir}) - "
+              f"cross-scale vacuity WARNs are DISABLED for such queries")
+        _baseline_notice_emitted = True
+
+
+if baseline_dir and not os.path.isdir(baseline_dir):
+    _baseline_notice("directory does not exist")
 
 
 def vacuity_warn(name: str, got_rows: int) -> str:
@@ -100,10 +118,12 @@ def vacuity_warn(name: str, got_rows: int) -> str:
         return ""
     base = f"{baseline_dir}/{name}"
     if not os.path.isdir(base):
+        _baseline_notice(f"no baseline result dir for {name}")
         return ""
     try:
         n = con.execute(f"SELECT count(*) FROM '{base}/*.parquet'").fetchone()[0]
-    except Exception:
+    except Exception as e:
+        _baseline_notice(f"baseline read failed for {name}: {e}")
         return ""
     if n > 0:
         warns += 1

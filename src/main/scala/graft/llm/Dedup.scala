@@ -339,47 +339,131 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Blocked exact bigram-Jaccard: compare only within the `source`
-    * blocking key. Threshold 0.3. Pairs come from an equi-join on the
-    * block; per-pair cost is a sorted-long-array merge.
+  /** q25's sketch frame from raw (doc_id, source, text): sorted
+    * distinct bigram-shingle hashes plus the set size. Both candidate
+    * generators and the fan-out stats consume it — callers wrap it in
+    * `Caches.tracked` so the hashing pass runs once.
     */
-  def q25_ngram_jaccard_blocked(spark: SparkSession, dir: String): DataFrame = {
+  private[llm] def q25Docs(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
     import spark.implicits._
-    val docs = graft.Caches.tracked(load(spark, dir, "documents")
+    input
       .select($"doc_id".cast("long"), $"source", $"text").as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) => (id, src, shingleHashes(text, 2)) })
       .toDF("doc_id", "source", "sh")
       .filter(size($"sh") > 0)
-      .withColumn("n", size($"sh").cast("long")))
-      // both sides of the inverted-index self-join re-execute this
-      // subtree; tracked-persist so the bigram hashing runs once
+      .withColumn("n", size($"sh").cast("long"))
+  }
 
-    // Block self-join with the PPJoin-style LENGTH filter pushed into
-    // the join condition (round 17): J ≥ 0.3 needs i/u ≥ ~0.3, and
-    // i ≤ min(na,nb), u ≥ max(na,nb), so any pair with
-    // 10000·min < 2999·max has round(10000·i/u) ≤ 2999 < 3000 —
-    // pruned BEFORE the pair row materializes and merge-walks,
-    // lossless against the rounded threshold (strictly conservative:
-    // 2999 < the 2999.5 rounding boundary). Measured interleaved at
-    // sf1.0: 28.9 → 27.2 s (~6% — the arrays still ship inside the
-    // join inputs; only the ~30% of merge-walks the filter kills are
-    // saved). NOTE the inverted-index form the DuckDB oracle uses was
-    // measured HERE and REJECTED for this corpus: it never ships
-    // arrays but shuffles the Σ df(g)² pair stream (44.2M records at
-    // sf1.0) into the per-pair aggregate — 51.7 s, because this block
-    // join shuffles only the 50k sketch rows and generates the pair
-    // fan-out INSIDE the join task. On an open-vocabulary corpus
-    // (bigram df small, Σ df² ≪ |block|²) the balance flips — the
-    // oracle's form is the right one there.
+  /** Block self-join candidate generator with the PPJoin-style LENGTH
+    * filter optionally pushed into the join condition (round 17):
+    * J ≥ 0.3 needs i/u ≥ ~0.3, and i ≤ min(na,nb), u ≥ max(na,nb), so
+    * any pair with 10000·min < 2999·max has round(10000·i/u) ≤ 2999 <
+    * 3000 — pruned BEFORE the pair row materializes and merge-walks,
+    * lossless against the rounded threshold (strictly conservative:
+    * 2999 < the 2999.5 rounding boundary; Q25LengthFilterSpec pins
+    * filter-on ≡ filter-off). The `lengthFilter = false` leg exists
+    * ONLY for that spec.
+    */
+  private[llm] def q25BlockPairs(docs: DataFrame,
+                                 lengthFilter: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lenCond = if (lengthFilter)
+      least($"a.n", $"b.n") * 10000L >= greatest($"a.n", $"b.n") * 2999L
+    else lit(true)
     docs.as("a").join(docs.as("b"),
-        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" &&
-          least($"a.n", $"b.n") * 10000L >= greatest($"a.n", $"b.n") * 2999L)
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id" && lenCond)
       .select($"a.source", $"a.doc_id", $"b.doc_id", $"a.sh", $"b.sh")
       .as[(String, Long, Long, Array[Long], Array[Long])]
       .map { case (src, a, b, sa, sb) => (src, a, b, jBp(sa, sb)) }
       .toDF("source", "doc_a", "doc_b", "j_bp")
       .filter($"j_bp" >= 3000)
       .orderBy($"source", $"doc_a", $"doc_b")
+  }
+
+  /** Inverted-index candidate generator — the posting-list dual of
+    * [[q25BlockPairs]] (and the same shape as the DuckDB oracle's
+    * Gram2IxSql): explode the shingle sets into (source, gram)
+    * postings, equi-join postings (never the blocks), and recover the
+    * EXACT intersection as COUNT(*) per surviving pair — lossless
+    * because a pair sharing zero bigrams has J = 0 < 0.3, and the
+    * same length filter prunes inside the join condition. Ships no
+    * arrays; shuffles the Σ C(df,2) pair stream into the per-pair
+    * aggregate instead of generating Σ C(|block|,2) pairs in-task.
+    */
+  private[llm] def q25IndexPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posts = docs.select($"source", $"doc_id", $"n", explode($"sh").as("g"))
+    posts.as("a").join(posts.as("b"),
+        $"a.source" === $"b.source" && $"a.g" === $"b.g" &&
+          $"a.doc_id" < $"b.doc_id" &&
+          least($"a.n", $"b.n") * 10000L >= greatest($"a.n", $"b.n") * 2999L)
+      .groupBy($"a.source".as("source"), $"a.doc_id".as("doc_a"),
+        $"b.doc_id".as("doc_b"), $"a.n".as("na"), $"b.n".as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .select($"source", $"doc_a", $"doc_b",
+        round(lit(10000.0) * $"i" / ($"na" + $"nb" - $"i")).cast("long").as("j_bp"))
+      .filter($"j_bp" >= 3000)
+      .orderBy($"source", $"doc_a", $"doc_b")
+  }
+
+  /** The two candidate-pair stream sizes the q25 form choice trades
+    * off, computed WITHOUT executing either join (the q271/q272
+    * pattern — frequency tables, then integer pair arithmetic):
+    * p_block = Σ_source C(|block|, 2) (pairs the block self-join
+    * generates in-task) and p_index = Σ_(source,gram) C(df, 2)
+    * (pair-stream rows the posting join shuffles into its aggregate).
+    * Two 1-row aggregates off the shared tracked sketch frame.
+    */
+  private[llm] def q25PairFanout(docs: DataFrame): (Long, Long) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pBlock = docs.groupBy($"source").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).cast("long"))
+      .as[Long].first()
+    val pIndex = docs.select($"source", explode($"sh").as("g"))
+      .groupBy($"source", $"g").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).cast("long"))
+      .as[Long].first()
+    (pBlock, pIndex)
+  }
+
+  /** Data-driven q25 candidate-generator choice (round-18 directive:
+    * decide from stats, not corpus folklore): pick the inverted-index
+    * form iff its shuffled pair stream is SMALLER than the block
+    * join's in-task pair fan-out (p_index < p_block). Measured
+    * calibration on the two known corpora:
+    *  - closed 30-word harness vocabulary, sf1.0: p_block = 62.475M,
+    *    p_index = 187.8M (3.0×) → block, matching the interleaved
+    *    walls (block 27.2 s vs index 51.7 s, round 17);
+    *  - open vocabulary (bigram df ≈ 1 outside true dups): p_index
+    *    collapses to ≈ the true-dup pair count ≪ C(|block|, 2) →
+    *    index, the only form that survives a single huge block.
+    * Per-pair unit costs measured within ~2× of each other in both
+    * directions (block pays the array merge-walk, index pays the
+    * shuffle+aggregate), so the fan-out ratio — 3× here, orders of
+    * magnitude on open vocabularies — dominates the choice and the
+    * unweighted comparison reproduces both measurements.
+    * Q25ChooserSpec pins a fixture on each side of the boundary and
+    * output equality of the two forms everywhere.
+    */
+  private[llm] def q25Pairs(input: DataFrame): DataFrame = {
+    val docs = graft.Caches.tracked(q25Docs(input))
+    val (pBlock, pIndex) = q25PairFanout(docs)
+    if (pIndex < pBlock) q25IndexPairs(docs) else q25BlockPairs(docs)
+  }
+
+  /** Blocked exact bigram-Jaccard: compare only within the `source`
+    * blocking key. Threshold 0.3. Candidate generation picks between
+    * the block self-join and the posting-list inverted index from the
+    * measured pair fan-out of THIS corpus (see [[q25Pairs]]); both
+    * forms produce bit-identical output.
+    */
+  def q25_ngram_jaccard_blocked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q25Pairs(load(spark, dir, "documents").select($"doc_id", $"source", $"text"))
   }
 
   /** q73 — prefix-filtering exact similarity join (the AllPairs/PPJoin

@@ -243,9 +243,18 @@ object Similarity {
     */
   def q30_embedding_neardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = load(spark, dir, "embeddings")
-      .select($"vec_id", toDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
+    neardupPairs(load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v")))
+  }
+
+  /** The q30 sketch→candidate→verify core over any (vec_id, v ARRAY
+    * OF DOUBLE) frame — shared with q344's planted-twin gate row so
+    * the positive path runs the EXACT pipeline q30 runs.
+    */
+  private def neardupPairs(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val emb = input.withColumn("nrm", norm($"v"))
     // table t uses planes [8t, 8t+8) of a 32-plane family; norms and
     // sketches materialize once per row, before the fan-out.
     val tables = (0 until NearDupTables).map(t =>
@@ -262,6 +271,44 @@ object Similarity {
       .distinct()
       .filter($"sim_micro" >= NearDupThresholdMicro)
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  final val PlantSliceMod = 5
+  final val PlantTwinMod = 35
+  final val PlantIdOffset = 10000000L
+
+  /** q344 — q30's gate-scale positive twin (round-17 directive #6):
+    * the driver corpora at sf0.01/sf0.1 plant no ≥ 0.99-cosine pairs,
+    * so q30's hash-green rows verified only the EMPTY path below
+    * sf1.0. This row derives a deterministic planted fixture from the
+    * driver corpus itself — no side files, the KpiHarness pattern:
+    * corpus = every [[PlantSliceMod]]-th embedding, twins = every
+    * [[PlantTwinMod]]-th scaled by a positive per-id factor
+    * 1 + ((id/35) mod 9 + 1)/10. A positive scalar multiple keeps
+    * every hyperplane dot's SIGN, so all four sketch tables bucket
+    * twin with base — certain recall, no probabilistic miss to
+    * desync the exact DuckDB oracle — while exact cosine 1.0 clears
+    * the 0.99 verify. The pipeline is bit-identical to q30's
+    * ([[neardupPairs]]); only the input frame differs, so the
+    * ≥ 0.99 join path is hash-verified at EVERY scale each round.
+    * The slice keeps the all-pairs oracle 25× under q30's, and (ids
+    * ≡ 0 mod 5) excludes Sf1Gen's planted family (ids ≡ 49 mod 2500,
+    * all ≡ 4 mod 5) so the two plants never interact.
+    */
+  def q344_neardup_planted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slice = load(spark, dir, "embeddings")
+      .filter($"vec_id" % PlantSliceMod === 0)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    // two-step select so `vec_id` can never resolve laterally against
+    // the twin's REBASED id — the scale factor keys off the base id
+    // (the DuckDB oracle mirrors the same subquery structure)
+    val twins = slice.filter($"vec_id" % PlantTwinMod === 0)
+      .select($"vec_id".as("base_id"), $"v")
+      .select(($"base_id" + PlantIdOffset).as("vec_id"),
+        expr(s"transform(v, x -> x * (1.0D + CAST((base_id div $PlantTwinMod) % 9 + 1" +
+          " AS DOUBLE) / 10.0D))").as("v"))
+    neardupPairs(slice.unionByName(twins))
   }
 
   /** PQ/RQ codebook size — a DESIGN constant (16 codewords per
@@ -1584,6 +1631,7 @@ object Similarity {
     "q199_pq_adc_topk" -> q199_pq_adc_topk,
     "q27_ann_lsh" -> q27_ann_lsh,
     "q30_embedding_neardup" -> q30_embedding_neardup,
+    "q344_neardup_planted" -> q344_neardup_planted,
     "q34_ann_ivf" -> q34_ann_ivf,
     "q49_ivf_seeded" -> q49_ivf_seeded,
     "q207_cluster_capped_sample" -> q207_cluster_capped_sample,
@@ -2183,6 +2231,19 @@ object Similarity {
         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q30_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS sim_micro
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v) * 1e6) >= $NearDupThresholdMicro
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q344_neardup_planted" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id % $PlantSliceMod = 0),
+        |tw AS (SELECT base_id + $PlantIdOffset AS vec_id,
+        |    list_transform(v, x -> x * (1.0 + CAST((base_id // $PlantTwinMod) % 9 + 1
+        |      AS DOUBLE) / 10.0)) AS v
+        |  FROM (SELECT vec_id AS base_id, v FROM e0 WHERE vec_id % $PlantTwinMod = 0)),
+        |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM tw)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS sim_micro
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

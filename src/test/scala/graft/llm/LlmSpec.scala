@@ -525,4 +525,23 @@ class LlmSpec extends AnyFunSuite {
     assert(!top.map(_.getLong(0)).contains(900002L),
       "a doc of one repeated bigram must not rank among the most surprising")
   }
+
+  test("q344 planted twins: every sliced multiple-of-35 base pairs with its scaled twin at cosine 1") {
+    import spark.implicits._
+    val bases = graft.Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" % Similarity.PlantTwinMod === 0)
+      .select($"vec_id".cast("long")).as[Long].collect().toSet
+    assert(bases.nonEmpty, "fixture needs at least one planted base")
+    val out = Similarity.q344_neardup_planted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positive scalar multiples keep every hyperplane sign → certain
+    // recall: ALL planted pairs surface, at exact cosine 1 (±1 micro
+    // for the fp fold), and nothing else reaches the twin id space
+    val planted = out.filter(_._2 >= Similarity.PlantIdOffset)
+    assert(planted.map(p => (p._1, p._2)).toSet ==
+      bases.map(b => (b, b + Similarity.PlantIdOffset)),
+      s"planted pair set mismatch: got ${planted.take(5).mkString(",")}")
+    assert(planted.forall(_._3 >= 999999L),
+      s"scaled twins must verify at cosine ~1: ${planted.filter(_._3 < 999999L).take(5)}")
+  }
 }

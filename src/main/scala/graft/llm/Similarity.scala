@@ -594,6 +594,28 @@ object Similarity {
     */
   def q343_ann_graph_beam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    rankVisited(graphBeamCore(spark, dir).visited)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The q343 build+search frames, shared with q345's audit. */
+  private[llm] final case class GraphBeamFrames(
+      assigned: DataFrame, adj: DataFrame, entries: DataFrame,
+      visited: DataFrame)
+
+  /** Exact top-[[TopK]] of the visited set, q26's output shape. */
+  private def rankVisited(visited: DataFrame): DataFrame = {
+    val spark = visited.sparkSession
+    import spark.implicits._
+    visited.filter($"node" =!= $"q_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"node".as("neighbor_id"), $"sim_micro")
+  }
+
+  private def graphBeamCore(spark: SparkSession, dir: String): GraphBeamFrames = {
+    import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
@@ -695,12 +717,48 @@ object Similarity {
         .filter($"rn" <= GraphBeamWidth)
         .select($"q_id", $"node")
     }
-    visited.filter($"node" =!= $"q_id")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"q_id", $"rank", $"node".as("neighbor_id"), $"sim_micro")
-      .orderBy($"q_id", $"rank")
+    GraphBeamFrames(assigned, adj, entries, visited)
+  }
+
+  /** q345 — graph-ANN index/search audit: the q341/q342 observability
+    * pattern pointed at q343 — the one-row census a capacity plan and
+    * a recall SLO need from a deployed graph index: corpus size, cell
+    * count, stored directed edges with max/avg out-degree (the
+    * index's memory bound: edges ≤ N·[[GraphMaxDegree]] by
+    * construction), entry rows, total visited-and-scored rows (the
+    * per-query work actually done: visited/|q| vs the N a flat scan
+    * pays is the serving speedup), and measured recall@10 in bp
+    * against the exact q26 answer — recall as a NUMBER in the gate,
+    * not a spec-only claim. The exact denominator reuses the q26
+    * brute-force scan (the honest |q|·|corpus| eval cost, q300's
+    * posture — this row is an EVAL readout, not a serving path). All
+    * counts are 1-row aggregates broadcast into the single output
+    * row; the DuckDB oracle replays build, walk, exact truth and
+    * every count.
+    */
+  def q345_graph_ann_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val core = graphBeamCore(spark, dir)
+    val result = rankVisited(core.visited)
+    val exact = exactTopK(spark, dir)
+    val hits = result.join(exact.select($"q_id", $"neighbor_id"),
+      Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
+    val exn = exact.agg(count(lit(1)).as("ex_rows"))
+    core.assigned
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"cell").as("n_cells"))
+      .crossJoin(broadcast(core.adj.agg(count(lit(1)).as("graph_edges"))))
+      .crossJoin(broadcast(core.adj.groupBy($"src").agg(count(lit(1)).as("d"))
+        .agg(max($"d").as("max_out_degree"))))
+      .crossJoin(broadcast(core.entries.agg(count(lit(1)).as("entry_rows"))))
+      .crossJoin(broadcast(core.visited.agg(count(lit(1)).as("visited_rows"))))
+      .crossJoin(broadcast(hits))
+      .crossJoin(broadcast(exn))
+      .select($"n_docs", $"n_cells", $"graph_edges", $"max_out_degree",
+        round(lit(1000.0) * $"graph_edges" / $"n_docs").cast("long")
+          .as("avg_degree_milli"),
+        $"entry_rows", $"visited_rows",
+        round(lit(10000.0) * $"hits" / greatest($"ex_rows", lit(1L)))
+          .cast("long").as("recall_bp"))
   }
 
   final val SemDedupThresholdMicro = 950000L // cosine ≥ 0.95
@@ -1783,6 +1841,7 @@ object Similarity {
     "q30_embedding_neardup" -> q30_embedding_neardup,
     "q344_neardup_planted" -> q344_neardup_planted,
     "q343_ann_graph_beam" -> q343_ann_graph_beam,
+    "q345_graph_ann_audit" -> q345_graph_ann_audit,
     "q34_ann_ivf" -> q34_ann_ivf,
     "q49_ivf_seeded" -> q49_ivf_seeded,
     "q207_cluster_capped_sample" -> q207_cluster_capped_sample,
@@ -2401,6 +2460,7 @@ object Similarity {
         |WHERE ROUND(list_cosine_similarity(a.v, b.v) * 1e6) >= $NearDupThresholdMicro
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q343_ann_graph_beam" -> Q343Sql,
+    "q345_graph_ann_audit" -> Q345Sql,
     "q26_ann_topk" -> Q26Sql,
     "q222_ann_hubness" ->
       s"""WITH base AS ($Q26Sql)
@@ -2466,7 +2526,7 @@ object Similarity {
     * beam-width window. Integer micro-sims with id tie-breaks at
     * every rank keep the replay bit-identical.
     */
-  private lazy val Q343Sql: String = {
+  private lazy val Q343BodySql: String = {
     val rounds = (1 to GraphBeamRounds).map { r =>
       s"""n$r AS (SELECT DISTINCT f.q_id, a.dst AS node
         |  FROM f${r - 1} f JOIN adj a ON a.src = f.node),
@@ -2481,7 +2541,7 @@ object Similarity {
         |    (PARTITION BY q_id ORDER BY sim DESC, node) AS rn FROM s$r)
         |  WHERE rn <= $GraphBeamWidth)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
       |ad AS MATERIALIZED (SELECT e.vec_id, e.v, s.cid,
       |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
@@ -2521,11 +2581,44 @@ object Similarity {
       |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim
       |  FROM en JOIN qs q ON q.q_id = en.q_id JOIN e ON e.vec_id = en.node),
       |f0 AS (SELECT q_id, node FROM v0),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  private lazy val Q343Sql: String =
+    s"""WITH $Q343BodySql
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, node AS neighbor_id,
       |  sim AS sim_micro FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node)
       |    AS rank FROM v$GraphBeamRounds WHERE node <> q_id) t
       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-  }
+
+  /** q345's replay: the shared q343 build+walk body plus the exact
+    * q26-style truth (exs/exr), the graph result as a CTE (res), the
+    * out-degree table and the single-row census.
+    */
+  private lazy val Q345Sql: String =
+    s"""WITH $Q343BodySql,
+      |exs AS (SELECT q.q_id, e2.vec_id AS neighbor_id,
+      |    CAST(ROUND(list_cosine_similarity(q.qv, e2.v) * 1e6) AS BIGINT) AS sim
+      |  FROM qs q JOIN e e2 ON e2.vec_id <> q.q_id),
+      |exr AS (SELECT q_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk FROM exs)
+      |  WHERE rk <= $TopK),
+      |res AS (SELECT q_id, node AS neighbor_id FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node)
+      |    AS rank FROM v$GraphBeamRounds WHERE node <> q_id) t
+      |  WHERE rank <= $TopK),
+      |deg AS (SELECT src, COUNT(*) AS d FROM adj GROUP BY 1)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_docs,
+      |  (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM asg) AS n_cells,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM adj) AS graph_edges,
+      |  (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_out_degree,
+      |  CAST(ROUND(1000.0 * (SELECT COUNT(*) FROM adj)
+      |    / (SELECT COUNT(*) FROM e)) AS BIGINT) AS avg_degree_milli,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM en) AS entry_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v$GraphBeamRounds) AS visited_rows,
+      |  CAST(ROUND(10000.0 * (SELECT COUNT(*) FROM res JOIN exr
+      |      USING (q_id, neighbor_id))
+      |    / GREATEST((SELECT COUNT(*) FROM exr), 1)) AS BIGINT) AS recall_bp""".stripMargin
 }

@@ -99,6 +99,11 @@ object PlanLint {
     */
   val shippedAllowlist: Map[String, Set[String]] = Map(
     "q26_ann_topk" -> Set("cartesian-product"),
+    // q345's recall denominator reuses q26's exact brute-force scan
+    // (the shared exactTopK memo — self-exclusion ≠ predicate in the
+    // BNLJ condition, the documented exact-eval family); the graph
+    // build/search side is all equi-joins
+    "q345_graph_ann_audit" -> Set("cartesian-product"),
     // q199 is q26's query-batch-attach shape over the 32×-compressed
     // PQ codes (self-exclusion predicate in the BNLJ condition)
     "q199_pq_adc_topk" -> Set("cartesian-product"),

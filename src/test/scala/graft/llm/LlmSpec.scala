@@ -565,6 +565,29 @@ class LlmSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("q345 audit: census consistent with the graph result and the exact answer") {
+    val row = Similarity.q345_graph_ann_audit(spark, dir).collect()
+    graft.Caches.releaseAll()
+    assert(row.length == 1)
+    val r = row(0)
+    val nDocs = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(r.getLong(0) == nDocs, "n_docs")
+    assert(r.getLong(2) <= nDocs * Similarity.GraphMaxDegree, "edges exceed the degree-cap bound")
+    assert(r.getLong(3) <= Similarity.GraphMaxDegree, "max out-degree exceeds the cap")
+    assert(r.getLong(4) == math.round(1000.0 * r.getLong(2) / r.getLong(0)), "avg degree milli")
+    assert(r.getLong(6) >= r.getLong(5), "visited must include every scored entry")
+    // the gate's recall_bp must equal recall recomputed from the
+    // q343 and q26 outputs directly — the audit measures the same
+    // walk it reports on
+    val exact = Similarity.q26_ann_topk(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val got = Similarity.q343_ann_graph_beam(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    graft.Caches.releaseAll()
+    val bp = math.round(10000.0 * got.intersect(exact).size / math.max(exact.size, 1))
+    assert(r.getLong(7) == bp, s"recall_bp ${r.getLong(7)} vs recomputed $bp")
+  }
+
   test("q344 planted twins: every sliced multiple-of-35 base pairs with its scaled twin at cosine 1") {
     import spark.implicits._
     val bases = graft.Tables.load(spark, dir, "embeddings")

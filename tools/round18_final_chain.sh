@@ -55,7 +55,8 @@ d = json.load(open('/tmp/BENCH_SF1_r18.json'))
 top = sorted(d['queries'].items(), key=lambda kv: -kv[1])[:30]
 names = {k for k, _ in top} | {"q248_srp_rerank", "q300_maxsim_retrieval",
   "q25_ngram_jaccard_blocked", "q341_simjoin_funnel", "q342_lshband_funnel",
-  "q106_canonical_docs", "q306_survivor_bias", "q343_ann_graph_beam"}
+  "q106_canonical_docs", "q306_survivor_bias", "q343_ann_graph_beam",
+  "q345_graph_ann_audit"}
 open('/tmp/floors_set_r18.txt', 'w').write(",".join(sorted(names)))
 PY
 [ -s /tmp/floors_set_r18.txt ] || { echo MISSING_FLOORS_SET; exit 1; }

@@ -105,6 +105,7 @@ ALLOWLIST = {
     "q249_ivf_probe_sweep": "recall/candidates tuning curve vs the exact q26 denominator across 4 probe levels",
     "q237_knn_probe": "kNN probe eval vs the exact q26 denominator",
     "q222_ann_hubness": "hubness audit over the exact q26 ranking (eval table)",
+    "q345_graph_ann_audit": "graph-index census + recall vs the exact q26 denominator (eval readout; the graph build/search it audits is the linear q343)",
     # ROUND 14: the whole fixed-k family (q34/q49/q195/q298/q307/q312/
     # q287/q290/q27 + q313's tie pairs) is RETIRED from this list — the
     # IVF list count is now corpus-derived (Similarity.ivfK: k =ceil(

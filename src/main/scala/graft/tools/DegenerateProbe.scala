@@ -121,7 +121,11 @@ object DegenerateProbe {
     "q312_ann_maxsim", "q316_facility_location", "q325_twostage_rerank",
     "q327_davies_bouldin", "q332_adjusted_rand", "q333_simplified_silhouette",
     // trained/greedy seeds with their own named requires
-    "q34_ann_ivf", "q289_kcenter_coreset")
+    "q34_ann_ivf", "q289_kcenter_coreset",
+    // the graph-ANN pair builds on the same seeded quantizer — an
+    // empty corpus cannot derive the cell structure (ivfSeeds' named
+    // require), so both fail loudly instead of emitting a fake index
+    "q343_ann_graph_beam", "q345_graph_ann_audit")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

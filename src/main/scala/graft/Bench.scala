@@ -164,32 +164,68 @@ object Bench {
     // delta with IDENTICAL actuals (rows/records/shuffles exact,
     // scan_bytes within 10% for parquet-regen drift) is machine
     // conditions; changed actuals is a plan change and needs a
-    // code-level explanation. Baseline defaults to the committed
-    // quiet record; override with SPARK_GRAFT_BENCH_BASELINE.
-    val baselinePath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_r14.json")
+    // code-level explanation.
+    // Normalized scale tag: "/root/testdata/sf0.1" / "target/sf1.0" /
+    // the driver wrapper's bare numeric "0.1" all compare equal for
+    // the same scale, so a baseline is never rejected for spelling
+    // the same corpus differently.
+    def sfNorm(s: String): String = {
+      val b = s.stripSuffix("/")
+      val base = b.substring(b.lastIndexOf('/') + 1)
+      if (base.startsWith("sf")) base.drop(2) else base
+    }
+    // Default baseline = the PREVIOUS round's committed artifact for
+    // this scale (highest round number present), so the drift
+    // adjudication chain reads without archaeology (round-19
+    // directive #4). Override with SPARK_GRAFT_BENCH_BASELINE.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", {
+      val pat = (if (sfNorm(sfDir) == "1.0") """BENCH_SF1_r(\d+)\.json"""
+                 else """BENCH_r(\d+)\.json""").r
+      val cands = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case pat(n) => Some((n.toInt, f.getName)); case _ => None
+        })
+      if (cands.nonEmpty) cands.maxBy(_._1)._2 else "BENCH_LOCAL.json"
+    })
     val attribution: String = try {
-      val src = scala.io.Source.fromFile(baselinePath)
-      val line =
-        try src.getLines().filter(_.contains("\"queries\"")).toSeq.lastOption
-        finally src.close()
-      line match {
-        case None =>
-          s""""attribution":{"baseline":"$baselinePath","error":"no parseable line"}"""
-        case Some(l) =>
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(l)
-          if (root.path("sf").asText("") != sfDir)
-            s""""attribution":{"baseline":"$baselinePath","sf_mismatch":"${root.path("sf").asText("")}"}"""
-          else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      // The baseline is either a raw one-line Bench output (chain
+      // artifacts, BENCH_LOCAL.json) or the driver's wrapper object
+      // whose "parsed" block holds the walls; accept both, falling
+      // back to the last raw line containing "queries".
+      val root = {
+        val whole = try {
+          val n = om.readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(baselinePath)))
+          if (n.path("parsed").has("queries")) Some(n.path("parsed"))
+          else if (n.has("queries")) Some(n)
+          else None
+        } catch { case _: Throwable => None }
+        whole.getOrElse {
+          val src = scala.io.Source.fromFile(baselinePath)
+          val line =
+            try src.getLines().filter(_.contains("\"queries\"")).toSeq.lastOption
+            finally src.close()
+          om.readTree(line.getOrElse("{}"))
+        }
+      }
+      if (!root.has("queries"))
+        s""""attribution":{"baseline":"$baselinePath","error":"no parseable line"}"""
+      else if (sfNorm(root.path("sf").asText("")) != sfNorm(sfDir))
+        s""""attribution":{"baseline":"$baselinePath","sf_mismatch":"${root.path("sf").asText("")}"}"""
+      else {
+          {
             val bq = root.path("queries"); val bs = root.path("stats")
             var machine = 0; var plan = 0; var inBand = 0; var noBase = 0
+            var noStats = 0 // out-of-band, baseline carries no actuals
             val planQs = scala.collection.mutable.ArrayBuffer.empty[String]
             for ((k, r) <- results) {
               if (!bq.has(k) || bq.get(k).asDouble(-1) <= 0) noBase += 1
               else {
                 val ratio = r.wall / bq.get(k).asDouble()
                 if (ratio < 1.5 && ratio > 1.0 / 1.5) inBand += 1
+                else if (bs.path(k).isMissingNode) noStats += 1
                 else {
                   val s = bs.path(k)
                   val same = r.stats.exists { st =>
@@ -208,6 +244,7 @@ object Bench {
             }
             s""""attribution":{"baseline":"$baselinePath","in_band":$inBand,""" +
               s""""machine":$machine,"plan":$plan,"no_baseline":$noBase,""" +
+              s""""no_stats":$noStats,""" +
               s""""plan_changed":[${planQs.sorted.take(20).map("\"" + _ + "\"").mkString(",")}]}"""
           }
       }

@@ -285,10 +285,17 @@ object Similarity {
     * corpus = every [[PlantSliceMod]]-th embedding, twins = every
     * [[PlantTwinMod]]-th scaled by a positive per-id factor
     * 1 + ((id/35) mod 9 + 1)/10. A positive scalar multiple keeps
-    * every hyperplane dot's SIGN, so all four sketch tables bucket
-    * twin with base — certain recall, no probabilistic miss to
-    * desync the exact DuckDB oracle — while exact cosine 1.0 clears
-    * the 0.99 verify. The pipeline is bit-identical to q30's
+    * every hyperplane dot's SIGN in real arithmetic, so all four
+    * sketch tables bucket twin with base and exact cosine 1.0 clears
+    * the 0.99 verify. Floating-point caveat (round-18 ADVICE): the
+    * twin's dot is computed per-component AFTER the scale, so a
+    * hyperplane dot at the rounding boundary of zero could in
+    * principle flip sign and desync a sketch table — recall is
+    * certain up to that fp edge, not absolutely. A miss would need
+    * all four tables to desync simultaneously AND would surface
+    * loudly as an oracle FAIL (the DuckDB side is exact all-pairs),
+    * so the failure mode is a visible gate red, never silent
+    * wrongness. The pipeline is bit-identical to q30's
     * ([[neardupPairs]]); only the input frame differs, so the
     * ≥ 0.99 join path is hash-verified at EVERY scale each round.
     * The slice keeps the all-pairs oracle 25× under q30's, and (ids
@@ -350,9 +357,11 @@ object Similarity {
     * division; both sides compute ⌈N/target⌉ as (N + target−1) ÷
     * target in exact integers.
     */
-  private[llm] lazy val IvfKSql: String =
+  private[llm] def ivfKSqlOver(rel: String): String =
     s"(SELECT LEAST($IvfTrainCap, GREATEST($PqCodes, " +
-      s"(COUNT(*) + ${IvfListTarget - 1}) // $IvfListTarget)) FROM e)"
+      s"(COUNT(*) + ${IvfListTarget - 1}) // $IvfListTarget)) FROM $rel)"
+
+  private[llm] lazy val IvfKSql: String = ivfKSqlOver("e")
 
   /** HALF_UP rounding to a Long, bit-identical to Spark SQL's
     * `round()` and DuckDB's `ROUND()` on doubles (both round ties
@@ -553,12 +562,37 @@ object Similarity {
     ivfTopK(emb, ivfSeeds(emb))
   }
 
+  // The pinned design point, chosen from the round-19 GraphSweep
+  // measurement at sf1.0 (N=20k, 157 cells, 400 queries, flat scan =
+  // 8M scored rows/suite): recall@10 = 8850 bp at 1.03M visited rows
+  // (7.8× under the flat scan) and a stored index of ≤ N·28 edges.
+  // The r18 point (M=12/bridge 2×1/deg 24/W16/R6/E4) measured
+  // 4463 bp at 453k visited; the buildProbes axis (long-range bridge
+  // links into the next P−1 cells, Malkov & Yashunin's long edges)
+  // bought the most recall per visited row, beam width/rounds the
+  // rest. sf0.01/sf0.1 measure 10000 bp at this point.
   final val GraphM = 12          // intra-cell out-degree of the build
-  final val GraphBridgeM = 2     // second-nearest-cell out-degree
-  final val GraphMaxDegree = 24  // per-node cap after symmetrization
-  final val GraphBeamWidth = 16  // beam width per search round
-  final val GraphBeamRounds = 6  // fixed number of expansion rounds
-  final val GraphEntryProbes = 4 // entry cells per query (their medoids)
+  final val GraphBridgeM = 2     // per-bridge-cell out-degree
+  final val GraphBuildProbes = 8 // cells a node's build edges may reach (own + next P−1)
+  final val GraphMaxDegree = 28  // per-node cap after symmetrization
+  final val GraphBeamWidth = 18  // beam width per search round
+  final val GraphBeamRounds = 7  // fixed number of expansion rounds
+  final val GraphEntryProbes = 6 // entry cells per query (their medoids)
+
+  /** The graph-ANN design point as one value, so the q346 knob sweep
+    * and the [[graft.llm.GraphSweep]] harness measure ALTERNATIVE
+    * settings through the exact production code path instead of a
+    * parallel implementation. Defaults are the pinned constants —
+    * q343/q345/q347 always run the pinned point.
+    */
+  private[llm] final case class GraphKnobs(
+      m: Int = GraphM,
+      bridgeM: Int = GraphBridgeM,
+      buildProbes: Int = GraphBuildProbes,
+      maxDegree: Int = GraphMaxDegree,
+      beamWidth: Int = GraphBeamWidth,
+      rounds: Int = GraphBeamRounds,
+      entryProbes: Int = GraphEntryProbes)
 
   /** q343 — graph-traversal ANN (the NSW/HNSW family, Malkov &
     * Yashunin 2016, re-expressed as bounded equi-join rounds): the
@@ -570,9 +604,11 @@ object Similarity {
     * (the q49 quantizer — fully oracle-replayable), take each
     * vector's exact top-[[GraphM]] within its cell (Σ|cell|² ≈
     * N·IvfListTarget pair rows — linear in N) plus its
-    * top-[[GraphBridgeM]] inside its SECOND-nearest cell (the NSW
-    * long-range links that let the walk escape its entry cell; one
-    * N×|cell| equi-join), symmetrize, and cap out-degree at
+    * top-[[GraphBridgeM]] inside EACH of its next
+    * [[GraphBuildProbes]]−1 nearest cells (the NSW long-range links
+    * that let the walk escape its entry cell; one
+    * N×(P−1)×|cell| equi-join, still linear in N), symmetrize, and
+    * cap out-degree at
     * [[GraphMaxDegree]] by similarity rank. Every stage is an
     * equi-join on the cell id or a window keyed by the
     * high-cardinality vec_id — no cartesian product, no global sort.
@@ -604,7 +640,7 @@ object Similarity {
       visited: DataFrame)
 
   /** Exact top-[[TopK]] of the visited set, q26's output shape. */
-  private def rankVisited(visited: DataFrame): DataFrame = {
+  private[llm] def rankVisited(visited: DataFrame): DataFrame = {
     val spark = visited.sparkSession
     import spark.implicits._
     visited.filter($"node" =!= $"q_id")
@@ -614,33 +650,113 @@ object Similarity {
       .select($"q_id", $"rank", $"node".as("neighbor_id"), $"sim_micro")
   }
 
-  private def graphBeamCore(spark: SparkSession, dir: String): GraphBeamFrames = {
+  /** The stored half of the graph index plus the query batch — what a
+    * serving tier reads: the cell assignment, the degree-capped
+    * adjacency, the per-query entry nodes, the query batch and the
+    * (node, vector) corpus, all checkpointed. Shared by the pinned
+    * search ([[graphBeamCore]]) and the q346 beam-width sweep, which
+    * runs [[graphSearch]] several times over ONE build.
+    */
+  private[llm] final case class GraphIndex(
+      assigned: DataFrame, adj: DataFrame, entries: DataFrame,
+      qs: DataFrame, corpus: DataFrame, medoids: DataFrame)
+
+  /** Batched best-first search over a built [[GraphIndex]]: fixed
+    * `rounds` rounds of one frontier×adjacency equi-join each,
+    * exact-scoring only NEW nodes, keeping the best `beamWidth` fresh
+    * nodes per query as the next frontier. Returns the visited
+    * (q_id, node, sim_micro) set.
+    */
+  private[llm] def graphSearch(ix: GraphIndex, beamWidth: Int,
+      rounds: Int): DataFrame = {
+    val spark = ix.adj.sparkSession
     import spark.implicits._
-    val emb = load(spark, dir, "embeddings")
-      .select($"vec_id", toDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-    val seeds = ivfSeeds(emb)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(ix.corpus, "node")
+      .join(broadcast(ix.qs), "q_id")
+      .select($"q_id", $"node",
+        round(dot($"qv", $"nv") / ($"qnrm" * $"nnrm") * 1e6).cast("long")
+          .as("sim_micro"))
+    var visited = score(ix.entries).localCheckpoint(true)
+    var frontier: DataFrame = visited.select($"q_id", $"node")
+    for (_ <- 1 to rounds) {
+      val nbrs = frontier.join(ix.adj, $"node" === $"src")
+        .select($"q_id", $"dst".as("node")).distinct()
+      val fresh = score(
+        nbrs.join(visited.select($"q_id", $"node"), Seq("q_id", "node"), "left_anti"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(fresh).localCheckpoint(true)
+      frontier = fresh.withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")))
+        .filter($"rn" <= beamWidth)
+        .select($"q_id", $"node")
+    }
+    visited
+  }
+
+  private[llm] def graphBeamCore(spark: SparkSession, dir: String,
+      k: GraphKnobs = GraphKnobs()): GraphBeamFrames = {
+    val ix = graphIndexCore(spark, dir, k)
+    GraphBeamFrames(ix.assigned, ix.adj, ix.entries,
+      graphSearch(ix, k.beamWidth, k.rounds))
+  }
+
+  /** Cell ranks 1..cap of every vector in `emb` against a seed set —
+    * the stored quantizer assignment every graph stage (build
+    * adjacency, bridges, medoids, entry selection) and the q349
+    * append pipeline consume. Persisted by callers as needed.
+    */
+  private[llm] def rankCells(emb: DataFrame,
+      seeds: Array[(Int, Array[Double])], cap: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val centArr = array(seeds.map { case (cid, c) =>
       struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
     }.toSeq: _*)
     def dist2Micro(v: Column, cv: Column): Column =
       round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+    emb.select($"vec_id", $"v", $"nrm", explode(centArr).as("c"))
+      .withColumn("dmicro", dist2Micro($"v", $"c.cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dmicro", $"c.cid")))
+      .filter($"crank" <= cap)
+      .select($"vec_id", $"v", $"nrm", $"c.cid".as("cid"), $"dmicro", $"crank")
+  }
+
+  private[llm] def graphIndexCore(spark: SparkSession, dir: String,
+      k: GraphKnobs = GraphKnobs()): GraphIndex = {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    graphIndexOver(emb, ivfSeeds(emb), k)
+  }
+
+  /** The graph build over any (vec_id, v, nrm) corpus and seed set —
+    * [[graphIndexCore]] minus the load, so the q349 append audit can
+    * build on the BASE slice with base-derived seeds (a production
+    * append keeps the existing quantizer; it never retrains per
+    * batch).
+    */
+  private[llm] def graphIndexOver(emb: DataFrame,
+      seeds: Array[(Int, Array[Double])],
+      k: GraphKnobs = GraphKnobs()): GraphIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     def pairSim(xv: Column, xn: Column, yv: Column, yn: Column): Column =
       round(dot(xv, yv) / (xn * yn) * 1e6).cast("long")
 
-    // one explode pass ranks cells 1..GraphEntryProbes per vector;
-    // persisted — the adjacency build, bridge, medoid and query
-    // stages all consume it (at production: the stored assignment)
-    val ranked = graft.Caches.tracked(
-      emb.select($"vec_id", $"v", $"nrm", explode(centArr).as("c"))
-        .withColumn("dmicro", dist2Micro($"v", $"c.cv"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"dmicro", $"c.cid")))
-        .filter($"crank" <= GraphEntryProbes)
-        .select($"vec_id", $"v", $"nrm", $"c.cid".as("cid"), $"dmicro", $"crank"))
+    // one explode pass ranks cells 1..max(entryProbes, buildProbes)
+    // per vector; persisted — the adjacency build, bridge, medoid and
+    // query stages all consume it (at production: the stored
+    // assignment)
+    val crankCap = math.max(k.entryProbes, k.buildProbes)
+    val ranked = graft.Caches.tracked(rankCells(emb, seeds, crankCap))
     val assigned = ranked.filter($"crank" === 1)
       .select($"vec_id", $"v", $"nrm", $"cid".as("cell"), $"dmicro")
-    val second = ranked.filter($"crank" === 2)
+    // bridge targets: each node's cells ranked 2..buildProbes — the
+    // NSW long-range links, one bounded batch per nearby cell
+    val second = ranked.filter($"crank" >= 2 && $"crank" <= k.buildProbes)
       .select($"vec_id", $"cid".as("cell2"))
 
     val members = assigned.select($"cell", $"vec_id", $"v", $"nrm")
@@ -650,16 +766,17 @@ object Similarity {
         pairSim($"x.v", $"x.nrm", $"y.v", $"y.nrm").as("sim_micro"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
-      .filter($"rn" <= GraphM).drop("rn")
+      .filter($"rn" <= k.m).drop("rn")
     val bridge = assigned.select($"vec_id", $"v", $"nrm")
       .join(second, "vec_id").as("x")
       .join(members.as("y"),
         $"x.cell2" === $"y.cell" && $"x.vec_id" =!= $"y.vec_id")
-      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
+      .select($"x.vec_id".as("src"), $"x.cell2".as("bcell"),
+        $"y.vec_id".as("dst"),
         pairSim($"x.v", $"x.nrm", $"y.v", $"y.nrm").as("sim_micro"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
-      .filter($"rn" <= GraphBridgeM).drop("rn")
+        Window.partitionBy($"src", $"bcell").orderBy($"sim_micro".desc, $"dst")))
+      .filter($"rn" <= k.bridgeM).drop("rn").drop("bcell")
     val und = intra.unionByName(bridge)
     // The build outputs MATERIALIZE here (eager localCheckpoint): at
     // production adjacency/corpus/entries are STORED tables a search
@@ -676,8 +793,8 @@ object Similarity {
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
-      .filter($"rn" <= GraphMaxDegree)
-      .select($"src", $"dst")
+      .filter($"rn" <= k.maxDegree)
+      .select($"src", $"dst", $"sim_micro")
       .localCheckpoint(true)
 
     val medoid = assigned.withColumn("mrank", row_number().over(
@@ -686,7 +803,7 @@ object Similarity {
     val qs = assigned.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       .localCheckpoint(true)
-    val entries = ranked.filter($"vec_id" % 50 === 0)
+    val entries = ranked.filter($"vec_id" % 50 === 0 && $"crank" <= k.entryProbes)
       .select($"vec_id".as("q_id"), $"cid".as("cell"))
       .join(medoid, Seq("cell"))
       .select($"q_id", $"medoid".as("node"))
@@ -695,29 +812,7 @@ object Similarity {
     val corpus = assigned
       .select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm"))
       .localCheckpoint(true)
-
-    def score(cand: DataFrame): DataFrame = cand
-      .join(corpus, "node")
-      .join(broadcast(qs), "q_id")
-      .select($"q_id", $"node",
-        round(dot($"qv", $"nv") / ($"qnrm" * $"nnrm") * 1e6).cast("long")
-          .as("sim_micro"))
-
-    var visited = score(entries).localCheckpoint(true)
-    var frontier: DataFrame = visited.select($"q_id", $"node")
-    for (_ <- 1 to GraphBeamRounds) {
-      val nbrs = frontier.join(adj, $"node" === $"src")
-        .select($"q_id", $"dst".as("node")).distinct()
-      val fresh = score(
-        nbrs.join(visited.select($"q_id", $"node"), Seq("q_id", "node"), "left_anti"))
-        .localCheckpoint(true)
-      visited = visited.unionByName(fresh).localCheckpoint(true)
-      frontier = fresh.withColumn("rn", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")))
-        .filter($"rn" <= GraphBeamWidth)
-        .select($"q_id", $"node")
-    }
-    GraphBeamFrames(assigned, adj, entries, visited)
+    GraphIndex(assigned, adj, entries, qs, corpus, medoid)
   }
 
   /** q345 — graph-ANN index/search audit: the q341/q342 observability
@@ -759,6 +854,137 @@ object Similarity {
         $"entry_rows", $"visited_rows",
         round(lit(10000.0) * $"hits" / greatest($"ex_rows", lit(1L)))
           .cast("long").as("recall_bp"))
+  }
+
+  final val GraphSweepWidths = Seq(6, 12, 18, 24)
+
+  /** q346 — graph-ANN beam-width sweep: the q249 nprobe pattern
+    * pointed at q343's one search-time knob — recall@10 and
+    * visited-rows at beam width ∈ [[GraphSweepWidths]] over ONE
+    * shared build, the tuning curve behind the pinned
+    * [[GraphBeamWidth]] (round-19 directive #2: the knob choice is a
+    * gate-MEASURED tradeoff, not folklore — the pinned width's row
+    * must reproduce q345's recall_bp every round, and the curve shows
+    * what a recall SLO change would cost in visited rows). The build
+    * runs once ([[graphIndexCore]] — at production: the stored
+    * index); each width is one [[graphSearch]] walk, per-walk cost
+    * |q|·W·deg rounds independent of corpus size; recall denominators
+    * reuse the memoized exact q26 scan (an EVAL readout, q300's
+    * posture). The DuckDB oracle replays every walk against the same
+    * shared build CTEs (prefixed unrolled rounds).
+    */
+  def q346_graph_beam_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ix = graphIndexCore(spark, dir)
+    val exact = exactTopK(spark, dir)
+    val exn = exact.agg(count(lit(1)).as("ex_rows"))
+    GraphSweepWidths.map { w =>
+      val visited = graphSearch(ix, w, GraphBeamRounds)
+      val hits = rankVisited(visited)
+        .join(exact.select($"q_id", $"neighbor_id"), Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+      visited.agg(countDistinct($"q_id").as("n_queries"),
+          count(lit(1)).as("visited_rows"))
+        .crossJoin(broadcast(hits))
+        .crossJoin(broadcast(exn))
+        .select(lit(w.toLong).as("beam_width"), $"n_queries", $"visited_rows",
+          round(lit(10000.0) * $"hits" / greatest($"ex_rows", lit(1L)))
+            .cast("long").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy($"beam_width")
+  }
+
+  final val GraphAppendMod = 10L // vec_id % 10 == 7 → the append batch
+
+  /** q349 — graph-index append audit (round-19 directive #6, the q290
+    * IVF-append pattern pointed at q343): the operational story a
+    * deployed graph index needs — inserting a batch WITHOUT
+    * rebuilding. Base = 90% of the corpus (vec_id % [[GraphAppendMod]]
+    * ≠ 7) built exactly as q343 builds, with BASE-derived seeds (a
+    * production append keeps the existing quantizer — it never
+    * retrains per batch). Insert = the NSW insertion of Malkov &
+    * Yashunin §4, batched: ONE [[graphSearch]] walk with the 10%
+    * batch as the query set, each new node adopting its top-
+    * [[GraphM]] visited as out-edges, symmetrized, then ONE degree
+    * re-cap window over base∪new (the cap rule the build itself
+    * uses). The census reports what a capacity plan needs: edges
+    * before/added, degree-cap evictions, max out-degree after (must
+    * stay ≤ [[GraphMaxDegree]]), the insert walk's scored rows (the
+    * append COST — |batch|·W·deg per round, corpus-independent), and
+    * recall@10 of the standard query set served by the APPENDED
+    * graph against the exact full-corpus answer — append quality as
+    * a gate number next to q345's full-build baseline. Every stage
+    * is the same bounded equi-join machinery as q343; the DuckDB
+    * oracle replays build, insert walk, re-cap, serving walk, truth
+    * and every count.
+    */
+  def q349_graph_append_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = GraphKnobs()
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val base = emb.filter($"vec_id" % GraphAppendMod =!= 7)
+    val batch = emb.filter($"vec_id" % GraphAppendMod === 7)
+    val seeds = ivfSeeds(base)
+    val ix = graphIndexOver(base, seeds, k)
+    // assignment of EVERY vector (base + batch) against the base
+    // quantizer: batch entry cells for the insert walk, full query
+    // entry cells for the serving walk
+    val rankedAll = graft.Caches.tracked(
+      rankCells(emb, seeds, k.entryProbes))
+    def entriesOf(pred: Column): DataFrame = rankedAll.filter(pred)
+      .select($"vec_id".as("q_id"), $"cid".as("cell"))
+      .join(ix.medoids, Seq("cell"))
+      .select($"q_id", $"medoid".as("node")).distinct()
+      .localCheckpoint(true)
+    def qsOf(src: DataFrame, pred: Column): DataFrame = src.filter(pred)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .localCheckpoint(true)
+
+    // ---- insert: one batched walk, top-M visited become out-edges
+    val insertVisited = graphSearch(
+      ix.copy(entries = entriesOf($"vec_id" % GraphAppendMod === 7),
+        qs = qsOf(batch, lit(true))), k.beamWidth, k.rounds)
+    val newOut = insertVisited.withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")))
+      .filter($"rn" <= k.m)
+      .select($"q_id".as("src"), $"node".as("dst"), $"sim_micro")
+    val newEdges = newOut.unionByName(
+      newOut.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
+    val combined = ix.adj.unionByName(newEdges)
+    val appendedAdj = combined.withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
+      .filter($"rn" <= k.maxDegree)
+      .select($"src", $"dst", $"sim_micro")
+      .localCheckpoint(true)
+
+    // ---- serve: the standard q343 query set on the appended graph
+    val served = graphSearch(GraphIndex(ix.assigned, appendedAdj,
+      entriesOf($"vec_id" % 50 === 0), qsOf(emb, $"vec_id" % 50 === 0),
+      emb.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm"))
+        .localCheckpoint(true),
+      ix.medoids), k.beamWidth, k.rounds)
+    val exact = exactTopK(spark, dir)
+    val hits = rankVisited(served)
+      .join(exact.select($"q_id", $"neighbor_id"), Seq("q_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(broadcast(batch.agg(count(lit(1)).as("n_appended"))))
+      .crossJoin(broadcast(ix.adj.agg(count(lit(1)).as("edges_before"))))
+      .crossJoin(broadcast(newEdges.agg(count(lit(1)).as("edges_added"))))
+      .crossJoin(broadcast(appendedAdj.agg(count(lit(1)).as("edges_after"))))
+      .crossJoin(broadcast(appendedAdj.groupBy($"src")
+        .agg(count(lit(1)).as("d")).agg(max($"d").as("max_out_degree"))))
+      .crossJoin(broadcast(insertVisited.agg(count(lit(1))
+        .as("insert_visited_rows"))))
+      .crossJoin(broadcast(served.agg(count(lit(1)).as("visited_rows"))))
+      .crossJoin(broadcast(hits))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("ex_rows"))))
+      .select($"n_base", $"n_appended", $"edges_before", $"edges_added",
+        ($"edges_before" + $"edges_added" - $"edges_after").as("evictions"),
+        $"max_out_degree", $"insert_visited_rows", $"visited_rows",
+        round(lit(10000.0) * $"hits" / greatest($"ex_rows", lit(1L)))
+          .cast("long").as("recall_after_bp"))
   }
 
   final val SemDedupThresholdMicro = 950000L // cosine ≥ 0.95
@@ -1842,6 +2068,8 @@ object Similarity {
     "q344_neardup_planted" -> q344_neardup_planted,
     "q343_ann_graph_beam" -> q343_ann_graph_beam,
     "q345_graph_ann_audit" -> q345_graph_ann_audit,
+    "q346_graph_beam_sweep" -> q346_graph_beam_sweep,
+    "q349_graph_append_audit" -> q349_graph_append_audit,
     "q34_ann_ivf" -> q34_ann_ivf,
     "q49_ivf_seeded" -> q49_ivf_seeded,
     "q207_cluster_capped_sample" -> q207_cluster_capped_sample,
@@ -2461,6 +2689,8 @@ object Similarity {
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q343_ann_graph_beam" -> Q343Sql,
     "q345_graph_ann_audit" -> Q345Sql,
+    "q346_graph_beam_sweep" -> Q346Sql,
+    "q349_graph_append_audit" -> Q349Sql,
     "q26_ann_topk" -> Q26Sql,
     "q222_ann_hubness" ->
       s"""WITH base AS ($Q26Sql)
@@ -2517,61 +2747,71 @@ object Similarity {
       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   /** q343's full build+search replay: seeded-quantizer assignment
-    * with cell ranks 1 AND 2 (the q49 `ad` CTE plus one more rank
-    * row), the bounded-degree adjacency (intra-cell top-M + bridge
-    * top-2 into the second cell, symmetrized, degree-capped), cell
+    * with cell ranks 1..[[GraphBuildProbes]] (the q49 `ad` CTE plus
+    * the bridge ranks), the bounded-degree adjacency (intra-cell
+    * top-M + bridge top-[[GraphBridgeM]] into each of the next
+    * P−1 cells, symmetrized, degree-capped), cell
     * medoids, and [[GraphBeamRounds]] UNROLLED beam rounds (the
     * IvfTrainSql pattern) — each one frontier×adjacency join, an
     * anti-join against the visited set, an exact scoring join and a
     * beam-width window. Integer micro-sims with id tie-breaks at
     * every rank keep the replay bit-identical.
     */
-  private lazy val Q343BodySql: String = {
-    val rounds = (1 to GraphBeamRounds).map { r =>
-      s"""n$r AS (SELECT DISTINCT f.q_id, a.dst AS node
-        |  FROM f${r - 1} f JOIN adj a ON a.src = f.node),
-        |x$r AS (SELECT n.q_id, n.node FROM n$r n
-        |  LEFT JOIN v${r - 1} p ON p.q_id = n.q_id AND p.node = n.node
+  /** One batched beam walk as unrolled CTEs over the shared build
+    * (`adj`/`qs`/`e`/`v0`/`f0`): round CTEs are named n{p}{r} etc. so
+    * the q346 sweep can instantiate SEVERAL walks (one per beam
+    * width, prefixes `w6_`, `w12_`, …) against ONE build — exactly
+    * what the Spark side does with [[graphSearch]] over one
+    * [[GraphIndex]]. Round 1 of every walk reads the shared v0/f0.
+    */
+  private def beamRoundsSql(p: String, width: Int, rounds: Int,
+      adjRel: String = "adj", qsRel: String = "qs", corpusRel: String = "e",
+      sharedEntry: Boolean = true): String = {
+    def pv(r: Int) = if (r == 1) { if (sharedEntry) "0" else s"${p}0" }
+                     else s"$p${r - 1}"
+    (1 to rounds).map { r =>
+      s"""n$p$r AS (SELECT DISTINCT f.q_id, a.dst AS node
+        |  FROM f${pv(r)} f JOIN $adjRel a ON a.src = f.node),
+        |x$p$r AS (SELECT n.q_id, n.node FROM n$p$r n
+        |  LEFT JOIN v${pv(r)} p ON p.q_id = n.q_id AND p.node = n.node
         |  WHERE p.node IS NULL),
-        |s$r AS MATERIALIZED (SELECT x.q_id, x.node,
+        |s$p$r AS MATERIALIZED (SELECT x.q_id, x.node,
         |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim
-        |  FROM x$r x JOIN qs q ON q.q_id = x.q_id JOIN e ON e.vec_id = x.node),
-        |v$r AS MATERIALIZED (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r),
-        |f$r AS (SELECT q_id, node FROM (SELECT *, ROW_NUMBER() OVER
-        |    (PARTITION BY q_id ORDER BY sim DESC, node) AS rn FROM s$r)
-        |  WHERE rn <= $GraphBeamWidth)""".stripMargin
+        |  FROM x$p$r x JOIN $qsRel q ON q.q_id = x.q_id
+        |    JOIN $corpusRel e ON e.vec_id = x.node),
+        |v$p$r AS MATERIALIZED (SELECT * FROM v${pv(r)} UNION ALL SELECT * FROM s$p$r),
+        |f$p$r AS (SELECT q_id, node FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, node) AS rn FROM s$p$r)
+        |  WHERE rn <= $width)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
-      |ad AS MATERIALIZED (SELECT e.vec_id, e.v, s.cid,
+  }
+
+  private lazy val Q343BodySql: String =
+    s"$GraphBuildSql,\n${beamRoundsSql("", GraphBeamWidth, GraphBeamRounds)}"
+
+  /** The shared build+entry replay (everything up to v0/f0) — one
+    * instantiation serves every beam walk appended after it.
+    */
+  /** ad/ar: every `e` vector ranked against the seed set `s` —
+    * shared verbatim by the pinned build and the q349 append replay
+    * (which ranks the FULL corpus against base-derived seeds).
+    */
+  private lazy val GraphRankSql: String =
+    s"""ad AS MATERIALIZED (SELECT e.vec_id, e.v, s.cid,
       |    CAST(ROUND((list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.cv)
       |      + list_inner_product(s.cv, s.cv)) * 1e6) AS BIGINT) AS dmicro
       |  FROM e CROSS JOIN s),
       |ar AS MATERIALIZED (SELECT vec_id, v, cid, dmicro,
-      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn FROM ad),
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dmicro, cid) AS rn FROM ad)""".stripMargin
+
+  private lazy val GraphBuildSql: String = {
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < ${IvfKSql}),
+      |$GraphRankSql,
       |asg AS MATERIALIZED (SELECT vec_id, v, cid AS cell, dmicro FROM ar WHERE rn = 1),
-      |a2 AS (SELECT vec_id, cid AS cell2 FROM ar WHERE rn = 2),
-      |intra AS (SELECT x.vec_id AS src, y.vec_id AS dst,
-      |    CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT) AS sim
-      |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-      |im AS (SELECT src, dst, sim FROM (SELECT *, ROW_NUMBER() OVER
-      |    (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM intra)
-      |  WHERE rn <= $GraphM),
-      |br AS (SELECT x.vec_id AS src, y.vec_id AS dst,
-      |    CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT) AS sim
-      |  FROM asg x JOIN a2 ON a2.vec_id = x.vec_id
-      |  JOIN asg y ON y.cell = a2.cell2 AND y.vec_id <> x.vec_id),
-      |bm AS (SELECT src, dst, sim FROM (SELECT *, ROW_NUMBER() OVER
-      |    (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM br)
-      |  WHERE rn <= $GraphBridgeM),
-      |und AS (SELECT src, dst, sim FROM im UNION SELECT src, dst, sim FROM bm
-      |  UNION SELECT dst AS src, src AS dst, sim FROM im
-      |  UNION SELECT dst AS src, src AS dst, sim FROM bm),
-      |adj AS MATERIALIZED (SELECT src, dst FROM (SELECT *, ROW_NUMBER() OVER
-      |    (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM und)
-      |  WHERE rn <= $GraphMaxDegree),
-      |med AS (SELECT cell, vec_id AS medoid FROM (SELECT *, ROW_NUMBER() OVER
-      |    (PARTITION BY cell ORDER BY dmicro, vec_id) AS rn FROM asg) WHERE rn = 1),
+      |a2 AS (SELECT vec_id, cid AS cell2 FROM ar
+      |  WHERE rn BETWEEN 2 AND $GraphBuildProbes),
+      |$GraphAdjFromAsgSql,
       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM asg
       |  WHERE vec_id % 50 = 0),
       |en AS (SELECT DISTINCT p.vec_id AS q_id, m.medoid AS node
@@ -2580,8 +2820,36 @@ object Similarity {
       |v0 AS MATERIALIZED (SELECT en.q_id, en.node,
       |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim
       |  FROM en JOIN qs q ON q.q_id = en.q_id JOIN e ON e.vec_id = en.node),
-      |f0 AS (SELECT q_id, node FROM v0),
-      |$rounds""".stripMargin
+      |f0 AS (SELECT q_id, node FROM v0)""".stripMargin
+  }
+
+  /** intra-cell top-M + per-cell bridges + symmetrize + degree cap +
+    * cell medoids, all from asg/a2 — the adjacency build, shared
+    * verbatim with the q349 append replay (whose asg/a2 carry a
+    * base-slice filter).
+    */
+  private lazy val GraphAdjFromAsgSql: String = {
+    s"""intra AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+      |    CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT) AS sim
+      |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |im AS (SELECT src, dst, sim FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM intra)
+      |  WHERE rn <= $GraphM),
+      |br AS (SELECT x.vec_id AS src, a2.cell2 AS bcell, y.vec_id AS dst,
+      |    CAST(ROUND(list_cosine_similarity(x.v, y.v) * 1e6) AS BIGINT) AS sim
+      |  FROM asg x JOIN a2 ON a2.vec_id = x.vec_id
+      |  JOIN asg y ON y.cell = a2.cell2 AND y.vec_id <> x.vec_id),
+      |bm AS (SELECT src, dst, sim FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY src, bcell ORDER BY sim DESC, dst) AS rn FROM br)
+      |  WHERE rn <= $GraphBridgeM),
+      |und AS (SELECT src, dst, sim FROM im UNION SELECT src, dst, sim FROM bm
+      |  UNION SELECT dst AS src, src AS dst, sim FROM im
+      |  UNION SELECT dst AS src, src AS dst, sim FROM bm),
+      |adj AS MATERIALIZED (SELECT src, dst, sim FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM und)
+      |  WHERE rn <= $GraphMaxDegree),
+      |med AS (SELECT cell, vec_id AS medoid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY cell ORDER BY dmicro, vec_id) AS rn FROM asg) WHERE rn = 1)""".stripMargin
   }
 
   private lazy val Q343Sql: String =
@@ -2621,4 +2889,122 @@ object Similarity {
       |  CAST(ROUND(10000.0 * (SELECT COUNT(*) FROM res JOIN exr
       |      USING (q_id, neighbor_id))
       |    / GREATEST((SELECT COUNT(*) FROM exr), 1)) AS BIGINT) AS recall_bp""".stripMargin
+
+  /** q346's replay: ONE shared build ([[GraphBuildSql]]), one
+    * prefixed unrolled walk per sweep width, the shared exact truth,
+    * and a per-width census row — the same one-build/many-walks
+    * shape the Spark side runs.
+    */
+  private lazy val Q346Sql: String = {
+    val walks = GraphSweepWidths.map { w =>
+      beamRoundsSql(s"w${w}_", w, GraphBeamRounds)
+    }.mkString(",\n")
+    val results = GraphSweepWidths.map { w =>
+      s"""res$w AS (SELECT q_id, node AS neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node)
+        |    AS rank FROM vw${w}_$GraphBeamRounds WHERE node <> q_id) t
+        |  WHERE rank <= $TopK)""".stripMargin
+    }.mkString(",\n")
+    val rows = GraphSweepWidths.map { w =>
+      s"""SELECT CAST($w AS BIGINT) AS beam_width,
+        |  (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM vw${w}_$GraphBeamRounds) AS n_queries,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vw${w}_$GraphBeamRounds) AS visited_rows,
+        |  CAST(ROUND(10000.0 * (SELECT COUNT(*) FROM res$w JOIN exr
+        |      USING (q_id, neighbor_id))
+        |    / GREATEST((SELECT COUNT(*) FROM exr), 1)) AS BIGINT) AS recall_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $GraphBuildSql,
+      |$walks,
+      |exs AS (SELECT q.q_id, e2.vec_id AS neighbor_id,
+      |    CAST(ROUND(list_cosine_similarity(q.qv, e2.v) * 1e6) AS BIGINT) AS sim
+      |  FROM qs q JOIN e e2 ON e2.vec_id <> q.q_id),
+      |exr AS (SELECT q_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk FROM exs)
+      |  WHERE rk <= $TopK),
+      |$results
+      |$rows
+      |ORDER BY beam_width""".stripMargin
+  }
+
+  /** q349's replay: rank the FULL corpus against BASE-derived seeds
+    * (e = all, s from eb), build the base graph from base-filtered
+    * asg/a2 via the shared fragments, run the batched insert walk
+    * (prefix `i`, batch queries, own entry CTEs), adopt top-M visited
+    * as edges, symmetrize, re-cap (adj2), then the serving walk
+    * (prefix `z`) over adj2 with the standard query set, the exact
+    * full-corpus truth, and the census.
+    */
+  private lazy val Q349Sql: String = {
+    val insertWalk = beamRoundsSql("i", GraphBeamWidth, GraphBeamRounds,
+      adjRel = "adj", qsRel = "iqs", corpusRel = "e", sharedEntry = false)
+    val serveWalk = beamRoundsSql("z", GraphBeamWidth, GraphBeamRounds,
+      adjRel = "adj2", qsRel = "zqs", corpusRel = "e", sharedEntry = false)
+    val R = GraphBeamRounds
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |eb AS (SELECT * FROM e WHERE vec_id % $GraphAppendMod <> 7),
+      |s AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM eb
+      |  WHERE vec_id < ${ivfKSqlOver("eb")}),
+      |$GraphRankSql,
+      |asg AS MATERIALIZED (SELECT vec_id, v, cid AS cell, dmicro FROM ar
+      |  WHERE rn = 1 AND vec_id % $GraphAppendMod <> 7),
+      |a2 AS (SELECT vec_id, cid AS cell2 FROM ar
+      |  WHERE rn BETWEEN 2 AND $GraphBuildProbes AND vec_id % $GraphAppendMod <> 7),
+      |$GraphAdjFromAsgSql,
+      |iqs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e
+      |  WHERE vec_id % $GraphAppendMod = 7),
+      |ien AS (SELECT DISTINCT p.vec_id AS q_id, m.medoid AS node
+      |  FROM ar p JOIN med m ON m.cell = p.cid
+      |  WHERE p.rn <= $GraphEntryProbes AND p.vec_id % $GraphAppendMod = 7),
+      |vi0 AS MATERIALIZED (SELECT ien.q_id, ien.node,
+      |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim
+      |  FROM ien JOIN iqs q ON q.q_id = ien.q_id JOIN e ON e.vec_id = ien.node),
+      |fi0 AS (SELECT q_id, node FROM vi0),
+      |$insertWalk,
+      |newout AS (SELECT q_id AS src, node AS dst, sim FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node) AS rn
+      |  FROM vi$R) WHERE rn <= $GraphM),
+      |newe AS (SELECT src, dst, sim FROM newout
+      |  UNION ALL SELECT dst AS src, src AS dst, sim FROM newout),
+      |comb AS (SELECT src, dst, sim FROM adj
+      |  UNION ALL SELECT src, dst, sim FROM newe),
+      |adj2 AS MATERIALIZED (SELECT src, dst, sim FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+      |  FROM comb) WHERE rn <= $GraphMaxDegree),
+      |zqs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0),
+      |zen AS (SELECT DISTINCT p.vec_id AS q_id, m.medoid AS node
+      |  FROM ar p JOIN med m ON m.cell = p.cid
+      |  WHERE p.rn <= $GraphEntryProbes AND p.vec_id % 50 = 0),
+      |vz0 AS MATERIALIZED (SELECT zen.q_id, zen.node,
+      |    CAST(ROUND(list_cosine_similarity(q.qv, e.v) * 1e6) AS BIGINT) AS sim
+      |  FROM zen JOIN zqs q ON q.q_id = zen.q_id JOIN e ON e.vec_id = zen.node),
+      |fz0 AS (SELECT q_id, node FROM vz0),
+      |$serveWalk,
+      |exs AS (SELECT q.q_id, e2.vec_id AS neighbor_id,
+      |    CAST(ROUND(list_cosine_similarity(q.qv, e2.v) * 1e6) AS BIGINT) AS sim
+      |  FROM zqs q JOIN e e2 ON e2.vec_id <> q.q_id),
+      |exr AS (SELECT q_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk FROM exs)
+      |  WHERE rk <= $TopK),
+      |res AS (SELECT q_id, node AS neighbor_id FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, node)
+      |    AS rank FROM vz$R WHERE node <> q_id) t
+      |  WHERE rank <= $TopK),
+      |dg2 AS (SELECT src, COUNT(*) AS d FROM adj2 GROUP BY 1)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM eb) AS n_base,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE vec_id % $GraphAppendMod = 7)
+      |    AS n_appended,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM adj) AS edges_before,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM newe) AS edges_added,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM adj)
+      |    + (SELECT COUNT(*) FROM newe)
+      |    - (SELECT COUNT(*) FROM adj2) AS evictions,
+      |  (SELECT CAST(MAX(d) AS BIGINT) FROM dg2) AS max_out_degree,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vi$R) AS insert_visited_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vz$R) AS visited_rows,
+      |  CAST(ROUND(10000.0 * (SELECT COUNT(*) FROM res JOIN exr
+      |      USING (q_id, neighbor_id))
+      |    / GREATEST((SELECT COUNT(*) FROM exr), 1)) AS BIGINT) AS recall_after_bp""".stripMargin
+  }
 }

@@ -104,6 +104,12 @@ object PlanLint {
     // BNLJ condition, the documented exact-eval family); the graph
     // build/search side is all equi-joins
     "q345_graph_ann_audit" -> Set("cartesian-product"),
+    // q346/q349 carry the same exactTopK recall denominator as q345
+    // (sweep rows / append-quality readout — EVAL cost, not serving);
+    // sweeps, insert walk and re-cap are all equi-joins and
+    // high-cardinality windows
+    "q346_graph_beam_sweep" -> Set("cartesian-product"),
+    "q349_graph_append_audit" -> Set("cartesian-product"),
     // q199 is q26's query-batch-attach shape over the 32×-compressed
     // PQ codes (self-exclusion predicate in the BNLJ condition)
     "q199_pq_adc_topk" -> Set("cartesian-product"),

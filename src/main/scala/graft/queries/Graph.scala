@@ -366,22 +366,40 @@ object Graph {
     * one shuffle on the basket key, one on the (bounded-support)
     * triple key.
     *
-    * KNOWN INVERSE SCALING (the selfcheck vacuity WARN at sf0.1+ is
-    * expected): with TPC-H-shaped data the part catalog grows with
-    * SF while basket size stays bounded, so the probability that two
-    * orders share the same 3 parts falls ~cubically in |parts| —
-    * 12 support-≥2 triples at sf0.01, zero at sf0.1/sf1.0, in BOTH
-    * engines (the sf0.1 corpus is driver-generated and unplantable).
-    * The positive path is oracle-verified at sf0.01 and spec-pinned;
-    * a real retail corpus, unlike a key-uniform synthetic one, keeps
-    * popular triples at every scale.
+    * STRUCTURAL INVERSE SCALING of the organic corpus: with
+    * TPC-H-shaped data the part catalog grows with SF while basket
+    * size stays bounded, so the probability that two orders share
+    * the same 3 parts falls ~cubically in |parts| — 12 organic
+    * support-≥2 triples at sf0.01, zero at sf0.1/sf1.0, in BOTH
+    * engines. A real retail corpus, unlike a key-uniform synthetic
+    * one, keeps popular triples at every scale — so (round-19
+    * directive #5, the q344 planting pattern) a deterministic
+    * fixture basket set derived from the corpus itself rides along:
+    * every [[PlantBasketMod]]-th distinct orderkey contributes one
+    * planted basket (orderkey + [[PlantBasketOffset]]) holding the
+    * same three planted parts, so the planted triple's support is
+    * 15/148/1480 at sf0.01/0.1/1.0 and the support-count path is
+    * hash-verified >0 rows at EVERY scale — the standing selfcheck
+    * vacuity WARN this query used to carry is retired. Planted ids
+    * sit at 2·10⁹, above every real order/part key at every scale.
     */
+  final val PlantBasketMod = 1000L
+  final val PlantBasketOffset = 2000000000L
+  final val PlantPartBase = 2000000000L
+
   def q121_frequent_triples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // same streaming run-walk as the pair builders (no collect_set
     // buffers, no encoder round-trip), fanned to sorted triples
-    load(spark, dir, "lineitem")
+    val organic = load(spark, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+    val planted = load(spark, dir, "lineitem")
+      .select($"l_orderkey").distinct()
+      .filter($"l_orderkey" % PlantBasketMod === 0)
+      .select(($"l_orderkey" + PlantBasketOffset).as("o"),
+        explode(array(lit(PlantPartBase + 1), lit(PlantPartBase + 2),
+          lit(PlantPartBase + 3))).as("p"))
+    organic.unionByName(planted)
       .repartition($"o").sortWithinPartitions($"o", $"p")
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -817,8 +835,13 @@ object Graph {
         |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_frequent_triples" ->
-      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      s"""WITH org AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
+        |pl AS (SELECT o + $PlantBasketOffset AS o,
+        |    unnest([$PlantPartBase + 1, $PlantPartBase + 2, $PlantPartBase + 3]) AS p
+        |  FROM (SELECT DISTINCT l_orderkey AS o FROM lineitem
+        |        WHERE l_orderkey % $PlantBasketMod = 0)),
+        |li AS MATERIALIZED (SELECT o, p FROM org UNION ALL SELECT o, p FROM pl),
         |pr AS MATERIALIZED (SELECT a.o, a.p AS pa, b.p AS pb
         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
         |SELECT pr.pa, pr.pb, c.p AS pc, CAST(COUNT(*) AS BIGINT) AS n

@@ -171,11 +171,19 @@ object StreamScaleBench {
               + ($"id" * 144000L) / 1000000L)).as("ts"),
             ndText($"id").as("text"))
           .write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles()
+        val parts = stage.listFiles()
           .filter(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(ndDir, f"nd-$f%05d.parquet").toPath)
+            p.getName.endsWith(".parquet"))
+        // exactly one part by construction (spark.range(..., 1) is a
+        // single partition); assert so a partition-count regression
+        // fails loudly instead of silently dropping rows, and replace
+        // so a re-run against a reused dir can't throw
+        // FileAlreadyExistsException (round-18 ADVICE)
+        require(parts.length == 1,
+          s"nd stage wrote ${parts.length} part files, expected exactly 1")
+        java.nio.file.Files.move(parts.head.toPath,
+          new java.io.File(ndDir, f"nd-$f%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
 

@@ -122,10 +122,11 @@ object DegenerateProbe {
     "q327_davies_bouldin", "q332_adjusted_rand", "q333_simplified_silhouette",
     // trained/greedy seeds with their own named requires
     "q34_ann_ivf", "q289_kcenter_coreset",
-    // the graph-ANN pair builds on the same seeded quantizer — an
+    // the graph-ANN family builds on the same seeded quantizer — an
     // empty corpus cannot derive the cell structure (ivfSeeds' named
-    // require), so both fail loudly instead of emitting a fake index
-    "q343_ann_graph_beam", "q345_graph_ann_audit")
+    // require), so all fail loudly instead of emitting a fake index
+    "q343_ann_graph_beam", "q345_graph_ann_audit",
+    "q346_graph_beam_sweep", "q349_graph_append_audit")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

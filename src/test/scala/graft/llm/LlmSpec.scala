@@ -588,6 +588,65 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getLong(7) == bp, s"recall_bp ${r.getLong(7)} vs recomputed $bp")
   }
 
+  test("q346 beam sweep: visited grows with width, pinned width reproduces q345's recall") {
+    val rows = Similarity.q346_graph_beam_sweep(spark, dir).collect()
+    graft.Caches.releaseAll()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Similarity.GraphSweepWidths.map(_.toLong).sorted)
+    val byW = rows.map(r => r.getLong(0) -> r).toMap
+    // visited rows are monotone in beam width (wider frontier can
+    // only add scored nodes) and every width serves every query
+    Similarity.GraphSweepWidths.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byW(a).getLong(2) <= byW(b).getLong(2),
+          s"visited must be monotone in width ($a vs $b)")
+      case _ =>
+    }
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "n_queries constant")
+    val pinnedRecall = byW(Similarity.GraphBeamWidth.toLong).getLong(3)
+    val auditRecall = Similarity.q345_graph_ann_audit(spark, dir)
+      .collect()(0).getLong(7)
+    graft.Caches.releaseAll()
+    assert(pinnedRecall == auditRecall,
+      s"sweep row at the pinned width ($pinnedRecall) must equal q345 ($auditRecall)")
+  }
+
+  test("q347/q348 multilingual funnels: every planted twin pair found by both funnels") {
+    import spark.implicits._
+    val nTwins = graft.Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % Dedup.MlTwinMod === 0 && length($"text") > 0)
+      .count()
+    assert(nTwins > 0, "fixture needs at least one twin")
+    val p = Dedup.q347_ml_simjoin_funnel(spark, dir).collect()(0)
+    graft.Caches.releaseAll()
+    // verified pairs include every planted twin (J = n/(n+2) >= 1/2),
+    // and the prefix join is lossless: verified == truth by q341's
+    // no-miss property (cand_positional >= verified)
+    assert(p.getLong(5) >= nTwins, s"prefix funnel verified ${p.getLong(5)} < $nTwins twins")
+    assert(p.getLong(4) >= p.getLong(5), "candidates must cover verified")
+    val l = Dedup.q348_ml_lshband_funnel(spark, dir).collect()(0)
+    graft.Caches.releaseAll()
+    assert(l.getLong(4) >= nTwins, s"LSH funnel verified ${l.getLong(4)} < $nTwins twins")
+    assert(l.getLong(5) == p.getLong(5),
+      "LSH truth (exact prefix dual) must equal the prefix funnel's verified count")
+  }
+
+  test("q349 append audit: caps hold, census consistent, appended graph still serves") {
+    import spark.implicits._
+    val r = Similarity.q349_graph_append_audit(spark, dir).collect()(0)
+    graft.Caches.releaseAll()
+    val n = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(r.getLong(0) + r.getLong(1) == n, "base + appended = corpus")
+    assert(r.getLong(1) > 0, "append batch must be non-empty")
+    assert(r.getLong(3) > 0, "insert must add edges")
+    assert(r.getLong(4) >= 0, "evictions are a count")
+    assert(r.getLong(5) <= Similarity.GraphMaxDegree, "degree cap violated after append")
+    // the appended graph must still serve at least at the IVF bar —
+    // the same floor the full build clears (q343's spec)
+    assert(r.getLong(8) >= 4000,
+      s"recall after append ${r.getLong(8)} below the IVF bar")
+  }
+
   test("q344 planted twins: every sliced multiple-of-35 base pairs with its scaled twin at cosine 1") {
     import spark.implicits._
     val bases = graft.Tables.load(spark, dir, "embeddings")

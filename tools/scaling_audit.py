@@ -106,6 +106,10 @@ ALLOWLIST = {
     "q237_knn_probe": "kNN probe eval vs the exact q26 denominator",
     "q222_ann_hubness": "hubness audit over the exact q26 ranking (eval table)",
     "q345_graph_ann_audit": "graph-index census + recall vs the exact q26 denominator (eval readout; the graph build/search it audits is the linear q343)",
+    "q346_graph_beam_sweep": "per-width recall rows vs the exact q26 denominator (tuning curve, q249's family; the swept walks themselves are the linear q343 search)",
+    "q349_graph_append_audit": "append-quality recall vs the exact q26 denominator (eval readout; the insert walk + re-cap it audits are the linear q343 machinery)",
+    "q347_ml_simjoin_funnel": "the q341 funnel audit on the 1/20 multilingual fixture slice - inherits q73's closed-shingle-universe candidate saturation at slice scale, OUTPUT one fixed-schema row",
+    "q348_ml_lshband_funnel": "the q342 funnel audit on the 1/20 multilingual fixture slice - inherits the banded-bucket + exact-dual saturations at slice scale, OUTPUT one fixed-schema row",
     "q25_ngram_jaccard_blocked": "the round-18 chooser's postings-df stats pass shuffles map-side PARTIALS of the (source,bigram)-bounded key table (~18k keys on the closed harness vocab at BOTH scales) - partial-row count scales with map-task count, not data (245k absolute records at sf1.0); the pair join itself still shuffles only the block sketch rows and the wall is SUBLINEAR (1.85 -> 14.1 s for 10x data)",
     # ROUND 14: the whole fixed-k family (q34/q49/q195/q298/q307/q312/
     # q287/q290/q27 + q313's tie pairs) is RETIRED from this list — the

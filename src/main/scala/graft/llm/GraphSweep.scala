@@ -35,7 +35,8 @@ object GraphSweep {
       if (args.length > 1) args.drop(1).toSeq.map { s =>
         val p = s.split(":").map(_.toInt)
         Similarity.GraphKnobs(m = p(0), bridgeM = p(1), buildProbes = p(2),
-          maxDegree = p(3), beamWidth = p(4), rounds = p(5), entryProbes = p(6))
+          maxDegree = p(3), beamWidth = p(4), rounds = p(5), entryProbes = p(6),
+          medoidCosEntry = p.length > 7 && p(7) == 1)
       }
       else Seq(Similarity.GraphKnobs())
 
@@ -52,7 +53,7 @@ object GraphSweep {
       val edges = core.adj.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val recallBp = math.round(10000.0 * hits / math.max(exRows, 1L))
-      println(s"""{"knobs":"m=${k.m},bridgeM=${k.bridgeM},buildProbes=${k.buildProbes},maxDeg=${k.maxDegree},W=${k.beamWidth},R=${k.rounds},E=${k.entryProbes}","recall_bp":$recallBp,"visited_rows":$visited,"graph_edges":$edges,"wall_sec":${math.round(wall * 10) / 10.0}}""")
+      println(s"""{"knobs":"m=${k.m},bridgeM=${k.bridgeM},buildProbes=${k.buildProbes},maxDeg=${k.maxDegree},W=${k.beamWidth},R=${k.rounds},E=${k.entryProbes},medoidCos=${k.medoidCosEntry}","recall_bp":$recallBp,"visited_rows":$visited,"graph_edges":$edges,"wall_sec":${math.round(wall * 10) / 10.0}}""")
       graft.Caches.releaseAll()
       System.gc()
     }

@@ -564,20 +564,26 @@ object Similarity {
 
   // The pinned design point, chosen from the round-19 GraphSweep
   // measurement at sf1.0 (N=20k, 157 cells, 400 queries, flat scan =
-  // 8M scored rows/suite): recall@10 = 8850 bp at 1.03M visited rows
-  // (7.8× under the flat scan) and a stored index of ≤ N·28 edges.
-  // The r18 point (M=12/bridge 2×1/deg 24/W16/R6/E4) measured
-  // 4463 bp at 453k visited; the buildProbes axis (long-range bridge
-  // links into the next P−1 cells, Malkov & Yashunin's long edges)
-  // bought the most recall per visited row, beam width/rounds the
-  // rest. sf0.01/sf0.1 measure 10000 bp at this point.
-  final val GraphM = 12          // intra-cell out-degree of the build
-  final val GraphBridgeM = 2     // per-bridge-cell out-degree
-  final val GraphBuildProbes = 8 // cells a node's build edges may reach (own + next P−1)
-  final val GraphMaxDegree = 28  // per-node cap after symmetrization
-  final val GraphBeamWidth = 18  // beam width per search round
-  final val GraphBeamRounds = 7  // fixed number of expansion rounds
-  final val GraphEntryProbes = 6 // entry cells per query (their medoids)
+  // 8M scored rows/suite): recall@10 = 9773 bp at 1.98M visited rows
+  // (4.0× under the flat scan) and a stored index of ≤ N·32 edges.
+  // The curve walked this round: the r18 seed point
+  // (bp8/deg28/W18/R7/E6) measured 8850 bp at 1.03M visited;
+  // buildProbes 10 + degree 32 took it to 9240, widening the beam to
+  // W24/R8 to 9620 (1.67M), and W30/R8 lands 9773 at exactly 4×
+  // under the flat scan — past it the curve flattens (W24/R9 = 9723
+  // at 1.86M). Entry selection is measurably NOT the binding axis:
+  // ranking all cell medoids by EXACT query cosine instead of the
+  // quantizer's cell order (GraphKnobs.medoidCosEntry, sweepable)
+  // buys +23 bp at this point, so the pinned entry stays the
+  // zero-extra-cost quantizer-cell form. sf0.01/sf0.1 measure
+  // 10000 bp at this point.
+  final val GraphM = 12           // intra-cell out-degree of the build
+  final val GraphBridgeM = 2      // per-bridge-cell out-degree
+  final val GraphBuildProbes = 10 // cells a node's build edges may reach (own + next P−1)
+  final val GraphMaxDegree = 32   // per-node cap after symmetrization
+  final val GraphBeamWidth = 30   // beam width per search round
+  final val GraphBeamRounds = 8   // fixed number of expansion rounds
+  final val GraphEntryProbes = 6  // entry cells per query (their medoids)
 
   /** The graph-ANN design point as one value, so the q346 knob sweep
     * and the [[graft.llm.GraphSweep]] harness measure ALTERNATIVE
@@ -592,7 +598,8 @@ object Similarity {
       maxDegree: Int = GraphMaxDegree,
       beamWidth: Int = GraphBeamWidth,
       rounds: Int = GraphBeamRounds,
-      entryProbes: Int = GraphEntryProbes)
+      entryProbes: Int = GraphEntryProbes,
+      medoidCosEntry: Boolean = false)
 
   /** q343 — graph-traversal ANN (the NSW/HNSW family, Malkov &
     * Yashunin 2016, re-expressed as bounded equi-join rounds): the
@@ -803,12 +810,37 @@ object Similarity {
     val qs = assigned.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       .localCheckpoint(true)
-    val entries = ranked.filter($"vec_id" % 50 === 0 && $"crank" <= k.entryProbes)
-      .select($"vec_id".as("q_id"), $"cid".as("cell"))
-      .join(medoid, Seq("cell"))
-      .select($"q_id", $"medoid".as("node"))
-      .distinct()
-      .localCheckpoint(true)
+    // Two entry-selection modes. Pinned: the medoids of the query's
+    // entryProbes quantizer-nearest cells (crank ≤ E off the shared
+    // ranked pass — zero extra work). medoidCosEntry: rank ALL cell
+    // medoids by EXACT cosine to the query and enter at the top E —
+    // the entry metric becomes the search metric instead of the
+    // quantizer's L2-to-seed proxy. Costs one |q|×|cells| scored
+    // explode over a collected medoid-vector literal (index metadata,
+    // codebook-sized — the ivfSeeds/rankCells driver-state pattern),
+    // still corpus-size independent per query.
+    val entries = (if (k.medoidCosEntry) {
+      val medVecs = medoid.join(
+          assigned.select($"vec_id", $"v"), $"medoid" === $"vec_id")
+        .select($"medoid", $"v").as[(Long, Seq[Double])]
+        .collect().sortBy(_._1)
+      val mArr = array(medVecs.map { case (mid, mv) =>
+        struct(array(mv.map(lit).toSeq: _*).as("mv"), lit(mid).as("mid"))
+      }.toSeq: _*)
+      qs.select($"q_id", $"qv", $"qnrm", explode(mArr).as("m"))
+        .withColumn("esim",
+          round(dot($"qv", $"m.mv") / ($"qnrm" * norm($"m.mv")) * 1e6).cast("long"))
+        .withColumn("ern", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"esim".desc, $"m.mid")))
+        .filter($"ern" <= k.entryProbes)
+        .select($"q_id", $"m.mid".as("node"))
+    } else {
+      ranked.filter($"vec_id" % 50 === 0 && $"crank" <= k.entryProbes)
+        .select($"vec_id".as("q_id"), $"cid".as("cell"))
+        .join(medoid, Seq("cell"))
+        .select($"q_id", $"medoid".as("node"))
+        .distinct()
+    }).localCheckpoint(true)
     val corpus = assigned
       .select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm"))
       .localCheckpoint(true)
@@ -856,7 +888,7 @@ object Similarity {
           .cast("long").as("recall_bp"))
   }
 
-  final val GraphSweepWidths = Seq(6, 12, 18, 24)
+  final val GraphSweepWidths = Seq(6, 12, 18, 30)
 
   /** q346 — graph-ANN beam-width sweep: the q249 nprobe pattern
     * pointed at q343's one search-time knob — recall@10 and

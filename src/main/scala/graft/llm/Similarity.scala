@@ -672,33 +672,68 @@ object Similarity {
     * `rounds` rounds of one frontier×adjacency equi-join each,
     * exact-scoring only NEW nodes, keeping the best `beamWidth` fresh
     * nodes per query as the next frontier. Returns the visited
-    * (q_id, node, sim_micro) set.
+    * (q_id, node, sim_micro) set. One-width view of
+    * [[graphSearchMulti]] — the pinned walks (q343/q345/q349) and the
+    * q346 sweep share the exact round machinery.
     */
   private[llm] def graphSearch(ix: GraphIndex, beamWidth: Int,
+      rounds: Int): DataFrame = {
+    val spark = ix.adj.sparkSession
+    import spark.implicits._
+    graphSearchMulti(ix, Seq(beamWidth), rounds)
+      .select($"q_id", $"node", $"sim_micro")
+  }
+
+  /** The beam walk for EVERY width in one shared round loop: rows are
+    * tagged with their width and every stage (neighbor expansion,
+    * anti-join against the visited set, scoring, the frontier window)
+    * keys on (beam_width, q_id), so no stage mixes rows across widths
+    * and each width's visited set is bit-identical to an independent
+    * walk — but a W-point sweep pays the round loop's job scheduling
+    * ONCE instead of |W| times (round-19 measurement: the four
+    * sequential q346 walks were 4×rounds driver-sequenced checkpoints;
+    * this form is rounds checkpoints total).
+    *
+    * Per round exactly ONE eager materialization (the freshly scored
+    * nodes). The visited set is NEVER re-materialized: it lives as the
+    * accumulated per-round checkpointed parts, and round k's anti-join
+    * reads the union of the k parts directly — the previous form
+    * re-checkpointed the whole growing union every round, paying
+    * O(rounds · |visited|) extra row writes plus one extra job per
+    * round for pure re-copying.
+    */
+  private[llm] def graphSearchMulti(ix: GraphIndex, widths: Seq[Int],
       rounds: Int): DataFrame = {
     val spark = ix.adj.sparkSession
     import spark.implicits._
     def score(cand: DataFrame): DataFrame = cand
       .join(ix.corpus, "node")
       .join(broadcast(ix.qs), "q_id")
-      .select($"q_id", $"node",
+      .select($"beam_width", $"q_id", $"node",
         round(dot($"qv", $"nv") / ($"qnrm" * $"nnrm") * 1e6).cast("long")
           .as("sim_micro"))
-    var visited = score(ix.entries).localCheckpoint(true)
-    var frontier: DataFrame = visited.select($"q_id", $"node")
+    val tagged = ix.entries.select(
+      explode(array(widths.map(w => lit(w)): _*)).as("beam_width"),
+      $"q_id", $"node")
+    val first = score(tagged).localCheckpoint(true)
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame](first)
+    var frontier: DataFrame = first.select($"beam_width", $"q_id", $"node")
     for (_ <- 1 to rounds) {
+      val visitedIds = parts.map(_.select($"beam_width", $"q_id", $"node"))
+        .reduce(_ unionByName _)
       val nbrs = frontier.join(ix.adj, $"node" === $"src")
-        .select($"q_id", $"dst".as("node")).distinct()
+        .select($"beam_width", $"q_id", $"dst".as("node")).distinct()
       val fresh = score(
-        nbrs.join(visited.select($"q_id", $"node"), Seq("q_id", "node"), "left_anti"))
+        nbrs.join(visitedIds, Seq("beam_width", "q_id", "node"), "left_anti"))
         .localCheckpoint(true)
-      visited = visited.unionByName(fresh).localCheckpoint(true)
+      parts += fresh
       frontier = fresh.withColumn("rn", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")))
-        .filter($"rn" <= beamWidth)
-        .select($"q_id", $"node")
+          Window.partitionBy($"beam_width", $"q_id")
+            .orderBy($"sim_micro".desc, $"node")))
+        .filter($"rn" <= $"beam_width")
+        .select($"beam_width", $"q_id", $"node")
     }
-    visited
+    parts.reduce(_ unionByName _)
   }
 
   private[llm] def graphBeamCore(spark: SparkSession, dir: String,
@@ -910,19 +945,32 @@ object Similarity {
     val ix = graphIndexCore(spark, dir)
     val exact = exactTopK(spark, dir)
     val exn = exact.agg(count(lit(1)).as("ex_rows"))
-    GraphSweepWidths.map { w =>
-      val visited = graphSearch(ix, w, GraphBeamRounds)
-      val hits = rankVisited(visited)
-        .join(exact.select($"q_id", $"neighbor_id"), Seq("q_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
-      visited.agg(countDistinct($"q_id").as("n_queries"),
-          count(lit(1)).as("visited_rows"))
-        .crossJoin(broadcast(hits))
-        .crossJoin(broadcast(exn))
-        .select(lit(w.toLong).as("beam_width"), $"n_queries", $"visited_rows",
-          round(lit(10000.0) * $"hits" / greatest($"ex_rows", lit(1L)))
-            .cast("long").as("recall_bp"))
-    }.reduce(_ unionByName _).orderBy($"beam_width")
+    // ONE shared round loop for all four widths (graphSearchMulti) —
+    // per-width rows identical to four independent walks, 8 round
+    // checkpoints instead of 32 (round-19 optimization; measured
+    // 15.5 s → see OPTIMIZATION_r19.md). Census and recall then key
+    // every aggregate on beam_width instead of looping.
+    val visited = graphSearchMulti(ix, GraphSweepWidths, GraphBeamRounds)
+    val ranked = visited.filter($"node" =!= $"q_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"beam_width", $"q_id")
+          .orderBy($"sim_micro".desc, $"node")).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"beam_width", $"q_id", $"node".as("neighbor_id"))
+    val hits = ranked
+      .join(exact.select($"q_id", $"neighbor_id"), Seq("q_id", "neighbor_id"))
+      .groupBy($"beam_width").agg(count(lit(1)).as("hits"))
+    visited.groupBy($"beam_width")
+      .agg(countDistinct($"q_id").as("n_queries"),
+        count(lit(1)).as("visited_rows"))
+      .join(hits, Seq("beam_width"), "left")
+      .crossJoin(broadcast(exn))
+      .select($"beam_width".cast("long").as("beam_width"),
+        $"n_queries", $"visited_rows",
+        round(lit(10000.0) * coalesce($"hits", lit(0L))
+          / greatest($"ex_rows", lit(1L)))
+          .cast("long").as("recall_bp"))
+      .orderBy($"beam_width")
   }
 
   final val GraphAppendMod = 10L // vec_id % 10 == 7 → the append batch
@@ -1526,12 +1574,31 @@ object Similarity {
     */
   def q248_srp_rerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bitsExpr = expr(
-      "transform(sequence(0, 63), p -> CASE WHEN aggregate(" +
-        "transform(sequence(1, 64), d -> (CASE WHEN " +
-        "(((CAST(1103515245 AS BIGINT) * (p * 64 + d) + 12345) % 2147483648) DIV 32768) % 2 = 0 " +
-        "THEN 1.0D ELSE -1.0D END) * v[d - 1]), 0.0D, (a, b) -> a + b) >= 0.0D " +
-        "THEN 1 ELSE 0 END)")
+    // The 64 hyperplanes are a CONSTANT ±1 matrix from the pure
+    // integer LCG — precompute the signs in Scala (the identical
+    // arithmetic the DuckDB oracle replays in SQL) and evaluate each
+    // plane as one codegen'd vector_dot against a literal array
+    // instead of the interpreted transform×aggregate HOF tree the
+    // first form used (64 planes × 64 dims of per-element lambda
+    // invocations per row — the round-19 profile put ~4.5 s of this
+    // query's sf0.1 wall in exactly that projection; HOF lambdas are
+    // CodegenFallback). Per-plane accumulation order is unchanged
+    // (left-to-right from 0.0 over s_d·v[d−1]), so every sign bit is
+    // bit-identical to the HOF form.
+    val planes: Seq[Seq[Double]] = (0 until 64).map { p =>
+      (1 to 64).map { d =>
+        val x = (1103515245L * (p * 64 + d) + 12345L) % 2147483648L
+        if ((x / 32768L) % 2L == 0L) 1.0 else -1.0
+      }
+    }
+    // Bits pack into ONE long (plane p at bit 63−p): Hamming distance
+    // becomes bit_count(xor) — a single codegen'd popcount per
+    // candidate pair instead of a 64-element zip_with fold, with the
+    // identical integer distance (number of differing planes).
+    val bitsExpr = planes.zipWithIndex.map { case (pl, p) =>
+      when(dot(array(pl.map(lit): _*), $"v") >= 0.0, lit(1L << (63 - p)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
     val emb = graft.Caches.tracked(load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("bits", bitsExpr))
@@ -1540,9 +1607,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"bits".as("qb"))
     val ham = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .select($"q_id", $"qv", $"vec_id".as("neighbor_id"), $"v",
-        aggregate(zip_with($"qb", $"bits",
-            (x, y) => when(x =!= y, 1).otherwise(0)),
-          lit(0), (a, b) => a + b).as("ham"))
+        bit_count($"qb".bitwiseXOR($"bits")).as("ham"))
     val wh = Window.partitionBy($"q_id").orderBy($"ham", $"neighbor_id")
     val cand = ham.withColumn("hrk", row_number().over(wh))
       .filter($"hrk" <= SrpCandidates)
@@ -1864,15 +1929,53 @@ object Similarity {
     */
   def q278_anisotropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ex = graft.Caches.tracked(load(spark, dir, "embeddings")
-      .select($"vec_id", posexplode(toDouble($"embedding")))
-      .select($"vec_id", $"pos".cast("long").as("i"),
-        round($"col" * 1e6).cast("long").as("xq")))
-    val n = ex.agg(countDistinct($"vec_id").as("n"))
-    val sx = ex.groupBy($"i").agg(sum($"xq").as("sx"))
-    val sxy = ex.as("a").join(ex.as("b"), "vec_id")
-      .groupBy($"a.i".as("i"), $"b.i".as("j"))
-      .agg(sum($"a.xq" * $"b.xq").as("sxy"))
+    // Quantize per vector (the same round(x·1e6)→BIGINT elementwise
+    // expression the exploded form used — identical integers), then
+    // accumulate the FULL 64×64 Gram matrix, the per-dim sums and the
+    // vector count in ONE narrow mapPartitions pass: each partition
+    // emits at most 64·64+64+1 partial rows, and one tiny aggregate
+    // combines them. The first form exploded the corpus 64× (tracked
+    // 128 k-row frame at sf0.1), ran THREE aggregates over it and a
+    // vec_id self-join fanning out 64²·N pair rows through an
+    // exchange; every partial here is an exact INTEGER sum, so any
+    // accumulation order yields the bit-identical Σx/Σxy/n the
+    // downstream decimal covariance consumed before (round-19
+    // optimization — the power-iteration chain below is untouched).
+    val grams = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .select($"vec_id",
+        expr("transform(v, x -> cast(round(x * 1e6) as bigint))").as("xq"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val sx = new Array[Long](Dim)
+        val gram = Array.ofDim[Long](Dim, Dim)
+        var n = 0L
+        it.foreach { case (_, xq) =>
+          n += 1
+          var i = 0
+          while (i < xq.length) {
+            sx(i) += xq(i)
+            var j = 0
+            while (j < xq.length) { gram(i)(j) += xq(i) * xq(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty
+        else {
+          val rows = for { i <- 0 until Dim; j <- 0 until Dim }
+            yield (i.toLong, j.toLong, gram(i)(j), 0L)
+          (rows.iterator
+            ++ (0 until Dim).iterator.map(i => (i.toLong, -1L, sx(i), 0L))
+            ++ Iterator((-1L, -1L, 0L, n)))
+        }
+      }
+      .toDF("i", "j", "s", "cnt")
+    val tot = graft.Caches.tracked(
+      grams.groupBy($"i", $"j").agg(sum($"s").as("s"), sum($"cnt").as("cnt")))
+    val n = tot.filter($"i" === -1L && $"j" === -1L).select($"cnt".as("n"))
+    val sx = tot.filter($"i" >= 0L && $"j" === -1L).select($"i", $"s".as("sx"))
+    val sxy = tot.filter($"i" >= 0L && $"j" >= 0L)
+      .select($"i", $"j", $"s".as("sxy"))
     val cov = graft.Caches.tracked(sxy
       .join(broadcast(sx.select($"i", $"sx".as("sxi"))), "i")
       .join(broadcast(sx.select($"i".as("j"), $"sx".as("sxj"))), "j")

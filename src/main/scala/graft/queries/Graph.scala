@@ -550,11 +550,17 @@ object Graph {
     */
   private def supportBackboneEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // dropDuplicates AFTER the order-key repartition: hash-partitioning
+    // on o clusters every (o, p) group, so the dedup aggregate reuses
+    // that exchange instead of adding its own (o, p)-keyed one — the
+    // same 600 k-row set reaches the run walk through ONE exchange
+    // instead of two (round-19 optimization, guide §2.4; shared by
+    // q251/q261/q334, verified identical output by their oracles).
     val li = load(spark, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
-      .distinct()
     val backbone = packedPairFanout(
-        li.repartition($"o").sortWithinPartitions($"o", $"p")
+        li.repartition($"o").dropDuplicates("o", "p")
+          .sortWithinPartitions($"o", $"p")
           .as[(Long, Long)])
       .toDF("pk")
       .groupBy($"pk").agg(count(lit(1)).as("n_ab"))

@@ -706,6 +706,20 @@ object Similarity {
       rounds: Int): DataFrame = {
     val spark = ix.adj.sparkSession
     import spark.implicits._
+    // Each round is ONE eagerly-checkpointed job, and its wall at any
+    // scale is dominated by the number of sequential exchange
+    // round-trips inside it (measured with GraphBuildProbe at sf0.1:
+    // ~0.5 s/round, nearly all stage latency — AQE OFF triples it, so
+    // the lever is exchange COUNT, not partition tuning). Two
+    // reductions vs the round-18 form:
+    // Two variants that looked like wins on paper measured FLAT or
+    // slower at the probe (kept out): carrying qv on the frontier to
+    // drop the per-round query-batch broadcast (the 64-double payload
+    // through every exchange/window/checkpoint outweighs one tiny
+    // broadcast), and keying the neighbor dedup exchange on `node`
+    // alone so anti-join + corpus join reuse it (within noise — the
+    // round wall is the eager checkpoint's job latency, not any one
+    // exchange).
     def score(cand: DataFrame): DataFrame = cand
       .join(ix.corpus, "node")
       .join(broadcast(ix.qs), "q_id")
@@ -727,10 +741,17 @@ object Similarity {
         nbrs.join(visitedIds, Seq("beam_width", "q_id", "node"), "left_anti"))
         .localCheckpoint(true)
       parts += fresh
-      frontier = fresh.withColumn("rn", row_number().over(
-          Window.partitionBy($"beam_width", $"q_id")
-            .orderBy($"sim_micro".desc, $"node")))
-        .filter($"rn" <= $"beam_width")
+      // Literal rank bound when one width runs (the pinned walks):
+      // RankLimitRewrite only fires on `rn <= <literal>`, and losing
+      // it would replace the bounded-heap TopKPerGroup plan with a
+      // full per-group WindowExec sort. The sweep's per-row
+      // `rn <= beam_width` keeps the window form — its frontier
+      // groups are W·deg rows, minor next to the 4× round-loop saving.
+      val ranked = fresh.withColumn("rn", row_number().over(
+        Window.partitionBy($"beam_width", $"q_id")
+          .orderBy($"sim_micro".desc, $"node")))
+      frontier = (if (widths.size == 1) ranked.filter($"rn" <= widths.head)
+                  else ranked.filter($"rn" <= $"beam_width"))
         .select($"beam_width", $"q_id", $"node")
     }
     parts.reduce(_ unionByName _)
@@ -763,6 +784,83 @@ object Similarity {
         Window.partitionBy($"vec_id").orderBy($"dmicro", $"c.cid")))
       .filter($"crank" <= cap)
       .select($"vec_id", $"v", $"nrm", $"c.cid".as("cid"), $"dmicro", $"crank")
+  }
+
+  /** Wall-clock decomposition of the graph build + one pinned walk,
+    * stage by stage (each stage forced with an action) — consumed by
+    * [[graft.tools.GraphBuildProbe]]; measurement only, not a query.
+    */
+  private[graft] def buildProbe(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val k = GraphKnobs()
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val seeds = t("ivfSeeds")(ivfSeeds(emb))
+    val crankCap = math.max(k.entryProbes, k.buildProbes)
+    val ranked = graft.Caches.tracked(rankCells(emb, seeds, crankCap))
+    t("rankCells-mat")(ranked.count())
+    val assigned = ranked.filter($"crank" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cid".as("cell"), $"dmicro")
+    val second = ranked.filter($"crank" >= 2 && $"crank" <= k.buildProbes)
+      .select($"vec_id", $"cid".as("cell2"))
+    def pairSim(xv: org.apache.spark.sql.Column, xn: org.apache.spark.sql.Column,
+        yv: org.apache.spark.sql.Column, yn: org.apache.spark.sql.Column) =
+      round(dot(xv, yv) / (xn * yn) * 1e6).cast("long")
+    val members = assigned.select($"cell", $"vec_id", $"v", $"nrm")
+    val intra = members.as("x").join(members.as("y"),
+        $"x.cell" === $"y.cell" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
+        pairSim($"x.v", $"x.nrm", $"y.v", $"y.nrm").as("sim_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
+      .filter($"rn" <= k.m).drop("rn")
+    t("intra")(intra.write.format("noop").mode("overwrite").save())
+    val bridge = assigned.select($"vec_id", $"v", $"nrm")
+      .join(second, "vec_id").as("x")
+      .join(members.as("y"),
+        $"x.cell2" === $"y.cell" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("src"), $"x.cell2".as("bcell"),
+        $"y.vec_id".as("dst"),
+        pairSim($"x.v", $"x.nrm", $"y.v", $"y.nrm").as("sim_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src", $"bcell").orderBy($"sim_micro".desc, $"dst")))
+      .filter($"rn" <= k.bridgeM).drop("rn").drop("bcell")
+    t("bridge")(bridge.write.format("noop").mode("overwrite").save())
+    val und = intra.unionByName(bridge)
+    val adj = t("adj-checkpoint")(und
+      .unionByName(und.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
+      .filter($"rn" <= k.maxDegree)
+      .select($"src", $"dst", $"sim_micro")
+      .localCheckpoint(true))
+    val medoid = assigned.withColumn("mrank", row_number().over(
+        Window.partitionBy($"cell").orderBy($"dmicro", $"vec_id")))
+      .filter($"mrank" === 1).select($"cell", $"vec_id".as("medoid"))
+    val qs = t("qs-checkpoint")(assigned.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .localCheckpoint(true))
+    val entries = t("entries-checkpoint")(
+      ranked.filter($"vec_id" % 50 === 0 && $"crank" <= k.entryProbes)
+        .select($"vec_id".as("q_id"), $"cid".as("cell"))
+        .join(medoid, Seq("cell"))
+        .select($"q_id", $"medoid".as("node"))
+        .distinct().localCheckpoint(true))
+    val corpus = t("corpus-checkpoint")(assigned
+      .select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm"))
+      .localCheckpoint(true))
+    val ix = GraphIndex(assigned, adj, entries, qs, corpus, medoid)
+    val visited = t("walk-8-rounds")(graphSearch(ix, k.beamWidth, k.rounds))
+    t("rank+drive")(rankVisited(visited)
+      .write.format("noop").mode("overwrite").save())
   }
 
   private[llm] def graphIndexCore(spark: SparkSession, dir: String,

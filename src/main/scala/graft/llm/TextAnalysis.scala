@@ -1365,21 +1365,35 @@ object TextAnalysis {
   def q238_excess_loss_weights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
-    val bigrams = graft.Caches.tracked(docs
+    // not persisted: after the distinct-bigram rollup below the
+    // occurrence stream has exactly ONE consumer
+    val bigrams = docs
       .select($"source", wsTokens($"text").as("t"))
       .filter(size($"t") >= 2)
       .select($"source", explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
-      .select($"source", $"bg.w1", $"bg.w2"))
-    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .select($"source", $"bg.w1", $"bg.w2")
+    // Aggregate to DISTINCT (source, bigram) rows with multiplicities
+    // BEFORE attaching the count tables: the surprisal bits depend
+    // only on the bigram, so joining c2/c1 against every occurrence
+    // row shuffled the whole occurrence stream twice. The explicit
+    // (w1, w2) repartition clusters the per-source aggregate, the c2
+    // rollup (c2 = Σ over sources of the per-source multiplicity) AND
+    // the g⋈c2 join on one exchange; per-source totals then weight
+    // bits by the multiplicity — identical integers, identical output
+    // (round-19 optimization, guide §2.3/§2.4).
+    val g = bigrams.repartition($"w1", $"w2")
+      .groupBy($"source", $"w1", $"w2").agg(count(lit(1)).as("nsw"))
+    val c2 = g.groupBy($"w1", $"w2").agg(sum($"nsw").as("c2"))
     val c1 = docs.select(explode(wsTokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
-    val perSource = bigrams
+    val perSource = g
       .join(c2, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
-      .select($"source", (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
+      .select($"source", $"nsw",
+        (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .agg(sum($"nsw").as("n_bigrams"), sum($"bits" * $"nsw").as("total_bits"))
       .withColumn("bpb_milli",
         round(lit(1000.0) * $"total_bits" / $"n_bigrams").cast("long"))
     val base = perSource.agg(min($"bpb_milli").as("base_milli"))
@@ -1406,21 +1420,28 @@ object TextAnalysis {
   def q241_perplexity_buckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
-    val bigrams = graft.Caches.tracked(docs
+    // Same distinct-bigram rollup as q238 (round-19): bits depend only
+    // on the bigram, so attach c2/c1 to (doc_id, bigram, multiplicity)
+    // rows instead of every occurrence; the (w1, w2) repartition
+    // clusters the rollup, the c2 sum and the join on one exchange.
+    val g = docs
       .select($"doc_id", wsTokens($"text").as("t"))
       .filter(size($"t") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
-      .select($"doc_id", $"bg.w1", $"bg.w2"))
-    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+      .repartition($"w1", $"w2")
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("ndw"))
+    val c2 = g.groupBy($"w1", $"w2").agg(sum($"ndw").as("c2"))
     val c1 = docs.select(explode(wsTokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
-    val perDoc = graft.Caches.tracked(bigrams
+    val perDoc = graft.Caches.tracked(g
       .join(c2, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
-      .select($"doc_id", (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
+      .select($"doc_id", $"ndw",
+        (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .agg(sum($"ndw").as("n_bigrams"), sum($"bits" * $"ndw").as("total_bits"))
       .withColumn("bpb_milli",
         round(lit(1000.0) * $"total_bits" / $"n_bigrams").cast("long")))
     val th = perDoc.agg(

@@ -991,14 +991,22 @@ object Dedup {
     val q = docs.select($"doc_id", $"n_chars",
       TextAnalysis.qualityBp($"text").as("q_bp"))
     val member = q.join(labels, Seq("doc_id"), "left")
+    // ONE window pass instead of two filtered branches of the same
+    // subtree (an unpersisted union re-executed the docs scan, the
+    // quality scoring and the label join once per branch — round-19).
+    // Window key coalesce(cluster_id, doc_id): clustered docs rank
+    // inside their cluster exactly as before; singletons each form
+    // their own 1-row partition (high-cardinality — no null-key
+    // funnel) and their rank is overridden by the null test anyway.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cluster_id").orderBy($"q_bp".desc, $"doc_id")
-    member.filter($"cluster_id".isNotNull)
+      .partitionBy(coalesce($"cluster_id", $"doc_id"))
+      .orderBy($"q_bp".desc, $"doc_id")
+    member
       .withColumn("rn", row_number().over(w))
       .select($"doc_id", $"n_chars", $"q_bp",
-        when($"rn" === 1, lit("kept")).otherwise(lit("dropped")).as("status"))
-      .unionByName(member.filter($"cluster_id".isNull)
-        .select($"doc_id", $"n_chars", $"q_bp", lit("singleton").as("status")))
+        when($"cluster_id".isNull, lit("singleton"))
+          .when($"rn" === 1, lit("kept"))
+          .otherwise(lit("dropped")).as("status"))
       .groupBy($"status")
       .agg(count(lit(1)).as("n"),
         round(lit(1000.0) * sum($"q_bp") / count(lit(1)))

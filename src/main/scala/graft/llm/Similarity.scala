@@ -940,9 +940,15 @@ object Similarity {
     val medoid = assigned.withColumn("mrank", row_number().over(
         Window.partitionBy($"cell").orderBy($"dmicro", $"vec_id")))
       .filter($"mrank" === 1).select($"cell", $"vec_id".as("medoid"))
+    // qs/entries checkpoint LAZILY (eager = false): the lineage cut is
+    // identical, but materialization moves into the first consuming
+    // job — so q349, which builds its OWN query batch and entry set
+    // and discards these two, no longer pays two eager jobs for
+    // frames it never reads (round-19; q343/q345/q346 materialize
+    // them in their first search round at the same total cost).
     val qs = assigned.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Two entry-selection modes. Pinned: the medoids of the query's
     // entryProbes quantizer-nearest cells (crank ≤ E off the shared
     // ranked pass — zero extra work). medoidCosEntry: rank ALL cell
@@ -973,7 +979,7 @@ object Similarity {
         .join(medoid, Seq("cell"))
         .select($"q_id", $"medoid".as("node"))
         .distinct()
-    }).localCheckpoint(true)
+    }).localCheckpoint(false)
     val corpus = assigned
       .select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm"))
       .localCheckpoint(true)

@@ -834,24 +834,28 @@ object Dedup {
     while (!converged && rounds < 50) {
       val prop = edges.join(labels, $"u" === $"node")
         .select($"v".as("node"), $"label")
-      // One propagation step over the edges, then one POINTER-JUMP
-      // step over the label table itself (label(n) ← label(label(n))):
-      // the jump treats the current labeling as extra shortcut edges,
-      // so the distance a component minimum travels per round roughly
-      // DOUBLES instead of advancing one hop — convergence in
-      // O(log diameter) rounds instead of O(diameter). The fixpoint is
-      // unchanged (min-label updates only ever assign labels from the
-      // same component and only ever decrease, so the unique fixpoint
-      // — every node labeled with its component minimum — is the same
-      // as pure hop-by-hop propagation; only the ROUND COUNT differs).
-      // Found by q280's grid graph: its snake-shaped components
-      // legitimately have diameter in the tens, and each round costs
-      // one driver-sequenced checkpoint + convergence probe — the
-      // round count, not per-round data volume, was the wall
-      // (74 scheduled shuffles, 15 k shuffle rows total).
+      // One propagation step over the edges — and from round 3 on,
+      // one POINTER-JUMP step over the label table itself
+      // (label(n) ← label(label(n))): the jump treats the current
+      // labeling as extra shortcut edges, so the distance a component
+      // minimum travels per round roughly DOUBLES instead of advancing
+      // one hop — convergence in O(log diameter) rounds instead of
+      // O(diameter). The fixpoint is unchanged under ANY mix of hop
+      // and jump steps (min-label updates only ever assign labels from
+      // the same component and only ever decrease, so the unique
+      // fixpoint — every node labeled with its component minimum — is
+      // the same; only the ROUND COUNT differs). Found by q280's grid
+      // graph: its snake-shaped components legitimately have diameter
+      // in the tens, and each round costs one driver-sequenced
+      // checkpoint + convergence probe — the round count, not
+      // per-round data volume, was the wall (74 scheduled shuffles,
+      // 15 k shuffle rows total; q280 6.0 → 2.7 s). The first two
+      // rounds stay jump-free: near-dup cluster graphs (the common
+      // consumers — q52/q106/q282/q284/q291/q304/q306) converge within
+      // them, and paying the extra label self-join there measured as a
+      // flat +0.2–0.3 s per query for zero round savings.
       val hop = labels.union(prop)
         .groupBy($"node").agg(min($"label").as("label"))
-      val jump = hop.select($"node".as("jn"), $"label".as("jl"))
       // localCheckpoint (eager) truncates the lineage each round: the
       // round-k logical plan otherwise contains round k−1 several
       // times (labels in the union, the propagation join and the jump
@@ -859,10 +863,12 @@ object Dedup {
       // tree and dies in planning long before any data problem.
       // Persisted-block cost per round is the bounded (node, label)
       // table.
-      val next = hop.join(jump, $"label" === $"jn", "left")
-        .select($"node",
-          least($"label", coalesce($"jl", $"label")).as("label"))
-        .localCheckpoint(true)
+      val next = (if (rounds < 2) hop else {
+        val jump = hop.select($"node".as("jn"), $"label".as("jl"))
+        hop.join(jump, $"label" === $"jn", "left")
+          .select($"node",
+            least($"label", coalesce($"jl", $"label")).as("label"))
+      }).localCheckpoint(true)
       val curSum = next.agg(sum($"label")).head.getLong(0)
       converged = curSum == prevSum
       prevSum = curSum

@@ -486,12 +486,15 @@ object SqlSurface {
     *    (Caches.tracked): Spark re-plans a non-recursive CTE on every
     *    iteration, so an inline seed re-runs the row_number shuffle
     *    once per round;
-    *  - the recursive member is UNROLLED ×8 (o1..o8 advance up to
-    *    eight sequence steps per round, elementwise, so n_clamps stays
+    *  - the recursive member is UNROLLED ×4 (o1..o4 advance up to
+    *    four sequence steps per round, elementwise, so n_clamps stays
     *    exact; o_{i} absent ⇒ o_{i+1} absent, landing seq =
-    *    COALESCE from the tail) — 24 rounds → 3; the ×4 form measured
-    *    5.3 s → 2.7 s warm at sf0.1 and ×8 takes the round count
-    *    (the wall, per the measured round-cost analysis below) to 3.
+    *    COALESCE from the tail) — 24 rounds → 6, measured 5.3 s →
+    *    2.7 s warm at sf0.1. ×8 was TRIED in round 19 and reverted:
+    *    halving the rounds again LOST to the per-round planning cost
+    *    of the 8-way join member (the recursion re-optimizes the
+    *    member every round, and join-reordering over 8 relations
+    *    dwarfs the 3 saved micro-plans — full-suite wall 3.8 → 8.3 s).
     * The oracle (`ClampedBalanceSql`) keeps the canonical ONE-step
     * recursion inline, so DuckDB independently re-derives the fold
     * and cross-checks the unrolled form step-for-step.
@@ -506,12 +509,6 @@ object SqlSurface {
         when($"o_orderstatus" === "O", graft.Tables.cents($"o_totalprice"))
           .otherwise(-graft.Tables.cents($"o_totalprice")).as("d")))
     seq.createOrReplaceTempView("o_seq")
-    // Unroll factor 8 (round-19: was 4): the wall is rounds ×
-    // per-round scheduling, and each extra elementwise step is one
-    // more broadcast-side join inside the SAME round's job — 24-deep
-    // customers now converge in 3 rounds instead of 6, with the fold
-    // arithmetic unchanged step-for-step (o_i absent ⇒ o_{i+1}
-    // absent; the oracle keeps the canonical ONE-step recursion).
     spark.sql(
       """WITH RECURSIVE sz AS (
         |  SELECT k, MAX(seq) AS n_orders FROM o_seq GROUP BY k),
@@ -522,23 +519,14 @@ object SqlSurface {
         |  UNION ALL
         |  SELECT k, seq, bal, n_clamps FROM (
         |    SELECT o1.k,
-        |      COALESCE(o8.seq, o7.seq, o6.seq, o5.seq,
-        |               o4.seq, o3.seq, o2.seq, o1.seq) AS seq,
+        |      COALESCE(o4.seq, o3.seq, o2.seq, o1.seq) AS seq,
         |      GREATEST(r.bal + o1.d, 0) AS b1,
         |      CASE WHEN o2.seq IS NULL THEN b1
         |           ELSE GREATEST(b1 + o2.d, 0) END AS b2,
         |      CASE WHEN o3.seq IS NULL THEN b2
         |           ELSE GREATEST(b2 + o3.d, 0) END AS b3,
         |      CASE WHEN o4.seq IS NULL THEN b3
-        |           ELSE GREATEST(b3 + o4.d, 0) END AS b4,
-        |      CASE WHEN o5.seq IS NULL THEN b4
-        |           ELSE GREATEST(b4 + o5.d, 0) END AS b5,
-        |      CASE WHEN o6.seq IS NULL THEN b5
-        |           ELSE GREATEST(b5 + o6.d, 0) END AS b6,
-        |      CASE WHEN o7.seq IS NULL THEN b6
-        |           ELSE GREATEST(b6 + o7.d, 0) END AS b7,
-        |      CASE WHEN o8.seq IS NULL THEN b7
-        |           ELSE GREATEST(b7 + o8.d, 0) END AS bal,
+        |           ELSE GREATEST(b3 + o4.d, 0) END AS bal,
         |      r.n_clamps
         |        + CASE WHEN r.bal + o1.d < 0 THEN 1 ELSE 0 END
         |        + CASE WHEN o2.seq IS NOT NULL AND b1 + o2.d < 0
@@ -547,24 +535,12 @@ object SqlSurface {
         |               THEN 1 ELSE 0 END
         |        + CASE WHEN o4.seq IS NOT NULL AND b3 + o4.d < 0
         |               THEN 1 ELSE 0 END
-        |        + CASE WHEN o5.seq IS NOT NULL AND b4 + o5.d < 0
-        |               THEN 1 ELSE 0 END
-        |        + CASE WHEN o6.seq IS NOT NULL AND b5 + o6.d < 0
-        |               THEN 1 ELSE 0 END
-        |        + CASE WHEN o7.seq IS NOT NULL AND b6 + o7.d < 0
-        |               THEN 1 ELSE 0 END
-        |        + CASE WHEN o8.seq IS NOT NULL AND b7 + o8.d < 0
-        |               THEN 1 ELSE 0 END
         |        AS n_clamps
         |    FROM r
         |    JOIN o_seq o1 ON o1.k = r.k AND o1.seq = r.seq + 1
         |    LEFT JOIN o_seq o2 ON o2.k = r.k AND o2.seq = r.seq + 2
         |    LEFT JOIN o_seq o3 ON o3.k = r.k AND o3.seq = r.seq + 3
-        |    LEFT JOIN o_seq o4 ON o4.k = r.k AND o4.seq = r.seq + 4
-        |    LEFT JOIN o_seq o5 ON o5.k = r.k AND o5.seq = r.seq + 5
-        |    LEFT JOIN o_seq o6 ON o6.k = r.k AND o6.seq = r.seq + 6
-        |    LEFT JOIN o_seq o7 ON o7.k = r.k AND o7.seq = r.seq + 7
-        |    LEFT JOIN o_seq o8 ON o8.k = r.k AND o8.seq = r.seq + 8))
+        |    LEFT JOIN o_seq o4 ON o4.k = r.k AND o4.seq = r.seq + 4))
         |SELECT r.k AS custkey, CAST(sz.n_orders AS BIGINT) AS n_orders,
         |  r.bal AS final_bal_c, r.n_clamps
         |FROM r JOIN sz ON r.k = sz.k AND r.seq = sz.n_orders

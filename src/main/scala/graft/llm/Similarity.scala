@@ -694,13 +694,10 @@ object Similarity {
     * sequential q346 walks were 4×rounds driver-sequenced checkpoints;
     * this form is rounds checkpoints total).
     *
-    * Per round exactly ONE eager materialization (the freshly scored
-    * nodes). The visited set is NEVER re-materialized: it lives as the
-    * accumulated per-round checkpointed parts, and round k's anti-join
-    * reads the union of the k parts directly — the previous form
-    * re-checkpointed the whole growing union every round, paying
-    * O(rounds · |visited|) extra row writes plus one extra job per
-    * round for pure re-copying.
+    * Per round: one eager materialization of the freshly scored nodes
+    * and one of the visited union (the union copy looks redundant but
+    * keeps every round's physical plan SHAPE constant — see the
+    * codegen-cache note in the loop body).
     */
   private[llm] def graphSearchMulti(ix: GraphIndex, widths: Seq[Int],
       rounds: Int): DataFrame = {
@@ -729,18 +726,24 @@ object Similarity {
     val tagged = ix.entries.select(
       explode(array(widths.map(w => lit(w)): _*)).as("beam_width"),
       $"q_id", $"node")
-    val first = score(tagged).localCheckpoint(true)
-    val parts = scala.collection.mutable.ArrayBuffer[DataFrame](first)
-    var frontier: DataFrame = first.select($"beam_width", $"q_id", $"node")
+    var visited = score(tagged).localCheckpoint(true)
+    var frontier: DataFrame = visited.select($"beam_width", $"q_id", $"node")
     for (_ <- 1 to rounds) {
-      val visitedIds = parts.map(_.select($"beam_width", $"q_id", $"node"))
-        .reduce(_ unionByName _)
       val nbrs = frontier.join(ix.adj, $"node" === $"src")
         .select($"beam_width", $"q_id", $"dst".as("node")).distinct()
       val fresh = score(
-        nbrs.join(visitedIds, Seq("beam_width", "q_id", "node"), "left_anti"))
+        nbrs.join(visited.select($"beam_width", $"q_id", $"node"),
+          Seq("beam_width", "q_id", "node"), "left_anti"))
         .localCheckpoint(true)
-      parts += fresh
+      // The visited set stays ONE re-checkpointed frame per round, not
+      // an accumulated union of per-round parts: a k-part union gives
+      // round k a DIFFERENT physical plan shape (k union children), so
+      // every round compiles a fresh whole-stage-codegen class and the
+      // suite's bounded codegen cache thrashes — measured +1.5–3 s on
+      // q343/q345 in two full-suite runs while isolated (cache-warm)
+      // A/Bs showed the forms tied. The constant shape costs one extra
+      // eager copy job per round and wins in-suite.
+      visited = visited.unionByName(fresh).localCheckpoint(true)
       // Literal rank bound when one width runs (the pinned walks):
       // RankLimitRewrite only fires on `rn <= <literal>`, and losing
       // it would replace the bounded-heap TopKPerGroup plan with a
@@ -754,7 +757,7 @@ object Similarity {
                   else ranked.filter($"rn" <= $"beam_width"))
         .select($"beam_width", $"q_id", $"node")
     }
-    parts.reduce(_ unionByName _)
+    visited
   }
 
   private[llm] def graphBeamCore(spark: SparkSession, dir: String,

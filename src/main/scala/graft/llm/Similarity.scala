@@ -691,8 +691,10 @@ object Similarity {
     * and each width's visited set is bit-identical to an independent
     * walk — but a W-point sweep pays the round loop's job scheduling
     * ONCE instead of |W| times (round-19 measurement: the four
-    * sequential q346 walks were 4×rounds driver-sequenced checkpoints;
-    * this form is rounds checkpoints total).
+    * sequential q346 walks were 4× the round loop's driver-sequenced
+    * checkpoints; this form pays the loop once — matched A/B
+    * 17.2 → 9.5 s at sf0.1, bench actuals 157 → 45 scheduled
+    * shuffles).
     *
     * Per round: one eager materialization of the freshly scored nodes
     * and one of the visited union (the union copy looks redundant but
@@ -703,12 +705,11 @@ object Similarity {
       rounds: Int): DataFrame = {
     val spark = ix.adj.sparkSession
     import spark.implicits._
-    // Each round is ONE eagerly-checkpointed job, and its wall at any
-    // scale is dominated by the number of sequential exchange
-    // round-trips inside it (measured with GraphBuildProbe at sf0.1:
-    // ~0.5 s/round, nearly all stage latency — AQE OFF triples it, so
-    // the lever is exchange COUNT, not partition tuning). Two
-    // reductions vs the round-18 form:
+    // Each round's wall at any scale is dominated by the number of
+    // sequential stage round-trips inside its jobs (measured with
+    // GraphBuildProbe at sf0.1: ~0.5 s/round, nearly all stage
+    // latency — AQE OFF triples it, so the lever is round/stage
+    // COUNT, not partition tuning).
     // Two variants that looked like wins on paper measured FLAT or
     // slower at the probe (kept out): carrying qv on the frontier to
     // drop the per-round query-batch broadcast (the 64-double payload

@@ -1420,28 +1420,27 @@ object TextAnalysis {
   def q241_perplexity_buckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
-    // Same distinct-bigram rollup as q238 (round-19): bits depend only
-    // on the bigram, so attach c2/c1 to (doc_id, bigram, multiplicity)
-    // rows instead of every occurrence; the (w1, w2) repartition
-    // clusters the rollup, the c2 sum and the join on one exchange.
-    val g = docs
+    // q238's distinct-bigram rollup was TRIED here too and reverted:
+    // per-doc keys make the rollup nearly row-for-row with the
+    // occurrence stream (within-doc bigram repeats are rare), so the
+    // extra raw-row repartition cost more than the join saved
+    // (+0.7–1.0 s in two full-suite runs; the per-source form wins
+    // because its rollup genuinely collapses rows).
+    val bigrams = graft.Caches.tracked(docs
       .select($"doc_id", wsTokens($"text").as("t"))
       .filter(size($"t") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
-      .select($"doc_id", $"bg.w1", $"bg.w2")
-      .repartition($"w1", $"w2")
-      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("ndw"))
-    val c2 = g.groupBy($"w1", $"w2").agg(sum($"ndw").as("c2"))
+      .select($"doc_id", $"bg.w1", $"bg.w2"))
+    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = docs.select(explode(wsTokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
-    val perDoc = graft.Caches.tracked(g
+    val perDoc = graft.Caches.tracked(bigrams
       .join(c2, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
-      .select($"doc_id", $"ndw",
-        (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
+      .select($"doc_id", (length(expr("bin(c1 DIV c2)")) - 1).cast("long").as("bits"))
       .groupBy($"doc_id")
-      .agg(sum($"ndw").as("n_bigrams"), sum($"bits" * $"ndw").as("total_bits"))
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
       .withColumn("bpb_milli",
         round(lit(1000.0) * $"total_bits" / $"n_bigrams").cast("long")))
     val th = perDoc.agg(

@@ -67,6 +67,17 @@ object Bench {
     // query must not pay it).
     val edgeConsumers = Set("q81_triangles", "q87_pagerank", "q107_bfs_hops",
       "q124_degree_distribution", "q131_link_prediction", "q173_assortativity")
+    // Queries that rank against the session-shared exact top-k memo
+    // (directly via exactTopK, or — q26 — via the CacheManager picking
+    // up the memo's persisted plan). Warming it here makes the one
+    // shared brute-force scan a NAMED load cost instead of silently
+    // landing on the lexicographically-first consumer (round-19
+    // verdict item 6; the copurchase_edges precedent).
+    val exactTopKConsumers = Set("q26_ann_topk", "q222_ann_hubness",
+      "q237_knn_probe", "q249_ivf_probe_sweep", "q292_retrieval_metrics",
+      "q293_matryoshka_recall", "q318_mmr_rerank", "q329_whitened_recall",
+      "q345_graph_ann_audit", "q346_graph_beam_sweep",
+      "q349_graph_append_audit")
     val pickedNames = picked.map(_._1).toSet
     val loadSecs: Map[String, Double] = Map(
       "copurchase_edges" ->
@@ -77,6 +88,11 @@ object Bench {
       "bucketed_facts" ->
         (if (pickedNames("q66_bucketed_join")) {
           try graft.operators.ScaleOps.warmBucketedFacts(spark, sfDir)
+          catch { case _: Throwable => -1.0 }
+        } else 0.0),
+      "exact_topk" ->
+        (if (pickedNames.exists(exactTopKConsumers)) {
+          try graft.llm.Similarity.warmExactTopK(spark, sfDir)
           catch { case _: Throwable => -1.0 }
         } else 0.0))
 

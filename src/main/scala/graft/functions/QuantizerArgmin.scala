@@ -59,9 +59,7 @@ case class QuantizerArgmin(child: Expression,
   /** Spark Round(x, 0) semantics on doubles: BigDecimal.valueOf →
     * HALF_UP (ties away from zero), identical to DuckDB's ROUND.
     */
-  private def halfUp(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  private def halfUp(x: Double): Long = RoundHalfUp.halfUp(x)
 
   def compute(a: ArrayData): InternalRow = {
     val n = a.numElements()
@@ -142,9 +140,7 @@ case class QuantizerTop2(child: Expression,
       s"quantizer_top2 requires ARRAY<DOUBLE>, got ${t.sql}")
   }
 
-  private def halfUp(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  private def halfUp(x: Double): Long = RoundHalfUp.halfUp(x)
 
   def compute(a: ArrayData): InternalRow = {
     val n = a.numElements()
@@ -189,6 +185,127 @@ case class QuantizerTop2(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): QuantizerTop2 =
     copy(child = newChild)
+}
+
+/** `quantizer_topcap(v)`: the `cap` nearest centroids in one generated
+  * call — ARRAY<STRUCT<d: BIGINT, cid: INT>> sorted ascending by
+  * (d, cid), micro-rounded squared distances with [[QuantizerArgmin]]'s
+  * exact float tree, rounding and lower-cid tie-break. Element i is
+  * cell rank i+1: bit-identical to the
+  * `explode(centroids) → dist2 → row_number over (dmicro, cid) →
+  * crank ≤ cap` composition the graph-ANN rankCells helper used
+  * through round 19 — that form fanned N·k rows through an exchange
+  * and a per-vector sort window; this is one call per row with no
+  * fan-out and no shuffle (round 20, guide §2.4). Returns
+  * min(cap, k) entries when the codebook is smaller than the cap.
+  */
+case class QuantizerTopCap(child: Expression,
+    centers: Seq[Seq[Double]], cc: Seq[Double], cids: Seq[Int], cap: Int)
+  extends UnaryExpression {
+  require(centers.nonEmpty && centers.length == cc.length &&
+    centers.length == cids.length && cap > 0,
+    "quantizer_topcap needs aligned centers/Σc²/cids and a positive cap")
+
+  @transient private lazy val cArr: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val ccArr: Array[Double] = cc.toArray
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("cid", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantizer_topcap"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantizer_topcap requires ARRAY<DOUBLE>, got ${t.sql}")
+  }
+
+  private def halfUp(x: Double): Long = RoundHalfUp.halfUp(x)
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val v = new Array[Double](n)
+    i = 0
+    while (i < n) { v(i) = a.getDouble(i); i += 1 }
+    var vv = 0.0
+    i = 0
+    while (i < n) { vv += v(i) * v(i); i += 1 }
+    val m = math.min(cap, cArr.length)
+    // insertion-sorted (d, cid) slots: ascending cid scan with strict
+    // ordering comparisons keeps the lower cid first among equal d —
+    // the (dmicro, cid) window order
+    val ds = new Array[Long](m)
+    val cs = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < cArr.length) {
+      val ctr = cArr(c)
+      require(ctr.length == n,
+        s"quantizer_topcap: vector dim $n != centroid dim ${ctr.length} (cid $c)")
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v(i) * ctr(i); i += 1 }
+      val d = halfUp(((vv - 2.0 * dot) + ccArr(c)) * 1e6)
+      // find insertion point among the filled slots (cid ascends, so
+      // equal-d incumbents always keep priority: strict < on d)
+      if (filled < m || d < ds(m - 1)) {
+        var pos = if (filled < m) filled else m - 1
+        while (pos > 0 && d < ds(pos - 1)) {
+          ds(pos) = ds(pos - 1); cs(pos) = cs(pos - 1); pos -= 1
+        }
+        ds(pos) = d; cs(pos) = cidArr(c)
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) {
+      out(i) = new GenericInternalRow(Array[Any](ds(i), cs(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qtc", this, classOf[QuantizerTopCap].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizerTopCap =
+    copy(child = newChild)
+}
+
+object QuantizerTopCap {
+  import org.apache.spark.sql.graftglue.ColumnGlue.{column, expression}
+
+  /** Column-API entry. Unlike [[QuantizerArgmin.argmin]]'s dense-cid
+    * contract, cids need only be STRICTLY ASCENDING in scan order —
+    * the q349 append audit derives seeds from the base slice, whose
+    * vec_ids are sparse — which keeps the strict-< insertion's
+    * lower-cid-first tie-break equal to the (dmicro, cid) window
+    * order.
+    */
+  def topCap(v: Column, seeds: Array[(Int, Array[Double])], cap: Int): Column = {
+    require(seeds.length <= 1 ||
+      seeds.sliding(2).forall(p => p(0)._1 < p(1)._1),
+      "quantizer_topcap expects strictly ascending cids")
+    column(QuantizerTopCap(expression(v),
+      seeds.map(_._2.toSeq).toSeq,
+      seeds.map(_._2.map(x => x * x).sum).toSeq,
+      seeds.map(_._1).toSeq, cap))
+  }
 }
 
 object QuantizerTop2 {

@@ -551,8 +551,13 @@ object Dedup {
     val (docs, prefixRaw) = prefixIndex(input)
     // both candidate builds consume the index — build it once
     val prefix = graft.Caches.tracked(prefixRaw)
-    val cpos = graft.Caches.tracked(
-      prefixCandidates(prefix, positional = true))
+    // ONE self-join pass serves the unfiltered census, the filtered
+    // census AND the verify input (round 20): pairFlags tags every
+    // distinct candidate pair with whether any occurrence passes the
+    // positional filter — identical sets to the two independent
+    // prefixCandidates() joins this replaces (see prefixPairFlags).
+    val pairFlags = graft.Caches.tracked(prefixPairFlags(prefix))
+    val cpos = pairFlags.filter($"pos" === 1L).select($"doc_a", $"doc_b")
     val verified = cpos
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
@@ -565,9 +570,9 @@ object Dedup {
       .toDF("hit").agg(sum($"hit").as("verified_pairs"))
     docs.agg(count(lit(1)).as("n_docs"), sum($"n").as("n_shingles"))
       .crossJoin(broadcast(prefix.agg(count(lit(1)).as("index_entries"))))
-      .crossJoin(broadcast(prefixCandidates(prefix, positional = false)
-        .agg(count(lit(1)).as("cand_prefix"))))
-      .crossJoin(broadcast(cpos.agg(count(lit(1)).as("cand_positional"))))
+      .crossJoin(broadcast(pairFlags.agg(
+        count(lit(1)).as("cand_prefix"),
+        coalesce(sum($"pos"), lit(0L)).as("cand_positional"))))
       .crossJoin(broadcast(verified))
       .select($"n_docs", $"n_shingles", $"index_entries", $"cand_prefix",
         $"cand_positional", coalesce($"verified_pairs", lit(0L)).as("verified_pairs"),
@@ -623,7 +628,14 @@ object Dedup {
         if (2L * i >= sa.length + sb.length - i) 1L else 0L
       }
       .toDF("hit").agg(sum($"hit").as("verified_pairs"))
-    val truth = prefixJaccardPairs(input).agg(count(lit(1)).as("truth_pairs"))
+    // The exact-truth arm shares the sketch frame's shingles instead
+    // of re-shingling the corpus from text (round 20): (doc_id, sh, n)
+    // derived from the persisted sk is row-identical to what
+    // prefixIndex would rebuild — same cast, same shingle pass, same
+    // size(sh) > 0 filter.
+    val truth = prefixJaccardPairsOf(sk.select($"doc_id", $"sh")
+        .withColumn("n", size($"sh")))
+      .agg(count(lit(1)).as("truth_pairs"))
     sk.agg(count(lit(1)).as("n_docs"), sum(size($"sh")).as("n_shingles"))
       .crossJoin(broadcast(bands.agg(count(lit(1)).as("band_rows"))))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("cand_pairs"))))
@@ -728,9 +740,21 @@ object Dedup {
       .toDF("doc_id", "sh")
       .filter(size($"sh") > 0)
       .withColumn("n", size($"sh")))
+    (docs, prefixIndexOf(docs))
+  }
+
+  /** The prefix-entry build over an ALREADY-SHINGLED (and persisted)
+    * docs frame (doc_id, sh, n) — split out of [[prefixIndex]] so the
+    * q342/q348 LSH funnel's exact-truth arm shares ONE shingling pass
+    * with its banded sketch side (round 20) instead of re-deriving
+    * the same (doc_id, sh) from text.
+    */
+  private[llm] def prefixIndexOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs.select($"doc_id", $"n", explode($"sh").as("h"))
     val dfTab = toks.groupBy($"h").agg(count(lit(1)).as("df"))
-    val prefix = toks.join(dfTab, "h")
+    toks.join(dfTab, "h")
       .groupBy($"doc_id", $"n")
       .agg(collect_list(struct($"df", $"h")).as("ts"))
       .as[(Long, Int, Array[(Long, Long)])]
@@ -739,7 +763,6 @@ object Dedup {
           .map { case (t, pos) => (t._2, id, n, pos) }
       }
       .toDF("h", "doc_id", "n", "pos")
-    (docs, prefix)
   }
 
   /** Candidate pairs from the prefix index: equi-join on the prefix
@@ -773,10 +796,42 @@ object Dedup {
       .distinct()
   }
 
-  def prefixJaccardPairs(input: DataFrame): DataFrame = {
-    val spark = input.sparkSession
+  /** The q341/q347 census core: the prefix self-join run ONCE, each
+    * distinct candidate pair tagged with whether ANY of its prefix
+    * occurrences passes the positional filter — `max(pos)` under the
+    * pair groupBy is exactly the "filtered join then distinct" set,
+    * so one join pass yields the unfiltered count, the filtered
+    * count AND the verify input that previously took two full
+    * self-joins of the prefix index (round 20, guide §2.4; the
+    * production consumers keep [[prefixCandidates]]'s filtered form,
+    * which feeds 2.1× fewer rows into its distinct).
+    */
+  private def prefixPairFlags(prefix: DataFrame): DataFrame = {
+    val spark = prefix.sparkSession
     import spark.implicits._
-    val (docs, prefix) = prefixIndex(input)
+    prefix.as("a").join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        when((lit(1) + least($"a.n" - $"a.pos" - 1, $"b.n" - $"b.pos" - 1)) * 3
+          >= $"a.n" + $"b.n", 1L).otherwise(0L).as("p"))
+      .groupBy($"doc_a", $"doc_b").agg(max($"p").as("pos"))
+  }
+
+  def prefixJaccardPairs(input: DataFrame): DataFrame = {
+    val (docs, _) = prefixIndex(input)
+    prefixJaccardPairsOf(docs)
+  }
+
+  /** [[prefixJaccardPairs]] over an ALREADY-SHINGLED, persisted docs
+    * frame (doc_id, sh, n) — the q342/q348 truth arm passes the frame
+    * it derives from its banded sketches so the corpus is shingled
+    * once per audit (round 20).
+    */
+  private[llm] def prefixJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = prefixIndexOf(docs)
     val cand = prefixCandidates(prefix, positional = true)
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
@@ -862,7 +917,12 @@ object Dedup {
       // join), so a large-diameter component grows an exponential plan
       // tree and dies in planning long before any data problem.
       // Persisted-block cost per round is the bounded (node, label)
-      // table.
+      // table. Stays EAGER: a lazy checkpoint folded into the
+      // convergence probe looked like one job saved per round but
+      // MEASURED WORSE in a round-20 matched A/B (q280 3.87 → 5.51 s,
+      // q306 2.85 → 3.57 s, one extra scheduled shuffle) — the probe
+      // over the un-materialized frame re-plans the whole round
+      // subtree instead of reading persisted blocks. Tried, reverted.
       val next = (if (rounds < 2) hop else {
         val jump = hop.select($"node".as("jn"), $"label".as("jl"))
         hop.join(jump, $"label" === $"jn", "left")

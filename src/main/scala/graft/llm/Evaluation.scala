@@ -389,48 +389,34 @@ object Evaluation {
     * first while full cosine does not). Sub-vectors here are the PQ
     * subspace decomposition ([[MaxSimSubs]]×8 dims) of the stored
     * embedding — the same layout a token-level index would store one
-    * row per part. Plan shape is q26's conditioned broadcast with
-    * both sides pre-exploded: per-part norms materialize below the
-    * join, the 64-cell max/sum is two integer aggregates keyed on
-    * (query, doc), top-10 per query by ranking window.
+    * row per part. Plan shape is q26's conditioned broadcast: one
+    * pair row per (query, doc), the whole 64-cell max/sum grid
+    * evaluated by the native [[graft.functions.MaxSimMicro]] call
+    * (cell(m,m′) rounds to micro BEFORE max/sum — integer semantics
+    * identical in every formulation and in the oracle replay),
+    * top-10 per query by ranking window.
     */
   def q300_maxsim_retrieval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")
       .select($"vec_id", toDouble($"embedding").as("v"))
-    // doc-side part slices + norms materialize ONCE per doc row,
-    // below the join; ONLY the (tiny) query side explodes into parts.
-    // Each joined row then computes one query part's max over the 8
-    // doc parts — 8 narrow dots inside whole-stage codegen — and one
-    // aggregation sums the 8 per-part rows per pair. Two earlier
-    // formulations both failed at the 20× stress: exploding BOTH
-    // sides shuffled 64·|q|·|corpus| cell rows through two
-    // aggregations (38 s), and fusing all 64 cells into one
-    // projection blew the 64 KB codegen method limit and ran
-    // interpreted (293 s). This shape keeps the pair stream at
-    // 8·|q|·|corpus| with a codegen-sized projection.
-    def parts(df: DataFrame, pfx: String): DataFrame =
-      (0 until MaxSimSubs).foldLeft(df) { (d, m) =>
-        d.withColumn(s"$pfx$m", slice($"v", m * 8 + 1, 8))
-          .withColumn(s"${pfx}n$m", norm(col(s"$pfx$m")))
-      }
-    val ds = parts(emb, "p").drop("v")
-    val qsubs = array((0 until MaxSimSubs).map(m =>
-      struct(lit(m.toLong).as("m"), slice($"v", m * 8 + 1, 8).as("sv"))): _*)
+    // Formulation history (the three measured shapes before round 20):
+    // exploding BOTH sides shuffled 64·|q|·|corpus| cell rows through
+    // two aggregations (38 s at the 20× stress); fusing all 64 cells
+    // into one Catalyst projection blew the 64 KB codegen method
+    // limit and ran interpreted (293 s); the round-14→19 form exploded
+    // only the query side into 8 rows per pair (codegen-sized 8-cell
+    // projections + a hash re-aggregation, 3.6 s at sf0.1). The
+    // native maxsim_micro expression (round 20) computes the full
+    // grid per PAIR row — pair stream 8× smaller, no re-aggregation,
+    // one generated call into a tight JIT-compiled loop; arithmetic
+    // bit-identical (see MaxSimMicro's scaladoc).
     val qs = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), explode(qsubs).as("s"))
-      .select($"q_id", $"s.m".as("qm"), $"s.sv".as("qv"))
-      .withColumn("qn", norm($"qv"))
-    // cell(m,m') rounds to micro BEFORE max/sum — integer semantics
-    // identical in every formulation and in the oracle replay
-    val best = (0 until MaxSimSubs).map { mp =>
-      round(dot($"qv", col(s"p$mp"))
-        / greatest($"qn" * col(s"pn$mp"), lit(1e-12)) * 1e6).cast("long")
-    }.reduce(greatest(_, _))
-    val scored = ds.join(broadcast(qs), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"qm", $"vec_id".as("neighbor_id"), best.as("b"))
-      .groupBy($"q_id", $"neighbor_id")
-      .agg(sum($"b").as("maxsim_micro"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = emb.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.MaxSimMicro.maxsimMicro($"qv", $"v", MaxSimSubs)
+          .as("maxsim_micro"))
     val w = Window.partitionBy($"q_id").orderBy($"maxsim_micro".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= TopK)
@@ -466,49 +452,36 @@ object Evaluation {
       .withColumn("nrm", norm($"v"))
     val (seeds, assignedRaw) = Similarity.seededAssignment(emb)
     // the stored index: (vec_id, centroid) inverted lists with the
-    // doc-side part slices + norms materialized once per doc row
+    // raw vector — the fused native maxsim call reads whole vectors,
+    // so the 16 per-part slice/norm columns of the pre-round-20 form
+    // are gone from the cache
     val ds = graft.Caches.tracked(
-      (0 until MaxSimSubs).foldLeft(assignedRaw.drop("nrm")) { (d, m) =>
-        d.withColumn(s"p$m", slice($"v", m * 8 + 1, 8))
-          .withColumn(s"pn$m", norm(col(s"p$m")))
-      }.drop("v"))
+      assignedRaw.select($"vec_id", $"centroid", $"v"))
 
     // query probe ranking over the centroid literals (q49's shape:
-    // micro-rounded L2 with centroid-id tie-breaks, engine-independent)
-    val centArr = array(seeds.map { case (cid, c) =>
-      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
-    }.toSeq: _*)
+    // micro-rounded L2 with centroid-id tie-breaks, engine-
+    // independent), via one native quantizer_topcap call per query
+    // (round 20) instead of the |q|·k explode + ranking window
     val probes = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), explode(centArr).as("c"))
-      .withColumn("dmicro",
-        round((dot($"qv", $"qv") - lit(2.0) * dot($"qv", $"c.cv")
-          + dot($"c.cv", $"c.cv")) * 1e6).cast("long"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
-      .filter($"crank" <= Similarity.IvfProbes)
+      .select($"vec_id".as("q_id"),
+        explode(graft.functions.QuantizerTopCap.topCap(
+          $"v", seeds, Similarity.IvfProbes)).as("c"))
       .select($"q_id", $"c.cid".as("probe_centroid"))
 
-    // query parts × probes: |q| · 8 · IvfProbes rows — broadcast side
-    val qsubs = array((0 until MaxSimSubs).map(m =>
-      struct(lit(m.toLong).as("m"), slice($"v", m * 8 + 1, 8).as("sv"))): _*)
+    // whole query vectors × probes — broadcast side; each (query, doc)
+    // candidate meets at most once (one stored centroid per doc,
+    // distinct probe cells per query), and the full 64-cell grid is
+    // q300's native maxsim_micro call per pair row (the 8-row query
+    // explode + re-aggregation of the pre-round-20 form is gone;
+    // arithmetic bit-identical, see MaxSimMicro's scaladoc)
     val qs = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), explode(qsubs).as("s"))
-      .select($"q_id", $"s.m".as("qm"), $"s.sv".as("qv"))
-      .withColumn("qn", norm($"qv"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
       .join(probes, "q_id")
-
-    // q300's cell: each joined row computes one query part's max over
-    // the 8 doc parts — 8 narrow dots inside whole-stage codegen —
-    // but only over the probed lists' members
-    val best = (0 until MaxSimSubs).map { mp =>
-      round(dot($"qv", col(s"p$mp"))
-        / greatest($"qn" * col(s"pn$mp"), lit(1e-12)) * 1e6).cast("long")
-    }.reduce(greatest(_, _))
     val scored = ds.join(broadcast(qs),
         $"centroid" === $"probe_centroid" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"qm", $"vec_id".as("neighbor_id"), best.as("b"))
-      .groupBy($"q_id", $"neighbor_id")
-      .agg(sum($"b").as("maxsim_micro"))
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.MaxSimMicro.maxsimMicro($"qv", $"v", MaxSimSubs)
+          .as("maxsim_micro"))
     val w = Window.partitionBy($"q_id").orderBy($"maxsim_micro".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= TopK)

@@ -108,6 +108,21 @@ object Similarity {
       df
     })
 
+  /** Materialize the session-shared exact top-k memo for `dir` and
+    * return the brute-force scan's wall seconds. Bench calls this in
+    * its `load` phase (the copurchase_edges precedent) whenever a
+    * memo consumer is selected, so the one O(|queries|·|corpus|) scan
+    * every evaluation query shares is REPORTED as session-load cost
+    * instead of silently landing on whichever consumer happens to run
+    * first (round-19 verdict item 6: q26's bench row read 0.10 s
+    * because q237 had already populated the memo).
+    */
+  def warmExactTopK(spark: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    exactTopK(spark, dir).queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Unpersist and forget every memoized exact top-k frame. */
   def releaseShared(): Unit = {
     val it = exactTopKMemo.values().iterator()
@@ -517,19 +532,15 @@ object Similarity {
     // candidates). At cluster scale the lists are a stored table
     // anyway — build once, probe many.
     val assigned = graft.Caches.tracked(assignTo(emb, seeds))
-    val centArr = array(seeds.map { case (cid, c) =>
-      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
-    }.toSeq: _*)
-
-    def dist2Micro(v: Column, cv: Column): Column =
-      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
-
+    // Query probe ranking via ONE native quantizer_topcap call per
+    // query (round 20) instead of exploding |q|·k centroid rows
+    // through an exchange + row_number window — same micro-rounded
+    // expand-identity distance, same (dmicro, cid) order, so the
+    // probe sets are bit-identical (see QuantizerTopCap's scaladoc).
     val queries = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), explode(centArr).as("c"))
-      .withColumn("dmicro", dist2Micro($"qv", $"c.cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
-      .filter($"crank" <= IvfProbes)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        explode(graft.functions.QuantizerTopCap.topCap($"v", seeds, IvfProbes))
+          .as("c"))
       .select($"q_id", $"qv", $"qnrm", $"c.cid".as("probe_centroid"))
 
     val cands = assigned.join(broadcast(queries),
@@ -742,9 +753,14 @@ object Similarity {
       // every round compiles a fresh whole-stage-codegen class and the
       // suite's bounded codegen cache thrashes — measured +1.5–3 s on
       // q343/q345 in two full-suite runs while isolated (cache-warm)
-      // A/Bs showed the forms tied. The constant shape costs one extra
-      // eager copy job per round and wins in-suite.
-      visited = visited.unionByName(fresh).localCheckpoint(true)
+      // A/Bs showed the forms tied. The checkpoint is LAZY (round 20):
+      // the logical plan is cut to a LogicalRDD immediately (same
+      // constant shape), but the union copy materializes inside the
+      // NEXT round's fresh-scoring job (whose anti-join reads it)
+      // instead of as its own driver-sequenced job — one scheduled job
+      // per round instead of two, same rows persisted (the round wall
+      // is job latency, measured r19; see OPTIMIZATION_r20.md).
+      visited = visited.unionByName(fresh).localCheckpoint(false)
       // Literal rank bound when one width runs (the pinned walks):
       // RankLimitRewrite only fires on `rn <= <literal>`, and losing
       // it would replace the bounded-heap TopKPerGroup plan with a
@@ -777,17 +793,18 @@ object Similarity {
       seeds: Array[(Int, Array[Double])], cap: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centArr = array(seeds.map { case (cid, c) =>
-      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
-    }.toSeq: _*)
-    def dist2Micro(v: Column, cv: Column): Column =
-      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
-    emb.select($"vec_id", $"v", $"nrm", explode(centArr).as("c"))
-      .withColumn("dmicro", dist2Micro($"v", $"c.cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"dmicro", $"c.cid")))
-      .filter($"crank" <= cap)
-      .select($"vec_id", $"v", $"nrm", $"c.cid".as("cid"), $"dmicro", $"crank")
+    // One native quantizer_topcap call per vector (round 20) instead
+    // of exploding N·k (vector, centroid) rows through an exchange and
+    // a per-vector row_number sort window: element i of the returned
+    // array IS cell rank i+1 under the same (dmicro, cid) order, with
+    // the same micro-rounded expand-identity distance — bit-identical
+    // output, zero shuffles (see QuantizerTopCap's scaladoc; plans/r20
+    // q343 dump: the rankCells exchange+window pair is gone).
+    emb.select($"vec_id", $"v", $"nrm",
+        posexplode(graft.functions.QuantizerTopCap.topCap($"v", seeds, cap))
+          .as(Seq("i", "c")))
+      .select($"vec_id", $"v", $"nrm", $"c.cid".as("cid"),
+        $"c.d".as("dmicro"), ($"i" + 1).as("crank"))
   }
 
   /** Wall-clock decomposition of the graph build + one pinned walk,
@@ -839,7 +856,10 @@ object Similarity {
     t("bridge")(bridge.write.format("noop").mode("overwrite").save())
     val und = intra.unionByName(bridge)
     val adj = t("adj-checkpoint")(und
-      .unionByName(und.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
+      .select(explode(array(
+        struct($"src", $"dst", $"sim_micro"),
+        struct($"dst".as("src"), $"src".as("dst"), $"sim_micro"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.sim_micro")
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
@@ -865,6 +885,65 @@ object Similarity {
     val visited = t("walk-8-rounds")(graphSearch(ix, k.beamWidth, k.rounds))
     t("rank+drive")(rankVisited(visited)
       .write.format("noop").mode("overwrite").save())
+  }
+
+  /** Selectivity probe for a LOSSLESS geometric prune of the bridge
+    * join's candidate stream (round-20, verdict item 3) — consumed by
+    * [[graft.tools.BridgePruneProbe]]; measurement only, not a query.
+    * Counts candidates whose centroid-triangle upper bound on cos is
+    * strictly below the exact (ideal) / lower-bound-derived
+    * (realistic) 2nd-best of their (src, bridge-cell) group.
+    */
+  private[graft] def bridgePruneProbe(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val k = GraphKnobs()
+    val emb = load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val seeds = ivfSeeds(emb)
+    val crankCap = math.max(k.entryProbes, k.buildProbes)
+    val ranked = graft.Caches.tracked(rankCells(emb, seeds, crankCap))
+    val assigned = ranked.filter($"crank" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cid".as("cell"), $"dmicro")
+    val second = ranked.filter($"crank" >= 2 && $"crank" <= k.buildProbes)
+      .select($"vec_id", $"cid".as("cell2"), $"dmicro".as("dx2"))
+    val members = assigned
+      .select($"cell", $"vec_id", $"v", $"nrm", $"dmicro".as("dy2"))
+    val cand = assigned.select($"vec_id", $"v", $"nrm")
+      .join(second, "vec_id").as("x")
+      .join(members.as("y"),
+        $"x.cell2" === $"y.cell" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("src"), $"x.cell2".as("bcell"),
+        $"y.vec_id".as("dst"),
+        round(dot($"x.v", $"y.v") / ($"x.nrm" * $"y.nrm") * 1e6)
+          .cast("long").as("sim"),
+        $"x.nrm".as("xn"), $"y.nrm".as("yn"),
+        sqrt($"x.dx2" / 1e6).as("dx"), sqrt($"y.dy2" / 1e6).as("dy"))
+      .withColumn("lball", greatest(abs($"dx" - $"dy"), lit(0.0)))
+      .withColumn("ub", round((($"xn" * $"xn" + $"yn" * $"yn"
+          - $"lball" * $"lball") / (lit(2.0) * $"xn" * $"yn")) * 1e6)
+        .cast("long"))
+      .withColumn("lb", round((($"xn" * $"xn" + $"yn" * $"yn"
+          - ($"dx" + $"dy") * ($"dx" + $"dy")) / (lit(2.0) * $"xn" * $"yn")) * 1e6)
+        .cast("long"))
+    val c = graft.Caches.tracked(cand)
+    val wDesc = Window.partitionBy($"src", $"bcell").orderBy($"sim".desc, $"dst")
+    val wLb = Window.partitionBy($"src", $"bcell").orderBy($"lb".desc, $"dst")
+    val gg = c.withColumn("rks", row_number().over(wDesc))
+      .withColumn("rkl", row_number().over(wLb))
+    val t2e = gg.filter($"rks" === 2)
+      .select($"src", $"bcell", $"sim".as("t2_exact"))
+    val t2l = gg.filter($"rkl" === 2)
+      .select($"src", $"bcell", $"lb".as("t2_lb"))
+    val res = c.join(t2e, Seq("src", "bcell"), "left")
+      .join(t2l, Seq("src", "bcell"), "left")
+      .agg(count(lit(1)).as("cands"),
+        sum(when($"ub" < $"t2_exact", 1L).otherwise(0L)).as("prune_ideal"),
+        sum(when($"ub" < $"t2_lb", 1L).otherwise(0L)).as("prune_real"))
+      .head
+    println(s"bridge candidates=${res.getLong(0)} " +
+      s"prunable_ideal=${res.getLong(1)} prunable_realistic=${res.getLong(2)}")
+    graft.Caches.releaseAll(blocking = true)
   }
 
   private[llm] def graphIndexCore(spark: SparkSession, dir: String,
@@ -932,8 +1011,17 @@ object Similarity {
     // ~15 s at sf1.0 from this cut alone. Blocks are freed by the
     // ContextCleaner once the frames are unreachable (Bench GCs
     // between queries).
+    // Both edge directions in ONE pass over the (expensive) intra ∪
+    // bridge subtree (round 20, the connectedComponents edges trick):
+    // the previous self-union referenced `und` twice, re-running the
+    // two pair joins' window sort+filter once per branch (ReuseExchange
+    // dedups only up to the exchanges below them). Multiset identical,
+    // and distinct() makes the set — oracle unchanged.
     val adj = und
-      .unionByName(und.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
+      .select(explode(array(
+        struct($"src", $"dst", $"sim_micro"),
+        struct($"dst".as("src"), $"src".as("dst"), $"sim_micro"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.sim_micro")
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
@@ -1120,14 +1208,19 @@ object Similarity {
     // entry cells for the serving walk
     val rankedAll = graft.Caches.tracked(
       rankCells(emb, seeds, k.entryProbes))
+    // Lazy checkpoints (round 20): same lineage cut, but the four
+    // entry/query frames materialize inside the first walk round that
+    // reads them instead of as four separate eager jobs — q349's wall
+    // is scheduled-job count, not row volume (scaling ratio 0.67:
+    // faster on 8 cores than 32 in the r19 driver run).
     def entriesOf(pred: Column): DataFrame = rankedAll.filter(pred)
       .select($"vec_id".as("q_id"), $"cid".as("cell"))
       .join(ix.medoids, Seq("cell"))
       .select($"q_id", $"medoid".as("node")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def qsOf(src: DataFrame, pred: Column): DataFrame = src.filter(pred)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // ---- insert: one batched walk, top-M visited become out-edges
     val insertVisited = graphSearch(
@@ -1137,20 +1230,31 @@ object Similarity {
         Window.partitionBy($"q_id").orderBy($"sim_micro".desc, $"node")))
       .filter($"rn" <= k.m)
       .select($"q_id".as("src"), $"node".as("dst"), $"sim_micro")
-    val newEdges = newOut.unionByName(
-      newOut.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
+    // both directions in one pass over the ranked window's output
+    // (round 20) — the self-union form re-ran the rank window per
+    // branch; multiset identical, downstream re-cap/count unchanged
+    val newEdges = newOut.select(explode(array(
+        struct($"src", $"dst", $"sim_micro"),
+        struct($"dst".as("src"), $"src".as("dst"), $"sim_micro"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.sim_micro")
     val combined = ix.adj.unionByName(newEdges)
     val appendedAdj = combined.withColumn("rn", row_number().over(
         Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
       .filter($"rn" <= k.maxDegree)
       .select($"src", $"dst", $"sim_micro")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
-    // ---- serve: the standard q343 query set on the appended graph
+    // ---- serve: the standard q343 query set on the appended graph.
+    // The serving corpus (every vector, base + batch) reuses the
+    // ALREADY-CHECKPOINTED base corpus blocks plus the 10% batch slice
+    // instead of re-scanning and re-norming the full embedding table —
+    // identical (node, nv, nnrm) values, one parquet scan saved
+    // (round 20; row order is irrelevant to the keyed score join).
     val served = graphSearch(GraphIndex(ix.assigned, appendedAdj,
       entriesOf($"vec_id" % 50 === 0), qsOf(emb, $"vec_id" % 50 === 0),
-      emb.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm"))
-        .localCheckpoint(true),
+      ix.corpus.unionByName(batch
+          .select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm")))
+        .localCheckpoint(false),
       ix.medoids), k.beamWidth, k.rounds)
     val exact = exactTopK(spark, dir)
     val hits = rankVisited(served)
@@ -1753,18 +1857,14 @@ object Similarity {
     // was THIS, not the exact denominator — q26 itself is sub-second).
     val (seeds, assignedRaw) = seededAssignment(emb)
     val assigned = graft.Caches.tracked(assignedRaw)
-    val centArr = array(seeds.map { case (cid, c) =>
-      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
-    }.toSeq: _*)
-    def dist2Micro(v: Column, cv: Column): Column =
-      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+    // Probe ranking via quantizer_topcap (round 20): element i is cell
+    // rank i+1 under the same (dmicro, cid) order — no |q|·k explode,
+    // no ranking window (see QuantizerTopCap's scaladoc).
     val probes = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
-        explode(centArr).as("c"))
-      .withColumn("dmicro", dist2Micro($"qv", $"c.cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
-      .filter($"crank" <= IvfProbeLevels.max)
+        posexplode(graft.functions.QuantizerTopCap.topCap(
+          $"v", seeds, IvfProbeLevels.max)).as(Seq("i", "c")))
+      .withColumn("crank", $"i" + 1)
       .withColumn("nprobe", explode(array(IvfProbeLevels.map(lit): _*)))
       .filter($"crank" <= $"nprobe")
       .select($"nprobe", $"q_id", $"qv", $"qnrm", $"c.cid".as("probe_centroid"))
@@ -1838,12 +1938,10 @@ object Similarity {
     val index = graft.Caches.tracked(assignTo(emb, cSeeds).join(codes, "vec_id"))
 
     // query batch: probe ranking over the coarse centroids + the ADC
-    // LUT of exact micro-distances to every codeword
-    val centArr = array(cSeeds.map { case (cid, c) =>
-      struct(array(c.map(lit).toSeq: _*).as("cv"), lit(cid).as("cid"))
-    }.toSeq: _*)
-    def dist2Micro(v: Column, cv: Column): Column =
-      round((dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)) * 1e6).cast("long")
+    // LUT of exact micro-distances to every codeword. Probe ranking
+    // via quantizer_topcap (round 20): same micro-rounded distance
+    // and (dmicro, cid) order as the explode+window form it replaces,
+    // with no |q|·k fan-out and no ranking window.
     val lut = array((0 until PqSubspaces).map { m =>
       val s = slice($"qv", m * PqSubDim + 1, PqSubDim)
       array(seeds.map { case (_, c) =>
@@ -1853,11 +1951,9 @@ object Similarity {
     val queries = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       .withColumn("lut", lut)
-      .select($"q_id", $"qv", $"qnrm", $"lut", explode(centArr).as("c"))
-      .withColumn("dmicro", dist2Micro($"qv", $"c.cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"dmicro", $"c.cid")))
-      .filter($"crank" <= IvfProbes)
+      .select($"q_id", $"lut",
+        explode(graft.functions.QuantizerTopCap.topCap($"qv", cSeeds, IvfProbes))
+          .as("c"))
       .select($"q_id", $"lut", $"c.cid".as("probe_centroid"))
 
     // ADC scan over the probed lists' CODES only — slim rows

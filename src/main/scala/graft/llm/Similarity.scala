@@ -1017,12 +1017,18 @@ object Similarity {
     // two pair joins' window sort+filter once per branch (ReuseExchange
     // dedups only up to the exchanges below them). Multiset identical,
     // and distinct() makes the set — oracle unchanged.
+    // dropDuplicates AFTER the src repartition: hash-partitioning on
+    // src clusters every (src, dst, sim) row, so the dedup aggregate
+    // AND the degree-cap window share ONE exchange instead of a
+    // whole-row distinct exchange followed by a src-keyed window
+    // exchange (round 20; the r19 support-backbone trick, guide §2.4).
     val adj = und
       .select(explode(array(
         struct($"src", $"dst", $"sim_micro"),
         struct($"dst".as("src"), $"src".as("dst"), $"sim_micro"))).as("e"))
       .select($"e.src", $"e.dst", $"e.sim_micro")
-      .distinct()
+      .repartition($"src")
+      .dropDuplicates("src", "dst", "sim_micro")
       .withColumn("rn", row_number().over(
         Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")))
       .filter($"rn" <= k.maxDegree)
@@ -1102,11 +1108,15 @@ object Similarity {
     val hits = result.join(exact.select($"q_id", $"neighbor_id"),
       Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
     val exn = exact.agg(count(lit(1)).as("ex_rows"))
+    // edge count + max out-degree in ONE pass over the adjacency
+    // (round 20): Σ of the per-src counts IS count(*), so the two
+    // census aggregates share the groupBy instead of scanning twice
+    val adjStats = core.adj.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum($"d"), lit(0L)).as("graph_edges"),
+        max($"d").as("max_out_degree"))
     core.assigned
       .agg(count(lit(1)).as("n_docs"), countDistinct($"cell").as("n_cells"))
-      .crossJoin(broadcast(core.adj.agg(count(lit(1)).as("graph_edges"))))
-      .crossJoin(broadcast(core.adj.groupBy($"src").agg(count(lit(1)).as("d"))
-        .agg(max($"d").as("max_out_degree"))))
+      .crossJoin(broadcast(adjStats))
       .crossJoin(broadcast(core.entries.agg(count(lit(1)).as("entry_rows"))))
       .crossJoin(broadcast(core.visited.agg(count(lit(1)).as("visited_rows"))))
       .crossJoin(broadcast(hits))
@@ -1264,9 +1274,10 @@ object Similarity {
       .crossJoin(broadcast(batch.agg(count(lit(1)).as("n_appended"))))
       .crossJoin(broadcast(ix.adj.agg(count(lit(1)).as("edges_before"))))
       .crossJoin(broadcast(newEdges.agg(count(lit(1)).as("edges_added"))))
-      .crossJoin(broadcast(appendedAdj.agg(count(lit(1)).as("edges_after"))))
       .crossJoin(broadcast(appendedAdj.groupBy($"src")
-        .agg(count(lit(1)).as("d")).agg(max($"d").as("max_out_degree"))))
+        .agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum($"d"), lit(0L)).as("edges_after"),
+          max($"d").as("max_out_degree"))))
       .crossJoin(broadcast(insertVisited.agg(count(lit(1))
         .as("insert_visited_rows"))))
       .crossJoin(broadcast(served.agg(count(lit(1)).as("visited_rows"))))
